@@ -1,13 +1,388 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.{IngestOps, Sinks}
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract — one query per implemented operator (SURVEY.md §2), each
+  * with equivalent DuckDB SQL for the oracle-differential check.
+  *
+  * Conventions for oracle stability:
+  *  - every column aliased identically in Spark and SQL;
+  *  - integer outputs cast to BIGINT on both sides;
+  *  - money math in DECIMAL(18,2) (exact, associative) — never float sums;
+  *  - float similarity math as explicit fixed-order expressions (bit-identical
+  *    across engines, see ext/Similarity.scala);
+  *  - deterministic ORDER BY everywhere.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val dec = DecimalType(18, 2)
+  private def d2(c: Column): Column = c.cast(dec)
+  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  private def revenue(): Column =
+    sum(d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))))
+  private val revenueSql =
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    IngestOps.table(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // Queries
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- ingest / ETL parity (SURVEY.md §2.1–§2.3) ----------------------
+    "s1_scan_allstring" -> ((s, dir) =>
+      IngestOps.allString(t(s, dir, "lineitem").orderBy("l_orderkey", "l_linenumber"))),
+
+    "s3_sheet_selection" -> ((s, dir) =>
+      IngestOps.resolveSheet(s, dir, "ORDERS")
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("orders").as("sheet"), col("n_rows"))),
+
+    "s4_header_fallback" -> ((s, dir) => {
+      // simulate a headerless sheet, apply a 2-name header to 3 columns:
+      // the overflow column falls back to its 0-based index as name
+      val raw = t(s, dir, "nation").toDF("_c0", "_c1", "_c2")
+      IngestOps.applyHeader(raw, Seq("nation_key", "nation_name")).orderBy("nation_key")
+    }),
+
+    "t2_blank_normalization" -> ((s, dir) =>
+      IngestOps.dropEmptyRows(IngestOps.blanksForNulls(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
+    "t3_skip_rows" -> ((s, dir) =>
+      IngestOps.skipRows(t(s, dir, "events").select("event_id", "event_type"),
+        100, col("event_id")).orderBy("event_id")),
+
+    "t4_projection_rename" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line_no"),
+          col("l_quantity").as("qty"))
+        .orderBy("okey", "line_no")),
+
+    "t5_cell_format" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate_str"),
+        d2(col("o_totalprice")).cast("string").as("price_str"))
+        .orderBy("o_orderkey")),
+
+    "t6_row_metrics" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))),
+
+    "k1_ndjson_lines" -> ((s, dir) => {
+      val o = IngestOps.allString(t(s, dir, "orders"))
+      o.select(col("o_orderkey").cast("long").as("okey"),
+          to_json(struct(o.columns.map(col).toSeq: _*)).as("line"))
+        .orderBy("okey")
+    }),
+
+    "k2_csv_chunks" -> ((s, dir) =>
+      Sinks.chunkStats(t(s, dir, "orders"), 1000, col("o_orderkey")).orderBy("chunk_id")),
+
+    "c4_json_tolerant" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- relational core on top of the ingested frames (SURVEY.md §2.5) --
+    "q1_pricing_summary" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(d2(col("l_quantity"))).as("sum_qty"),
+          sum(d2(col("l_extendedprice"))).as("sum_base_price"),
+          revenue().as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_top_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(revenue().as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue().as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "window_rank_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "events_tumbling_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("sum_value"))
+        .orderBy("hr", "event_type")),
+
+    "events_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("us"), 1).over(byUser))
+        .withColumn("is_new",
+          when(col("prev").isNull || col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("is_new")).over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"), min("us").as("start_us"), max("us").as("end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    "s6_dict_lookup" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_name", "n_name")),
+
+    // ---- LLM-pipeline extensions (north star / SURVEY.md §7.2 M5) --------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents")).orderBy("h")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Dedup.minhashSignatures(t(s, dir, "documents")))
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
+
+    "sim_topk_bruteforce" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
+    "sim_ann_lsh" -> ((s, dir) => // rows-only check: ANN recall is approximate
+      Similarity.annTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")))
+
+  // =====================================================================
+  // Oracle SQL (DuckDB dialect, same parquet tables)
+  // =====================================================================
+
+  /** lineitem all-string rendering, matching etl.IngestOps.cellToString. */
+  private val lineitemAllStringSql: String = {
+    val cols = Seq(
+      "l_orderkey" -> "i", "l_partkey" -> "i", "l_suppkey" -> "i",
+      "l_linenumber" -> "i", "l_quantity" -> "d", "l_extendedprice" -> "d",
+      "l_discount" -> "d", "l_tax" -> "d", "l_returnflag" -> "s",
+      "l_linestatus" -> "s", "l_shipdate" -> "ts")
+    val sel = cols.map {
+      case (c, "d") => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR) AS $c"
+      case (c, "ts") => s"strftime($c, '%Y-%m-%d %H:%M:%S') AS $c"
+      case (c, _) => s"CAST($c AS VARCHAR) AS $c"
+    }.mkString(",\n  ")
+    s"SELECT\n  $sel\nFROM lineitem ORDER BY lineitem.l_orderkey, lineitem.l_linenumber"
+  }
+
+  private val ordersAllStringJsonSql: String = {
+    val fields = Seq(
+      "o_orderkey" -> "i", "o_custkey" -> "i", "o_orderstatus" -> "s",
+      "o_totalprice" -> "d", "o_orderdate" -> "ts", "o_orderpriority" -> "s")
+    val packed = fields.map {
+      case (c, "d") => s"$c := CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+      case (c, "ts") => s"$c := strftime($c, '%Y-%m-%d %H:%M:%S')"
+      case (c, _) => s"$c := CAST($c AS VARCHAR)"
+    }.mkString(", ")
+    s"""SELECT CAST(o_orderkey AS BIGINT) AS okey,
+       |  CAST(to_json(struct_pack($packed)) AS VARCHAR) AS line
+       |FROM orders ORDER BY okey""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan_allstring" -> lineitemAllStringSql,
+
+    "s3_sheet_selection" ->
+      "SELECT 'orders' AS sheet, CAST(count(*) AS BIGINT) AS n_rows FROM orders",
+
+    "s4_header_fallback" ->
+      """SELECT n_nationkey AS nation_key, n_name AS nation_name, n_regionkey AS "2"
+        |FROM nation ORDER BY nation_key""".stripMargin,
+
+    "t2_blank_normalization" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, coalesce(text, '') AS text, coalesce(lang, '') AS lang,
+        |         coalesce(source, '') AS source, n_chars
+        |  FROM documents)
+        |WHERE doc_id IS NOT NULL OR (text IS NOT NULL AND trim(text) <> '')
+        |   OR (lang IS NOT NULL AND trim(lang) <> '')
+        |   OR (source IS NOT NULL AND trim(source) <> '') OR n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    "t3_skip_rows" ->
+      """SELECT event_id, event_type FROM (
+        |  SELECT event_id, event_type, row_number() OVER (ORDER BY event_id) AS pos
+        |  FROM events)
+        |WHERE pos > 100 ORDER BY event_id""".stripMargin,
+
+    "t4_projection_rename" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line_no, l_quantity AS qty
+        |FROM lineitem ORDER BY okey, line_no""".stripMargin,
+
+    "t5_cell_format" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate_str,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "t6_row_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+        |FROM lineitem""".stripMargin,
+
+    "k1_ndjson_lines" -> ordersAllStringJsonSql,
+
+    "k2_csv_chunks" ->
+      """SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(rn) AS min_rn, max(rn) AS max_rn
+        |FROM (
+        |  SELECT CAST((row_number() OVER (ORDER BY o_orderkey) - 1) // 1000 AS BIGINT) AS chunk_id,
+        |         CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+
+    "c4_json_tolerant" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         |  $revenueSql AS sum_disc_price,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      s"""SELECT o_orderkey, o_orderdate, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      s"""SELECT n_name, $revenueSql AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "window_rank_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "events_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | flags AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "s6_dict_lookup" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS n_dups, min(doc_id) AS keep_id
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "dedup_minhash" -> Dedup.minhashSqlDuck,
+    "dedup_lsh_pairs" -> Dedup.lshPairsSqlDuck,
+    "dedup_simhash" -> Dedup.simhashSqlDuck,
+    "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
+    "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
+    "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
+    // sim_ann_lsh: intentionally no oracle (approximate recall) → rows-only
+    "text_quality" -> TextOps.qualitySqlDuck,
+    "text_langid" -> TextOps.langIdSqlDuck,
+    "text_fingerprint" -> TextOps.fingerprintSqlDuck,
+    "multimodal_features" -> Multimodal.featuresSqlDuck)
 }

@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** C4 — per-row error tolerance (SURVEY.md §2.4).
+  *
+  * Reference semantics (core/ExcelRowListener.java:164-169,244-271; contract
+  * HighVolumeExcelConverter-Contract-v2.0.1.md:186-188):
+  *  - continueOnError=true  → log + skip the bad row, keep going
+  *  - continueOnError=false → fail fast on the first bad row
+  *  - cell *type* issues are never errors (everything is a string)
+  *
+  * Spark mapping: a "bad row" is one whose structural parse (here: a JSON
+  * payload column) fails. PERMISSIVE ≈ continueOnError, FAILFAST ≈ fail-fast.
+  * The skipped count is surfaced through a LongAccumulator — the distributed
+  * analog of the reference's skippedRows counter — so it aggregates across
+  * executors without collecting data.
+  */
+object ErrorModes {
+
+  /** Marks rows whose `jsonCol` is not a JSON object parseable to the given
+    * schema. from_json returns null on malformed input, which is exactly the
+    * PERMISSIVE corrupt-record signal. */
+  def corruptJson(jsonCol: Column, schemaDDL: String): Column =
+    from_json(jsonCol, org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)).isNull
+
+  /** continueOnError=true: drop corrupt rows, counting them into `skipped`.
+    * One pass: the corrupt flag is computed by codegen'd expressions; the
+    * mapPartitions only filters + counts. */
+  def tolerate(df: DataFrame, corrupt: Column, skipped: LongAccumulator): DataFrame = {
+    val withFlag = df.withColumn("_corrupt", coalesce(corrupt, lit(true)))
+    val schema = withFlag.schema
+    val bad = schema.fieldIndex("_corrupt")
+    withFlag.mapPartitions { it: Iterator[Row] =>
+      it.filter { row =>
+        val isBad = row.getBoolean(bad)
+        if (isBad) skipped.add(1L)
+        !isBad
+      }
+    }(Encoders.row(schema)).drop("_corrupt")
+  }
+
+  /** continueOnError=false: throw on the first corrupt row (FAILFAST).
+    * Implemented as a filter predicate so Catalyst cannot prune it away. */
+  def failFast(df: DataFrame, corrupt: Column, what: String): DataFrame =
+    df.filter(
+      when(corrupt, raise_error(lit(s"Malformed $what row (continueOnError=false)")))
+        .otherwise(lit(true)))
+}

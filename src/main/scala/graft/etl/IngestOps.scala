@@ -1,0 +1,122 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest-stage operators: Spark-native re-expression of the reference's
+  * Extract semantics (SURVEY.md §2.1/§2.2).
+  *
+  * Reference (waldfalke/catme-etl-j, /root/reference):
+  *  - sheet selection: strategy/UserModeEventConversionStrategy.java:133-171
+  *  - header extraction: strategy/UserModeEventConversionStrategy.java:236-244
+  *  - index→name projection with index fallback: core/writers/NdjsonDataWriter.java:128-143
+  *  - null/blank normalization: strategy/UserModeEventConversionStrategy.java:272,
+  *    core/poi/CatmePoiSheetContentsHandler.java:122-125
+  *  - all-string cell model: core/writers/NdjsonDataWriter.java:142
+  *  - row-order invariant: HighVolumeExcelConverter-Contract-v2.0.1.md:81,99
+  *
+  * Scale note (100 TB): every operator here is a narrow projection/filter —
+  * no shuffle. The only intentionally-sequential ops are the positional ones
+  * (header-row skip), which at scale should be driven by per-file row indexes
+  * (`_metadata.row_index`-style) rather than a global window; `skipRows` below
+  * takes an explicit ordering key so Catalyst can keep it parallel.
+  */
+object IngestOps {
+
+  /** The fixture "workbook": one parquet table per sheet (TESTDATA.md). */
+  val knownTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    // rejects; read nanos as long and convert to a µs timestamp (the DuckDB
+    // oracle reads the same column µs-truncated, and fixture ns remainders
+    // are zero).
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** S3 — case-insensitive sheet resolution; unknown name errors with the
+    * available-sheets list, mirroring
+    * strategy/UserModeEventConversionStrategy.java:145-157. */
+  def resolveSheetName(sheetName: String): String =
+    knownTables.find(_.equalsIgnoreCase(sheetName)).getOrElse {
+      throw new IllegalArgumentException(
+        s"Sheet '$sheetName' not found. Available sheets: ${knownTables.mkString(", ")}")
+    }
+
+  def resolveSheet(spark: SparkSession, dir: String, sheetName: String): DataFrame =
+    table(spark, dir, resolveSheetName(sheetName))
+
+  /** Row-order capture. `monotonically_increasing_id` is increasing within a
+    * partition and partition-prefixed, so ordering by it reproduces source
+    * order for order-preserving scans (SURVEY.md §7.5 pt 1). */
+  def withRowId(df: DataFrame, idCol: String = "_rid"): DataFrame =
+    df.withColumn(idCol, monotonically_increasing_id())
+
+  /** T5 — canonical string rendering used for all-string parity with the
+    * DuckDB oracle: ints as digits, doubles via DECIMAL(18,2) (the fixtures
+    * are money-like 2-dp values), timestamps at second precision. */
+  def cellToString(c: org.apache.spark.sql.Column, dt: DataType): org.apache.spark.sql.Column = dt match {
+    case DoubleType | FloatType => c.cast(DecimalType(18, 2)).cast(StringType)
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DateType => date_format(c, "yyyy-MM-dd")
+    case _ => c.cast(StringType)
+  }
+
+  /** T2/T5 — the reference's universal all-string row model
+    * (SURVEY.md §1.2): every cell becomes a display string. */
+  def allString(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map(f => cellToString(col(f.name), f.dataType).as(f.name))
+    df.select(cols.toSeq: _*)
+  }
+
+  /** T2 — null→"" coercion (active POI path,
+    * UserModeEventConversionStrategy.java:272). String columns only. */
+  def blanksForNulls(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == StringType) coalesce(col(f.name), lit("")).as(f.name)
+      else col(f.name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  /** T2 — drop entirely-empty rows
+    * (core/poi/CatmePoiSheetContentsHandler.java:122-125). */
+  def dropEmptyRows(df: DataFrame): DataFrame = {
+    val nonEmpty = df.schema.fields
+      .map { f =>
+        if (f.dataType == StringType) col(f.name).isNotNull && trim(col(f.name)) =!= ""
+        else col(f.name).isNotNull
+      }
+      .reduce(_ || _)
+    df.filter(nonEmpty)
+  }
+
+  /** T3 — skip-before-header positional filter. `orderKey` makes the
+    * "position" explicit and shuffle-free-sortable rather than relying on a
+    * global sequential index. */
+  def skipRows(df: DataFrame, n: Long, orderKey: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderKey)
+    df.withColumn("_pos", row_number().over(w)).filter(col("_pos") > n).drop("_pos")
+  }
+
+  /** S4/T4 — header application with the index-fallback rule: positions
+    * beyond the header (or with empty header names) are named by their
+    * 0-based column index (core/writers/JsonDataWriter.java:151-154). */
+  def applyHeader(df: DataFrame, header: Seq[String]): DataFrame = {
+    val cols = df.columns.zipWithIndex.map { case (c, i) =>
+      val name =
+        if (i < header.length && header(i) != null && header(i).nonEmpty) header(i)
+        else i.toString
+      col(c).as(name)
+    }
+    df.select(cols.toSeq: _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink operators K1–K4 (SURVEY.md §2.3), Spark-native.
+  *
+  * Reference: core/writers/{NdjsonDataWriter,CsvDataWriter,JsonDataWriter}.java.
+  *
+  * Scale note (100 TB): ndjson/csv sinks are fully distributed (one file per
+  * task, `maxRecordsPerFile` for chunk parity). The JSON-array sink (K3) is
+  * inherently a single sequential `[...]` file — same single-writer design as
+  * the reference (core/writers/JsonDataWriter.java); it streams with bounded
+  * memory via `toLocalIterator`, and is NOT meant for 100 TB outputs (the
+  * reference contract scopes it the same way: NDJSON is "recommended").
+  */
+object Sinks {
+
+  /** K4 — overwrite guard (core/writers/NdjsonDataWriter.java:73-77):
+    * existing output without overwrite → error; with overwrite → truncate. */
+  def saveMode(overwrite: Boolean): SaveMode =
+    if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
+
+  /** K1 — NDJSON sink: Spark's JSON sink *is* NDJSON (one object per line).
+    * `singleFile=true` reproduces the reference's one-output-file reality
+    * (single-threaded writer) via coalesce(1). */
+  def ndjson(df: DataFrame, path: String, overwrite: Boolean = false,
+      singleFile: Boolean = false): Unit = {
+    val d = if (singleFile) df.coalesce(1) else df
+    d.write.mode(saveMode(overwrite)).json(path)
+  }
+
+  /** K2 — chunked CSV sink: new file every `batchSize` rows, header per
+    * chunk (core/writers/CsvDataWriter.java:80-103,148-151). Distributed
+    * parity: `maxRecordsPerFile`; deterministic chunk *numbering* additionally
+    * needs a range partition on the order key so chunk k holds rows
+    * [k*batchSize, (k+1)*batchSize). */
+  def chunkedCsv(df: DataFrame, path: String, batchSize: Int,
+      orderCol: Option[String] = None, overwrite: Boolean = false): Unit = {
+    val d = orderCol.map(c => df.repartitionByRange(col(c)).sortWithinPartitions(col(c))).getOrElse(df)
+    d.write.mode(saveMode(overwrite))
+      .option("header", "true")
+      .option("maxRecordsPerFile", batchSize.toLong)
+      .csv(path)
+  }
+
+  /** Chunk assignment as data: which chunk each row of an ordered stream
+    * falls into, and the per-chunk row counts — the contract invariant
+    * "every chunk ≤ batchSize rows, order preserved"
+    * (HighVolumeExcelConverter-Contract-v2.0.1.md:83,99) as a checkable
+    * DataFrame. */
+  def chunkStats(df: DataFrame, batchSize: Int,
+      orderKey: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(orderKey)
+    df.withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("chunk_id", floor((col("_rn") - 1) / batchSize).cast("long"))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_rows"), min("_rn").as("min_rn"), max("_rn").as("max_rn"))
+  }
+
+  /** K3 — single-file JSON array sink (core/writers/JsonDataWriter.java:79-257):
+    * one well-formed `[{...},{...}]` document. Streams row-by-row through the
+    * driver with bounded memory (toLocalIterator ≈ the reference's 128 KB
+    * buffered single writer). */
+  def jsonArray(df: DataFrame, path: String, overwrite: Boolean = false,
+      pretty: Boolean = false): Long = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      if (!overwrite) throw new IllegalStateException(
+        s"Output file exists and overwrite not enabled: $path") // K4 parity
+      Files.delete(p)
+    }
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val out = Files.newBufferedWriter(p, StandardCharsets.UTF_8,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val (open, sep, close) = if (pretty) ("[\n  ", ",\n  ", "\n]") else ("[", ",", "]")
+    var n = 0L
+    try {
+      out.write(open)
+      val it = df.toJSON.toLocalIterator()
+      while (it.hasNext) {
+        if (n > 0) out.write(sep)
+        out.write(it.next())
+        n += 1
+      }
+      out.write(close)
+    } finally out.close()
+    n
+  }
+}

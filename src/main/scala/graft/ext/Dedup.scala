@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (north-star M5): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Embedding-cosine near-dup lives in [[Similarity]].
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = hash-groupBy → one shuffle on the content hash; map-side
+  *    partial aggregation keeps the shuffle small (one record per distinct
+  *    hash per map task).
+  *  - MinHash: signature computation is a narrow map + one groupBy(doc_id)
+  *    over the exploded token stream; LSH banding turns the O(n²) pair search
+  *    into an equi-join on (band_index, band_hash) — shuffle keyed by band
+  *    buckets, which is the standard scalable formulation.
+  *  - SimHash: same shape (map + groupBy doc).
+  *  - n-gram Jaccard is only run on LSH-bucketed candidates (or cheap
+  *    blocking keys), never all-pairs.
+  *
+  * Hash-function portability: the oracle runs in DuckDB, whose hash() is not
+  * Spark's; both engines share md5. MinHash permutations are realized as
+  * `min(md5(seed_i || token))` — lexicographic min over a 128-bit hash-hex is
+  * a valid min-wise hash family and is byte-identical across engines.
+  */
+object Dedup {
+
+  /** Exact dedup groups: content-hash groupBy; keep-first policy = min key.
+    * (reference ties: the absent downstream `Deduplicator` module,
+    * HighVolumeExcelConverter-Contract-v2.0.1.md:44-49). */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+
+  /** Distinct-token stream (doc_id, tok). */
+  def tokens(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      explode(expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})")).as("tok"))
+
+  val NumHashes = 8
+  val RowsPerBand = 4
+  val NumBands: Int = NumHashes / RowsPerBand
+
+  /** MinHash signatures + LSH band hashes. */
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"mh$i"), col("tok")))).as(s"s$i"))
+    val sigs = tokens(docs, textCol).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    (0 until NumBands).foldLeft(sigs) { (d, b) =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
+      d.withColumn(s"band$b", md5(concat(cols: _*)))
+    }
+  }
+
+  /** LSH candidate pairs: docs sharing any band hash (band index must match).
+    * Equi-join on (band_index, band_hash) — shuffle-partitioned by bucket. */
+  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map(b =>
+      struct(lit(b).as("bi"), col(s"band$b").as("band")))
+    val buckets = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.bi") === col("y.bi") && col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The 16-bit SimHash aggregation expression — identical SQL text for Spark
+    * and DuckDB (substr/IN/CASE/sum only, no dialect-specific syntax).
+    * Expects a relation (doc_id, h) where h = md5(token); bit b of the
+    * simhash is set iff the population balance of bit b across token hashes
+    * is positive. Bit b lives in hex digit (b div 4) (1-based position),
+    * bit (b mod 4) within the digit. */
+  def simhash16Expr(hCol: String): String = {
+    val bitDigits = Seq(
+      Seq("1", "3", "5", "7", "9", "b", "d", "f"), // bit 0 of a hex digit
+      Seq("2", "3", "6", "7", "a", "b", "e", "f"), // bit 1
+      Seq("4", "5", "6", "7", "c", "d", "e", "f"), // bit 2
+      Seq("8", "9", "a", "b", "c", "d", "e", "f")) // bit 3
+    val terms = (0 until 16).map { b =>
+      val pos = b / 4 + 1
+      val inList = bitDigits(b % 4).map(d => s"'$d'").mkString(",")
+      val bal = s"sum(CASE WHEN substr($hCol, $pos, 1) IN ($inList) THEN 1 ELSE -1 END)"
+      s"(CASE WHEN $bal > 0 THEN ${1 << b} ELSE 0 END)"
+    }
+    s"CAST(${terms.mkString(" + ")} AS BIGINT)"
+  }
+
+  /** SimHash per document. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    tokens(docs, textCol).select(col("doc_id"), md5(col("tok")).as("h"))
+      .groupBy("doc_id")
+      .agg(expr(simhash16Expr("h")).as("simhash16"))
+
+  /** n-gram (token-set) Jaccard similarity over blocked candidate pairs.
+    * Blocking key: (lang, n_chars div 100) — cheap deterministic buckets that
+    * bound the pair count; at scale, replace blocking with
+    * [[lshCandidatePairs]] output. */
+  def jaccardPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+      expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
+      expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
+    t.as("a").join(t.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+  }
+
+  // ---- oracle SQL builders (DuckDB dialect) ----------------------------
+
+  def toksCteDuck: String =
+    s"toks AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSqlDuck("text")})) AS tok FROM documents)"
+
+  def sigsCteDuck: String = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('mh$i' || tok)) AS s$i").mkString(", ")
+    s"sigs AS (SELECT doc_id, $mins FROM toks GROUP BY doc_id)"
+  }
+
+  def minhashSqlDuck: String = {
+    val sigCols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    val bands = (0 until NumBands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i").mkString(" || ")
+      s"md5($cols) AS band$b"
+    }.mkString(", ")
+    s"WITH $toksCteDuck, $sigsCteDuck SELECT doc_id, $sigCols, $bands FROM sigs ORDER BY doc_id"
+  }
+
+  def lshPairsSqlDuck: String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
+      .mkString(" UNION ALL ")
+    val bands = (0 until NumBands).map { b =>
+      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i").mkString(" || ")
+      s"md5($cols) AS band$b"
+    }.mkString(", ")
+    s"""WITH $toksCteDuck, $sigsCteDuck,
+       | bands AS (SELECT doc_id, $bands FROM sigs),
+       | buckets AS ($bandUnion)
+       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |FROM buckets x JOIN buckets y
+       |  ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  def simhashSqlDuck: String =
+    s"""WITH $toksCteDuck
+       |SELECT doc_id, ${simhash16Expr("h")} AS simhash16
+       |FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def jaccardSqlDuck: String =
+    s"""WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+       |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM documents)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (north-star M5).
+  *
+  * Numeric determinism for the DuckDB oracle: dot products and norms are
+  * emitted as explicit left-associated 64-term expressions (float elements
+  * cast to double, then mul/add in fixed order). Neither Catalyst nor DuckDB
+  * reassociates floating-point arithmetic, so both engines produce
+  * bit-identical doubles and the derived orderings/thresholds agree exactly.
+  *
+  * Scale design (100 TB):
+  *  - brute-force top-k is the correctness baseline: |Q| × |C| partial top-k
+  *    per partition (window rank after a broadcast of the small query set —
+  *    the candidate side streams, nothing materializes the cross product).
+  *  - the scale path is LSH bucketing (signed random projections): candidates
+  *    shuffle once on the bucket key; each bucket is scanned independently.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** Explicit dot product of two array<float> columns, computed in double. */
+  def dotCol(a: String, b: String): Column =
+    (1 to Dim).map(i =>
+      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double"))
+      .reduce(_ + _)
+
+  def normCol(a: String): Column = sqrt(dotCol(a, a))
+
+  /** DuckDB: same expression, 1-based list indexing. */
+  def dotSqlDuck(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Embeddings with a precomputed L2 norm. */
+  def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", normCol("embedding"))
+
+  /** Brute-force cosine top-k: queries = vec_id < nQueries (broadcast side),
+    * candidates = the full table (streamed side). Self-matches excluded. */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = withNorm(emb)
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotCol("qv", "cv") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def bruteForceTopKSqlDuck(nQueries: Int = 8, k: Int = 10): String =
+    s"""WITH v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       | scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (${dotSqlDuck("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cos
+       |  FROM v q JOIN v c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`. All-pairs on
+    * the oracle path; for scale use [[srpBuckets]] first. */
+  def cosinePairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val v = withNorm(emb)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", dotCol("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  def cosinePairsSqlDuck(threshold: Double = 0.4): String =
+    s"""WITH v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)
+       |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       |WHERE cos > $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Signed-random-projection LSH bucket key (the ANN scale path).
+    * `nPlanes` fixed hyperplanes drawn from a seeded PRNG on the driver —
+    * deterministic across runs; broadcast implicitly as literals. */
+  def srpBuckets(emb: DataFrame, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, Dim)(rnd.nextGaussian())
+    val bits = planes.zipWithIndex.map { case (p, j) =>
+      val proj = (1 to Dim).map(i =>
+        element_at(col("embedding"), i).cast("double") * lit(p(i - 1))).reduce(_ + _)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    emb.withColumn("bucket", bits.reduce(_ + _))
+  }
+
+  /** ANN top-k restricted to same-bucket candidates (recall < 1 by design;
+    * pairs the correctness baseline above with a scalable search path). */
+  def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = srpBuckets(withNorm(emb))
+    val q = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("bucket").as("cb"))
+    val scored = c.join(broadcast(q),
+        col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotCol("qv", "cv") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §7.2 M5 / north star). All narrow, codegen'd, shuffle-free —
+  * they scale linearly with input on any cluster size.
+  *
+  * Every computation here is defined so the identical logic is expressible in
+  * ANSI SQL for the DuckDB oracle (Verify): token pattern without backslash
+  * escapes (dialect-portable), ratios as int/int double division (exact in
+  * IEEE754, so bit-identical across engines).
+  */
+object TextOps {
+
+  /** Portable token regex — no backslashes (Spark and DuckDB string literals
+    * disagree on backslash escaping). */
+  val TokenPattern = "[a-z0-9]+"
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic.
+    * Deterministic and tiny by design: the oracle SQL embeds the same lists. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "es" -> Seq("el", "los", "las", "y", "es", "por"))
+
+  /** Token-extraction SQL — identical text parses in Spark SQL and DuckDB. */
+  def tokensSqlSpark(textCol: String): String =
+    s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)"
+
+  /** Distinct lowercase tokens of a text column (as array column). */
+  def tokensArr(textCol: String): Column = expr(tokensSqlSpark(textCol))
+
+  def tokenCount(textCol: String): Column = size(tokensArr(textCol)).cast("long")
+
+  def charCount(textCol: String): Column = length(col(textCol)).cast("long")
+
+  /** Count of alphabetic chars (quality signal). */
+  def alphaCount(textCol: String): Column =
+    length(regexp_replace(lower(col(textCol)), "[^a-z]", "")).cast("long")
+
+  def stopwordCount(textCol: String, words: Seq[String]): Column = {
+    val set = words.map(w => lit(w))
+    size(filter(tokensArr(textCol), t => t.isin(set: _*))).cast("long")
+  }
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, mean token length.
+    * Ratios are exact int/int double divisions → oracle-stable. */
+  def quality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val enStops = LangProfiles.head._2
+    docs.select(
+      col("doc_id"),
+      charCount(textCol).as("n_chars"),
+      tokenCount(textCol).as("n_tokens"),
+      alphaCount(textCol).as("n_alpha"),
+      stopwordCount(textCol, enStops).as("n_stop"))
+      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
+  }
+
+  /** Language ID: argmax of per-language stopword hits, fixed tie-break order
+    * (profile order). Mirrors the chained-CASE oracle SQL exactly. */
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = LangProfiles.foldLeft(docs.select(col("doc_id"), col(textCol))) {
+      case (d, (lang, words)) => d.withColumn(s"${lang}_score", stopwordCount(textCol, words))
+    }
+    val langs = LangProfiles.map(_._1)
+    // CASE chain: first language whose score >= all later languages' scores
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) { case ((lang, i), els) =>
+      val laterGe = langs.drop(i + 1)
+        .map(l2 => col(s"${lang}_score") >= col(s"${l2}_score"))
+        .reduce(_ && _)
+      when(laterGe, lit(lang)).otherwise(els)
+    }
+    scored.withColumn("lang_pred", pred).drop(textCol)
+  }
+
+  /** Document fingerprint: hash of the token-normalized text (lowercase,
+    * token stream re-joined on single spaces) — whitespace/punctuation
+    * canonicalization before hashing. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      md5(array_join(tokensArr(textCol), " ")).as("fp"))
+
+  // ---- oracle SQL builders (DuckDB dialect) ----------------------------
+
+  def tokensSqlDuck(textCol: String): String =
+    s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)"
+
+  def stopCountSqlDuck(textCol: String, words: Seq[String]): String = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(${tokensSqlDuck(textCol)}, t -> t IN ($inList)))"
+  }
+
+  def qualitySqlDuck: String = {
+    val enStops = LangProfiles.head._2
+    s"""SELECT doc_id, n_chars, n_tokens, n_alpha, n_stop,
+       |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+       |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(${tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |    CAST(${stopCountSqlDuck("text", enStops)} AS BIGINT) AS n_stop
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def langIdSqlDuck: String = {
+    val scores = LangProfiles.map { case (lang, words) =>
+      s"CAST(${stopCountSqlDuck("text", words)} AS BIGINT) AS ${lang}_score"
+    }.mkString(",\n    ")
+    val langs = LangProfiles.map(_._1)
+    val caseChain = langs.init.zipWithIndex.map { case (lang, i) =>
+      val conds = langs.drop(i + 1).map(l2 => s"${lang}_score >= ${l2}_score").mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, ${langs.map(l => s"${l}_score").mkString(", ")},
+       |  CASE $caseChain ELSE '${langs.last}' END AS lang_pred
+       |FROM (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def fingerprintSqlDuck: String =
+    s"""SELECT doc_id, md5(array_to_string(${tokensSqlDuck("text")}, ' ')) AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin
+}
