@@ -20,11 +20,17 @@ import org.apache.spark.util.LongAccumulator
   */
 object ErrorModes {
 
-  /** Marks rows whose `jsonCol` is not a JSON object parseable to the given
-    * schema. from_json returns null on malformed input, which is exactly the
-    * PERMISSIVE corrupt-record signal. */
-  def corruptJson(jsonCol: Column, schemaDDL: String): Column =
-    from_json(jsonCol, org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)).isNull
+  /** Marks rows whose `jsonCol` is not a JSON document parseable to the given
+    * schema. PERMISSIVE from_json never yields a null struct — malformed rows
+    * surface through the corrupt-record column, the same signal Spark's JSON
+    * source uses. A null payload is also structural corruption. */
+  def corruptJson(jsonCol: Column, schemaDDL: String): Column = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val parsed = from_json(jsonCol, schema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+    parsed.getField("_corrupt_record").isNotNull || jsonCol.isNull
+  }
 
   /** continueOnError=true: drop corrupt rows, counting them into `skipped`.
     * One pass: the corrupt flag is computed by codegen'd expressions; the

@@ -53,12 +53,15 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band hash (band index must match).
-    * Equi-join on (band_index, band_hash) — shuffle-partitioned by bucket. */
+    * Equi-join on (band_index, band_hash) — shuffle-partitioned by bucket.
+    * The bucket table (NumBands short rows per doc, independent of doc size)
+    * is cached so the self-join doesn't recompute tokenize+minhash twice. */
   def lshCandidatePairs(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
     val buckets = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     buckets.as("x").join(buckets.as("y"),
         col("x.bi") === col("y.bi") && col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -105,8 +108,11 @@ object Dedup {
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks")))).as("jaccard"))
+        when(size(array_union(col("a.toks"), col("b.toks"))) > 0,
+          size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+            size(array_union(col("a.toks"), col("b.toks"))))
+          .otherwise(lit(1.0)) // two empty token sets are identical
+          .as("jaccard"))
   }
 
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
@@ -155,8 +161,10 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
        |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard
+       |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+       |    THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.toks, b.toks)))
+       |    ELSE 1.0 END AS jaccard
        |FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 }

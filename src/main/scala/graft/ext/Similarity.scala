@@ -22,11 +22,13 @@ object Similarity {
 
   val Dim = 64
 
-  /** Explicit dot product of two array<float> columns, computed in double. */
+  /** Dot product of two array<float> columns, computed in double via a
+    * custom codegen'd loop expression (graft.functions.FloatVectorDot) —
+    * bit-identical to the explicit left-associated expression chain the
+    * DuckDB oracle uses, but codegen-compact (the 64-term chain overflows
+    * Janino's method limit and falls back to interpreted eval). */
   def dotCol(a: String, b: String): Column =
-    (1 to Dim).map(i =>
-      element_at(col(a), i).cast("double") * element_at(col(b), i).cast("double"))
-      .reduce(_ + _)
+    graft.functions.VectorExprs.dotF(col(a), col(b))
 
   def normCol(a: String): Column = sqrt(dotCol(a, a))
 
@@ -97,8 +99,7 @@ object Similarity {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, Dim)(rnd.nextGaussian())
     val bits = planes.zipWithIndex.map { case (p, j) =>
-      val proj = (1 to Dim).map(i =>
-        element_at(col("embedding"), i).cast("double") * lit(p(i - 1))).reduce(_ + _)
+      val proj = graft.functions.VectorExprs.dotConst(col("embedding"), p)
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     emb.withColumn("bucket", bits.reduce(_ + _))

@@ -56,7 +56,8 @@ object TextOps {
       tokenCount(textCol).as("n_tokens"),
       alphaCount(textCol).as("n_alpha"),
       stopwordCount(textCol, enStops).as("n_stop"))
-      .withColumn("alpha_ratio", col("n_alpha").cast("double") / col("n_chars"))
+      .withColumn("alpha_ratio",
+        when(col("n_chars") > 0, col("n_alpha").cast("double") / col("n_chars")).otherwise(lit(0.0)))
       .withColumn("stop_ratio",
         when(col("n_tokens") > 0, col("n_stop").cast("double") / col("n_tokens")).otherwise(lit(0.0)))
   }
@@ -98,7 +99,7 @@ object TextOps {
   def qualitySqlDuck: String = {
     val enStops = LangProfiles.head._2
     s"""SELECT doc_id, n_chars, n_tokens, n_alpha, n_stop,
-       |  CAST(n_alpha AS DOUBLE) / n_chars AS alpha_ratio,
+       |  CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio,
        |  CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio
        |FROM (
        |  SELECT doc_id,

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY.md §1.4: streams are an engine
+  * extension, not a reference port — the reference's "streaming" is
+  * incremental file I/O, SURVEY.md §2.5).
+  *
+  * Shape: readStream → event-time transforms → windowed aggregation with
+  * watermark. The same logical aggregation as the batch `events_tumbling_agg`
+  * query, so batch output is the streaming oracle (exercised in
+  * EventStreamsSpec via Trigger.AvailableNow).
+  *
+  * Scale note: watermark + tumbling window keeps state bounded (one state row
+  * per open (window, event_type)); the shuffle is keyed by (window,
+  * event_type) exactly like the batch groupBy.
+  */
+object EventStreams {
+
+  /** events.parquet physical schema (ts stored as TIMESTAMP(NANOS), read as
+    * long via nanosAsLong — see etl.IngestOps.table). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // ns since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events fixture. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("basePath", dir)
+      // glob form: FileStreamSource accepts patterns but rejects a bare
+      // file path ("'basePath' must be a directory")
+      .parquet(s"$dir/events.parque[t]")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts + value sums per event type, 1-hour
+    * watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("window.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization in streaming mode via session_window (30 min
+    * inactivity gap) — the streaming analog of the batch events_sessionize. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+}

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+
+class DedupSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text").withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+
+  test("exact dedup groups duplicates under one content hash, keep-first") {
+    val d = docs((1L, "same text"), (2L, "same text"), (3L, "other"))
+    val g = Dedup.exactGroups(d).collect()
+    assert(g.length == 2)
+    val dup = g.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash: identical token sets → identical signatures; disjoint → different") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "gamma beta alpha alpha"), (3L, "delta epsilon zeta"))
+    val sigs = Dedup.minhashSignatures(d).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until Dedup.NumHashes).foreach { i =>
+      assert(sigs(1L).getAs[String](s"s$i") == sigs(2L).getAs[String](s"s$i"))
+    }
+    assert((0 until Dedup.NumHashes).exists(i =>
+      sigs(1L).getAs[String](s"s$i") != sigs(3L).getAs[String](s"s$i")))
+  }
+
+  test("LSH: identical docs are candidate pairs; disjoint docs are not") {
+    val d = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "x1 y2 z3 w4"))
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(d))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("simhash: equal texts agree; simhash is within 16-bit range") {
+    val d = docs((1L, "spark scala engine"), (2L, "spark scala engine"), (3L, "totally different words"))
+    val sh = Dedup.simhash(d).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash16")).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("jaccard: identical = 1.0, disjoint absent or 0") {
+    val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+    val j = Dedup.jaccardPairs(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(math.abs(j((1L, 3L)) - 0.5) < 1e-12) // {a,b,c}∩{a,b,d}=2, ∪=4
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.{sf0001, spark}
+import graft.functions.VectorExprs
+
+class SimilaritySpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("FloatVectorDot matches a manual double-accumulated dot product") {
+    val a = Array(1.5f, -2.0f, 3.25f)
+    val b = Array(0.5f, 4.0f, -1.0f)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(VectorExprs.dotF($"a", $"b").as("d")).as[Double].head()
+    assert(got == expected)
+  }
+
+  test("FloatVectorDot: null element → null result; null array → null") {
+    val df = Seq((Array(1.0f), null.asInstanceOf[Array[Float]])).toDF("a", "b")
+    assert(df.select(VectorExprs.dotF($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("dotConst matches manual projection") {
+    val v = Array(1.0f, 2.0f)
+    val w = Array(3.0, -1.0)
+    val got = Seq(Tuple1(v)).toDF("embedding")
+      .select(VectorExprs.dotConst($"embedding", w).as("d")).as[Double].head()
+    assert(got == 1.0 * 3.0 + 2.0 * (-1.0))
+  }
+
+  test("brute-force top-k: k rows per query, self excluded, cos in [-1,1], ranks ordered") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val tk = Similarity.bruteForceTopK(emb, nQueries = 3, k = 5).collect()
+    val byQ = tk.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 3 && byQ.values.forall(_.length == 5))
+    tk.foreach { r =>
+      assert(r.getAs[Long]("query_id") != r.getAs[Long]("neighbor_id"))
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0001 && c <= 1.0001)
+    }
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      val sims = sorted.map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ANN bucket top-k is a subset-quality variant: every hit shares the query's bucket") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val buckets = Similarity.srpBuckets(emb).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val ann = Similarity.annTopK(emb, nQueries = 3, k = 5).collect()
+    ann.foreach { r =>
+      assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("neighbor_id")))
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+
+class TextOpsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("quality: counts and ratios on a known string") {
+    val d = docs((1L, "The cat, the hat!")) // tokens: the,cat,the,hat
+    val r = TextOps.quality(d).collect().head
+    assert(r.getAs[Long]("n_chars") == 17)
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_alpha") == 12) // Thecatthehat
+    assert(r.getAs[Long]("n_stop") == 2) // 'the' twice
+    assert(r.getAs[Double]("alpha_ratio") == 12.0 / 17)
+    assert(r.getAs[Double]("stop_ratio") == 0.5)
+  }
+
+  test("quality: empty text → zero ratios, no division error") {
+    val r = TextOps.quality(docs((1L, ""))).collect().head
+    assert(r.getAs[Long]("n_tokens") == 0 && r.getAs[Double]("stop_ratio") == 0.0)
+  }
+
+  test("langId: stopword-profile argmax with deterministic tie-break") {
+    val d = docs(
+      (1L, "the cat and the dog in a house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "xyzzy qwerty")) // no hits anywhere → tie → first profile (en)
+    val out = TextOps.langId(d).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "en")
+  }
+
+  test("fingerprint: whitespace/punctuation-insensitive, case-insensitive") {
+    val d = docs((1L, "Hello,   World!"), (2L, "hello world"), (3L, "different"))
+    val fps = TextOps.fingerprint(d).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fp")).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+}

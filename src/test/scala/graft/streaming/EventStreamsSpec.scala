@@ -1,0 +1,38 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.{sf0001, spark}
+
+class EventStreamsSpec extends AnyFunSuite {
+
+  test("streaming tumbling counts equal the batch aggregation (AvailableNow)") {
+    val stream = EventStreams.tumblingCounts(EventStreams.readEvents(spark, sf0001))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("tumbling_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("tumbling_test")
+      .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+
+    val batch = SparkEntryBatch.tumbling(sf0001)
+      .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+
+    assert(streamed == batch)
+  }
+}
+
+/** Batch twin of the streaming aggregation, via the engine's query registry. */
+object SparkEntryBatch {
+  def tumbling(dir: String) = {
+    val df = graft.SparkEntry.queries("events_tumbling_agg")(spark, dir)
+    df.withColumnRenamed("hr", "hr")
+  }
+}
