@@ -207,6 +207,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+
     "text_langid" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -214,7 +217,10 @@ object SparkEntry {
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")))
+      Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
+
+    "multimodal_decode" -> ((s, dir) => // rows-only: stubbed codec output
+      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")))
 
   // =====================================================================
   // Oracle SQL (DuckDB dialect, same parquet tables)
@@ -382,6 +388,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
     // sim_ann_lsh: intentionally no oracle (approximate recall) → rows-only
     "text_quality" -> TextOps.qualitySqlDuck,
+    "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
     "multimodal_features" -> Multimodal.featuresSqlDuck)

@@ -107,6 +107,26 @@ object IngestOps {
     df.withColumn("_pos", row_number().over(w)).filter(col("_pos") > n).drop("_pos")
   }
 
+  /** Scalable global row position (the 100 TB path for positional operators
+    * like header-row skipping): per-file parquet row index from `_metadata`
+    * plus a cumulative file offset. The only non-narrow work is one row per
+    * FILE (not per row) through a tiny window — no global shuffle of the
+    * data, unlike `skipRows`'s row_number window. Position order = file-path
+    * order, matching a deterministic multi-file scan. */
+  def withFileRowPos(spark: SparkSession, path: String, posCol: String = "_pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_idx", col("_metadata.row_index"))
+    val w = Window.orderBy("_file").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy("_file").agg(count(lit(1)).as("_n"))
+      .withColumn("_offset", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select("_file", "_offset")
+    df.join(broadcast(offsets), "_file")
+      .withColumn(posCol, col("_offset") + col("_idx"))
+      .drop("_file", "_idx", "_offset", "_n")
+  }
+
   /** S4/T4 — header application with the index-fallback rule: positions
     * beyond the header (or with empty header names) are named by their
     * 0-based column index (core/writers/JsonDataWriter.java:151-154). */

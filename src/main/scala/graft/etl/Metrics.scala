@@ -36,11 +36,27 @@ object Metrics {
   }
   def clear(): Unit = collected.clear()
 
+  /** Walk the executed plan, descending through AQE wrappers (the adaptive
+    * root and materialized query stages hide their final plans from plain
+    * foreach). */
+  private def visit(node: org.apache.spark.sql.execution.SparkPlan)(
+      f: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
+    f(node)
+    node match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        visit(a.executedPlan)(f)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        visit(q.plan)(f)
+      case _ =>
+    }
+    node.children.foreach(visit(_)(f))
+  }
+
   /** Sum a named SQL metric (e.g. "numOutputRows" on scans) over the plan. */
   private def sumMetric(qe: QueryExecution, metricName: String,
       nodeFilter: String => Boolean): Long = {
     var total = 0L
-    qe.executedPlan.foreach { node =>
+    visit(qe.executedPlan) { node =>
       if (nodeFilter(node.nodeName))
         node.metrics.get(metricName).foreach(m => total += m.value)
     }

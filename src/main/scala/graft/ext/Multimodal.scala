@@ -46,6 +46,43 @@ object Multimodal {
       (length(col("payload")).cast("long") % 480).as("fake_height"),
       col("meta.origin").as("origin"))
 
+  /** Decoded-media record produced by the (stubbed) codec. */
+  final case class Decoded(
+      doc_id: Long, width: Int, height: Int, n_frames: Int,
+      codec: String, byte_sum: Long)
+
+  /** Partition-parallel "decode": the Scala analog of a pandas-batch UDF —
+    * one iterator pass per partition, batch-shaped, no driver involvement.
+    * The codec itself is a deterministic STUB (no media libs in this
+    * environment): dimensions derive from the payload bytes. Swap
+    * `stubDecode` for a real codec binding without touching the plumbing. */
+  def decode(media: DataFrame): org.apache.spark.sql.Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        stubDecode(id, bytes)
+      }
+    }
+  }
+
+  /** Deterministic fake decode — replace with a real image/audio codec. */
+  private def stubDecode(id: Long, bytes: Array[Byte]): Decoded = {
+    var sum = 0L
+    var i = 0
+    while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
+    Decoded(
+      doc_id = id,
+      width = ((sum % 640) + 1).toInt,
+      height = ((sum % 480) + 1).toInt,
+      n_frames = (bytes.length % 30) + 1,
+      codec = if (bytes.nonEmpty && (bytes(0) & 1) == 1) "fake/odd" else "fake/even",
+      byte_sum = sum)
+  }
+
   def featuresSqlDuck: String =
     """SELECT doc_id,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

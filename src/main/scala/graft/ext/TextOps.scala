@@ -79,6 +79,28 @@ object TextOps {
     scored.withColumn("lang_pred", pred).drop(textCol)
   }
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style: letter runs, digit runs,
+    * single non-alphanumerics). No backslashes → dialect-portable. */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  /** Token counting: whitespace tokens, BPE-ish subword pieces, and the
+    * chars/4 LLM-token estimate. All exact integer math. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(trim(col(textCol)) === "", 0L)
+        .otherwise(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("n_ws_tokens"),
+      size(expr(s"regexp_extract_all($textCol, '$BpePattern', 0)")).cast("long").as("n_bpe_pieces"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("n_tok_est"))
+
+  def tokenCountsSqlDuck: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN trim(text) = '' THEN 0
+       |       ELSE CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '$BpePattern', 0)) AS BIGINT) AS n_bpe_pieces,
+       |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: hash of the token-normalized text (lowercase,
     * token stream re-joined on single spaces) — whitespace/punctuation
     * canonicalization before hashing. */
