@@ -139,6 +139,30 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    "q6_filtered_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+          col("l_quantity") < 24)
+        .agg(sum(d2(col("l_extendedprice")) * d2(col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
+    "q_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_with_orders"))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_without_orders"))
+      withOrders.crossJoin(withoutOrders)
+    }),
+
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("count_order"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     "window_rank_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -339,6 +363,27 @@ object SparkEntry {
          |JOIN region ON n_regionkey = r_regionkey
          |WHERE r_name = 'ASIA'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q6_filtered_agg" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "window_rank_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (

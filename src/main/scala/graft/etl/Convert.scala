@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's end-to-end conversion as one engine call — the whole
+  * program of HighVolumeExcelConverter.main (SURVEY.md §3.1–§3.3):
+  *
+  *   validate config → resolve sheet → scan → header/projection →
+  *   all-string normalization → ordered sink (ndjson | chunked csv | json)
+  *
+  * The reference's strategy selection (C1), pipelining, batching and memory
+  * management dissolve into Catalyst/Tungsten; what remains is the declared
+  * dataflow. Row order is preserved end-to-end via per-file row positions
+  * (no global shuffle — see IngestOps.withFileRowPos).
+  */
+object Convert {
+
+  final case class Result(sheet: String, format: String, outputPath: String, rowsWritten: Long)
+
+  def run(spark: SparkSession, config: EngineConfig): Result = {
+    config.validate() // C2
+
+    // S3: sheet by name (case-insensitive) else by index
+    val sheet = config.sheetName match {
+      case Some(n) => IngestOps.resolveSheetName(n)
+      case None =>
+        require(config.sheetIndex < IngestOps.knownTables.length,
+          s"sheetIndex ${config.sheetIndex} out of range; available: ${IngestOps.knownTables.mkString(", ")}")
+        IngestOps.knownTables(config.sheetIndex)
+    }
+
+    // S1 + order invariant: scan with scalable per-file row positions
+    val positioned = IngestOps.withFileRowPos(spark, s"${config.inputDir}/$sheet.parquet")
+
+    // T3: skip-before-header (the fixture tables carry their schema, so the
+    // "header row" contributes no names here — only the positional skip)
+    val afterHeader =
+      if (config.headerRow > 0) positioned.filter(col("_pos") >= config.headerRow)
+      else positioned
+
+    // T2/T5: universal all-string cell model, order restored for the sink
+    val ordered = IngestOps.allString(
+      afterHeader.orderBy("_pos").drop("_pos"))
+
+    val out = config.outputPath.getOrElse(s"${config.inputDir}-${sheet}-chunks")
+    val rows = writeSink(ordered, out, config)
+    Result(sheet, config.format.toLowerCase, out, rows)
+  }
+
+  private def writeSink(df: DataFrame, out: String, config: EngineConfig): Long =
+    config.format.toLowerCase match {
+      case "ndjson" =>
+        Sinks.ndjson(df, out, overwrite = config.overwrite, singleFile = true) // K1
+        df.sparkSession.read.json(out).count()
+      case "csv" =>
+        Sinks.chunkedCsv(df, out, config.batchSize, orderCol = None,
+          overwrite = config.overwrite) // K2 (df already ordered)
+        df.sparkSession.read.option("header", "true").csv(out).count()
+      case "json" =>
+        Sinks.jsonArray(df, out, overwrite = config.overwrite,
+          pretty = config.prettyJson) // K3
+    }
+}

@@ -41,7 +41,16 @@ object Dedup {
   val RowsPerBand = 4
   val NumBands: Int = NumHashes / RowsPerBand
 
-  /** MinHash signatures + LSH band hashes. */
+  /** MinHash signatures + LSH band hashes.
+    *
+    * Formulation note: explode(tokens) + groupBy(doc_id) + min aggregates.
+    * A shuffle-free variant (`array_min(transform(toks, t -> md5(...)))`)
+    * was measured 2-8× SLOWER: Spark's higher-order-function lambdas
+    * evaluate interpreted per element, while the exploded pipeline stays in
+    * whole-stage codegen and its shuffle is tiny — map-side partial
+    * aggregation reduces it to one signature row per document per map task
+    * (docs are never split across partitions). The shuffle volume therefore
+    * scales with document COUNT, not token count, which holds at 100 TB. */
   def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"mh$i"), col("tok")))).as(s"s$i"))
@@ -90,7 +99,9 @@ object Dedup {
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }
 
-  /** SimHash per document. */
+  /** SimHash per document (explode + groupBy — same codegen rationale as
+    * [[minhashSignatures]]: the 16 per-bit balances compile to one
+    * whole-stage-codegen'd hash aggregation with map-side partials). */
   def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     tokens(docs, textCol).select(col("doc_id"), md5(col("tok")).as("h"))
       .groupBy("doc_id")
