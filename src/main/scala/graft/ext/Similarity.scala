@@ -92,9 +92,8 @@ object Similarity {
        |WHERE cos > $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Signed-random-projection LSH bucket key (the ANN scale path).
-    * `nPlanes` fixed hyperplanes drawn from a seeded PRNG on the driver —
-    * deterministic across runs; broadcast implicitly as literals. */
+  /** Signed-random-projection LSH bucket key for one table. Hyperplanes are
+    * drawn from a seeded PRNG on the driver — deterministic across runs. */
   def srpBuckets(emb: DataFrame, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, Dim)(rnd.nextGaussian())
@@ -105,18 +104,52 @@ object Similarity {
     emb.withColumn("bucket", bits.reduce(_ + _))
   }
 
-  /** ANN top-k restricted to same-bucket candidates (recall < 1 by design;
-    * pairs the correctness baseline above with a scalable search path). */
+  val AnnTables = 8
+  val AnnBitsPerTable = 8
+
+  /** Multi-table SRP bucket assignment: `buckets` = array of (table, bucket)
+    * structs. Standard LSH tradeoff: each table is a coarse 2^bits partition;
+    * a true near-duplicate (cos ≥ ~0.9) collides in at least one of the L
+    * tables with high probability (≈ 1-(1-p^bits)^L, p = 1-θ/π). */
+  def srpTables(emb: DataFrame, nTables: Int = AnnTables,
+      bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val tables = (0 until nTables).map { t =>
+      val planes = Array.fill(bitsPerTable, Dim)(rnd.nextGaussian())
+      val bits = planes.zipWithIndex.map { case (p, j) =>
+        val proj = graft.functions.VectorExprs.dotConst(col("embedding"), p)
+        when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }
+    emb.withColumn("buckets", array(tables: _*))
+  }
+
+  /** ANN top-k via multi-table SRP LSH with multi-probe — the scale path
+    * pairing the exact brute-force baseline. Candidates = union over tables
+    * of vectors in the query's bucket OR any bucket at Hamming distance 1
+    * (probing only expands the broadcast query side: each query row becomes
+    * bitsPerTable+1 probe rows; the join stays a plain equi-join on
+    * (table, bucket)). Candidates are deduped before exact cosine ranking.
+    * One shuffle keyed by (table, bucket); never all-pairs. */
   def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = srpBuckets(withNorm(emb))
+    val v = srpTables(withNorm(emb))
+    val probes = (0 until AnnBitsPerTable).map(j =>
+      struct(col("qb0.t").as("t"),
+        col("qb0.b").bitwiseXOR(lit(1L << j)).as("b"))) :+ col("qb0")
     val q = v.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qb"))
+        col("nrm").as("qn"), explode(col("buckets")).as("qb0"))
+      .select(col("query_id"), col("qv"), col("qn"), explode(array(probes: _*)).as("qb"))
     val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"), col("bucket").as("cb"))
-    val scored = c.join(broadcast(q),
-        col("qb") === col("cb") && col("query_id") =!= col("neighbor_id"))
+      col("nrm").as("cn"), explode(col("buckets")).as("cb"))
+    val candidates = c.join(broadcast(q),
+        col("qb.t") === col("cb.t") && col("qb.b") === col("cb.b") &&
+        col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates
       .withColumn("cos", dotCol("qv", "cv") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -48,13 +48,41 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
-  test("ANN bucket top-k is a subset-quality variant: every hit shares the query's bucket") {
+  test("ANN multi-table top-k: every hit shares at least one (table, bucket) with the query") {
     val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
-    val buckets = Similarity.srpBuckets(emb).select("vec_id", "bucket")
-      .as[(Long, Long)].collect().toMap
+    val buckets = Similarity.srpTables(emb)
+      .select($"vec_id", $"buckets")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(b => (b.getInt(0), b.getLong(1))).toSet)
+      .toMap
     val ann = Similarity.annTopK(emb, nQueries = 3, k = 5).collect()
+    assert(ann.nonEmpty, "ANN produced no candidates at all")
     ann.foreach { r =>
-      assert(buckets(r.getAs[Long]("query_id")) == buckets(r.getAs[Long]("neighbor_id")))
+      val q = buckets(r.getAs[Long]("query_id")).toMap
+      val n = buckets(r.getAs[Long]("neighbor_id")).toMap
+      // multi-probe: same table bucket identical or at Hamming distance 1
+      val close = q.exists { case (t, b) =>
+        n.get(t).exists(nb => java.lang.Long.bitCount(b ^ nb) <= 1)
+      }
+      assert(close, "hit not reachable by exact or 1-probe bucket")
+    }
+  }
+
+  test("ANN finds planted near-duplicates (the regime LSH targets)") {
+    // clone each query vector with a tiny deterministic perturbation; the
+    // clone must come back as the top ANN neighbor
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val base = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val clones = base.filter(_._1 < 3).map { case (id, v) =>
+      (id + 1000000L, v.zipWithIndex.map { case (x, i) => x + (if (i % 2 == 0) 1e-4f else -1e-4f) })
+    }
+    val all = (base ++ clones).toSeq.toDF("vec_id", "embedding")
+    val ann = Similarity.annTopK(all, nQueries = 3, k = 5).collect()
+    (0L until 3L).foreach { qid =>
+      val top = ann.filter(r => r.getAs[Long]("query_id") == qid && r.getAs[Long]("rank") == 1L)
+      assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == qid + 1000000L,
+        s"query $qid: planted near-dup not retrieved as top neighbor")
     }
   }
 }
