@@ -113,7 +113,8 @@ object IngestOps {
     * FILE (not per row) through a tiny window — no global shuffle of the
     * data, unlike `skipRows`'s row_number window. Position order = file-path
     * order, matching a deterministic multi-file scan. */
-  def withFileRowPos(spark: SparkSession, path: String, posCol: String = "_pos"): DataFrame = {
+  def withFileRowPos(spark: SparkSession, path: String, posCol: String = "_pos",
+      keepFileCol: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(path)
       .withColumn("_file", col("_metadata.file_path"))
@@ -122,9 +123,10 @@ object IngestOps {
     val offsets = df.groupBy("_file").agg(count(lit(1)).as("_n"))
       .withColumn("_offset", coalesce(sum(col("_n")).over(w), lit(0L)))
       .select("_file", "_offset")
-    df.join(broadcast(offsets), "_file")
+    val joined = df.join(broadcast(offsets), "_file")
       .withColumn(posCol, col("_offset") + col("_idx"))
-      .drop("_file", "_idx", "_offset", "_n")
+      .drop("_idx", "_offset", "_n")
+    if (keepFileCol) joined else joined.drop("_file")
   }
 
   /** S4/T4 — header application with the index-fallback rule: positions

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
   * Spark's; both engines share md5. MinHash permutations are realized as
   * `min(md5(seed_i || token))` — lexicographic min over a 128-bit hash-hex is
   * a valid min-wise hash family and is byte-identical across engines.
+  *
+  * Literature: MinHash/min-wise permutations — Broder, "On the resemblance
+  * and containment of documents" (SEQUENCES 1997); LSH banding — Leskovec/
+  * Rajaraman/Ullman, "Mining of Massive Datasets" ch.3; SimHash — Charikar,
+  * "Similarity estimation techniques from rounding algorithms" (STOC 2002)
+  * and Manku et al., "Detecting near-duplicates for web crawling" (WWW 2007).
   */
 object Dedup {
 

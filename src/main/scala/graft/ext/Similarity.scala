@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   *    the candidate side streams, nothing materializes the cross product).
   *  - the scale path is LSH bucketing (signed random projections): candidates
   *    shuffle once on the bucket key; each bucket is scanned independently.
+  *
+  * Literature: random-hyperplane LSH — Charikar (STOC 2002); multi-probe
+  * LSH — Lv et al., "Multi-probe LSH: efficient indexing for high-dimensional
+  * similarity search" (VLDB 2007).
   */
 object Similarity {
 

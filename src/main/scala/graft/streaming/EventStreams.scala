@@ -51,6 +51,14 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
       .select(col("window.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact deduplication by event id with a watermark bounding the
+    * dedup state — the streaming half of the dedup suite (ext/Dedup covers
+    * batch). State holds only ids newer than the watermark. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization in streaming mode via session_window (30 min
     * inactivity gap) — the streaming analog of the batch events_sessionize. */
   def sessionWindows(events: DataFrame): DataFrame =

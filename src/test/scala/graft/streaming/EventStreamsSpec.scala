@@ -27,6 +27,21 @@ class EventStreamsSpec extends AnyFunSuite {
 
     assert(streamed == batch)
   }
+
+  test("streaming dedup by event_id equals batch distinct count") {
+    val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, sf0001))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName("dedup_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_test").count()
+    val batch = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select("event_id").distinct().count()
+    assert(streamed == batch)
+  }
 }
 
 /** Batch twin of the streaming aggregation, via the engine's query registry. */
