@@ -228,6 +228,9 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => // rows-only check: ANN recall is approximate
       Similarity.annTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
+    "sim_ivf_topk" -> ((s, dir) => // rows-only check: IVF recall is approximate
+      Similarity.ivfTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
 

@@ -47,6 +47,26 @@ object Sinks {
       .csv(path)
   }
 
+  /** K2 with reference-parity chunk NAMES: after a range-partitioned write,
+    * rename part files (in partition order, which is row order) to
+    * `<stem>-chunk-N.csv` — the reference's naming scheme
+    * (core/writers/CsvDataWriter.java:87-90). The rename pass touches file
+    * metadata only (one driver-side loop over file count, not data), so it
+    * scales with chunk count. */
+  def chunkedCsvNamed(df: DataFrame, dir: String, stem: String, batchSize: Int,
+      orderCol: String, overwrite: Boolean = false): Seq[String] = {
+    chunkedCsv(df, dir, batchSize, Some(orderCol), overwrite)
+    val d = new java.io.File(dir)
+    val parts = d.listFiles().filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+      .sortBy(_.getName) // part-00000.. ordering = repartitionByRange order
+    parts.zipWithIndex.map { case (f, i) =>
+      val target = new java.io.File(d, s"$stem-chunk-$i.csv")
+      if (!f.renameTo(target))
+        throw new java.io.IOException(s"rename failed: $f -> $target")
+      target.getName
+    }.toSeq
+  }
+
   /** Chunk assignment as data: which chunk each row of an ordered stream
     * falls into, and the per-chunk row counts — the contract invariant
     * "every chunk ≤ batchSize rows, order preserved"

@@ -74,6 +74,76 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
+
+  /** Assign each vector to its nearest centroid (argmax of v·c - |c|²/2,
+    * equivalent to argmin L2). Centroids ride into codegen as literals. */
+  def ivfAssign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val scores = cents.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      graft.functions.VectorExprs.dotConst(col("embedding"), c) - lit(half)
+    }
+    emb.withColumn("_scores", array(scores.toSeq: _*))
+      .withColumn("cluster",
+        (expr("array_position(_scores, array_max(_scores))") - 1).cast("int"))
+      .drop("_scores")
+  }
+
+  /** k-means-lite coarse quantizer: deterministic init from the first k
+    * vectors, `iters` Lloyd iterations. Per iteration: one distributed
+    * assignment pass + one groupByKey mean (shuffle keyed by cluster —
+    * k rows out). Centroid count is driver-resident (k × Dim doubles). */
+  def ivfCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    import emb.sparkSession.implicits._
+    var cents = emb.filter(col("vec_id") < k).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect().map(_.map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val means = ivfAssign(emb, cents)
+        .select(col("cluster"), col("embedding")).as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapGroups { (c, it) =>
+          val acc = new Array[Double](Dim)
+          var n = 0L
+          it.foreach { case (_, v) =>
+            var i = 0; while (i < Dim) { acc(i) += v(i); i += 1 }; n += 1
+          }
+          (c, acc.map(_ / n))
+        }.collect().toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF top-k: candidates come only from the query's `nProbe` closest
+    * clusters. Join is an equi-join on the cluster id; candidate volume is
+    * bounded by nProbe/kClusters of the corpus per query. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      kClusters: Int = 16, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(emb, kClusters)
+    val v = ivfAssign(withNorm(emb), cents)
+    val centScores = cents.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      graft.functions.VectorExprs.dotConst(col("embedding"), c) - lit(half)
+    }
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score").desc, col("cluster"))
+    val qProbes = withNorm(emb).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"),
+        posexplode(array(centScores.toSeq: _*)).as(Seq("cluster", "score")))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nProbe)
+      .select("query_id", "qv", "qn", "cluster")
+    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      col("nrm").as("cn"), col("cluster"))
+    val scored = c.join(broadcast(qProbes),
+        Seq("cluster")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", dotCol("qv", "cv") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above `threshold`. All-pairs on
     * the oracle path; for scale use [[srpBuckets]] first. */
   def cosinePairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {

@@ -44,6 +44,32 @@ class SinksSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[Long]("n_rows")).sum == 1500)
   }
 
+  test("K2: chunkedCsvNamed produces reference-style chunk names in row order") {
+    val out = s"${tmpDir()}/named"
+    val orders = IngestOps.table(spark, sf0001, "orders")
+    val names = Sinks.chunkedCsvNamed(orders, out, "orders", 400, "o_orderkey")
+    assert(names.zipWithIndex.forall { case (n, i) => n == s"orders-chunk-$i.csv" })
+    // concatenating chunks in name order must reproduce ascending key order
+    val keys = names.flatMap { n =>
+      val src = scala.io.Source.fromFile(s"$out/$n")
+      try src.getLines().drop(1).map(_.split(",")(0).toLong).toList finally src.close()
+    }
+    assert(keys.length == 1500)
+    assert(keys == keys.sorted)
+  }
+
+  test("K1: ndjson single-file output is byte-stable across runs") {
+    val df = IngestOps.allString(IngestOps.table(spark, sf0001, "region").orderBy("r_regionkey"))
+    def writeAndHash(path: String): String = {
+      Sinks.ndjson(df, path, overwrite = true, singleFile = true)
+      val f = Files.list(Paths.get(path)).toArray.map(_.toString).filter(_.endsWith(".json")).head
+      java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-256").digest(Files.readAllBytes(Paths.get(f))))
+    }
+    val base = tmpDir()
+    assert(writeAndHash(s"$base/a") == writeAndHash(s"$base/b"))
+  }
+
   test("K3: jsonArray writes a single well-formed array with bounded memory") {
     val path = s"${tmpDir()}/arr.json"
     val n = Sinks.jsonArray(IngestOps.table(spark, sf0001, "region").orderBy("r_regionkey"), path)

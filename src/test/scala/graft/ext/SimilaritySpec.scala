@@ -69,6 +69,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: candidates only from probed clusters; planted near-dup retrieved") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val base = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val clones = base.filter(_._1 < 3).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + 1e-4f))
+    }
+    val all = (base ++ clones).toSeq.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(all, nQueries = 3, k = 5).collect()
+    (0L until 3L).foreach { qid =>
+      val top = ivf.filter(r => r.getAs[Long]("query_id") == qid && r.getAs[Long]("rank") == 1L)
+      assert(top.length == 1 && top.head.getAs[Long]("neighbor_id") == qid + 1000000L,
+        s"query $qid: planted near-dup not retrieved by IVF")
+    }
+  }
+
   test("ANN finds planted near-duplicates (the regime LSH targets)") {
     // clone each query vector with a tiny deterministic perturbation; the
     // clone must come back as the top ANN neighbor
