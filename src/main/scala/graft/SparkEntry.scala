@@ -163,6 +163,32 @@ object SparkEntry {
         .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    "q13_custdist" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(d2(col("l_quantity"))))
+        .orderBy("l_linestatus")),
+
+    "q_setops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      cn.intersect(sn).withColumn("both", lit(true))
+        .unionByName(cn.except(sn).withColumn("both", lit(false)))
+        .orderBy("nationkey")
+    }),
+
     "window_rank_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -387,6 +413,30 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "A",
+        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "N",
+        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_setops" ->
+      """SELECT nationkey, true AS both FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, false AS both FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer
+        |   EXCEPT SELECT s_nationkey FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
 
     "window_rank_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
