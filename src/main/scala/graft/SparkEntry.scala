@@ -220,6 +220,36 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    "events_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ext.AsOf.asofJoin(left, clicks, "user_id", "us",
+          Map("value" -> "ref_value"))
+        .select("event_id", "user_id", "us", "ref_value")
+        .orderBy("event_id")
+    }),
+
+    "events_rolling_count" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-3600000000L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("n_last_hour", count(lit(1)).over(w).cast("long"))
+        .select("event_id", "n_last_hour")
+        .orderBy("event_id")
+    }),
+
+    "events_quantiles" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.9)").as("p90"),
+          min("value").as("vmin"), max("value").as("vmax"))
+        .orderBy("event_type")),
+
     "s6_dict_lookup" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -466,6 +496,25 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |  min(us) AS start_us, max(us) AS end_us
         |FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "events_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, r.value AS ref_value
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        |  ON e.user_id = r.user_id AND e.ts >= r.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "events_rolling_count" ->
+      """SELECT event_id,
+        |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  min(value) AS vmin, max(value) AS vmax
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "s6_dict_lookup" ->
       """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_customers

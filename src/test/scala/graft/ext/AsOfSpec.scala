@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+
+class AsOfSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val quotes = Seq(
+    (1L, 10L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0),
+    (2L, 15L, 150.0)).toDF("k", "t", "px")
+  private val trades = Seq(
+    (1L, "a", 5L), (1L, "b", 10L), (1L, "c", 25L), (1L, "d", 99L),
+    (2L, "e", 14L), (2L, "f", 16L)).toDF("k", "id", "t")
+
+  test("as-of join picks the latest right row at or before each left time") {
+    val out = AsOf.asofJoin(trades, quotes, "k", "t", Map("px" -> "ref"))
+      .select("id", "ref").as[(String, Double)].collect().toMap
+    assert(out == Map("b" -> 100.0, "c" -> 200.0, "d" -> 300.0, "f" -> 150.0))
+    // "a" (t=5, before first quote) and "e" (t=14 < 15) dropped: inner semantics
+  }
+
+  test("as-of left join keeps unmatched rows with null payload") {
+    val out = AsOf.asofJoin(trades, quotes, "k", "t", Map("px" -> "ref"), inner = false)
+      .select("id", "ref").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("a").isEmpty && out("e").isEmpty && out.size == 6)
+  }
+
+  test("equal timestamps: the right row at the same instant is visible") {
+    val out = AsOf.asofJoin(trades, quotes, "k", "t", Map("px" -> "ref"))
+      .filter($"id" === "b").select("ref").as[Double].head()
+    assert(out == 100.0) // quote at t=10 applies to trade at t=10
+  }
+}
