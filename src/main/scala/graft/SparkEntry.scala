@@ -275,6 +275,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    "dedup_keep_first" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
 
@@ -531,6 +534,7 @@ object SparkEntry {
     "dedup_lsh_pairs" -> Dedup.lshPairsSqlDuck,
     "dedup_simhash" -> Dedup.simhashSqlDuck,
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
+    "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
     // sim_ann_lsh: intentionally no oracle (approximate recall) → rows-only

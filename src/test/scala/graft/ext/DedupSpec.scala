@@ -45,6 +45,14 @@ class DedupSpec extends AnyFunSuite {
     assert(sh.values.forall(v => v >= 0 && v < 65536))
   }
 
+  test("dropNearDuplicates keeps the lowest-id member of each close group") {
+    val d = docs((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"), (4L, "x1 y2 z3 w4"))
+    val kept = Dedup.dropNearDuplicates(d, threshold = 0.7)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 2 is an exact dup of 1; 3 has jaccard 3/5 = 0.6 < 0.7 so it survives
+    assert(kept == Seq(1L, 3L, 4L))
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()
