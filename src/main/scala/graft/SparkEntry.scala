@@ -163,6 +163,24 @@ object SparkEntry {
         .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    "q_part_stats" -> ((s, dir) =>
+      t(s, dir, "part")
+        .groupBy("p_brand", "p_type")
+        .agg(count(lit(1)).as("n_parts"),
+          sum(d2(col("p_retailprice"))).as("sum_price"),
+          max("p_size").as("max_size"))
+        .orderBy("p_brand", "p_type")),
+
+    "q14_promo_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type").startsWith("ECONOMY"),
+            d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))))).as("economy_revenue"),
+          revenue().as("total_revenue"))
+    }),
+
     "q13_custdist" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -446,6 +464,20 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_part_stats" ->
+      """SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_parts,
+        |  sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price,
+        |  max(p_size) AS max_size
+        |FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
+
+    "q14_promo_share" ->
+      s"""SELECT
+         |  sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN
+         |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         |  END) AS economy_revenue,
+         |  $revenueSql AS total_revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q13_custdist" ->
       """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (

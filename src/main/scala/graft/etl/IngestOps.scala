@@ -41,6 +41,26 @@ object IngestOps {
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Generic format reader — the engine's source surface beyond the parquet
+    * fixtures (csv with header semantics, ndjson, orc). CSV/JSON mode maps
+    * the reference's continueOnError (C4): PERMISSIVE skips nothing and
+    * nulls bad fields, FAILFAST dies on the first malformed record. */
+  def read(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      continueOnError: Boolean = true): DataFrame = {
+    val mode = if (continueOnError) "PERMISSIVE" else "FAILFAST"
+    val r0 = spark.read
+    val r = schema.map(r0.schema).getOrElse(r0)
+    format.toLowerCase match {
+      case "parquet" => r.parquet(path)
+      case "orc" => r.orc(path)
+      case "csv" => r.option("header", "true").option("mode", mode).csv(path)
+      case "json" | "ndjson" => r.option("mode", mode).json(path)
+      case other => throw new IllegalArgumentException(
+        s"Unknown format '$other'. Supported: parquet, orc, csv, json")
+    }
+  }
+
   /** S3 — case-insensitive sheet resolution; unknown name errors with the
     * available-sheets list, mirroring
     * strategy/UserModeEventConversionStrategy.java:145-157. */

@@ -218,6 +218,9 @@ object Similarity {
       .select(col("query_id"), col("qv"), col("qn"), explode(array(probes: _*)).as("qb"))
     val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
       col("nrm").as("cn"), explode(col("buckets")).as("cb"))
+    // dedupe on the id pair only — every duplicate row carries the same
+    // embeddings, and keeping arrays out of the grouping key avoids
+    // shuffling/comparing 64-float payloads as part of the key
     val candidates = c.join(broadcast(q),
         col("qb.t") === col("cb.t") && col("qb.b") === col("cb.b") &&
         col("query_id") =!= col("neighbor_id"))

@@ -28,6 +28,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val users = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    val enriched = EventStreams.readEvents(spark, sf0001)
+      .join(users, "user_id")
+      .filter(col("user_total") >= 5)
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_test").count()
+    val batch = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .join(users, "user_id").filter(col("user_total") >= 5).count()
+    assert(streamed == batch && streamed > 0)
+  }
+
   test("streaming dedup by event_id equals batch distinct count") {
     val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, sf0001))
     val q = stream.writeStream
