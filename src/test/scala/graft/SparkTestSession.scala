@@ -10,6 +10,8 @@ object SparkTestSession {
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.ansi.enabled", "false") // reference parity: bad cells → null, never errors
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
