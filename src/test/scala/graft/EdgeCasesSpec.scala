@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+import graft.etl.{IngestOps, Sinks}
+import graft.ext.{AsOf, Dedup, Similarity, TextOps}
+
+/** Operators must behave on degenerate inputs: empty frames, single rows,
+  * empty strings — a library user hits these before anything else. */
+class EdgeCasesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private val emptyDocs = Seq.empty[(Long, String, String, Long, String)]
+    .toDF("doc_id", "text", "lang", "n_chars", "source")
+
+  test("dedup ops on an empty corpus return empty, not errors") {
+    assert(Dedup.exactGroups(emptyDocs).count() == 0)
+    assert(Dedup.minhashSignatures(emptyDocs).count() == 0)
+    assert(Dedup.lshCandidatePairs(Dedup.minhashSignatures(emptyDocs)).count() == 0)
+    assert(Dedup.simhash(emptyDocs).count() == 0)
+    assert(Dedup.jaccardPairs(emptyDocs).count() == 0)
+    assert(Dedup.dropNearDuplicates(emptyDocs).count() == 0)
+  }
+
+  test("text ops on empty corpus and on empty/whitespace strings") {
+    assert(TextOps.quality(emptyDocs).count() == 0)
+    assert(TextOps.langId(emptyDocs).count() == 0)
+    val d = Seq((1L, ""), (2L, "   "), (3L, "...")).toDF("doc_id", "text")
+    val q = TextOps.quality(d).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(1L).getAs[Long]("n_tokens") == 0 && q(1L).getAs[Double]("alpha_ratio") == 0.0)
+    assert(q(3L).getAs[Long]("n_alpha") == 0)
+    val fp = TextOps.fingerprint(d).collect().map(_.getAs[String]("fp"))
+    assert(fp.distinct.length == 1) // all token-normalize to "" → same hash
+  }
+
+  test("minhash drops token-less docs (empty-group parity with the oracle)") {
+    val d = Seq((1L, ""), (2L, "real words here")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(d).select("doc_id").as[Long].collect()
+    assert(sigs.toSeq == Seq(2L))
+  }
+
+  test("similarity on single-vector and empty frames") {
+    val one = Seq((0L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(one, nQueries = 1, k = 5).count() == 0) // no non-self candidates
+    assert(Similarity.cosinePairs(one).count() == 0)
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.bruteForceTopK(none).count() == 0)
+    assert(Similarity.annTopK(none).count() == 0)
+  }
+
+  test("as-of join with an empty right side: inner empty, left all-null") {
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val r = Seq.empty[(Long, Long, Double)].toDF("k", "t", "px")
+    assert(AsOf.asofJoin(l, r, "k", "t", Map("px" -> "ref")).count() == 0)
+    val left = AsOf.asofJoin(l, r, "k", "t", Map("px" -> "ref"), inner = false).collect()
+    assert(left.length == 1 && left.head.getAs[Any]("ref") == null)
+  }
+
+  test("chunkStats and sinks on empty input") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(Sinks.chunkStats(empty, 100, col("k")).count() == 0)
+    val path = java.nio.file.Files.createTempDirectory("edge").toString + "/arr.json"
+    assert(Sinks.jsonArray(empty, path) == 0L)
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(path)) == "[]")
+  }
+
+  test("allString / blanksForNulls / dropEmptyRows on empty frame") {
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    assert(IngestOps.allString(empty).count() == 0)
+    assert(IngestOps.dropEmptyRows(IngestOps.blanksForNulls(empty)).count() == 0)
+  }
+}
