@@ -320,6 +320,9 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "pipeline_corpus" -> ((s, dir) =>
+      graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
@@ -574,5 +577,6 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
+    "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck)
 }

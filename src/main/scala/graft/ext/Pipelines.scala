@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation — the composition the north star asks
+  * the engine to serve: ingest → quality gate → language gate → near-dup
+  * removal → per-document token statistics.
+  *
+  * Every stage is a narrow transform or one keyed shuffle, so the chain
+  * scales the way its parts do; Catalyst fuses the gates into the scan
+  * (predicates push into the quality projection) and the only wide ops are
+  * the dedup joins.
+  */
+object Pipelines {
+
+  /** @return curated corpus: kept documents with quality + token columns. */
+  def curateCorpus(docs: DataFrame,
+      lang: String = "en",
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8): DataFrame = {
+    // quality + language gates (narrow); quality's computed n_chars is
+    // dropped in favor of the table's own column (the oracle does the same)
+    val q = TextOps.quality(docs).select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio")
+    val gated = docs.join(q, "doc_id")
+      .filter(col("lang") === lang &&
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("alpha_ratio") >= minAlphaRatio)
+    // near-dup removal within the gated set (keep-first by id)
+    val kept = Dedup.dropNearDuplicates(
+      gated.select("doc_id", "text", "lang", "n_chars", "source"), dedupeThreshold)
+    kept.join(gated.select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio"), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens", "alpha_ratio", "stop_ratio")
+  }
+
+  /** DuckDB oracle for [[curateCorpus]] — same gates, same blocking, same
+    * keep-first rule. */
+  def curateCorpusSqlDuck(lang: String = "en", minTokens: Long = 10,
+      maxTokens: Long = 100000, minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END AS alpha_ratio,
+       |    CASE WHEN len(${TextOps.tokensSqlDuck("text")}) > 0
+       |      THEN CAST(${TextOps.stopCountSqlDuck("text", TextOps.LangProfiles.head._2)} AS DOUBLE) /
+       |        len(${TextOps.tokensSqlDuck("text")})
+       |      ELSE 0.0 END AS stop_ratio
+       |  FROM documents),
+       | gated AS (
+       |  SELECT * FROM q
+       |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |    AND alpha_ratio >= $minAlphaRatio),
+       | t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+       |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM gated),
+       | losers AS (
+       |  SELECT DISTINCT b.doc_id FROM t a JOIN t b
+       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+       |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+       |    THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      len(list_distinct(list_concat(a.toks, b.toks)))
+       |    ELSE 1.0 END >= $dedupeThreshold)
+       |SELECT g.doc_id, g.lang, g.source, g.n_chars, g.n_tokens, g.alpha_ratio, g.stop_ratio
+       |FROM gated g
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+}

@@ -1,0 +1,37 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.{sf0001, spark}
+
+class PipelinesSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("curation pipeline: gates and dedup compose; survivors satisfy every gate") {
+    val docs = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val out = Pipelines.curateCorpus(docs, minTokens = 20, minAlphaRatio = 0.6).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[String]("lang") == "en")
+      assert(r.getAs[Long]("n_tokens") >= 20)
+      assert(r.getAs[Double]("alpha_ratio") >= 0.6)
+    }
+    // dedup really dropped something relative to the gates alone
+    val gatedOnly = Pipelines.curateCorpus(docs, minTokens = 20,
+      minAlphaRatio = 0.6, dedupeThreshold = 1.1).count() // threshold > 1 → no pairs
+    assert(out.length <= gatedOnly)
+  }
+
+  test("synthetic: exact dups removed, distinct texts kept") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again and again", "en", "s"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again and again", "en", "s"),
+      (3L, "a completely different set of english words that is long enough to pass gates easily here", "en", "s"),
+      (4L, "ein deutscher satz der nicht englisch ist und daher rausfliegt aus dem korpus", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val kept = Pipelines.curateCorpus(d, minTokens = 5, minAlphaRatio = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L)) // 2 = dup of 1; 4 = wrong language
+  }
+}
