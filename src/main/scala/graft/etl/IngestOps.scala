@@ -36,8 +36,13 @@ object IngestOps {
     // are zero).
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        // fixture file: TIMESTAMP(NANOS) surfaced as long via nanosAsLong
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case _ => df // already a timestamp (e.g. engine-written copies)
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
