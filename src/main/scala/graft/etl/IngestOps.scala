@@ -40,7 +40,7 @@ object IngestOps {
       df.schema("ts").dataType match {
         // fixture file: TIMESTAMP(NANOS) surfaced as long via nanosAsLong
         case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+          df.withColumn("ts", nanosToTimestamp)
         case _ => df // already a timestamp (e.g. engine-written copies)
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
@@ -65,6 +65,12 @@ object IngestOps {
         s"Unknown format '$other'. Supported: parquet, orc, csv, json")
     }
   }
+
+  /** ns-long `ts` (from nanosAsLong) → µs TimestampType; integral division
+    * avoids the double-precision loss of `/` on epoch-nanos magnitudes.
+    * Shared by the batch loader above and streaming.EventStreams. */
+  def nanosToTimestamp: org.apache.spark.sql.Column =
+    timestamp_micros(expr("ts DIV 1000"))
 
   /** S3 — case-insensitive sheet resolution; unknown name errors with the
     * available-sheets list, mirroring

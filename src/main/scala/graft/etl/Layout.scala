@@ -29,24 +29,10 @@ object Layout {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
 
-  /** Final executed plan string (descends AQE wrappers) for plan tests. */
+  /** Final executed plan node names (descends AQE wrappers) for plan tests. */
   def finalPlanString(df: DataFrame): String = {
     val sb = new StringBuilder
-    def visit(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-      sb.append(p.nodeName).append('\n')
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          visit(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          visit(q.plan)
-        case _ =>
-      }
-      p.children.foreach(visit)
-    }
-    visit(df.queryExecution.executedPlan)
+    PlanWalk.visit(df.queryExecution.executedPlan)(p => sb.append(p.nodeName).append('\n'))
     sb.toString
   }
-
-  def sparkCatalogReady(spark: SparkSession): Unit =
-    spark.sql("SELECT 1").collect() // force session state init
 }

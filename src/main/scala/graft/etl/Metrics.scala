@@ -36,35 +36,25 @@ object Metrics {
   }
   def clear(): Unit = collected.clear()
 
-  /** Walk the executed plan, descending through AQE wrappers (the adaptive
-    * root and materialized query stages hide their final plans from plain
-    * foreach). */
-  private def visit(node: org.apache.spark.sql.execution.SparkPlan)(
-      f: org.apache.spark.sql.execution.SparkPlan => Unit): Unit = {
-    f(node)
-    node match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        visit(a.executedPlan)(f)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        visit(q.plan)(f)
-      case _ =>
-    }
-    node.children.foreach(visit(_)(f))
-  }
-
   /** Sum a named SQL metric (e.g. "numOutputRows" on scans) over the plan. */
   private def sumMetric(qe: QueryExecution, metricName: String,
       nodeFilter: String => Boolean): Long = {
     var total = 0L
-    visit(qe.executedPlan) { node =>
+    PlanWalk.visit(qe.executedPlan) { node =>
       if (nodeFilter(node.nodeName))
         node.metrics.get(metricName).foreach(m => total += m.value)
     }
     total
   }
 
-  /** Install once per session; every subsequent action records metrics under
-    * the query-execution's funcName (collect/count/save/...). */
+  private val installed =
+    java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
+
+  /** Install once per session (idempotent); every subsequent action records
+    * metrics under the query-execution's funcName (collect/count/save/...). */
+  def installOnce(spark: SparkSession): Unit =
+    if (installed.add(String.valueOf(System.identityHashCode(spark)))) install(spark)
+
   def install(spark: SparkSession): QueryExecutionListener = {
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {

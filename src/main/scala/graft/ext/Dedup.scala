@@ -117,23 +117,13 @@ object Dedup {
     * Blocking key: (lang, n_chars div 100) — cheap deterministic buckets that
     * bound the pair count; at scale, replace blocking with
     * [[lshCandidatePairs]] output. */
-  def jaccardPairs(docs: DataFrame, textCol: String = "text",
-      minJaccard: Double = 0.0): DataFrame = {
+  def jaccardPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
       expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
-      .withColumn("_n", size(col("toks")))
-    // Jaccard length bound: jac(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs
-    // outside the size ratio can be pruned BEFORE the (expensive) array
-    // intersection — a cheap codegen'd predicate that cannot change the
-    // ≥ minJaccard result set.
-    val sizeBound =
-      if (minJaccard <= 0.0) lit(true)
-      else col("a._n").cast("double") >= col("b._n") * minJaccard &&
-        col("b._n").cast("double") >= col("a._n") * minJaccard
     t.as("a").join(t.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.doc_id") < col("b.doc_id") && sizeBound)
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         when(size(array_union(col("a.toks"), col("b.toks"))) > 0,
           size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
@@ -185,23 +175,24 @@ object Dedup {
     s"sigs AS (SELECT doc_id, $mins FROM toks GROUP BY doc_id)"
   }
 
-  def minhashSqlDuck: String = {
-    val sigCols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
-    val bands = (0 until NumBands).map { b =>
+  /** `md5(s0 || s1 || ...) AS bandN` projections, shared by the signature
+    * and pair oracles. */
+  private def bandsExprDuck: String =
+    (0 until NumBands).map { b =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i").mkString(" || ")
       s"md5($cols) AS band$b"
     }.mkString(", ")
-    s"WITH $toksCteDuck, $sigsCteDuck SELECT doc_id, $sigCols, $bands FROM sigs ORDER BY doc_id"
+
+  def minhashSqlDuck: String = {
+    val sigCols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    s"WITH $toksCteDuck, $sigsCteDuck SELECT doc_id, $sigCols, $bandsExprDuck FROM sigs ORDER BY doc_id"
   }
 
   def lshPairsSqlDuck: String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
       .mkString(" UNION ALL ")
-    val bands = (0 until NumBands).map { b =>
-      val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => s"s$i").mkString(" || ")
-      s"md5($cols) AS band$b"
-    }.mkString(", ")
+    val bands = bandsExprDuck
     s"""WITH $toksCteDuck, $sigsCteDuck,
        | bands AS (SELECT doc_id, $bands FROM sigs),
        | buckets AS ($bandUnion)
@@ -217,16 +208,25 @@ object Dedup {
        |FROM (SELECT doc_id, md5(tok) AS h FROM toks)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  def dropNearDuplicatesSqlDuck(threshold: Double = 0.8): String =
-    s"""WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
-       |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM documents),
+  /** Blocked-Jaccard CASE expression over two token-list columns. */
+  def jaccardExprDuck(a: String, b: String): String =
+    s"""CASE WHEN len(list_distinct(list_concat($a, $b))) > 0
+       |    THEN CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+       |      len(list_distinct(list_concat($a, $b)))
+       |    ELSE 1.0 END""".stripMargin
+
+  /** Shared `t, losers` CTE pair: near-dup losers (higher id of each close
+    * pair) of relation `rel` with (doc_id, lang, n_chars, text) columns. */
+  def losersCteDuck(rel: String, threshold: Double): String =
+    s"""t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
+       |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM $rel),
        | losers AS (
        |  SELECT DISTINCT b.doc_id FROM t a JOIN t b
        |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-       |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
-       |    THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.toks, b.toks)))
-       |    ELSE 1.0 END >= $threshold)
+       |  WHERE ${jaccardExprDuck("a.toks", "b.toks")} >= $threshold)""".stripMargin
+
+  def dropNearDuplicatesSqlDuck(threshold: Double = 0.8): String =
+    s"""WITH ${losersCteDuck("documents", threshold)}
        |SELECT d.* FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
        |ORDER BY d.doc_id""".stripMargin
@@ -235,10 +235,7 @@ object Dedup {
     s"""WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
        |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM documents)
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
-       |    THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.toks, b.toks)))
-       |    ELSE 1.0 END AS jaccard
+       |  ${jaccardExprDuck("a.toks", "b.toks")} AS jaccard
        |FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 }

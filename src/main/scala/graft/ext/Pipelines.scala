@@ -55,15 +55,7 @@ object Pipelines {
        |  SELECT * FROM q
        |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
        |    AND alpha_ratio >= $minAlphaRatio),
-       | t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
-       |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM gated),
-       | losers AS (
-       |  SELECT DISTINCT b.doc_id FROM t a JOIN t b
-       |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-       |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
-       |    THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-       |      len(list_distinct(list_concat(a.toks, b.toks)))
-       |    ELSE 1.0 END >= $dedupeThreshold)
+       | ${Dedup.losersCteDuck("gated", dedupeThreshold)}
        |SELECT g.doc_id, g.lang, g.source, g.n_chars, g.n_tokens, g.alpha_ratio, g.stop_ratio
        |FROM gated g
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)

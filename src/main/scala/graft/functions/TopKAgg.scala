@@ -22,8 +22,14 @@ class TopKAgg(k: Int)
     xs.sortBy { case (s, id) => (-s, id) }.take(k)
 
   override def zero: Seq[(Double, Long)] = Seq.empty
-  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] =
+  override def reduce(buf: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+    // fast reject: buffer full and the new item loses to the current weakest
+    if (buf.size >= k) {
+      val (ws, wid) = buf.last
+      if (in._1 < ws || (in._1 == ws && in._2 > wid)) return buf
+    }
     trim(buf :+ in)
+  }
   override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
     trim(a ++ b)
   override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(buf)

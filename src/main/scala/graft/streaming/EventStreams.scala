@@ -38,7 +38,7 @@ object EventStreams {
       // glob form: FileStreamSource accepts patterns but rejects a bare
       // file path ("'basePath' must be a directory")
       .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts", graft.etl.IngestOps.nanosToTimestamp)
   }
 
   /** Tumbling 1-hour windowed counts + value sums per event type, 1-hour

@@ -53,6 +53,19 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
+  test("token-join survivor set equals the array-intersect formulation (oracle lock)") {
+    val docs = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val viaTokenJoin = Dedup.dropNearDuplicates(docs, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val losers = Dedup.jaccardPairs(docs)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.8)
+      .select(org.apache.spark.sql.functions.col("doc_b").as("doc_id")).distinct()
+    val viaArrays = docs.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaTokenJoin == viaArrays)
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()
