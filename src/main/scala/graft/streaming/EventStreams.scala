@@ -59,6 +59,30 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Running per-user totals carried in custom state
+    * (KeyValueGroupedDataset.mapGroupsWithState): the arbitrary-stateful-
+    * processing extension point for logic windows can't express. State is
+    * one small record per user; each micro-batch folds its events into the
+    * state and emits the updated totals (output mode: update). */
+  final case class UserState(nEvents: Long, sumValue: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  def userTotalsState(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          var n = 0L
+          var v = 0.0
+          state.getOption.foreach { s => n = s.nEvents; v = s.sumValue }
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update(UserState(n, v))
+          UserTotals(uid, n, v)
+      }
+  }
+
   /** Gap-based sessionization in streaming mode via session_window (30 min
     * inactivity gap) — the streaming analog of the batch events_sessionize. */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -45,6 +45,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed > 0)
   }
 
+  test("mapGroupsWithState per-user totals equal the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val stateful = EventStreams.userTotalsState(EventStreams.readEvents(spark, sf0001))
+    val q = stateful.toDF.writeStream
+      .format("memory").queryName("state_test").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user is the final state
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val finalState = spark.table("state_test")
+      .withColumn("m", max("n_events").over(w))
+      .filter(col("n_events") === col("m"))
+      .select("user_id", "n_events").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finalState == batch)
+  }
+
   test("streaming dedup by event_id equals batch distinct count") {
     val stream = EventStreams.dedupEvents(EventStreams.readEvents(spark, sf0001))
     val q = stream.writeStream
