@@ -163,6 +163,25 @@ object SparkEntry {
         .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
+    "q_datetime_parts" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+        .orderBy("o_orderkey")),
+
+    "q_string_funcs" -> ((s, dir) =>
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_name"), "#", "-").as("dashed"),
+        length(col("c_name")).cast("long").as("name_len"),
+        reverse(col("c_mktsegment")).as("rseg"))
+        .orderBy("c_custkey")),
+
     "q_part_stats" -> ((s, dir) =>
       t(s, dir, "part")
         .groupBy("p_brand", "p_type")
@@ -467,6 +486,21 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_datetime_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+        |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS d,
+        |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, substr(c_name, 1, 8) AS prefix,
+        |  replace(c_name, '#', '-') AS dashed,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  reverse(c_mktsegment) AS rseg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q_part_stats" ->
       """SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_parts,
