@@ -165,6 +165,39 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Transitive duplicate clusters via iterative min-label propagation over
+    * a pair graph (connected components): every doc starts labeled with its
+    * own id; each round joins labels across edges and keeps the minimum;
+    * stops when no label changes (or maxIters). This is the standard
+    * large-graph CC formulation — per round one join + one groupBy keyed by
+    * doc id, O(diameter) rounds, no driver-side graph.
+    *
+    * Complements [[dropNearDuplicates]]'s greedy keep-first rule: here
+    * A~B and B~C put A,B,C in ONE cluster even if A~C was never a candidate
+    * pair. Returns (doc_id, cluster_id = min doc id of the component). */
+  def duplicateClusters(docs: DataFrame, pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected edge list, including self-loops so isolated docs keep labels
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(viaNeighbors)
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   def toksCteDuck: String =

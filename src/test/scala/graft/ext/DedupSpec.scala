@@ -66,6 +66,28 @@ class DedupSpec extends AnyFunSuite {
     assert(viaTokenJoin == viaArrays)
   }
 
+  test("duplicateClusters: transitive closure over pair chains") {
+    // chain 1-2, 2-3 (1 and 3 never paired directly); 4-5; 6 isolated
+    val d = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val clusters = Dedup.duplicateClusters(d, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("duplicateClusters on real LSH candidates: labels are component minima") {
+    val docs = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
+    val clusters = Dedup.duplicateClusters(docs, pairs).as[(Long, Long)].collect()
+    assert(clusters.length == 500)
+    // every cluster id is a member of its own cluster, and is its minimum
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+    }
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()
