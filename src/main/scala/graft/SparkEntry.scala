@@ -339,6 +339,11 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "sample_stratified" -> ((s, dir) =>
+      graft.ext.Pipelines.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "source"),
+        "lang", "doc_id", 20).orderBy("doc_id")),
+
     "pipeline_corpus" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -611,6 +616,8 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
+    "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
+      "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck)
 }

@@ -35,6 +35,27 @@ object Pipelines {
       .select("doc_id", "lang", "source", "n_chars", "n_tokens", "alpha_ratio", "stop_ratio")
   }
 
+  /** Deterministic stratified sampling: up to `n` rows per stratum, chosen
+    * by md5-hash order of the key — reproducible across runs, partitionings,
+    * and engines (no RNG in the plan), the standard trick for stable
+    * train/eval splits at scale. One shuffle keyed by the stratum (and
+    * WindowGroupLimit bounds each map task to n rows per stratum). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
+  }
+
+  def stratifiedSampleSqlDuck(stratumCol: String, keyCol: String, n: Int,
+      table: String, cols: String): String =
+    s"""SELECT $cols FROM (
+       |  SELECT $cols, row_number() OVER (
+       |    PARTITION BY $stratumCol ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol) AS rn
+       |  FROM $table)
+       |WHERE rn <= $n ORDER BY $keyCol""".stripMargin
+
   /** DuckDB oracle for [[curateCorpus]] — same gates, same blocking, same
     * keep-first rule. */
   def curateCorpusSqlDuck(lang: String = "en", minTokens: Long = 10,
