@@ -22,6 +22,11 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
   private def d2(c: Column): Column = c.cast(dec)
+  /** Pin a final decimal aggregate to one explicit cross-engine type:
+    * Spark types sum(DECIMAL(18,2)) as DECIMAL(28,2) while DuckDB widens to
+    * DECIMAL(38,2); the driver's hash is type-sensitive, so both sides must
+    * declare the same precision (VERDICT r1). Scale stays 2 → value unchanged. */
+  private def d38(c: Column): Column = c.cast(DecimalType(38, 2))
   /** revenue term: extendedprice * (1 - discount), exact decimal. */
   private def revenue(): Column =
     sum(d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))))
@@ -103,8 +108,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(d2(col("l_quantity"))).as("sum_qty"),
-          sum(d2(col("l_extendedprice"))).as("sum_base_price"),
+          d38(sum(d2(col("l_quantity")))).as("sum_qty"),
+          d38(sum(d2(col("l_extendedprice")))).as("sum_base_price"),
           revenue().as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -117,6 +122,11 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue().as("revenue"))
+        // string-render the timestamp: raw timestamp outputs hash-diverge
+        // across engines (tz-adjustment flag in the declared type)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -160,7 +170,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(d2(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("count_order"))
+        .agg(d38(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "q_datetime_parts" -> ((s, dir) =>
@@ -186,7 +196,7 @@ object SparkEntry {
       t(s, dir, "part")
         .groupBy("p_brand", "p_type")
         .agg(count(lit(1)).as("n_parts"),
-          sum(d2(col("p_retailprice"))).as("sum_price"),
+          d38(sum(d2(col("p_retailprice")))).as("sum_price"),
           max("p_size").as("max_size"))
         .orderBy("p_brand", "p_type")),
 
@@ -215,7 +225,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(d2(col("l_quantity"))))
+        .agg(d38(sum(d2(col("l_quantity")))))
         .orderBy("l_linestatus")),
 
     "q_setops" -> ((s, dir) => {
@@ -239,8 +249,10 @@ object SparkEntry {
     "events_tumbling_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(d2(col("value"))).as("sum_value"))
-        .orderBy("hr", "event_type")),
+        .agg(count(lit(1)).as("n"), d38(sum(d2(col("value")))).as("sum_value"))
+        .orderBy("hr", "event_type")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("n"), col("sum_value"))),
 
     "events_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -444,15 +456,16 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
          |  $revenueSql AS sum_disc_price,
          |  CAST(count(*) AS BIGINT) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_revenue" ->
-      s"""SELECT o_orderkey, o_orderdate, $revenueSql AS revenue
+      s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+         |  $revenueSql AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -487,7 +500,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
@@ -509,7 +522,7 @@ object SparkEntry {
 
     "q_part_stats" ->
       """SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_parts,
-        |  sum(CAST(p_retailprice AS DECIMAL(18,2))) AS sum_price,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
         |  max(p_size) AS max_size
         |FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
 
@@ -530,9 +543,9 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT l_linestatus,
-        |  sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "A",
-        |  sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "N",
-        |  sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS "R"
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_setops" ->
@@ -554,9 +567,11 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "events_tumbling_agg" ->
-      """SELECT date_trunc('hour', ts) AS hr, event_type,
-        |  CAST(count(*) AS BIGINT) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
-        |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin,
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hr, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -18,7 +18,8 @@ class EventStreamsSpec extends AnyFunSuite {
     q.awaitTermination(120000)
 
     val streamed = spark.table("tumbling_test")
-      .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+      .selectExpr("date_format(hr, 'yyyy-MM-dd HH:mm:ss') AS hr",
+        "event_type", "n", "CAST(sum_value AS STRING) AS sv")
       .collect().map(_.toSeq).toSet
 
     val batch = SparkEntryBatch.tumbling(sf0001)

@@ -1,5 +1,11 @@
-import duckdb, json, sys, glob, math
-import pyarrow.parquet as pq
+import duckdb, json, sys, glob
+
+# Strict local mimic of the driver's oracle compare. Round-1 lesson: the
+# driver's hash is sensitive to declared output TYPES (decimal precision/
+# scale, timestamp tz-adjustment), not just rendered values — so this
+# harness compares (a) DuckDB-described column types of the Spark parquet
+# vs the oracle relation, and (b) exact value renderings with NO decimal
+# normalization. Local green must predict driver green.
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
@@ -11,33 +17,39 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem','ev
 oracle = json.load(open(f'{outdir}/oracle_sql.json'))
 
 def canon(val):
+    import math, datetime
     if val is None: return None
     if isinstance(val, float):
         if math.isnan(val): return 'NaN'
         return repr(val)
     if isinstance(val, bool): return repr(val)
-    try:
-        import decimal
-        if isinstance(val, decimal.Decimal):
-            return str(val.normalize())
-    except Exception: pass
-    return str(val)
+    if isinstance(val, datetime.datetime):
+        return val.isoformat()  # keeps tzinfo difference visible
+    return str(val)  # Decimal: exact scale-preserving rendering, no normalize()
+
+def described_types(rel_sql):
+    rows = con.sql(f"DESCRIBE {rel_sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
 
 fails = []
 for name, sql in sorted(oracle.items()):
     try:
         spark_files = glob.glob(f'{outdir}/{name}/*.parquet')
-        sdf = con.sql(f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
-        scols = [d[0] for d in con.sql(f"SELECT * FROM read_parquet({spark_files!r}) LIMIT 0").description]
-        ddf_rel = con.sql(sql)
-        dcols = [d[0] for d in ddf_rel.description]
-        ddf = ddf_rel.fetchall()
-        # sort columns by name (driver behavior), canonicalize values, sort rows
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        spark_rel = f"SELECT * FROM read_parquet({spark_files!r})"
+        sdf = con.sql(spark_rel).fetchall()
+        stypes = described_types(spark_rel)
+        dtypes = described_types(f"({sql})")
+        ddf = con.sql(sql).fetchall()
+        scols, dcols = list(stypes), list(dtypes)
         if sorted(scols) != sorted(dcols):
             fails.append((name, f'COLUMN MISMATCH spark={sorted(scols)} duck={sorted(dcols)}'))
             continue
+        tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+        if tdiff:
+            fails.append((name, f'TYPE MISMATCH {tdiff}'))
+            continue
+        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
+        didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
         srows = sorted(tuple(canon(r[i]) for i in sidx) for r in sdf)
         drows = sorted(tuple(canon(r[i]) for i in didx) for r in ddf)
         if len(srows) != len(drows):
