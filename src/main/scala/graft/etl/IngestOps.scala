@@ -129,14 +129,44 @@ object IngestOps {
     df.filter(nonEmpty)
   }
 
-  /** T3 — skip-before-header positional filter. `orderKey` makes the
-    * "position" explicit and shuffle-free-sortable rather than relying on a
-    * global sequential index. */
-  def skipRows(df: DataFrame, n: Long, orderKey: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderKey)
-    df.withColumn("_pos", row_number().over(w)).filter(col("_pos") > n).drop("_pos")
+  /** Scalable global row number by key (1-based), replacing
+    * `Window.orderBy`-with-no-partitionBy (which moves ALL data to a single
+    * partition — the r1 scale-killer). Shape: range-partition on the key,
+    * sort within partitions, take the in-partition record number from
+    * `monotonically_increasing_id` (documented layout: partition id in the
+    * upper 31 bits, per-partition record number in the lower 33 — so the
+    * local index costs no extra shuffle), then add per-partition offsets
+    * from a tiny one-row-per-partition aggregate. The only global window
+    * runs over #partitions rows, never over the data. */
+  def withGlobalPos(df: DataFrame, key: org.apache.spark.sql.Column,
+      posCol: String = "_pos", numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val local = df.repartitionByRange(n, key).sortWithinPartitions(key)
+      .withColumn("_mid", monotonically_increasing_id())
+      .withColumn("_pid", shiftright(col("_mid"), 33))
+      .withColumn("_lidx", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
+    local.join(broadcast(cumulativeOffsets(local, "_pid")), "_pid")
+      .withColumn(posCol, col("_offset") + col("_lidx") + lit(1L))
+      .drop("_mid", "_pid", "_lidx", "_offset")
   }
+
+  /** Per-group cumulative offsets (exclusive prefix sums of group counts in
+    * `keyCol` order) via a triangular self-join over the one-row-per-group
+    * counts relation — O(groups²) on a tiny relation, instead of a global
+    * window (which would warn and single-partition even when tiny). */
+  private def cumulativeOffsets(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("_n"))
+    counts.as("a")
+      .join(counts.as("b"), col(s"b.$keyCol") < col(s"a.$keyCol"), "left_outer")
+      .groupBy(col(s"a.$keyCol").as(keyCol))
+      .agg(coalesce(sum(col("b._n")), lit(0L)).as("_offset"))
+  }
+
+  /** T3 — skip-before-header positional filter, expressed over the scalable
+    * global position (no single-partition window). */
+  def skipRows(df: DataFrame, n: Long, orderKey: org.apache.spark.sql.Column): DataFrame =
+    withGlobalPos(df, orderKey).filter(col("_pos") > n).drop("_pos")
 
   /** Scalable global row position (the 100 TB path for positional operators
     * like header-row skipping): per-file parquet row index from `_metadata`
@@ -146,15 +176,10 @@ object IngestOps {
     * order, matching a deterministic multi-file scan. */
   def withFileRowPos(spark: SparkSession, path: String, posCol: String = "_pos",
       keepFileCol: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val df = spark.read.parquet(path)
       .withColumn("_file", col("_metadata.file_path"))
       .withColumn("_idx", col("_metadata.row_index"))
-    val w = Window.orderBy("_file").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = df.groupBy("_file").agg(count(lit(1)).as("_n"))
-      .withColumn("_offset", coalesce(sum(col("_n")).over(w), lit(0L)))
-      .select("_file", "_offset")
-    val joined = df.join(broadcast(offsets), "_file")
+    val joined = df.join(broadcast(cumulativeOffsets(df, "_file")), "_file")
       .withColumn(posCol, col("_offset") + col("_idx"))
       .drop("_idx", "_offset", "_n")
     if (keepFileCol) joined else joined.drop("_file")

@@ -33,11 +33,12 @@ object Sinks {
     d.write.mode(saveMode(overwrite)).json(path)
   }
 
-  /** K2 — chunked CSV sink: new file every `batchSize` rows, header per
-    * chunk (core/writers/CsvDataWriter.java:80-103,148-151). Distributed
-    * parity: `maxRecordsPerFile`; deterministic chunk *numbering* additionally
-    * needs a range partition on the order key so chunk k holds rows
-    * [k*batchSize, (k+1)*batchSize). */
+  /** K2 — chunked CSV sink: files of at most `batchSize` rows, header per
+    * chunk (core/writers/CsvDataWriter.java:80-103,148-151). Guarantees the
+    * contract invariants (every chunk ≤ batchSize rows; concatenation in
+    * partition order preserves key order) — file boundaries fall at range
+    * partition edges, not necessarily at exact batchSize multiples; use
+    * `chunkedCsvNamed` for exact reference chunk boundaries. */
   def chunkedCsv(df: DataFrame, path: String, batchSize: Int,
       orderCol: Option[String] = None, overwrite: Boolean = false): Unit = {
     val d = orderCol.map(c => df.repartitionByRange(col(c)).sortWithinPartitions(col(c))).getOrElse(df)
@@ -47,22 +48,38 @@ object Sinks {
       .csv(path)
   }
 
-  /** K2 with reference-parity chunk NAMES: after a range-partitioned write,
-    * rename part files (in partition order, which is row order) to
-    * `<stem>-chunk-N.csv` — the reference's naming scheme
-    * (core/writers/CsvDataWriter.java:87-90). The rename pass touches file
-    * metadata only (one driver-side loop over file count, not data), so it
-    * scales with chunk count. */
+  /** K2 with exact reference parity: chunk k holds rows
+    * [k*batchSize, (k+1)*batchSize) of the key-ordered stream, named
+    * `<stem>-chunk-N.csv` (core/writers/CsvDataWriter.java:87-90). Chunk ids
+    * come from the scalable global position (no single-partition window);
+    * each chunk's rows are co-located by a hash repartition on chunk id, and
+    * the dynamic-partition write emits one file per chunk. The rename pass
+    * touches file metadata only (driver-side loop over chunk count). */
   def chunkedCsvNamed(df: DataFrame, dir: String, stem: String, batchSize: Int,
       orderCol: String, overwrite: Boolean = false): Seq[String] = {
-    chunkedCsv(df, dir, batchSize, Some(orderCol), overwrite)
+    val chunked = IngestOps.withGlobalPos(df, col(orderCol), "_pos")
+      .withColumn("_chunk", floor((col("_pos") - 1) / batchSize).cast("long"))
+      .drop("_pos")
+    chunked.repartition(col("_chunk"))
+      .sortWithinPartitions(col("_chunk"), col(orderCol))
+      .write.mode(saveMode(overwrite))
+      .option("header", "true")
+      .partitionBy("_chunk")
+      .csv(dir)
     val d = new java.io.File(dir)
-    val parts = d.listFiles().filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
-      .sortBy(_.getName) // part-00000.. ordering = repartitionByRange order
-    parts.zipWithIndex.map { case (f, i) =>
-      val target = new java.io.File(d, s"$stem-chunk-$i.csv")
-      if (!f.renameTo(target))
-        throw new java.io.IOException(s"rename failed: $f -> $target")
+    val chunkDirs = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_chunk="))
+      .sortBy(f => f.getName.stripPrefix("_chunk=").toLong)
+    chunkDirs.map { cd =>
+      val n = cd.getName.stripPrefix("_chunk=").toLong
+      val part = cd.listFiles().filter(_.getName.endsWith(".csv")) match {
+        case Array(one) => one
+        case many => throw new IllegalStateException(
+          s"expected one csv per chunk dir ${cd.getName}, found ${many.length}")
+      }
+      val target = new java.io.File(d, s"$stem-chunk-$n.csv")
+      if (!part.renameTo(target))
+        throw new java.io.IOException(s"rename failed: $part -> $target")
+      cd.listFiles().foreach(_.delete()); cd.delete()
       target.getName
     }.toSeq
   }
@@ -73,14 +90,11 @@ object Sinks {
     * (HighVolumeExcelConverter-Contract-v2.0.1.md:83,99) as a checkable
     * DataFrame. */
   def chunkStats(df: DataFrame, batchSize: Int,
-      orderKey: org.apache.spark.sql.Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(orderKey)
-    df.withColumn("_rn", row_number().over(w).cast("long"))
+      orderKey: org.apache.spark.sql.Column): DataFrame =
+    IngestOps.withGlobalPos(df, orderKey, "_rn")
       .withColumn("chunk_id", floor((col("_rn") - 1) / batchSize).cast("long"))
       .groupBy("chunk_id")
       .agg(count(lit(1)).as("n_rows"), min("_rn").as("min_rn"), max("_rn").as("max_rn"))
-  }
 
   /** K3 — single-file JSON array sink (core/writers/JsonDataWriter.java:79-257):
     * one well-formed `[{...},{...}]` document. Streams row-by-row through the

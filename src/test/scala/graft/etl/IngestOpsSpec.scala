@@ -58,6 +58,21 @@ class IngestOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(8, 9, 10))
   }
 
+  test("withGlobalPos equals the naive global row_number, with no single-partition window") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = IngestOps.table(spark, sf0001, "events").select("event_id")
+    val naive = ev.withColumn("_pos", row_number().over(Window.orderBy("event_id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val scalable = IngestOps.withGlobalPos(ev, col("event_id"), numParts = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(scalable == naive)
+    // plan audit: the only Window in the scalable plan runs over the tiny
+    // per-partition offsets relation, not over the data
+    val plan = IngestOps.withGlobalPos(ev, col("event_id"), numParts = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"))
+  }
+
   test("S1: row-order capture via _rid reproduces scan order") {
     val li = IngestOps.withRowId(IngestOps.table(spark, sf0001, "region"))
     val rids = li.select("_rid").as[Long].collect()
