@@ -18,7 +18,10 @@ object Bench {
     // Deterministic query order (Map iteration order is hash-random), and a
     // warmup pass at the smallest SF so JIT + codegen + file-index costs
     // don't land on whichever query happens to run first.
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()

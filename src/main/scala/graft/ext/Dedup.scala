@@ -70,16 +70,29 @@ object Dedup {
   /** LSH candidate pairs: docs sharing any band hash (band index must match).
     * Equi-join on (band_index, band_hash) — shuffle-partitioned by bucket.
     * The bucket table (NumBands short rows per doc, independent of doc size)
-    * is cached so the self-join doesn't recompute tokenize+minhash twice. */
-  def lshCandidatePairs(sigs: DataFrame): DataFrame = {
+    * is cached so the self-join doesn't recompute tokenize+minhash twice.
+    *
+    * Hot-bucket bound: a popular band hash (r1 measured ~45% of docs in two
+    * buckets) makes the within-bucket pair enumeration O(k²) on ONE reducer —
+    * the 100 TB job-killer. The self-join is therefore salted: the x side
+    * keeps one deterministic salt from its doc id, the y side is replicated
+    * to every salt, and the join key includes the salt — each (x,y) pair
+    * still appears exactly once (at x's salt), so the output is byte-identical
+    * to the unsalted join, but a bucket of size k costs k²/saltBuckets per
+    * reducer instead of k² on one. Shuffle volume grows only on the tiny
+    * bucket relation (NumBands rows per doc × saltBuckets). */
+  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = 16): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
     val buckets = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    buckets.as("x").join(buckets.as("y"),
+    val x = buckets.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
+    val y = buckets.withColumn("_salt",
+      explode(array((0 until saltBuckets).map(lit(_)): _*)))
+    x.as("x").join(y.as("y"),
         col("x.bi") === col("y.bi") && col("x.band") === col("y.band") &&
-        col("x.doc_id") < col("y.doc_id"))
+        col("x._salt") === col("y._salt") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
   }
