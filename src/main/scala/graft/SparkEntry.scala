@@ -330,6 +330,9 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
 
+    "dedup_embedding_cosine_bucketed" -> ((s, dir) =>
+      Similarity.cosinePairsBucketed(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
+
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
@@ -625,6 +628,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
+    "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
     // sim_ann_lsh: intentionally no oracle (approximate recall) → rows-only
     "text_quality" -> TextOps.qualitySqlDuck,

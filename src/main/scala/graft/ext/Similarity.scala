@@ -166,6 +166,90 @@ object Similarity {
        |WHERE cos > $threshold
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- bucketed cosine near-dup pairs (the scale path for cosinePairs) ---
+
+  /** Seeded Rademacher (±1) hyperplane signs, shared between the Spark plan
+    * and the oracle SQL builder so both engines compute identical buckets.
+    * Rademacher vectors are a valid sign-random-projection family (Charikar
+    * STOC 2002 uses Gaussians; ±1 entries preserve the sign-agreement
+    * property and embed compactly as SQL `+/-` terms). */
+  def srpSigns(nTables: Int, bitsPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nTables, bitsPerTable, Dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  val PairTables = 8
+  val PairBitsPerTable = 4
+  val PairSeed = 7L
+
+  /** Embedding-cosine near-dup pairs via multi-table SRP bucketing — the
+    * 100 TB replacement for [[cosinePairs]]'s all-pairs theta join. Shape:
+    * slim (vec_id, table, bucket) relation self-joined on the bucket key
+    * (plain equi-join — one shuffle keyed by (t, b), never a nested-loop),
+    * pair candidates deduped on ids alone, then embeddings joined back by id
+    * so the 64-float payload moves once per vector, not once per bucket row.
+    * Approximate by design: a pair is emitted iff it collides in ≥1 table
+    * (recall at cos≥0.9 ≈ 1; at the demo threshold 0.4 ≈ 0.75 with 8×4-bit
+    * tables — bitsPerTable grows with corpus size at scale). The oracle
+    * replicates the exact bucket arithmetic, so the check is exact. */
+  def cosinePairsBucketed(emb: DataFrame, threshold: Double = 0.4,
+      nTables: Int = PairTables, bitsPerTable: Int = PairBitsPerTable,
+      seed: Long = PairSeed): DataFrame = {
+    val signs = srpSigns(nTables, bitsPerTable, seed)
+    val tables = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        when(graft.functions.VectorExprs.dotConst(col("embedding"), signs(t)(j)) >= 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
+    }
+    val bk = emb.select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.b").as("b"))
+    val cand = bk.as("x").join(bk.as("y"),
+        col("x.t") === col("y.t") && col("x.b") === col("y.b") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
+    val v = withNorm(emb)
+    val a = v.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("cos", dotCol("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cos") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** `0.0 + e[1] - e[2] ...` signed projection chain — bit-identical to
+    * FloatVectorDotConst's left-to-right double accumulation from 0.0. */
+  private def signedProjSqlDuck(signs: Array[Double]): String =
+    "0.0" + signs.zipWithIndex.map { case (s, i) =>
+      val op = if (s > 0) "+" else "-"
+      s" $op CAST(embedding[${i + 1}] AS DOUBLE)"
+    }.mkString
+
+  def cosinePairsBucketedSqlDuck(threshold: Double = 0.4,
+      nTables: Int = PairTables, bitsPerTable: Int = PairBitsPerTable,
+      seed: Long = PairSeed): String = {
+    val signs = srpSigns(nTables, bitsPerTable, seed)
+    val bkUnion = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        s"(CASE WHEN ${signedProjSqlDuck(signs(t)(j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, $bits AS b FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       | bk AS ($bkUnion),
+       | cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |   FROM bk x JOIN bk y ON x.t = y.t AND x.b = y.b AND x.vec_id < y.vec_id)
+       |SELECT id_a, id_b, round(cos, 6) AS cos_sim FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+       |  FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b)
+       |WHERE cos > $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Signed-random-projection LSH bucket key for one table. Hyperplanes are
     * drawn from a seeded PRNG on the driver — deterministic across runs. */
   def srpBuckets(emb: DataFrame, nPlanes: Int = 12, seed: Long = 42L): DataFrame = {

@@ -84,6 +84,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed cosine pairs: subset of all-pairs with useful recall, and an equi-join plan") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val bucketed = Similarity.cosinePairsBucketed(emb)
+    val all = Similarity.cosinePairs(emb)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = bucketed.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(all), "bucketed pairs must be a subset of the exact pairs")
+    if (all.nonEmpty)
+      assert(got.size.toDouble / all.size >= 0.5,
+        s"recall ${got.size}/${all.size} below 0.5")
+    // the candidate join must be a bucket equi-join, never a nested loop
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected equi-join plan, got:\n$plan")
+  }
+
   test("ANN finds planted near-duplicates (the regime LSH targets)") {
     // clone each query vector with a tiny deterministic perturbation; the
     // clone must come back as the top ANN neighbor
