@@ -83,6 +83,28 @@ object EventStreams {
       }
   }
 
+  /** Windowed stream-stream inner join — the hardest Structured Streaming
+    * shape: each purchase joined to the same user's clicks in the preceding
+    * hour. Both sides carry watermarks and the join condition includes an
+    * event-time range, so Spark can expire buffered join state (state per
+    * side bounded by watermark + range). Works as a self-join of one source
+    * stream filtered two ways. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Gap-based sessionization in streaming mode via session_window (30 min
     * inactivity gap) — the streaming analog of the batch events_sessionize. */
   def sessionWindows(events: DataFrame): DataFrame =

@@ -29,6 +29,33 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream windowed self-join equals the batch join (AvailableNow)") {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, sf0001))
+    val q = joined.writeStream
+      .format("memory").queryName("ssjoin_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin_test")
+      .collect().map(_.toSeq).toSet
+
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+      .collect().map(_.toSeq).toSet
+
+    assert(batch.nonEmpty, "fixture should contain click->purchase pairs within an hour")
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join equals the batch join") {
     import org.apache.spark.sql.functions._
     val users = graft.etl.IngestOps.table(spark, sf0001, "events")
