@@ -48,6 +48,20 @@ object ErrorModes {
     }(Encoders.row(schema)).drop("_corrupt")
   }
 
+  /** continueOnError=true, codegen-friendly: drop corrupt rows with a plain
+    * `filter`, counting them through `df.observe` instead of a mapPartitions
+    * lambda — the whole pipeline stays inside whole-stage codegen / columnar
+    * execution, and the count lands in QueryExecution.observedMetrics where
+    * the Metrics listener picks it up under the contract's
+    * `excel.rows.skipped` name. */
+  def tolerateObserved(df: DataFrame, corrupt: Column): DataFrame = {
+    val withFlag = df.withColumn("_corrupt", coalesce(corrupt, lit(true)))
+      .observe(Metrics.SkippedObservation,
+        sum(when(col("_corrupt"), 1L).otherwise(0L)).as(Metrics.SkippedColumn),
+        count(lit(1)).as("rows_seen"))
+    withFlag.filter(!col("_corrupt")).drop("_corrupt")
+  }
+
   /** continueOnError=false: throw on the first corrupt row (FAILFAST).
     * Implemented as a filter predicate so Catalyst cannot prune it away. */
   def failFast(df: DataFrame, corrupt: Column, what: String): DataFrame =

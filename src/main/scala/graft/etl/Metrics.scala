@@ -16,16 +16,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Spark-native version: a QueryExecutionListener harvests the executed
   * plan's SQL metrics after each action — no per-row driver work, fully
   * compatible with distributed execution (metrics are SparkPlan accumulators
-  * aggregated by the scheduler).
+  * aggregated by the scheduler). Skipped rows arrive through
+  * `df.observe` (see ErrorModes.tolerateObserved) so counting stays inside
+  * whole-stage codegen.
   */
 object Metrics {
+
+  /** Observation name + column the listener recognizes as the skipped-row
+    * count (ErrorModes.tolerateObserved emits it). */
+  val SkippedObservation = "graft.skipped"
+  val SkippedColumn = "rows_skipped"
 
   final case class QueryMetrics(
       name: String,
       durationNs: Long,
       rowsProcessed: Long,
+      rowsSkipped: Long,
       bytesRead: Long,
-      filesRead: Long)
+      filesRead: Long,
+      bytesWritten: Long,
+      batchesWritten: Long,
+      strategy: String)
+
+  /** Contract §10 metric names
+    * (HighVolumeExcelConverter-Contract-v2.0.1.md:195-211). Batches map to
+    * written files — Spark's unit of sink durability (SURVEY.md §2.3 K5). */
+  def contractView(m: QueryMetrics): Map[String, Any] = Map(
+    "excel.converter.strategy" -> m.strategy,
+    "excel.rows.processed" -> m.rowsProcessed,
+    "excel.rows.skipped" -> m.rowsSkipped,
+    "excel.bytes.read" -> m.bytesRead,
+    "excel.bytes.written" -> m.bytesWritten,
+    "excel.batches.written" -> m.batchesWritten,
+    "excel.time.total" -> m.durationNs / 1000000L)
 
   private val collected = new ConcurrentHashMap[String, QueryMetrics]()
 
@@ -47,6 +70,25 @@ object Metrics {
     total
   }
 
+  /** The physical access strategy Catalyst chose — the Spark analog of the
+    * reference's easy_excel|streaming selector (core/StrategySelector.java). */
+  private def scanStrategy(qe: QueryExecution): String = {
+    var name = "none"
+    PlanWalk.visit(qe.executedPlan) { node =>
+      if (name == "none" && node.nodeName.toLowerCase.contains("scan"))
+        name = node.nodeName
+    }
+    name
+  }
+
+  private def observedSkips(qe: QueryExecution): Long =
+    qe.observedMetrics.get(SkippedObservation)
+      .flatMap { row =>
+        val i = row.schema.fieldNames.indexOf(SkippedColumn)
+        if (i >= 0 && !row.isNullAt(i)) Some(row.getLong(i)) else None
+      }
+      .getOrElse(0L)
+
   private val installed =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())
 
@@ -58,11 +100,19 @@ object Metrics {
   def install(spark: SparkSession): QueryExecutionListener = {
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-        val scanRows = sumMetric(qe, "numOutputRows", n => n.toLowerCase.contains("scan"))
-        val bytes = sumMetric(qe, "filesSize", _ => true)
-        val files = sumMetric(qe, "numFiles", _ => true)
+        val lower = (s: String) => s.toLowerCase
+        val isScan = (n: String) => lower(n).contains("scan")
+        val isWrite = (n: String) =>
+          lower(n).contains("write") || lower(n).contains("insert")
+        val scanRows = sumMetric(qe, "numOutputRows", isScan)
+        val bytes = sumMetric(qe, "filesSize", isScan)
+        val files = sumMetric(qe, "numFiles", isScan)
+        // BasicWriteJobStatsTracker metric keys on write/insert nodes
+        val bytesOut = sumMetric(qe, "numOutputBytes", isWrite)
+        val filesOut = sumMetric(qe, "numFiles", isWrite)
         collected.put(funcName,
-          QueryMetrics(funcName, durationNs, scanRows, bytes, files))
+          QueryMetrics(funcName, durationNs, scanRows, observedSkips(qe),
+            bytes, files, bytesOut, filesOut, scanStrategy(qe)))
       }
       override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
     }

@@ -18,6 +18,34 @@ class MetricsAndScaleSpec extends AnyFunSuite {
     assert(m.exists(_.rowsProcessed == 6000L), s"got: $m")
   }
 
+  test("C7: contract §10 metric names — skipped rows, batches/bytes written, strategy") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Metrics.clear()
+    Metrics.install(spark)
+    // corpus with 2 structurally-corrupt JSON rows; tolerate via observe
+    val rows = Seq(
+      (1L, """{"k":"a"}"""), (2L, "not json"), (3L, """{"k":"b"}"""),
+      (4L, null.asInstanceOf[String]), (5L, """{"k":"c"}"""))
+    val df = rows.toDF("id", "props")
+    val good = ErrorModes.tolerateObserved(df, ErrorModes.corruptJson($"props", "k STRING"))
+    val out = java.nio.file.Files.createTempDirectory("metricsout").toString + "/o"
+    good.write.json(out) // write action → listener harvests write metrics too
+    val deadline = System.currentTimeMillis() + 10000
+    def found = Metrics.all.values.find(_.rowsSkipped == 2L)
+    while (found.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    val m = found.getOrElse(fail(s"no metrics with rowsSkipped=2; got ${Metrics.all}"))
+    val view = Metrics.contractView(m)
+    assert(view("excel.rows.skipped") == 2L)
+    assert(view("excel.batches.written").asInstanceOf[Long] >= 1L)
+    assert(view("excel.bytes.written").asInstanceOf[Long] > 0L)
+    assert(view.keySet == Set("excel.converter.strategy", "excel.rows.processed",
+      "excel.rows.skipped", "excel.bytes.read", "excel.bytes.written",
+      "excel.batches.written", "excel.time.total"))
+    // and the codegen-friendly tolerate path actually dropped the bad rows
+    assert(spark.read.json(out).count() == 3L)
+  }
+
   test("scalable per-file row position covers 0..n-1 exactly once") {
     val df = IngestOps.withFileRowPos(spark, s"$sf0001/lineitem.parquet")
     val n = df.count()
