@@ -21,33 +21,45 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** @param rightPayload right columns to carry (aliased as given)
-    * @param inner drop left rows with no as-of match (ASOF JOIN default) */
+    * @param inner drop left rows with no as-of match (ASOF JOIN default)
+    *
+    * Null-payload correctness: the running `last` carries a single non-null
+    * match STRUCT per right row (its time + payloads), never the payload
+    * columns themselves — so a matched right row whose payload is NULL still
+    * matches (as in DuckDB's native ASOF JOIN), and the inner filter tests
+    * "a right row exists", not payload nullity. One running last regardless
+    * of payload arity. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
       rightPayload: Map[String, String], inner: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.filterNot(c => c == key || c == time)
     val payloadSrc = rightPayload.keys.toSeq
     val payloadDst = payloadSrc.map(rightPayload)
 
+    val matchType = StructType(
+      StructField("_mt", right.schema(time).dataType) +:
+        payloadSrc.map(c => StructField(s"_p_$c", right.schema(c).dataType)))
     val l = left.select(
-      (col(key) +: col(time).as("_t") +: lit(1).as("_tag") +:
-        leftCols.map(col).toSeq) ++
-        payloadSrc.map(c => lit(null).cast(right.schema(c).dataType).as(s"_p_$c")): _*)
+      col(key) +: col(time).as("_t") +: lit(1).as("_tag") +:
+        lit(null).cast(matchType).as("_m") +: leftCols.map(col).toSeq: _*)
     val r = right.select(
-      (col(key) +: col(time).as("_t") +: lit(0).as("_tag") +:
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq) ++
-        payloadSrc.map(c => col(c).as(s"_p_$c")): _*)
+      col(key) +: col(time).as("_t") +: lit(0).as("_tag") +:
+        struct(col(time).as("_mt") +:
+          payloadSrc.map(c => col(c).as(s"_p_$c")): _*).as("_m") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq: _*)
 
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = l.unionByName(r)
-      .select((col(key) +: col("_t") +: col("_tag") +: leftCols.map(col).toSeq) ++
-        payloadSrc.zip(payloadDst).map { case (src, dst) =>
-          last(col(s"_p_$src"), ignoreNulls = true).over(w).as(dst)
-        }: _*)
+    val filledCols = Seq(col(key), col("_t"), col("_tag")) ++
+      leftCols.map(col) :+ last(col("_m"), ignoreNulls = true).over(w).as("_m")
+    val filled = l.unionByName(r).select(filledCols: _*)
     val onlyLeft = filled.filter(col("_tag") === 1)
-      .withColumnRenamed("_t", time).drop("_tag")
-    if (inner) onlyLeft.filter(payloadDst.map(col(_).isNotNull).reduce(_ && _))
-    else onlyLeft
+    val matched = if (inner) onlyLeft.filter(col("_m").isNotNull) else onlyLeft
+    val outCols = Seq(col(key), col("_t").as(time)) ++ leftCols.map(col) ++
+      payloadSrc.zip(payloadDst).map { case (src, dst) =>
+        col("_m").getField(s"_p_$src").as(dst)
+      }
+    matched.select(outCols: _*)
   }
 }

@@ -174,8 +174,15 @@ object Dedup {
       .filter(col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")) >= threshold)
       .select(col("doc_b").as("doc_id"))
-      .distinct()
-    docs.join(losers, Seq("doc_id"), "left_anti")
+    // Token-less documents never join on a shared token, but two empty token
+    // sets are Jaccard-1.0 duplicates (the oracle's CASE ... ELSE 1.0 branch):
+    // within a block, every empty doc with a lower-id empty doc is a loser.
+    val empty = t.filter(col("_n") === 0).select("doc_id", "lang", "bkt")
+    val emptyLosers = empty.as("a").join(empty.as("b"),
+        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("b.doc_id").as("doc_id"))
+    docs.join(losers.unionByName(emptyLosers).distinct(), Seq("doc_id"), "left_anti")
   }
 
   /** Transitive duplicate clusters via iterative min-label propagation over
@@ -200,14 +207,20 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(viaNeighbors)
+      val merged = labels.unionByName(viaNeighbors)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint every few rounds truncates the otherwise
+      // exponentially-deepening lineage; persist covers the rounds between.
+      val next =
+        if ((i + 1) % 3 == 0) merged.localCheckpoint()
+        else merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist() // next is materialized by the count; drop the old round
       labels = next
       i += 1
     }
+    edges.unpersist()
     labels
   }
 

@@ -33,4 +33,19 @@ class AsOfSpec extends AnyFunSuite {
       .filter($"id" === "b").select("ref").as[Double].head()
     assert(out == 100.0) // quote at t=10 applies to trade at t=10
   }
+
+  test("a matched right row with NULL payload still matches (DuckDB ASOF parity)") {
+    // quote at t=20 has a NULL price; it is the as-of match for trade t=25
+    val q = Seq((1L, 10L, Some(100.0)), (1L, 20L, None), (2L, 15L, Some(150.0)))
+      .toDF("k", "t", "px")
+    val inner = AsOf.asofJoin(trades, q, "k", "t", Map("px" -> "ref"))
+      .select("id", "ref").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // "c" (t=25) matches the NULL-priced quote — kept, payload NULL, NOT the
+    // older 100.0; "d" (t=99) likewise matches the latest quote (NULL)
+    assert(inner.contains("c") && inner("c").isEmpty)
+    assert(inner.contains("d") && inner("d").isEmpty)
+    assert(inner("b").contains(100.0) && inner("f").contains(150.0))
+    assert(!inner.contains("a") && !inner.contains("e")) // still no match at all
+  }
 }

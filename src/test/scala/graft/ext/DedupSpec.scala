@@ -53,6 +53,15 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L, 4L))
   }
 
+  test("token-less documents in one block dedup as exact duplicates (oracle parity)") {
+    // "!!!" and "???" have no [a-z0-9] tokens: two empty token sets are
+    // Jaccard-1.0 (the oracle's ELSE 1.0 branch) → keep the lower id only
+    val d = docs((1L, "!!!"), (2L, "???"), (3L, "real words here"))
+    val kept = Dedup.dropNearDuplicates(d, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
   test("token-join survivor set equals the array-intersect formulation (oracle lock)") {
     val docs = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
       graft.SparkTestSession.sf0001, "documents")
