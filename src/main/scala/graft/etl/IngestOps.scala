@@ -52,7 +52,11 @@ object IngestOps {
     * nulls bad fields, FAILFAST dies on the first malformed record. */
   def read(spark: SparkSession, path: String, format: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      continueOnError: Boolean = true): DataFrame = {
+      continueOnError: Boolean = true,
+      guards: Option[EngineConfig] = None): DataFrame = {
+    // S7/S8 input-sanity guards, enforced before any scan task is planned
+    guards.foreach(g =>
+      InputGuards.validate(spark, path, g.maxEntrySizeBytes, g.minInflateRatio))
     val mode = if (continueOnError) "PERMISSIVE" else "FAILFAST"
     val r0 = spark.read
     val r = schema.map(r0.schema).getOrElse(r0)

@@ -50,4 +50,42 @@ class SourceFormatsSpec extends AnyFunSuite {
       IngestOps.read(spark, "/tmp/x", "avro"))
     assert(e.getMessage.contains("Supported"))
   }
+
+  test("S8 guard: oversized input rejected with a typed error before scanning") {
+    val dir = graft.SparkTestSession.sf0001
+    val guards = EngineConfig(inputDir = dir, outputPath = Some("/tmp/unused"),
+      maxEntrySizeBytes = 16L) // region.parquet is a few KB — over the cap
+    val e = intercept[InputTooLargeException] {
+      IngestOps.read(spark, s"$dir/region.parquet", "parquet", guards = Some(guards))
+    }
+    assert(e.getMessage.contains("maxEntrySizeBytes"))
+  }
+
+  test("S7 guard: inflation-ratio violation raises the zip-bomb analog") {
+    import spark.implicits._
+    // 100k identical strings compress ~1000:1 — footer uncompressed size far
+    // exceeds the strict ratio below
+    val p = Files.createTempDirectory("inflate").toString + "/t"
+    // dictionary encoding off → plain pages of repeated bytes, which snappy
+    // collapses ~100:1 (the zip-bomb shape parquet can actually express)
+    Seq.fill(100000)("abcabcabcabcabcabcabcabcabc").toDF("s")
+      .coalesce(1).write.option("parquet.enable.dictionary", "false").parquet(p)
+    val strict = EngineConfig(inputDir = p, outputPath = Some("/tmp/unused"),
+      minInflateRatio = 0.9)
+    val e = intercept[InflationLimitException] {
+      IngestOps.read(spark, p, "parquet", guards = Some(strict))
+    }
+    assert(e.getMessage.contains("minInflateRatio"))
+    // the reference default (0.01 → 100× allowed) admits the same input
+    val default = EngineConfig(inputDir = p, outputPath = Some("/tmp/unused"))
+    assert(IngestOps.read(spark, p, "parquet", guards = Some(default)).count() == 100000)
+  }
+
+  test("guard: missing input path errors at validation, not at scan") {
+    val guards = EngineConfig(inputDir = "/nope", outputPath = Some("/tmp/unused"))
+    val e = intercept[IllegalArgumentException] {
+      IngestOps.read(spark, "/nope/missing.parquet", "parquet", guards = Some(guards))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
 }
