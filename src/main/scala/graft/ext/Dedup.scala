@@ -165,9 +165,18 @@ object Dedup {
       .withColumn("_n", size(col("toks")))
     val tok = t.select(col("doc_id"), col("lang"), col("bkt"), col("_n"),
       explode(col("toks")).as("tok"))
-    val losers = tok.as("a").join(tok.as("b"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Hot-token bound, same construction as lshCandidatePairs: a stop word
+    // shared by k docs of one block enumerates O(k²) pairs on one reducer
+    // unless the join key carries a salt. Left side takes one deterministic
+    // salt; right side replicates across all salts; output rows unchanged.
+    val salts = 8
+    val a = tok.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val b = tok.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val losers = a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a._salt") === col("b._salt") &&
+        col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a._n").as("na"), col("b._n").as("nb"))
       .agg(count(lit(1)).as("shared"))
