@@ -14,6 +14,8 @@ import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
   *  - every column aliased identically in Spark and SQL;
   *  - integer outputs cast to BIGINT on both sides;
   *  - money math in DECIMAL(18,2) (exact, associative) — never float sums;
+  *  - NO raw DECIMAL column in any final output: every decimal aggregate is
+  *    rendered to its scale-preserving string on BOTH engines (see [[dstr]]);
   *  - float similarity math as explicit fixed-order expressions (bit-identical
   *    across engines, see ext/Similarity.scala);
   *  - deterministic ORDER BY everywhere.
@@ -22,16 +24,21 @@ object SparkEntry {
 
   private val dec = DecimalType(18, 2)
   private def d2(c: Column): Column = c.cast(dec)
-  /** Pin a final decimal aggregate to one explicit cross-engine type:
-    * Spark types sum(DECIMAL(18,2)) as DECIMAL(28,2) while DuckDB widens to
-    * DECIMAL(38,2); the driver's hash is type-sensitive, so both sides must
-    * declare the same precision (VERDICT r1). Scale stays 2 → value unchanged. */
-  private def d38(c: Column): Column = c.cast(DecimalType(38, 2))
-  /** revenue term: extendedprice * (1 - discount), exact decimal. */
+  /** Render a final decimal aggregate as its exact scale-preserving string.
+    * Oracle-checked outputs must contain NO raw DECIMAL column: the driver's
+    * canonicalization renders one side scale-exact ('253942.00') and the
+    * other as floats ('253942.0'), so any trailing-zero value hash-diverges
+    * regardless of declared precision (VERDICT r2). Spark and DuckDB both
+    * render decimal→string scale-preserving, so casting the SAME-scale
+    * decimal to string on both sides is exact and stable. */
+  private def dstr(c: Column): Column = c.cast("string")
+  /** revenue term: extendedprice * (1 - discount), exact decimal (scale 4 on
+    * both engines: DECIMAL(18,2) * DECIMAL(18,2) keeps s1+s2). */
   private def revenue(): Column =
     sum(d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))))
   private val revenueSql =
     "sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))"
+  private val revenueVarcharSql = s"CAST($revenueSql AS VARCHAR)"
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     IngestOps.table(s, dir, name)
@@ -108,9 +115,9 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          d38(sum(d2(col("l_quantity")))).as("sum_qty"),
-          d38(sum(d2(col("l_extendedprice")))).as("sum_base_price"),
-          revenue().as("sum_disc_price"),
+          dstr(sum(d2(col("l_quantity")))).as("sum_qty"),
+          dstr(sum(d2(col("l_extendedprice")))).as("sum_base_price"),
+          dstr(revenue()).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
 
@@ -122,13 +129,15 @@ object SparkEntry {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(revenue().as("revenue"))
-        // string-render the timestamp: raw timestamp outputs hash-diverge
-        // across engines (tz-adjustment flag in the declared type)
-        .select(col("o_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
-          col("revenue"))
+        // order on the DECIMAL value, then render: a string-typed revenue
+        // would sort lexicographically and pick the wrong top-10
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
+        // string-render timestamp + decimal: raw timestamp outputs diverge on
+        // the tz-adjustment flag, raw decimals on trailing-zero rendering
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_orderdate"),
+          dstr(col("revenue")).as("revenue"))
     }),
 
     "q5_local_supplier" -> ((s, dir) => {
@@ -145,7 +154,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(revenue().as("revenue"))
+        .agg(dstr(revenue()).as("revenue"))
         .orderBy("n_name")
     }),
 
@@ -154,7 +163,7 @@ object SparkEntry {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
           col("l_quantity") < 24)
-        .agg(sum(d2(col("l_extendedprice")) * d2(col("l_discount"))).as("revenue"),
+        .agg(dstr(sum(d2(col("l_extendedprice")) * d2(col("l_discount")))).as("revenue"),
           count(lit(1)).as("n_rows"))),
 
     "q_semi_anti" -> ((s, dir) => {
@@ -170,13 +179,13 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(d38(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
+        .agg(dstr(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "q_cube" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(d38(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
+        .agg(dstr(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "q_grouping_sets" -> ((s, dir) =>
@@ -184,7 +193,7 @@ object SparkEntry {
         .groupingSets(
           Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
           col("l_returnflag"), col("l_linestatus"))
-        .agg(d38(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
+        .agg(dstr(sum(d2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("count_order"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
 
     "q_datetime_parts" -> ((s, dir) =>
@@ -210,7 +219,7 @@ object SparkEntry {
       t(s, dir, "part")
         .groupBy("p_brand", "p_type")
         .agg(count(lit(1)).as("n_parts"),
-          d38(sum(d2(col("p_retailprice")))).as("sum_price"),
+          dstr(sum(d2(col("p_retailprice")))).as("sum_price"),
           max("p_size").as("max_size"))
         .orderBy("p_brand", "p_type")),
 
@@ -219,9 +228,9 @@ object SparkEntry {
       val p = t(s, dir, "part")
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .agg(
-          sum(when(col("p_type").startsWith("ECONOMY"),
-            d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))))).as("economy_revenue"),
-          revenue().as("total_revenue"))
+          dstr(sum(when(col("p_type").startsWith("ECONOMY"),
+            d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount")))))).as("economy_revenue"),
+          dstr(revenue()).as("total_revenue"))
     }),
 
     "q13_custdist" -> ((s, dir) => {
@@ -239,7 +248,7 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(d38(sum(d2(col("l_quantity")))))
+        .agg(dstr(sum(d2(col("l_quantity")))))
         .orderBy("l_linestatus")),
 
     "q_setops" -> ((s, dir) => {
@@ -263,7 +272,7 @@ object SparkEntry {
     "events_tumbling_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
-        .agg(count(lit(1)).as("n"), d38(sum(d2(col("value")))).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dstr(sum(d2(col("value")))).as("sum_value"))
         .orderBy("hr", "event_type")
         .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"), col("n"), col("sum_value"))),
@@ -473,25 +482,25 @@ object SparkEntry {
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         |  $revenueSql AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_base_price,
+         |  $revenueVarcharSql AS sum_disc_price,
          |  CAST(count(*) AS BIGINT) AS count_order
          |FROM lineitem GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_top_revenue" ->
       s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
-         |  $revenueSql AS revenue
+         |  $revenueVarcharSql AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
          |WHERE c_mktsegment = 'BUILDING'
          |GROUP BY o_orderkey, o_orderdate
-         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+         |ORDER BY $revenueSql DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q5_local_supplier" ->
-      s"""SELECT n_name, $revenueSql AS revenue
+      s"""SELECT n_name, $revenueVarcharSql AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -502,7 +511,7 @@ object SparkEntry {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q6_filtered_agg" ->
-      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -517,21 +526,21 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -554,16 +563,16 @@ object SparkEntry {
 
     "q_part_stats" ->
       """SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n_parts,
-        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+        |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price,
         |  max(p_size) AS max_size
         |FROM part GROUP BY p_brand, p_type ORDER BY p_brand, p_type""".stripMargin,
 
     "q14_promo_share" ->
       s"""SELECT
-         |  sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN
+         |  CAST(sum(CASE WHEN p_type LIKE 'ECONOMY%' THEN
          |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
-         |  END) AS economy_revenue,
-         |  $revenueSql AS total_revenue
+         |  END) AS VARCHAR) AS economy_revenue,
+         |  $revenueVarcharSql AS total_revenue
          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "q13_custdist" ->
@@ -575,9 +584,9 @@ object SparkEntry {
 
     "q_pivot" ->
       """SELECT l_linestatus,
-        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "A",
-        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "N",
-        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(38,2)) AS "R"
+        |  CAST(sum(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS "A",
+        |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS "N",
+        |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q_setops" ->
@@ -601,7 +610,7 @@ object SparkEntry {
     "events_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hr, event_type""".stripMargin,
 

