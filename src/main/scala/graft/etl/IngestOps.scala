@@ -135,24 +135,64 @@ object IngestOps {
 
   /** Scalable global row number by key (1-based), replacing
     * `Window.orderBy`-with-no-partitionBy (which moves ALL data to a single
-    * partition — the r1 scale-killer). Shape: range-partition on the key,
-    * sort within partitions, take the in-partition record number from
-    * `monotonically_increasing_id` (documented layout: partition id in the
-    * upper 31 bits, per-partition record number in the lower 33 — so the
-    * local index costs no extra shuffle), then add per-partition offsets
-    * from a tiny one-row-per-partition aggregate. The only global window
-    * runs over #partitions rows, never over the data. */
+    * partition — the r1 scale-killer).
+    *
+    * Why not `repartitionByRange` + per-partition offsets (the r2 shape):
+    * Spark's range exchange picks its boundaries from a NON-deterministically
+    * seeded sample per evaluation (measured: two identical passes over the
+    * same parquet produced different partition sizes), so any formulation
+    * that evaluates the exchange more than once — the r2 triangular-offsets
+    * join did so three times — can silently misalign offsets with data.
+    *
+    * This shape makes partition membership a PURE FUNCTION of the key value,
+    * so every pass agrees by construction:
+    *   1. one key-pruned count (cheap, deterministic);
+    *   2. one key-pruned seeded hash-sample (`hash(key) % m == 0`, Murmur3 is
+    *      fixed-seed) collected to the driver — bounded at ~100·numParts
+    *      values — whose sorted quantiles become LITERAL bucket boundaries;
+    *   3. bucket id = Σ (key > boundary_i), a codegen'd monotone expression;
+    *   4. per-bucket counts (key-pruned, deterministic) → driver prefix sum →
+    *      literal offset map (bounded, like the IVF centroid pull);
+    *   5. ONE full-data shuffle: `row_number() over (partition by bucket
+    *      order by key)` + offset lookup. No join, no cache, no RDD.
+    * Skewed/equal keys concentrate in one bucket (same behavior as a range
+    * partitioner — equal keys can never split); balance degrades, never
+    * correctness. */
   def withGlobalPos(df: DataFrame, key: org.apache.spark.sql.Column,
       posCol: String = "_pos", numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val n = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val local = df.repartitionByRange(n, key).sortWithinPartitions(key)
-      .withColumn("_mid", monotonically_increasing_id())
-      .withColumn("_pid", shiftright(col("_mid"), 33))
-      .withColumn("_lidx", col("_mid").bitwiseAND(lit((1L << 33) - 1)))
-    local.join(broadcast(cumulativeOffsets(local, "_pid")), "_pid")
-      .withColumn(posCol, col("_offset") + col("_lidx") + lit(1L))
-      .drop("_mid", "_pid", "_lidx", "_offset")
+    val keyed = df.select(key.as("_k")).filter(col("_k").isNotNull)
+    val total = keyed.count()
+    val mod = math.max(1L, total / (n.toLong * 100L))
+    val sampled =
+      if (total == 0L) Array.empty[AnyRef] // null-only/empty input: one bucket
+      else keyed.filter(pmod(hash(col("_k")), lit(mod)) === 0).collect()
+        .map(_.get(0).asInstanceOf[AnyRef])
+    val boundaries =
+      if (sampled.isEmpty) Array.empty[AnyRef]
+      else {
+        val s = sampled.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[AnyRef]].compareTo(b) < 0)
+        (1 until n).map(i => s(((i.toLong * s.length) / n).toInt.min(s.length - 1)))
+          .distinct.toArray
+      }
+    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(key > lit(b), 1).otherwise(0)
+    }
+    val counts = df.select(bucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn(posCol, lit(1L)) // empty input
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .init.zip(counts).map { case ((_, off), (b, _)) => b -> off }
+    val offsetMap = map(offsets.flatMap { case (b, off) => Seq(lit(b), lit(off)) }.toSeq: _*)
+    val w = Window.partitionBy("_bkt").orderBy(key)
+    df.withColumn("_bkt", bucket)
+      .withColumn(posCol,
+        element_at(offsetMap, col("_bkt")) + row_number().over(w).cast("long"))
+      .drop("_bkt")
   }
 
   /** Per-group cumulative offsets (exclusive prefix sums of group counts in

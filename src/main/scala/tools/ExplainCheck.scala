@@ -1,5 +1,7 @@
 import org.apache.spark.sql.SparkSession
 
+/** Prints the executed plan of named SparkEntry queries (args; defaults to a
+  * representative set). `LINES=n` env widens the per-plan excerpt. */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -9,11 +11,16 @@ object ExplainCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q5_local_supplier", "q3_top_revenue", "s1_scan_allstring", "t4_projection_rename", "dedup_lsh_pairs", "sim_topk_bruteforce")) {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val lines = sys.env.getOrElse("LINES", "45").toInt
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q5_local_supplier", "q3_top_revenue", "s1_scan_allstring",
+        "t4_projection_rename", "dedup_lsh_pairs", "sim_topk_bruteforce")
+    for (q <- names) {
       println(s"\n================ $q ================")
       val df = graft.SparkEntry.queries(q)(spark, dir)
-      println(df.queryExecution.executedPlan.treeString.split("\n").take(45).mkString("\n"))
+      df.count() // force execution so AQE finalizes the real plan
+      println(df.queryExecution.executedPlan.treeString.split("\n").take(lines).mkString("\n"))
     }
     spark.stop()
   }

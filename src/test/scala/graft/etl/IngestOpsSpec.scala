@@ -66,11 +66,27 @@ class IngestOpsSpec extends AnyFunSuite {
     val scalable = IngestOps.withGlobalPos(ev, col("event_id"), numParts = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(scalable == naive)
-    // plan audit: the only Window in the scalable plan runs over the tiny
-    // per-partition offsets relation, not over the data
+    // plan audit: the data-pass Window is partitioned by the literal bucket
+    // expression (never an empty partitionBy = single-partition window), and
+    // bucket membership is a pure function of the key — no range exchange
+    // whose sampled boundaries could differ between evaluations
     val plan = IngestOps.withGlobalPos(ev, col("event_id"), numParts = 7)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("RangePartitioning") || plan.contains("rangepartitioning"))
+    assert(plan.contains("hashpartitioning(_bkt"))
+    assert(!plan.contains("rangepartitioning"))
+    assert(!plan.contains("windowspecdefinition()")) // no empty partition spec
+  }
+
+  test("withGlobalPos handles empty and null-key inputs") {
+    val empty = spark.emptyDataFrame.withColumn("k", lit(1))
+    assert(IngestOps.withGlobalPos(empty, col("k")).count() == 0)
+    val withNulls = Seq(Some(5), None, Some(3), Some(9), None).toDF("k")
+    val out = IngestOps.withGlobalPos(withNulls, col("k"), numParts = 3)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1)))
+    // nulls order first (asc_nulls_first, matching a range sort), then keys
+    assert(out.sortBy(_._2).map(_._1).toSeq ==
+      Seq(None, None, Some(3), Some(5), Some(9)))
+    assert(out.map(_._2).sorted.toSeq == (1L to 5L))
   }
 
   test("S1: row-order capture via _rid reproduces scan order") {
