@@ -19,19 +19,27 @@ object Bench {
     // warmup pass at the smallest SF so JIT + codegen + file-index costs
     // don't land on whichever query happens to run first.
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid).
+    // dedup_embedding_cosine is the all-pairs BroadcastNestedLoopJoin form,
+    // kept in `queries` ONLY as the fixture-scale oracle cross-check for its
+    // bucketed twin (dedup_embedding_cosine_bucketed, which IS benched).
+    // The standing bench set exercises the 100 TB-shaped plans.
+    val notBenched = Set("dedup_embedding_cosine")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+      .filterNot(n => only.isEmpty && notBenched(n))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, warmDir).count()
       catch { case _: Throwable => () }
+      finally graft.etl.CacheRegistry.releaseAll()
     }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => -1L }
+      finally graft.etl.CacheRegistry.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

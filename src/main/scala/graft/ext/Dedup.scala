@@ -84,9 +84,9 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = 16): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
-    val buckets = sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = graft.etl.CacheRegistry.persist(
+      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band")))
     val x = buckets.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
     val y = buckets.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit(_)): _*)))
@@ -129,29 +129,78 @@ object Dedup {
   /** n-gram (token-set) Jaccard similarity over blocked candidate pairs.
     * Blocking key: (lang, n_chars div 100) — cheap deterministic buckets that
     * bound the pair count; at scale, replace blocking with
-    * [[lshCandidatePairs]] output. */
-  def jaccardPairs(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    * [[lshCandidatePairs]] output.
+    *
+    * Skew/payload shape: the self-join that enumerates pairs runs on a SLIM
+    * (doc_id, lang, bkt) relation, salted with the identical construction as
+    * [[dropNearDuplicates]] (one deterministic salt on the left from the doc
+    * id, right side replicated across all salts, salt in the join key) so a
+    * hot (lang, bkt) block costs k²/salts per reducer instead of k² on one.
+    * Token arrays join back BY ID after pair enumeration — the ×salts
+    * replication only ever touches 3-column rows, never the array payload.
+    * Output is byte-identical to the unsalted direct join. */
+  def jaccardPairs(docs: DataFrame, textCol: String = "text",
+      salts: Int = 8): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
       expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
-    t.as("a").join(t.as("b"),
+    val slim = t.select("doc_id", "lang", "bkt")
+    val x = slim.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val y = slim.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val pairs = x.as("a").join(y.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        when(size(array_union(col("a.toks"), col("b.toks"))) > 0,
-          size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-            size(array_union(col("a.toks"), col("b.toks"))))
+        col("a._salt") === col("b._salt") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    pairs
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        when(size(array_union(col("ta"), col("tb"))) > 0,
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))))
           .otherwise(lit(1.0)) // two empty token sets are identical
           .as("jaccard"))
   }
 
+  /** Token document-frequency cap for [[dropNearDuplicates]]: inside a block
+    * of `n ≥ MinBlockForCap` docs, tokens appearing in more than
+    * `n × maxDocFreq` of them are dropped before pairing (the idf/stop-word
+    * rationale: block-ubiquitous tokens drive the quadratic pair cost — a
+    * token shared by k docs enumerates k² candidates — and carry little
+    * discriminative signal). The ORACLE mirrors the cap exactly
+    * ([[losersCteDuck]]), so similarity is "Jaccard over df-capped token
+    * sets" on both engines at every scale factor and any cap value.
+    *
+    * Default 1.0 = cap OFF (df can never exceed the block size), keeping
+    * exact uncapped-Jaccard semantics. Measured on the sf0.1 fixture, a 0.5
+    * cap is counterproductive: the synthetic corpus draws from ~930 distinct
+    * block-tokens, so 84% of docs (4182/5000) lose EVERY token to the cap
+    * and the pair work just moves from the shared-token join (11.3M → 0.13M
+    * enumerations) into the capped-empty comparison (bench 7.8s → 13.1s).
+    * On a real Zipfian vocabulary the capped-empty population is ~0 and the
+    * cap is the difference between a bounded and an unbounded hot-token
+    * reducer — set it (e.g. 0.5) via the parameter/EngineConfig for such
+    * corpora. */
+  val MaxDocFreq = 1.0
+  val MinBlockForCap = 8
+
+  /** Adaptive salt count from the corpus row count: enough salts to bound a
+    * worst-case hot block's per-reducer pair work, capped — at true 100 TB
+    * scale pass an explicit count via config instead. */
+  def adaptiveSalts(nDocs: Long): Int =
+    math.max(1, math.min(64, ((nDocs + 1999) / 2000).toInt))
+
   /** End-to-end near-duplicate removal, greedy keep-first-by-id: a document
     * is dropped iff some lower-id document in its blocking bucket is at
-    * least `threshold`-Jaccard-similar. One anti-join against the close-pair
-    * set — the standard production shape (candidates from blocking/LSH,
-    * exact similarity on candidates only, survivors by anti-join). */
+    * least `threshold`-Jaccard-similar (Jaccard over df-capped token sets,
+    * see [[MaxDocFreq]]). One anti-join against the close-pair set — the
+    * standard production shape (candidates from blocking, exact similarity
+    * on candidates only, survivors by anti-join).
+    *
+    * @param salts 0 = adaptive from `docs.count()` ([[adaptiveSalts]]). */
   def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.8,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", maxDocFreq: Double = MaxDocFreq,
+      minBlockForCap: Int = MinBlockForCap, salts: Int = 0): DataFrame = {
     // Close pairs via a shared-token equi-join + count instead of per-pair
     // array intersections: |A∩B| = count of joined tokens, |A∪B| = na+nb-∩.
     // Same arithmetic as jaccardPairs (ints → one double division), but the
@@ -159,20 +208,30 @@ object Dedup {
     // codegen — measured ~4× faster than materializing array intersections
     // for ~500k candidate pairs, and the scalable shape (skew bounded by
     // block × token, no wide rows through the shuffle).
+    val nSalts = if (salts > 0) salts else adaptiveSalts(docs.count())
     val t = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
       expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
-      .withColumn("_n", size(col("toks")))
-    val tok = t.select(col("doc_id"), col("lang"), col("bkt"), col("_n"),
+    val tok0 = t.select(col("doc_id"), col("lang"), col("bkt"),
       explode(col("toks")).as("tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot-token bound, same construction as lshCandidatePairs: a stop word
+    // Document-frequency cap: drop block-ubiquitous tokens before pairing.
+    // One aggregation keyed like the pair join itself; the per-block doc
+    // counts are one short row per block (broadcast side).
+    val bn = t.groupBy("lang", "bkt").agg(count(lit(1)).as("_bn"))
+    val hot = tok0.groupBy("lang", "bkt", "tok").agg(count(lit(1)).as("_df"))
+      .join(broadcast(bn), Seq("lang", "bkt"))
+      .filter(col("_bn") >= minBlockForCap && col("_df") > col("_bn") * maxDocFreq)
+      .select("lang", "bkt", "tok")
+    val keptTok = graft.etl.CacheRegistry.persist(
+      tok0.join(hot, Seq("lang", "bkt", "tok"), "left_anti"))
+    val keptCounts = keptTok.groupBy("doc_id").agg(count(lit(1)).as("_n"))
+    val tok = keptTok.join(keptCounts, "doc_id")
+    // Hot-token bound, same construction as lshCandidatePairs: a token
     // shared by k docs of one block enumerates O(k²) pairs on one reducer
     // unless the join key carries a salt. Left side takes one deterministic
     // salt; right side replicates across all salts; output rows unchanged.
-    val salts = 8
-    val a = tok.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
-    val b = tok.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val a = tok.withColumn("_salt", pmod(hash(col("doc_id")), lit(nSalts)))
+    val b = tok.withColumn("_salt", explode(array((0 until nSalts).map(lit(_)): _*)))
     val losers = a.as("a").join(b.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.tok") === col("b.tok") && col("a._salt") === col("b._salt") &&
@@ -183,13 +242,22 @@ object Dedup {
       .filter(col("shared").cast("double") /
         (col("na") + col("nb") - col("shared")) >= threshold)
       .select(col("doc_b").as("doc_id"))
-    // Token-less documents never join on a shared token, but two empty token
-    // sets are Jaccard-1.0 duplicates (the oracle's CASE ... ELSE 1.0 branch):
-    // within a block, every empty doc with a lower-id empty doc is a loser.
-    val empty = t.filter(col("_n") === 0).select("doc_id", "lang", "bkt")
-    val emptyLosers = empty.as("a").join(empty.as("b"),
+    // Docs with no kept tokens never join on a shared token. Comparing their
+    // (empty) capped sets would declare any two of them Jaccard-1.0 dups even
+    // when they share zero actual tokens — so these docs are compared by
+    // their ORIGINAL token sets instead: identical boilerplate still dedupes,
+    // disjoint docs survive, and two genuinely token-less docs remain
+    // Jaccard-1.0 (the oracle's CASE ... ELSE 1.0 branch). The population is
+    // tiny at scale (docs made entirely of >maxDocFreq-common tokens), so the
+    // per-block all-pairs join among them is bounded.
+    val empty0 = t.join(keptCounts, Seq("doc_id"), "left_anti")
+    val emptyLosers = empty0.as("a").join(empty0.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(when(size(array_union(col("a.toks"), col("b.toks"))) > 0,
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))))
+        .otherwise(lit(1.0)) >= threshold)
       .select(col("b.doc_id").as("doc_id"))
     docs.join(losers.unionByName(emptyLosers).distinct(), Seq("doc_id"), "left_anti")
   }
@@ -283,15 +351,36 @@ object Dedup {
        |      len(list_distinct(list_concat($a, $b)))
        |    ELSE 1.0 END""".stripMargin
 
-  /** Shared `t, losers` CTE pair: near-dup losers (higher id of each close
-    * pair) of relation `rel` with (doc_id, lang, n_chars, text) columns. */
-  def losersCteDuck(rel: String, threshold: Double): String =
+  /** Shared CTE chain ending in `losers`: near-dup losers (higher id of each
+    * close pair) of relation `rel` with (doc_id, lang, n_chars, text)
+    * columns. Mirrors [[dropNearDuplicates]] exactly, including the
+    * document-frequency cap: Jaccard is computed over df-capped token sets
+    * (`pt.toks`), so both engines implement the same similarity measure. */
+  def losersCteDuck(rel: String, threshold: Double,
+      maxDocFreq: Double = MaxDocFreq, minBlockForCap: Int = MinBlockForCap): String =
     s"""t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
        |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM $rel),
+       | bn AS (SELECT lang, bkt, COUNT(*) AS n FROM t GROUP BY lang, bkt),
+       | tok0 AS (SELECT doc_id, lang, bkt, unnest(toks) AS tok FROM t),
+       | hot AS (
+       |  SELECT d.lang, d.bkt, d.tok
+       |  FROM (SELECT lang, bkt, tok, COUNT(*) AS df FROM tok0 GROUP BY lang, bkt, tok) d
+       |  JOIN bn ON d.lang = bn.lang AND d.bkt = bn.bkt
+       |  WHERE bn.n >= $minBlockForCap AND d.df > bn.n * $maxDocFreq),
+       | kept AS (
+       |  SELECT * FROM tok0 WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |    WHERE h.lang = tok0.lang AND h.bkt = tok0.bkt AND h.tok = tok0.tok)),
+       | pt AS (
+       |  SELECT t.doc_id, t.lang, t.bkt, t.toks AS toks0,
+       |    coalesce(k.toks, CAST([] AS VARCHAR[])) AS toks
+       |  FROM t LEFT JOIN (SELECT doc_id, list(tok) AS toks FROM kept GROUP BY doc_id) k
+       |    ON t.doc_id = k.doc_id),
        | losers AS (
-       |  SELECT DISTINCT b.doc_id FROM t a JOIN t b
+       |  SELECT DISTINCT b.doc_id FROM pt a JOIN pt b
        |    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-       |  WHERE ${jaccardExprDuck("a.toks", "b.toks")} >= $threshold)""".stripMargin
+       |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
+       |    THEN ${jaccardExprDuck("a.toks", "b.toks")} >= $threshold
+       |    ELSE ${jaccardExprDuck("a.toks0", "b.toks0")} >= $threshold END)""".stripMargin
 
   def dropNearDuplicatesSqlDuck(threshold: Double = 0.8): String =
     s"""WITH ${losersCteDuck("documents", threshold)}

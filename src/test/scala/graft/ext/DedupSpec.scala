@@ -97,6 +97,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("df-cap drops block-ubiquitous tokens; capped-empty docs compare by original sets") {
+    // c1..c4 appear in >50% of the 7-doc block → dropped under the cap.
+    // Uncapped, docs 1-4 are pairwise J=4/6≈0.67 ≥ 0.6 (only doc 1 would
+    // survive); capped, their rare-token sets {x},{y},{z},{w} are disjoint →
+    // all survive. Docs 5-7 lose every token to the cap, so they are compared
+    // by ORIGINAL sets: J(5,6)=1 → 6 dropped; J(5,7)=0.5 < 0.6 → 7 survives.
+    val d = docs(
+      (1L, "c1 c2 c3 c4 x"), (2L, "c1 c2 c3 c4 y"),
+      (3L, "c1 c2 c3 c4 z"), (4L, "c1 c2 c3 c4 w"),
+      (5L, "c1 c2"), (6L, "c1 c2"), (7L, "c1"))
+    val uncapped = Dedup.dropNearDuplicates(d, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(uncapped == Seq(1L, 5L, 7L)) // J(5,6)=1 drops 6; J(5,7)=0.5 keeps 7
+    val capped = Dedup.dropNearDuplicates(d, threshold = 0.6,
+      maxDocFreq = 0.5, minBlockForCap = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(1L, 2L, 3L, 4L, 5L, 7L))
+  }
+
+  test("adaptiveSalts scales with corpus size within [1, 64]") {
+    assert(Dedup.adaptiveSalts(0L) == 1)
+    assert(Dedup.adaptiveSalts(2000L) == 1)
+    assert(Dedup.adaptiveSalts(2001L) == 2)
+    assert(Dedup.adaptiveSalts(1000000000L) == 64)
+  }
+
+  test("salted jaccardPairs output is byte-identical to the unsalted join") {
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    def run(salts: Int) = Dedup.jaccardPairs(d, salts = salts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    assert(run(5) == run(1))
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()
