@@ -21,7 +21,16 @@ final case class EngineConfig(
     memoryThresholdMb: Int = 512,
     minInflateRatio: Double = 0.01,
     maxEntrySizeBytes: Long = 6L * 1024 * 1024 * 1024,
-    prettyJson: Boolean = false) {
+    prettyJson: Boolean = false,
+    // Skew/scale tunables for the dedup/similarity extensions (the analog of
+    // the reference's --batchSize/threshold tuning surface,
+    // config/ConverterConfig.java:53,77). Defaults match the operators'.
+    dedupSalts: Int = 0, // 0 = adaptive from corpus size (Dedup.adaptiveSalts)
+    dedupMaxDocFreq: Double = graft.ext.Dedup.MaxDocFreq,
+    dedupMinBlockForCap: Int = graft.ext.Dedup.MinBlockForCap,
+    lshSaltBuckets: Int = 16,
+    srpPairTables: Int = graft.ext.Similarity.PairTables,
+    srpPairBitsPerTable: Int = graft.ext.Similarity.PairBitsPerTable) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -31,6 +40,15 @@ final case class EngineConfig(
     require(sheetIndex >= 0, s"sheetIndex must be >= 0, got $sheetIndex")
     require(headerRow >= 0, s"headerRow must be >= 0, got $headerRow")
     require(maxEntrySizeBytes > 0, s"maxEntrySize must be > 0, got $maxEntrySizeBytes")
+    require(dedupSalts >= 0, s"dedupSalts must be >= 0 (0 = adaptive), got $dedupSalts")
+    require(dedupMaxDocFreq > 0 && dedupMaxDocFreq <= 1.0,
+      s"dedupMaxDocFreq must be in (0, 1], got $dedupMaxDocFreq")
+    require(dedupMinBlockForCap >= 2,
+      s"dedupMinBlockForCap must be >= 2, got $dedupMinBlockForCap")
+    require(lshSaltBuckets > 0, s"lshSaltBuckets must be > 0, got $lshSaltBuckets")
+    require(srpPairTables > 0, s"srpPairTables must be > 0, got $srpPairTables")
+    require(srpPairBitsPerTable > 0 && srpPairBitsPerTable <= 62,
+      s"srpPairBitsPerTable must be in [1, 62], got $srpPairBitsPerTable")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json").contains(fmt), s"unknown format '$format'")
     // outputPath required unless CSV (which derives chunk names from input;

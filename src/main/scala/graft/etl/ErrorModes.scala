@@ -53,10 +53,18 @@ object ErrorModes {
     * lambda — the whole pipeline stays inside whole-stage codegen / columnar
     * execution, and the count lands in QueryExecution.observedMetrics where
     * the Metrics listener picks it up under the contract's
-    * `excel.rows.skipped` name. */
-  def tolerateObserved(df: DataFrame, corrupt: Column): DataFrame = {
+    * `excel.rows.skipped` name.
+    *
+    * Spark requires observation names to be unique within one query, so
+    * composing several tolerant sources in one action needs a distinct
+    * `obsSuffix` per source; the Metrics listener sums every observation
+    * under the `graft.skipped` prefix into one skipped-row total. */
+  def tolerateObserved(df: DataFrame, corrupt: Column,
+      obsSuffix: String = ""): DataFrame = {
+    val name = if (obsSuffix.isEmpty) Metrics.SkippedObservation
+      else s"${Metrics.SkippedObservation}.$obsSuffix"
     val withFlag = df.withColumn("_corrupt", coalesce(corrupt, lit(true)))
-      .observe(Metrics.SkippedObservation,
+      .observe(name,
         sum(when(col("_corrupt"), 1L).otherwise(0L)).as(Metrics.SkippedColumn),
         count(lit(1)).as("rows_seen"))
     withFlag.filter(!col("_corrupt")).drop("_corrupt")

@@ -70,24 +70,28 @@ object Metrics {
     total
   }
 
-  /** The physical access strategy Catalyst chose — the Spark analog of the
-    * reference's easy_excel|streaming selector (core/StrategySelector.java). */
+  /** The physical access strategies Catalyst chose — the Spark analog of the
+    * reference's easy_excel|streaming selector (core/StrategySelector.java).
+    * Multi-source queries report every distinct scan node name,
+    * comma-joined in traversal order. */
   private def scanStrategy(qe: QueryExecution): String = {
-    var name = "none"
+    val names = scala.collection.mutable.LinkedHashSet.empty[String]
     PlanWalk.visit(qe.executedPlan) { node =>
-      if (name == "none" && node.nodeName.toLowerCase.contains("scan"))
-        name = node.nodeName
+      if (node.nodeName.toLowerCase.contains("scan")) names += node.nodeName
     }
-    name
+    if (names.isEmpty) "none" else names.mkString(",")
   }
 
+  /** Sum of every observation under the `graft.skipped` prefix — one
+    * tolerant source observes under the bare name, composed sources under
+    * `graft.skipped.<suffix>` (ErrorModes.tolerateObserved). */
   private def observedSkips(qe: QueryExecution): Long =
-    qe.observedMetrics.get(SkippedObservation)
-      .flatMap { row =>
+    qe.observedMetrics.collect {
+      case (name, row) if name == SkippedObservation ||
+          name.startsWith(SkippedObservation + ".") =>
         val i = row.schema.fieldNames.indexOf(SkippedColumn)
-        if (i >= 0 && !row.isNullAt(i)) Some(row.getLong(i)) else None
-      }
-      .getOrElse(0L)
+        if (i >= 0 && !row.isNullAt(i)) row.getLong(i) else 0L
+    }.sum
 
   private val installed =
     java.util.Collections.synchronizedSet(new java.util.HashSet[String]())

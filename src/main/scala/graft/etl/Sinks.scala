@@ -66,20 +66,28 @@ object Sinks {
       .option("header", "true")
       .partitionBy("_chunk")
       .csv(dir)
-    val d = new java.io.File(dir)
-    val chunkDirs = d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_chunk="))
-      .sortBy(f => f.getName.stripPrefix("_chunk=").toLong)
+    // Rename pass through the Hadoop FileSystem resolved from the path (as
+    // InputGuards does), so the parity sink works on any supported store
+    // (local, HDFS; object stores turn rename into copy — metadata-bounded
+    // either way, one op per chunk).
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(
+      df.sparkSession.sessionState.newHadoopConf())
+    val chunkDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_chunk="))
+      .sortBy(s => s.getPath.getName.stripPrefix("_chunk=").toLong)
     chunkDirs.map { cd =>
-      val n = cd.getName.stripPrefix("_chunk=").toLong
-      val part = cd.listFiles().filter(_.getName.endsWith(".csv")) match {
-        case Array(one) => one
+      val n = cd.getPath.getName.stripPrefix("_chunk=").toLong
+      val part = fs.listStatus(cd.getPath)
+        .filter(_.getPath.getName.endsWith(".csv")) match {
+        case Array(one) => one.getPath
         case many => throw new IllegalStateException(
-          s"expected one csv per chunk dir ${cd.getName}, found ${many.length}")
+          s"expected one csv per chunk dir ${cd.getPath.getName}, found ${many.length}")
       }
-      val target = new java.io.File(d, s"$stem-chunk-$n.csv")
-      if (!part.renameTo(target))
+      val target = new org.apache.hadoop.fs.Path(root, s"$stem-chunk-$n.csv")
+      if (!fs.rename(part, target))
         throw new java.io.IOException(s"rename failed: $part -> $target")
-      cd.listFiles().foreach(_.delete()); cd.delete()
+      fs.delete(cd.getPath, true)
       target.getName
     }.toSeq
   }

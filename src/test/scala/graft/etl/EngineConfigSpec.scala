@@ -21,4 +21,21 @@ class EngineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ok.copy(outputPath = None).validate())
     ok.copy(outputPath = None, format = "csv").validate() // no throw
   }
+
+  test("skew/scale tunables: defaults match operator constants and validate") {
+    assert(ok.dedupSalts == 0) // adaptive
+    assert(ok.dedupMaxDocFreq == graft.ext.Dedup.MaxDocFreq)
+    assert(ok.dedupMinBlockForCap == graft.ext.Dedup.MinBlockForCap)
+    assert(ok.lshSaltBuckets == 16)
+    assert(ok.srpPairTables == graft.ext.Similarity.PairTables)
+    assert(ok.srpPairBitsPerTable == graft.ext.Similarity.PairBitsPerTable)
+    ok.copy(dedupSalts = 32, dedupMaxDocFreq = 0.5, lshSaltBuckets = 64).validate()
+    intercept[IllegalArgumentException](ok.copy(dedupSalts = -1).validate())
+    intercept[IllegalArgumentException](ok.copy(dedupMaxDocFreq = 0.0).validate())
+    intercept[IllegalArgumentException](ok.copy(dedupMaxDocFreq = 1.5).validate())
+    intercept[IllegalArgumentException](ok.copy(dedupMinBlockForCap = 1).validate())
+    intercept[IllegalArgumentException](ok.copy(lshSaltBuckets = 0).validate())
+    intercept[IllegalArgumentException](ok.copy(srpPairTables = 0).validate())
+    intercept[IllegalArgumentException](ok.copy(srpPairBitsPerTable = 63).validate())
+  }
 }

@@ -46,6 +46,22 @@ class MetricsAndScaleSpec extends AnyFunSuite {
     assert(spark.read.json(out).count() == 3L)
   }
 
+  test("C7: two tolerant sources compose in one query; skips sum across observations") {
+    import spark.implicits._
+    Metrics.clear()
+    Metrics.install(spark)
+    val a = Seq((1L, """{"k":"a"}"""), (2L, "bad")).toDF("id", "props")
+    val b = Seq((3L, "also bad"), (4L, "worse"), (5L, """{"k":"c"}""")).toDF("id", "props")
+    // distinct suffixes: same observation name twice in one query throws
+    val ga = ErrorModes.tolerateObserved(a, ErrorModes.corruptJson($"props", "k STRING"), "src_a")
+    val gb = ErrorModes.tolerateObserved(b, ErrorModes.corruptJson($"props", "k STRING"), "src_b")
+    assert(ga.unionByName(gb).count() == 2L)
+    val deadline = System.currentTimeMillis() + 10000
+    def found = Metrics.all.values.find(_.rowsSkipped == 3L) // 1 + 2 summed
+    while (found.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(found.nonEmpty, s"expected summed rowsSkipped=3; got ${Metrics.all}")
+  }
+
   test("scalable per-file row position covers 0..n-1 exactly once") {
     val df = IngestOps.withFileRowPos(spark, s"$sf0001/lineitem.parquet")
     val n = df.count()
