@@ -19,7 +19,9 @@ object ExplainCheck {
     for (q <- names) {
       println(s"\n================ $q ================")
       val df = graft.SparkEntry.queries(q)(spark, dir)
-      df.count() // force execution so AQE finalizes the real plan
+      // collect() drives df's OWN QueryExecution (count() would build a new
+      // one and leave the printed plan un-finalized by AQE)
+      df.collect()
       println(df.queryExecution.executedPlan.treeString.split("\n").take(lines).mkString("\n"))
     }
     spark.stop()
