@@ -154,13 +154,19 @@ object Dedup {
     pairs
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("_i", size(array_intersect(col("ta"), col("tb"))))
       .select(col("doc_a"), col("doc_b"),
-        when(size(array_union(col("ta"), col("tb"))) > 0,
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))))
-          .otherwise(lit(1.0)) // two empty token sets are identical
-          .as("jaccard"))
+        jaccardFromIntersect(col("_i"), size(col("ta")), size(col("tb"))).as("jaccard"))
   }
+
+  /** Jaccard from the intersection size and the two (distinct-)set sizes:
+    * |A∪B| = na + nb - |A∩B|, so ONE array_intersect replaces the
+    * union-twice-plus-intersect expression tree — measured 2× on the pair
+    * pipeline (each array pass over ~600k pairs costs ~3s at sf0.1). Two
+    * empty sets are Jaccard-1.0 (the oracle's CASE ... ELSE 1.0 branch);
+    * the produced doubles are bit-identical to i/|A∪B| (same integers). */
+  private def jaccardFromIntersect(i: Column, na: Column, nb: Column): Column =
+    when(na + nb > 0, i.cast("double") / (na + nb - i)).otherwise(lit(1.0))
 
   /** Token document-frequency cap for [[dropNearDuplicates]]: inside a block
     * of `n ≥ MinBlockForCap` docs, tokens appearing in more than
@@ -192,74 +198,87 @@ object Dedup {
 
   /** End-to-end near-duplicate removal, greedy keep-first-by-id: a document
     * is dropped iff some lower-id document in its blocking bucket is at
-    * least `threshold`-Jaccard-similar (Jaccard over df-capped token sets,
-    * see [[MaxDocFreq]]). One anti-join against the close-pair set — the
-    * standard production shape (candidates from blocking, exact similarity
-    * on candidates only, survivors by anti-join).
+    * least `threshold`-Jaccard-similar (Jaccard over df-capped token sets
+    * when `maxDocFreq < 1`, see [[MaxDocFreq]]). One anti-join against the
+    * close-pair set — the standard production shape (candidates from
+    * blocking, exact similarity on candidates only, survivors by anti-join).
+    *
+    * Plan shape (same as [[jaccardPairs]]): pairs enumerate on a SLIM salted
+    * (doc_id, lang, bkt) relation; token arrays join back BY ID and the
+    * Jaccard is an array intersect/union expression. An earlier formulation
+    * computed |A∩B| via a salted shared-token equi-join + count — its shuffle
+    * enumerates one row per shared token per pair (Σ df² rows; 11.3M at
+    * sf0.1 on the vocabulary-dense fixture) and measured ~20× slower than
+    * this shape (10s vs 0.5s), because the array payloads here move through
+    * hash joins keyed by doc id (once per side), never through the
+    * salt-replicated join.
     *
     * @param salts 0 = adaptive from `docs.count()` ([[adaptiveSalts]]). */
   def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", maxDocFreq: Double = MaxDocFreq,
       minBlockForCap: Int = MinBlockForCap, salts: Int = 0): DataFrame = {
-    // Close pairs via a shared-token equi-join + count instead of per-pair
-    // array intersections: |A∩B| = count of joined tokens, |A∪B| = na+nb-∩.
-    // Same arithmetic as jaccardPairs (ints → one double division), but the
-    // whole pipeline is hash joins + partial aggregation in whole-stage
-    // codegen — measured ~4× faster than materializing array intersections
-    // for ~500k candidate pairs, and the scalable shape (skew bounded by
-    // block × token, no wide rows through the shuffle).
     val nSalts = if (salts > 0) salts else adaptiveSalts(docs.count())
-    val t = docs.select(col("doc_id"), col("lang"),
+    val t0 = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
-    val tok0 = t.select(col("doc_id"), col("lang"), col("bkt"),
-      explode(col("toks")).as("tok"))
-    // Document-frequency cap: drop block-ubiquitous tokens before pairing.
-    // One aggregation keyed like the pair join itself; the per-block doc
-    // counts are one short row per block (broadcast side).
-    val bn = t.groupBy("lang", "bkt").agg(count(lit(1)).as("_bn"))
-    val hot = tok0.groupBy("lang", "bkt", "tok").agg(count(lit(1)).as("_df"))
-      .join(broadcast(bn), Seq("lang", "bkt"))
-      .filter(col("_bn") >= minBlockForCap && col("_df") > col("_bn") * maxDocFreq)
-      .select("lang", "bkt", "tok")
-    val keptTok = graft.etl.CacheRegistry.persist(
-      tok0.join(hot, Seq("lang", "bkt", "tok"), "left_anti"))
-    val keptCounts = keptTok.groupBy("doc_id").agg(count(lit(1)).as("_n"))
-    val tok = keptTok.join(keptCounts, "doc_id")
-    // Hot-token bound, same construction as lshCandidatePairs: a token
-    // shared by k docs of one block enumerates O(k²) pairs on one reducer
-    // unless the join key carries a salt. Left side takes one deterministic
-    // salt; right side replicates across all salts; output rows unchanged.
-    val a = tok.withColumn("_salt", pmod(hash(col("doc_id")), lit(nSalts)))
-    val b = tok.withColumn("_salt", explode(array((0 until nSalts).map(lit(_)): _*)))
-    val losers = a.as("a").join(b.as("b"),
+      expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks0"))
+    // Document-frequency cap (off at the 1.0 default): each block's hot
+    // tokens (df > blockSize × maxDocFreq) collect into one small per-block
+    // array, broadcast, and subtract from every doc's set. Docs capped to
+    // EMPTY sets are compared by their ORIGINAL sets instead — two docs
+    // sharing zero actual tokens must never be declared duplicates, while
+    // identical boilerplate still dedups (mirrored in losersCteDuck).
+    val t =
+      if (maxDocFreq >= 1.0) t0.withColumn("toks", col("toks0"))
+      else {
+        val tok0 = t0.select(col("lang"), col("bkt"), explode(col("toks0")).as("tok"))
+        val bn = t0.groupBy("lang", "bkt").agg(count(lit(1)).as("_bn"))
+        val hot = tok0.groupBy("lang", "bkt", "tok").agg(count(lit(1)).as("_df"))
+          .join(broadcast(bn), Seq("lang", "bkt"))
+          .filter(col("_bn") >= minBlockForCap && col("_df") > col("_bn") * maxDocFreq)
+          .groupBy("lang", "bkt").agg(collect_list("tok").as("_hot"))
+        t0.join(broadcast(hot), Seq("lang", "bkt"), "left")
+          .withColumn("toks", when(col("_hot").isNull, col("toks0"))
+            .otherwise(array_except(col("toks0"), col("_hot"))))
+          .drop("_hot")
+      }
+    val tt = graft.etl.CacheRegistry.persist(
+      t.withColumn("_n", size(col("toks"))).withColumn("_n0", size(col("toks0"))))
+    // Slim salted pair enumeration — identical construction to jaccardPairs:
+    // a hot (lang, bkt) block costs k²/salts per reducer, and the ×salts
+    // replication only touches 3-column rows.
+    val slim = tt.select("doc_id", "lang", "bkt")
+    val x = slim.withColumn("_salt", pmod(hash(col("doc_id")), lit(nSalts)))
+    val y = slim.withColumn("_salt", explode(array((0 until nSalts).map(lit(_)): _*)))
+    val pairs = x.as("a").join(y.as("b"),
         col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.tok") === col("b.tok") && col("a._salt") === col("b._salt") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a._n").as("na"), col("b._n").as("nb"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared").cast("double") /
-        (col("na") + col("nb") - col("shared")) >= threshold)
-      .select(col("doc_b").as("doc_id"))
-    // Docs with no kept tokens never join on a shared token. Comparing their
-    // (empty) capped sets would declare any two of them Jaccard-1.0 dups even
-    // when they share zero actual tokens — so these docs are compared by
-    // their ORIGINAL token sets instead: identical boilerplate still dedupes,
-    // disjoint docs survive, and two genuinely token-less docs remain
-    // Jaccard-1.0 (the oracle's CASE ... ELSE 1.0 branch). The population is
-    // tiny at scale (docs made entirely of >maxDocFreq-common tokens), so the
-    // per-block all-pairs join among them is bounded.
-    val empty0 = t.join(keptCounts, Seq("doc_id"), "left_anti")
-    val emptyLosers = empty0.as("a").join(empty0.as("b"),
-        col("a.lang") === col("b.lang") && col("a.bkt") === col("b.bkt") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .filter(when(size(array_union(col("a.toks"), col("b.toks"))) > 0,
-        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))))
-        .otherwise(lit(1.0)) >= threshold)
-      .select(col("b.doc_id").as("doc_id"))
-    docs.join(losers.unionByName(emptyLosers).distinct(), Seq("doc_id"), "left_anti")
+        col("a._salt") === col("b._salt") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sim =
+      if (maxDocFreq >= 1.0)
+        pairs
+          .join(tt.select(col("doc_id").as("doc_a"),
+            col("toks").as("ta"), col("_n").as("na")), "doc_a")
+          .join(tt.select(col("doc_id").as("doc_b"),
+            col("toks").as("tb"), col("_n").as("nb")), "doc_b")
+          .withColumn("_i", size(array_intersect(col("ta"), col("tb"))))
+          .filter(jaccardFromIntersect(col("_i"), col("na"), col("nb")) >= threshold)
+      else
+        // capped-empty pairs (na+nb == 0) fall back to ORIGINAL sets; the
+        // `when` keeps the second intersect conditional, so it only
+        // evaluates for that (tiny) population
+        pairs
+          .join(tt.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+            col("toks0").as("ta0"), col("_n").as("na"), col("_n0").as("na0")), "doc_a")
+          .join(tt.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+            col("toks0").as("tb0"), col("_n").as("nb"), col("_n0").as("nb0")), "doc_b")
+          .filter(when(col("na") + col("nb") > 0,
+            jaccardFromIntersect(size(array_intersect(col("ta"), col("tb"))),
+              col("na"), col("nb")))
+            .otherwise(jaccardFromIntersect(
+              size(array_intersect(col("ta0"), col("tb0"))),
+              col("na0"), col("nb0"))) >= threshold)
+    val losers = sim.select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Transitive duplicate clusters via iterative min-label propagation over
