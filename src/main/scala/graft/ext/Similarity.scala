@@ -288,29 +288,33 @@ object Similarity {
     * of vectors in the query's bucket OR any bucket at Hamming distance 1
     * (probing only expands the broadcast query side: each query row becomes
     * bitsPerTable+1 probe rows; the join stays a plain equi-join on
-    * (table, bucket)). Candidates are deduped before exact cosine ranking.
+    * (table, bucket)). Same payload discipline as [[cosinePairsBucketed]]:
+    * the bucket join and candidate dedup run on SLIM id rows; the 64-float
+    * embeddings join back by id afterwards, so they move once per vector —
+    * never through the dedup shuffle, and never replicated per bucket row.
     * One shuffle keyed by (table, bucket); never all-pairs. */
   def annTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val v = srpTables(withNorm(emb))
+    val v = srpTables(emb)
     val probes = (0 until AnnBitsPerTable).map(j =>
       struct(col("qb0.t").as("t"),
         col("qb0.b").bitwiseXOR(lit(1L << j)).as("b"))) :+ col("qb0")
-    val q = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        col("nrm").as("qn"), explode(col("buckets")).as("qb0"))
-      .select(col("query_id"), col("qv"), col("qn"), explode(array(probes: _*)).as("qb"))
-    val c = v.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      col("nrm").as("cn"), explode(col("buckets")).as("cb"))
-    // dedupe on the id pair only — every duplicate row carries the same
-    // embeddings, and keeping arrays out of the grouping key avoids
-    // shuffling/comparing 64-float payloads as part of the key
-    val candidates = c.join(broadcast(q),
-        col("qb.t") === col("cb.t") && col("qb.b") === col("cb.b") &&
-        col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "qv", "qn", "cv", "cn")
+    val qSlim = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(col("buckets")).as("qb0"))
+      .select(col("query_id"), explode(array(probes: _*)).as("qb"))
+      .select(col("query_id"), col("qb.t").as("t"), col("qb.b").as("b"))
+    val cSlim = v.select(col("vec_id").as("neighbor_id"), explode(col("buckets")).as("cb"))
+      .select(col("neighbor_id"), col("cb.t").as("t"), col("cb.b").as("b"))
+    val candIds = cSlim.join(broadcast(qSlim), Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = candidates
+    val vn = withNorm(emb)
+    val qArr = vn.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("nrm").as("qn"))
+    val cArr = vn.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("nrm").as("cn"))
+    val scored = candIds.join(broadcast(qArr), "query_id").join(cArr, "neighbor_id")
       .withColumn("cos", dotCol("qv", "cv") / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
