@@ -344,6 +344,15 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // transitive dup clusters over the LSH candidate pairs (iterative
+    // min-label connected components; the DuckDB oracle recomputes the same
+    // components independently via a recursive reachability CTE)
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs,
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))).orderBy("doc_id")
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
@@ -663,6 +672,7 @@ object SparkEntry {
     "dedup_minhash" -> Dedup.minhashSqlDuck,
     "dedup_lsh_pairs" -> Dedup.lshPairsSqlDuck,
     "dedup_simhash" -> Dedup.simhashSqlDuck,
+    "dedup_clusters" -> Dedup.clustersSqlDuck,
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),

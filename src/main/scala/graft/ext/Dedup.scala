@@ -317,7 +317,35 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    graft.etl.CacheRegistry.track(labels)
     labels
+  }
+
+  /** DuckDB oracle for [[duplicateClusters]] over [[lshCandidatePairs]]
+    * candidates: connected components as a recursive CTE — `reach` holds
+    * every (doc, reachable doc) pair over the undirected edge set, and the
+    * cluster id is the minimum reachable doc id. Independent formulation
+    * (fixpoint set-semantics recursion vs the engine's iterative min-label
+    * propagation), same result — which is what makes it a real oracle. */
+  def clustersSqlDuck: String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $toksCteDuck, $sigsCteDuck,
+       | bands AS (SELECT doc_id, $bandsExprDuck FROM sigs),
+       | buckets AS ($bandUnion),
+       | prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |   FROM buckets x JOIN buckets y
+       |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id),
+       | edges AS (SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
+       | reach AS (
+       |  SELECT doc_id, doc_id AS r FROM documents
+       |  UNION
+       |  SELECT e.src AS doc_id, reach.r FROM edges e
+       |  JOIN reach ON e.dst = reach.doc_id)
+       |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
