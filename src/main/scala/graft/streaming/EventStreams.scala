@@ -114,4 +114,25 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
+
+  /** Stream → reference NDJSON sink (K1): every micro-batch appends through
+    * `etl.Sinks.ndjson` via foreachBatch, closing the loop from the
+    * streaming extension back to the reference's sink surface (all-string
+    * rows, one JSON object per line). Each micro-batch lands under
+    * `<path>/batch=<id>` — task commit per partition within a batch,
+    * batch directory per epoch, so restarts never half-overwrite a batch.
+    * Returns the started query; callers own awaitTermination/stop. */
+  def writeNdjsonStream(df: DataFrame, path: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.etl.Sinks.ndjson(graft.etl.IngestOps.allString(batch.toDF()),
+          s"$path/batch=$batchId", overwrite = true)
+      }
+      .start()
 }

@@ -107,6 +107,23 @@ class EventStreamsSpec extends AnyFunSuite {
       .select("event_id").distinct().count()
     assert(streamed == batch)
   }
+
+  test("stream through the reference NDJSON sink (K1) round-trips all rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndjson_stream").toString
+    val q = EventStreams.writeNdjsonStream(
+      EventStreams.readEvents(spark, sf0001),
+      s"$tmp/out", s"$tmp/ckpt", Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    // every batch directory is NDJSON (one all-string JSON object per line)
+    val back = spark.read.json(s"$tmp/out/batch=*")
+    val batch = graft.etl.IngestOps.table(spark, sf0001, "events")
+    assert(back.count() == batch.count())
+    assert(back.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.StringType))
+    val streamedIds = back.select("event_id").collect().map(_.getString(0)).toSet
+    val batchIds = batch.select("event_id").collect().map(_.getLong(0).toString).toSet
+    assert(streamedIds == batchIds)
+  }
 }
 
 /** Batch twin of the streaming aggregation, via the engine's query registry. */
