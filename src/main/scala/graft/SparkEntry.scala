@@ -344,13 +344,14 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents")).orderBy("doc_id")),
 
-    // transitive dup clusters over the LSH candidate pairs (iterative
-    // min-label connected components; the DuckDB oracle recomputes the same
-    // components independently via a recursive reachability CTE)
+    // transitive dup clusters over LSH band buckets: bipartite doc–bucket
+    // label propagation (the candidate-pair graph is never materialized);
+    // the DuckDB oracle recomputes the same components independently via a
+    // recursive reachability CTE over the pair graph
     "dedup_clusters" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      Dedup.duplicateClusters(docs,
-        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))).orderBy("doc_id")
+      Dedup.clusterByBuckets(docs,
+        Dedup.bandBuckets(Dedup.minhashSignatures(docs))).orderBy("doc_id")
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) =>

@@ -81,12 +81,16 @@ object Dedup {
     * to the unsalted join, but a bucket of size k costs k²/saltBuckets per
     * reducer instead of k² on one. Shuffle volume grows only on the tiny
     * bucket relation (NumBands rows per doc × saltBuckets). */
-  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = 16): DataFrame = {
+  /** (doc_id, bi, band) membership rows — NumBands per doc. */
+  def bandBuckets(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
-    val buckets = graft.etl.CacheRegistry.persist(
-      sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band")))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
+  }
+
+  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = 16): DataFrame = {
+    val buckets = graft.etl.CacheRegistry.persist(bandBuckets(sigs))
     val x = buckets.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
     val y = buckets.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit(_)): _*)))
@@ -321,8 +325,65 @@ object Dedup {
     labels
   }
 
-  /** DuckDB oracle for [[duplicateClusters]] over [[lshCandidatePairs]]
-    * candidates: connected components as a recursive CTE — `reach` holds
+  /** Connected components over the bipartite doc–bucket membership graph —
+    * docs sharing any (band index, band hash) bucket are connected — WITHOUT
+    * ever materializing candidate pairs: label propagation alternates a
+    * doc→bucket and a bucket→doc min aggregation, so one round costs two
+    * joins + two groupBys over O(NumBands · nDocs) membership rows. The pair
+    * graph ([[duplicateClusters]]'s input) is k² per hot bucket — at scale
+    * this bipartite form is the difference between feasible and not, and it
+    * computes the SAME components (a shared bucket connects its members
+    * through the bucket node). Labels decrease monotonically to the
+    * component minimum; rounds ≈ component diameter (cliques: 2). */
+  def clusterByBuckets(docs: DataFrame, memberships: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val m = graft.etl.CacheRegistry.persist(
+      memberships.select(col("doc_id"),
+        concat_ws(":", col("bi"), col("band")).as("bucket")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    def prop(l: DataFrame): DataFrame = {
+      val bucketMin = m.join(l, "doc_id")
+        .groupBy("bucket").agg(min("cluster_id").as("_bmin"))
+      val docMin = m.join(bucketMin, "bucket")
+        .groupBy("doc_id").agg(min("_bmin").as("_nmin"))
+      val stepped = l.join(docMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
+            .as("cluster_id"))
+      // pointer jumping (path halving): follow cluster_id one hop through the
+      // label table itself, so label chains collapse in O(log diameter)
+      // rounds instead of O(diameter) — the standard CC acceleration; one
+      // extra self-join keyed by the (doc-count-sized) label relation
+      stepped.as("l")
+        .join(stepped.select(col("doc_id").as("cluster_id"),
+          col("cluster_id").as("_root")).as("r"), Seq("cluster_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("_root"), col("cluster_id")))
+            .as("cluster_id"))
+    }
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val merged = prop(labels)
+      // lazy localCheckpoint EVERY round: prop references its step result
+      // twice (the pointer-jump self-join), so un-truncated logical plans
+      // would double per round and Catalyst re-analysis — not execution —
+      // becomes the cost (measured: 41s for round 7 without truncation).
+      // Lazy = the convergence count below is the one action materializing it.
+      val next = merged.localCheckpoint(eager = false)
+      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    graft.etl.CacheRegistry.track(labels)
+    labels
+  }
+
+  /** DuckDB oracle for LSH-connected duplicate clusters ([[clusterByBuckets]]
+    * over [[bandBuckets]], or equivalently [[duplicateClusters]] over
+    * [[lshCandidatePairs]]): connected components as a recursive CTE — `reach` holds
     * every (doc, reachable doc) pair over the undirected edge set, and the
     * cluster id is the minimum reachable doc id. Independent formulation
     * (fixpoint set-semantics recursion vs the engine's iterative min-label

@@ -84,6 +84,17 @@ class DedupSpec extends AnyFunSuite {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("bipartite clusterByBuckets equals pair-graph duplicateClusters on LSH buckets") {
+    val docs = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val sigs = Dedup.minhashSignatures(docs)
+    val viaBuckets = Dedup.clusterByBuckets(docs, Dedup.bandBuckets(sigs))
+      .as[(Long, Long)].collect().toMap
+    val viaPairs = Dedup.duplicateClusters(docs, Dedup.lshCandidatePairs(sigs))
+      .as[(Long, Long)].collect().toMap
+    assert(viaBuckets == viaPairs)
+  }
+
   test("duplicateClusters on real LSH candidates: labels are component minima") {
     val docs = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
       graft.SparkTestSession.sf0001, "documents")
