@@ -387,6 +387,13 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_tfidf" -> ((s, dir) =>
+      TextOps.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")),
+
+    "dedup_minhash_shingles" -> ((s, dir) =>
+      Dedup.minhashFromTokens(Dedup.shingles(t(s, dir, "documents")))
+        .orderBy("doc_id")),
+
     "sample_stratified" -> ((s, dir) =>
       graft.ext.Pipelines.stratifiedSample(
         t(s, dir, "documents").select("doc_id", "lang", "source"),
@@ -684,6 +691,8 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
+    "text_tfidf" -> TextOps.tfidfSqlDuck(),
+    "dedup_minhash_shingles" -> Dedup.minhashShinglesSqlDuck(),
     "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),

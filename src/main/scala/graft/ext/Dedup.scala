@@ -57,14 +57,35 @@ object Dedup {
     * aggregation reduces it to one signature row per document per map task
     * (docs are never split across partitions). The shuffle volume therefore
     * scales with document COUNT, not token count, which holds at 100 TB. */
-  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def minhashSignatures(docs: DataFrame, textCol: String = "text"): DataFrame =
+    minhashFromTokens(tokens(docs, textCol))
+
+  /** MinHash+band signatures from any (doc_id, tok) stream — shared by the
+    * unigram path ([[tokens]]) and the shingle path ([[shingles]]). */
+  def minhashFromTokens(toks: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"mh$i"), col("tok")))).as(s"s$i"))
-    val sigs = tokens(docs, textCol).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     (0 until NumBands).foldLeft(sigs) { (d, b) =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
       d.withColumn(s"band$b", md5(concat(cols: _*)))
     }
+  }
+
+  /** Word w-shingle stream (doc_id, tok): each tok is `w` consecutive
+    * lowercase tokens joined by spaces — the standard MinHash document
+    * representation (Broder 1997 §4): near-dup detection on shingles is
+    * order-sensitive where bag-of-tokens is not. Docs with fewer than `w`
+    * tokens produce no shingles (absent from downstream signatures, same as
+    * token-less docs on the unigram path). */
+  def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text"): DataFrame = {
+    val parts = (1 to w).map(j => s"element_at(_tks, i + ${j - 1})").mkString(", ' ', ")
+    docs.select(col("doc_id"),
+      expr(s"${TextOps.tokensSqlSpark(textCol)}").as("_tks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(_tks) >= $w
+           | THEN transform(sequence(1, size(_tks) - ${w - 1}), i -> concat($parts))
+           | ELSE array() END""".stripMargin)).as("tok"))
   }
 
   /** LSH candidate pairs: docs sharing any band hash (band index must match).
@@ -430,6 +451,23 @@ object Dedup {
   def minhashSqlDuck: String = {
     val sigCols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
     s"WITH $toksCteDuck, $sigsCteDuck SELECT doc_id, $sigCols, $bandsExprDuck FROM sigs ORDER BY doc_id"
+  }
+
+  /** Shingle-MinHash oracle: the ordered (duplicate-preserving) token list
+    * unnests with positions, each position's shingle assembles via window
+    * `lead` (a NULL lead past the end nulls the whole concat, dropping
+    * incomplete shingles), then the same min-md5 signature + band
+    * construction as [[sigsCteDuck]]. */
+  def minhashShinglesSqlDuck(w: Int = 3): String = {
+    val sigCols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    val mins = (0 until NumHashes).map(i => s"min(md5('mh$i' || tok)) AS s$i").mkString(", ")
+    val parts = ("tok" +: (1 until w).map(j =>
+      s"lead(tok, $j) OVER (PARTITION BY doc_id ORDER BY i)")).mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSqlDuck("text")} AS tks FROM documents),
+       | pos AS (SELECT doc_id, unnest(tks) AS tok, generate_subscripts(tks, 1) AS i FROM tk),
+       | sh AS (SELECT doc_id, $parts AS tok FROM pos),
+       | sigs AS (SELECT doc_id, $mins FROM sh WHERE tok IS NOT NULL GROUP BY doc_id)
+       |SELECT doc_id, $sigCols, $bandsExprDuck FROM sigs ORDER BY doc_id""".stripMargin
   }
 
   def lshPairsSqlDuck: String = {

@@ -108,6 +108,48 @@ object TextOps {
     docs.select(col("doc_id"),
       md5(array_join(tokensArr(textCol), " ")).as("fp"))
 
+  /** Top-k TF-IDF terms per document. The idf is the exact rational N/df —
+    * deliberately NOT log-scaled: libm transcendentals (ln) can differ in
+    * the last ulp across engines, while integer-to-double casts, one
+    * division, and one multiplication are all IEEE-correctly-rounded, so
+    * scores are bit-identical to the oracle's. Ranking (the actual output)
+    * is the same under any monotone transform of N/df, so dropping the log
+    * changes no ordering. Shape: tf = (doc, term) count with map-side
+    * partials; df = one row per term (hot terms bounded the same way); N
+    * rides in as a broadcast single-row cross join; top-k per doc is a
+    * WindowGroupLimit rank. AQE's skew-join handles a hot term in the
+    * tf⋈df join at scale. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      explode(expr(tokensSqlSpark(textCol))).as("term")) // dup-preserving: tf counts occurrences
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n").cast("double") / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("score"))
+  }
+
+  def tfidfSqlDuck(k: Int = 5): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term FROM documents),
+       | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       | dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       | nn AS (SELECT COUNT(*) AS n FROM documents)
+       |SELECT doc_id, rank, term, score FROM (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / dfq.df) AS score,
+       |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(nn.n AS DOUBLE) / dfq.df) DESC,
+       |        tf.term) AS BIGINT) AS rank
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN nn)
+       |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   def tokensSqlDuck(textCol: String): String =

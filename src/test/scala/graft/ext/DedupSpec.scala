@@ -142,6 +142,21 @@ class DedupSpec extends AnyFunSuite {
     assert(run(5) == run(1))
   }
 
+  test("shingles: w consecutive tokens, order-sensitive, short docs drop out") {
+    val d = docs((1L, "a b c d"), (2L, "d c b a"), (3L, "x y"))
+    val sh = Dedup.shingles(d).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("tok")).toSet).toMap
+    assert(sh(1L) == Set("a b c", "b c d"))
+    assert(sh(2L) == Set("d c b", "c b a")) // reversed text → different shingles
+    assert(!sh.contains(3L)) // fewer than w tokens → no shingles
+    // same token BAG, different order → different shingle signatures
+    val sigs = Dedup.minhashFromTokens(Dedup.shingles(d)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until Dedup.NumHashes)
+        .map(i => r.getAs[String](s"s$i")).mkString("|")).toMap
+    assert(sigs(1L) != sigs(2L))
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()

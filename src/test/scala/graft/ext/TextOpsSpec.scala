@@ -42,4 +42,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) == fps(2L))
     assert(fps(1L) != fps(3L))
   }
+
+  test("tfidf: doc-distinctive terms outrank corpus-wide terms; top-k bounded") {
+    // "shared" is in every doc (idf = 3/3 = 1); "rare" only in doc 1
+    // (idf = 3). doc 1: rare tf=2 → score 6; shared tf=1 → score 1.
+    val d = docs(
+      (1L, "shared rare rare"),
+      (2L, "shared other other"),
+      (3L, "shared thing"))
+    val out = TextOps.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    assert(out((1L, 1L)) == ("rare", 6.0))
+    assert(out((1L, 2L)) == ("shared", 1.0))
+    assert(out((2L, 1L)) == ("other", 6.0))
+    assert(out.size == 6) // k=2 per doc, 3 docs
+  }
 }
