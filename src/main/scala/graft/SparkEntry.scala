@@ -259,6 +259,20 @@ object SparkEntry {
         .orderBy("nationkey")
     }),
 
+    // full outer join on date: ship dates extend past order dates, so both
+    // null sides engage; USING-column semantics coalesce the key
+    "q_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("n_orders"))
+      val l = t(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d")).agg(count(lit(1)).as("n_ships"))
+      o.join(l, Seq("d"), "full_outer")
+        .select(col("d").cast("string").as("d"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+        .orderBy("d")
+    }),
+
     "window_rank_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -389,6 +403,9 @@ object SparkEntry {
 
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")),
+
+    "text_clean" -> ((s, dir) =>
+      TextOps.clean(t(s, dir, "documents")).orderBy("doc_id")),
 
     "dedup_minhash_shingles" -> ((s, dir) =>
       Dedup.minhashFromTokens(Dedup.shingles(t(s, dir, "documents")))
@@ -616,6 +633,15 @@ object SparkEntry {
         |   EXCEPT SELECT s_nationkey FROM supplier)
         |ORDER BY nationkey""".stripMargin,
 
+    "q_full_outer" ->
+      """SELECT CAST(d AS VARCHAR) AS d,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(n_ships, 0) AS n_ships
+        |FROM (SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |      FROM orders GROUP BY 1) o
+        |FULL JOIN (SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
+        |      FROM lineitem GROUP BY 1) l USING (d)
+        |ORDER BY d""".stripMargin,
+
     "window_rank_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -692,6 +718,7 @@ object SparkEntry {
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
     "text_tfidf" -> TextOps.tfidfSqlDuck(),
+    "text_clean" -> TextOps.cleanSqlDuck(),
     "dedup_minhash_shingles" -> Dedup.minhashShinglesSqlDuck(),
     "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),

@@ -150,6 +150,43 @@ object TextOps {
        |  FROM tf JOIN dfq USING (term) CROSS JOIN nn)
        |WHERE rank <= $k ORDER BY doc_id, rank""".stripMargin
 
+  /** Redaction patterns — backslash-free (Spark string literals escape
+    * backslashes, DuckDB's don't; NOTES.md rule 4), lowercase-input. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+  val UrlPattern = "https?://[^ ]+"
+
+  /** Whitespace run — the class contains LITERAL space/tab/newline/CR chars
+    * (no backslash escapes), so the same bytes reach both regex engines. */
+  val SpaceRunPattern = "[ \t\n\r]+"
+
+  /** Normalization + redaction for corpus cleaning: lowercase, emails/URLs
+    * replaced by placeholder tokens, whitespace runs collapsed, trimmed,
+    * truncated to `maxChars`. Counts are taken on the lowercased original.
+    * Narrow and codegen'd; identical operation order in the oracle SQL. */
+  def clean(docs: DataFrame, maxChars: Int = 500, textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val redacted = regexp_replace(
+      regexp_replace(lowered, EmailPattern, "<email>"), UrlPattern, "<url>")
+    docs.select(
+      col("doc_id"),
+      size(expr(s"regexp_extract_all(lower($textCol), '$EmailPattern', 0)"))
+        .cast("long").as("n_emails"),
+      size(expr(s"regexp_extract_all(lower($textCol), '$UrlPattern', 0)"))
+        .cast("long").as("n_urls"),
+      substring(trim(regexp_replace(redacted, SpaceRunPattern, " ")), 1, maxChars)
+        .as("cleaned"))
+  }
+
+  def cleanSqlDuck(maxChars: Int = 500): String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$EmailPattern', 0)) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(lower(text), '$UrlPattern', 0)) AS BIGINT) AS n_urls,
+       |  substr(trim(regexp_replace(
+       |    regexp_replace(regexp_replace(lower(text), '$EmailPattern', '<email>', 'g'),
+       |      '$UrlPattern', '<url>', 'g'),
+       |    '$SpaceRunPattern', ' ', 'g')), 1, $maxChars) AS cleaned
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   def tokensSqlDuck(textCol: String): String =

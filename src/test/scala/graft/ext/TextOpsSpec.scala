@@ -43,6 +43,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("clean: redacts emails/urls, collapses whitespace, truncates") {
+    val d = docs(
+      (1L, "Contact Bob.Smith+x@Example.ORG   or  https://ex.org/a?b=1 now"),
+      (2L, "plain\t text \n here"),
+      (3L, "x" * 600))
+    val out = TextOps.clean(d, maxChars = 500).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_emails"), r.getAs[Long]("n_urls"), r.getAs[String]("cleaned"))).toMap
+    assert(out(1L) == ((1L, 1L, "contact <email> or <url> now")))
+    assert(out(2L) == ((0L, 0L, "plain text here")))
+    assert(out(3L)._3.length == 500)
+  }
+
   test("tfidf: doc-distinctive terms outrank corpus-wide terms; top-k bounded") {
     // "shared" is in every doc (idf = 3/3 = 1); "rare" only in doc 1
     // (idf = 3). doc 1: rare tf=2 → score 6; shared tf=1 → score 1.
