@@ -41,7 +41,7 @@ object Dedup {
   /** Distinct-token stream (doc_id, tok). */
   def tokens(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
-      explode(expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})")).as("tok"))
+      explode(array_distinct(TextOps.fastTokens(col(textCol)))).as("tok"))
 
   val NumHashes = 8
   val RowsPerBand = 4
@@ -81,7 +81,7 @@ object Dedup {
   def shingles(docs: DataFrame, w: Int = 3, textCol: String = "text"): DataFrame = {
     val parts = (1 to w).map(j => s"element_at(_tks, i + ${j - 1})").mkString(", ' ', ")
     docs.select(col("doc_id"),
-      expr(s"${TextOps.tokensSqlSpark(textCol)}").as("_tks"))
+      TextOps.fastTokens(col(textCol)).as("_tks"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(_tks) >= $w
            | THEN transform(sequence(1, size(_tks) - ${w - 1}), i -> concat($parts))
@@ -168,7 +168,7 @@ object Dedup {
       salts: Int = 8): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks"))
+      array_distinct(TextOps.fastTokens(col(textCol))).as("toks"))
     val slim = t.select("doc_id", "lang", "bkt")
     val x = slim.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
     val y = slim.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
@@ -245,7 +245,7 @@ object Dedup {
     val nSalts = if (salts > 0) salts else adaptiveSalts(docs.count())
     val t0 = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      expr(s"array_distinct(${TextOps.tokensSqlSpark(textCol)})").as("toks0"))
+      array_distinct(TextOps.fastTokens(col(textCol))).as("toks0"))
     // Document-frequency cap (off at the 1.0 default): each block's hot
     // tokens (df > blockSize × maxDocFreq) collect into one small per-block
     // array, broadcast, and subtract from every doc's set. Docs capped to

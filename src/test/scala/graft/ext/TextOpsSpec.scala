@@ -43,6 +43,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fps(1L) != fps(3L))
   }
 
+  test("fastTokens equals the regex tokenizer on adversarial strings") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val kelvin = 'K' // unicode K: Character.toLowerCase → ASCII 'k'
+    val cases = Seq(
+      "", "   ", "a", "A1b2C3", "héllo wörld", "ÇA VA", s"${kelvin}elvin grade",
+      "a-b_c.d", "123 456", "\ttabs\nnewlines\r", "ψαρι fish 42", "ab" * 300)
+    val rnd = new scala.util.Random(17)
+    val pool = "aZ9 .,-\nÉψK"
+    val fuzz = Seq.fill(50)(Seq.fill(rnd.nextInt(40))(pool(rnd.nextInt(pool.length))).mkString)
+    val df = (cases ++ fuzz).zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val both = df.select(col("id"),
+      TextOps.fastTokens(col("s")).as("fast"),
+      expr(TextOps.tokensSqlSpark("s")).as("re")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"mismatch on ${df.filter(col("id") === r.getLong(0)).collect().head.getString(1)}")
+    }
+  }
+
   test("clean: redacts emails/urls, collapses whitespace, truncates") {
     val d = docs(
       (1L, "Contact Bob.Smith+x@Example.ORG   or  https://ex.org/a?b=1 now"),
