@@ -22,6 +22,21 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.simhash(emptyDocs).count() == 0)
     assert(Dedup.jaccardPairs(emptyDocs).count() == 0)
     assert(Dedup.dropNearDuplicates(emptyDocs).count() == 0)
+    assert(Dedup.shingles(emptyDocs).count() == 0)
+    assert(Dedup.clusterByBuckets(emptyDocs,
+      Dedup.bandBuckets(Dedup.minhashSignatures(emptyDocs))).count() == 0)
+    assert(TextOps.tfidfTopTerms(emptyDocs).count() == 0)
+    assert(TextOps.clean(emptyDocs).count() == 0)
+  }
+
+  test("single-doc corpus: clusters itself alone, tfidf scores 1*1/1") {
+    val one = Seq((7L, "solo words here", "en", 15L, "t"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    val cl = Dedup.clusterByBuckets(one,
+      Dedup.bandBuckets(Dedup.minhashSignatures(one))).collect()
+    assert(cl.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 7L)))
+    val tf = TextOps.tfidfTopTerms(one).collect()
+    assert(tf.length == 3 && tf.forall(_.getAs[Double]("score") == 1.0))
   }
 
   test("text ops on empty corpus and on empty/whitespace strings") {
