@@ -168,7 +168,7 @@ object Dedup {
       salts: Int = 8): DataFrame = {
     val t = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      array_distinct(TextOps.fastTokens(col(textCol))).as("toks"))
+      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks"))
     val slim = t.select("doc_id", "lang", "bkt")
     val x = slim.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
     val y = slim.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
@@ -179,9 +179,17 @@ object Dedup {
     pairs
       .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
       .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
-      .withColumn("_i", size(array_intersect(col("ta"), col("tb"))))
+      .withColumn("_i", intersectCount(col("ta"), col("tb")))
       .select(col("doc_a"), col("doc_b"),
         jaccardFromIntersect(col("_i"), size(col("ta")), size(col("tb"))).as("jaccard"))
+  }
+
+  /** |A∩B| of sorted distinct string arrays via the codegen'd linear merge
+    * ([[graft.functions.SortedIntersectCount]]) — callers sort once per doc
+    * with array_sort before pair enumeration. */
+  private def intersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    toColumn(graft.functions.SortedIntersectCount(toExpression(a), toExpression(b)))
   }
 
   /** Jaccard from the intersection size and the two (distinct-)set sizes:
@@ -243,9 +251,11 @@ object Dedup {
       textCol: String = "text", maxDocFreq: Double = MaxDocFreq,
       minBlockForCap: Int = MinBlockForCap, salts: Int = 0): DataFrame = {
     val nSalts = if (salts > 0) salts else adaptiveSalts(docs.count())
+    // sorted once per doc: pair checks run the linear-merge intersect count
+    // (array_except preserves the first array's order, so `toks` stays sorted)
     val t0 = docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      array_distinct(TextOps.fastTokens(col(textCol))).as("toks0"))
+      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks0"))
     // Document-frequency cap (off at the 1.0 default): each block's hot
     // tokens (df > blockSize × maxDocFreq) collect into one small per-block
     // array, broadcast, and subtract from every doc's set. Docs capped to
@@ -285,7 +295,7 @@ object Dedup {
             col("toks").as("ta"), col("_n").as("na")), "doc_a")
           .join(tt.select(col("doc_id").as("doc_b"),
             col("toks").as("tb"), col("_n").as("nb")), "doc_b")
-          .withColumn("_i", size(array_intersect(col("ta"), col("tb"))))
+          .withColumn("_i", intersectCount(col("ta"), col("tb")))
           .filter(jaccardFromIntersect(col("_i"), col("na"), col("nb")) >= threshold)
       else
         // capped-empty pairs (na+nb == 0) fall back to ORIGINAL sets; the
@@ -297,10 +307,10 @@ object Dedup {
           .join(tt.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
             col("toks0").as("tb0"), col("_n").as("nb"), col("_n0").as("nb0")), "doc_b")
           .filter(when(col("na") + col("nb") > 0,
-            jaccardFromIntersect(size(array_intersect(col("ta"), col("tb"))),
+            jaccardFromIntersect(intersectCount(col("ta"), col("tb")),
               col("na"), col("nb")))
             .otherwise(jaccardFromIntersect(
-              size(array_intersect(col("ta0"), col("tb0"))),
+              intersectCount(col("ta0"), col("tb0")),
               col("na0"), col("nb0"))) >= threshold)
     val losers = sim.select(col("doc_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")

@@ -142,6 +142,22 @@ class DedupSpec extends AnyFunSuite {
     assert(run(5) == run(1))
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on random sorted arrays") {
+    import org.apache.spark.sql.functions.{array_intersect, array_sort, col, size}
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val rnd = new scala.util.Random(23)
+    def arr() = Seq.fill(rnd.nextInt(12))(s"t${rnd.nextInt(15)}").distinct.sorted
+    val rows = Seq((Seq.empty[String], Seq.empty[String]), (Seq("a"), Seq.empty[String])) ++
+      Seq.fill(60)((arr(), arr()))
+    val df = rows.toDF("a", "b")
+      .select(array_sort(col("a")).as("a"), array_sort(col("b")).as("b"))
+    val both = df.select(
+      toColumn(graft.functions.SortedIntersectCount(
+        toExpression(col("a")), toExpression(col("b")))).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
   test("shingles: w consecutive tokens, order-sensitive, short docs drop out") {
     val d = docs((1L, "a b c d"), (2L, "d c b a"), (3L, "x y"))
     val sh = Dedup.shingles(d).collect()
