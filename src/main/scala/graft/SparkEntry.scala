@@ -422,7 +422,7 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
-    "multimodal_decode" -> ((s, dir) => // rows-only: stubbed codec output
+    "multimodal_decode" -> ((s, dir) => // stub codec is deterministic → oracle-checked
       Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")))
 
   // =====================================================================
@@ -723,5 +723,6 @@ object SparkEntry {
     "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
-    "multimodal_features" -> Multimodal.featuresSqlDuck)
+    "multimodal_features" -> Multimodal.featuresSqlDuck,
+    "multimodal_decode" -> Multimodal.decodeSqlDuck)
 }

@@ -83,6 +83,33 @@ object Multimodal {
       byte_sum = sum)
   }
 
+  /** Oracle for the (deterministic) stub decode: the payload's UTF-8 bytes
+    * re-derive from `hex(blob)` split into 2-char pairs (DuckDB lacks a
+    * get_byte, and its range() can't laterally reference columns), each pair
+    * decoded by hex-digit position arithmetic and summed per doc. Byte-empty
+    * docs fall out of the unnest and re-enter via the LEFT JOIN with sum 0 —
+    * matching stubDecode on an empty array. */
+  def decodeSqlDuck: String = {
+    val hx = "'0123456789ABCDEF'"
+    s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb FROM documents),
+       | b AS (SELECT doc_id, unnest(regexp_extract_all(hx, '..')) AS p FROM h),
+       | s AS (SELECT doc_id,
+       |    SUM((strpos($hx, substr(p, 1, 1)) - 1) * 16 +
+       |        strpos($hx, substr(p, 2, 1)) - 1) AS byte_sum
+       |  FROM b GROUP BY doc_id)
+       |SELECT h.doc_id,
+       |  CAST(coalesce(s.byte_sum, 0) % 640 + 1 AS INTEGER) AS width,
+       |  CAST(coalesce(s.byte_sum, 0) % 480 + 1 AS INTEGER) AS height,
+       |  CAST(h.nb % 30 + 1 AS INTEGER) AS n_frames,
+       |  CASE WHEN h.nb > 0 AND substr(h.hx, 2, 1) IN
+       |      ('1', '3', '5', '7', '9', 'B', 'D', 'F')
+       |    THEN 'fake/odd' ELSE 'fake/even' END AS codec,
+       |  CAST(coalesce(s.byte_sum, 0) AS BIGINT) AS byte_sum
+       |FROM h LEFT JOIN s ON h.doc_id = s.doc_id
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   def featuresSqlDuck: String =
     """SELECT doc_id,
       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
