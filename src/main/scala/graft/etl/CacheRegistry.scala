@@ -20,11 +20,10 @@ object CacheRegistry {
     p
   }
 
-  /** Track an already-persisted/checkpointed DataFrame for release without
-    * re-persisting it (e.g. the final label table of an iterative operator). */
-  def track(df: DataFrame): DataFrame = synchronized { active += df; df }
-
-  /** Unpersist every tracked DataFrame (non-blocking) and clear the registry. */
+  /** Unpersist every tracked DataFrame (non-blocking) and clear the registry.
+    * localCheckpoint'ed frames are deliberately NOT tracked: Dataset.unpersist
+    * cannot free their blocks — the ContextCleaner does, once all references
+    * drop, which a registry entry would only delay. */
   def releaseAll(): Unit = synchronized {
     active.foreach(_.unpersist(blocking = false))
     active.clear()

@@ -28,7 +28,7 @@ final case class EngineConfig(
     dedupSalts: Int = 0, // 0 = adaptive from corpus size (Dedup.adaptiveSalts)
     dedupMaxDocFreq: Double = graft.ext.Dedup.MaxDocFreq,
     dedupMinBlockForCap: Int = graft.ext.Dedup.MinBlockForCap,
-    lshSaltBuckets: Int = 16,
+    lshSaltBuckets: Int = graft.ext.Dedup.DefaultSaltBuckets,
     srpPairTables: Int = graft.ext.Similarity.PairTables,
     srpPairBitsPerTable: Int = graft.ext.Similarity.PairBitsPerTable) {
 

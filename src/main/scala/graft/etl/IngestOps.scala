@@ -166,9 +166,14 @@ object IngestOps {
     val keyed = df.select(key.as("_k")).filter(col("_k").isNotNull)
     val total = keyed.count()
     val mod = math.max(1L, total / (n.toLong * 100L))
+    // distinct BEFORE collect: a heavily-duplicated key whose hash lands in
+    // the sample class would otherwise pull every copy to the driver
+    // (unbounded); distinct bounds the pull by ~total/mod ≈ n·100 values
+    // regardless of key skew (boundary placement then weights by distinct
+    // key, which only shifts balance, never correctness)
     val sampled =
       if (total == 0L) Array.empty[AnyRef] // null-only/empty input: one bucket
-      else keyed.filter(pmod(hash(col("_k")), lit(mod)) === 0).collect()
+      else keyed.filter(pmod(hash(col("_k")), lit(mod)) === 0).distinct().collect()
         .map(_.get(0).asInstanceOf[AnyRef])
     val boundaries =
       if (sampled.isEmpty) Array.empty[AnyRef]

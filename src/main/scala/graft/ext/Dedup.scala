@@ -110,7 +110,20 @@ object Dedup {
       .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
   }
 
-  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = 16): DataFrame = {
+  val DefaultSaltBuckets = 16
+
+  /** Config-tuned entry points: thread the EngineConfig skew tunables into
+    * the operators (the reference analog of its --batchSize/threshold CLI
+    * surface; config/ConverterConfig.java:53,77). */
+  def dropNearDuplicates(docs: DataFrame, cfg: graft.etl.EngineConfig,
+      threshold: Double): DataFrame =
+    dropNearDuplicates(docs, threshold, "text", cfg.dedupMaxDocFreq,
+      cfg.dedupMinBlockForCap, cfg.dedupSalts)
+
+  def lshCandidatePairs(sigs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    lshCandidatePairs(sigs, cfg.lshSaltBuckets)
+
+  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
     val buckets = graft.etl.CacheRegistry.persist(bandBuckets(sigs))
     val x = buckets.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
     val y = buckets.withColumn("_salt",
@@ -166,9 +179,10 @@ object Dedup {
     * Output is byte-identical to the unsalted direct join. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text",
       salts: Int = 8): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"),
+    // persisted: the slim pair side plus BOTH array join-backs read it
+    val t = graft.etl.CacheRegistry.persist(docs.select(col("doc_id"), col("lang"),
       expr("CAST(n_chars DIV 100 AS BIGINT)").as("bkt"),
-      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks"))
+      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks")))
     val slim = t.select("doc_id", "lang", "bkt")
     val x = slim.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
     val y = slim.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
@@ -228,6 +242,18 @@ object Dedup {
     * scale pass an explicit count via config instead. */
   def adaptiveSalts(nDocs: Long): Int =
     math.max(1, math.min(64, ((nDocs + 1999) / 2000).toInt))
+
+  /** Row-count estimate for [[adaptiveSalts]] WITHOUT running a job at
+    * DataFrame-construction time: Catalyst's stats rowCount when available,
+    * else sizeInBytes / 2 KB (documents average ~1 KB of text plus columns).
+    * Only the salt COUNT depends on this — outputs are salt-invariant — so
+    * estimate error shifts balance, never results. */
+  def adaptiveSaltsFor(df: DataFrame): Int = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val rows = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / 2000L)
+    adaptiveSalts(rows)
+  }
 
   /** End-to-end near-duplicate removal, greedy keep-first-by-id: a document
     * is dropped iff some lower-id document in its blocking bucket is at
@@ -347,12 +373,14 @@ object Dedup {
         else merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels.unpersist() // next is materialized by the count; drop the old round
+      // unpersist frees the persisted rounds; checkpoint rounds are freed by
+      // the ContextCleaner once this reference drops (Dataset.unpersist is a
+      // no-op for localCheckpoint blocks — do not hold refs to them)
+      labels.unpersist()
       labels = next
       i += 1
     }
     edges.unpersist()
-    graft.etl.CacheRegistry.track(labels)
     labels
   }
 
@@ -404,11 +432,13 @@ object Dedup {
       val next = merged.localCheckpoint(eager = false)
       changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
         .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      labels.unpersist()
+      // rounds are localCheckpoints: Dataset.unpersist cannot free their
+      // blocks; dropping the reference each round hands them to the
+      // ContextCleaner (the registry deliberately does NOT hold them — a
+      // strong ref would only delay that GC-driven cleanup)
       labels = next
       i += 1
     }
-    graft.etl.CacheRegistry.track(labels)
     labels
   }
 

@@ -1,7 +1,7 @@
 import org.apache.spark.sql.SparkSession
 
 /** Prints the executed plan of named SparkEntry queries (args; defaults to a
-  * representative set). `LINES=n` env widens the per-plan excerpt. */
+  * representative set). `SPARK_GRAFT_LINES=n` env widens the per-plan excerpt. */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -12,7 +12,7 @@ object ExplainCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val lines = sys.env.getOrElse("LINES", "45").toInt
+    val lines = sys.env.getOrElse("SPARK_GRAFT_LINES", "45").toInt
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q5_local_supplier", "q3_top_revenue", "s1_scan_allstring",
         "t4_projection_rename", "dedup_lsh_pairs", "sim_topk_bruteforce")

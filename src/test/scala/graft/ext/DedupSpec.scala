@@ -127,6 +127,18 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == Seq(1L, 2L, 3L, 4L, 5L, 7L))
   }
 
+  test("EngineConfig tunables thread into dropNearDuplicates") {
+    val d = docs(
+      (1L, "c1 c2 c3 c4 x"), (2L, "c1 c2 c3 c4 y"),
+      (3L, "c1 c2 c3 c4 z"), (4L, "c1 c2 c3 c4 w"),
+      (5L, "c1 c2"), (6L, "c1 c2"), (7L, "c1"))
+    val cfg = graft.etl.EngineConfig(inputDir = "/in", outputPath = Some("/o"),
+      dedupMaxDocFreq = 0.5, dedupMinBlockForCap = 3).validate()
+    val capped = Dedup.dropNearDuplicates(d, cfg, threshold = 0.6)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(capped == Seq(1L, 2L, 3L, 4L, 5L, 7L)) // the df-cap semantics engaged
+  }
+
   test("adaptiveSalts scales with corpus size within [1, 64]") {
     assert(Dedup.adaptiveSalts(0L) == 1)
     assert(Dedup.adaptiveSalts(2000L) == 1)

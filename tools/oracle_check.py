@@ -64,13 +64,16 @@ for name, sql in sorted(oracle.items()):
         if sorted(scols) != sorted(dcols):
             fails.append((name, f'COLUMN MISMATCH spark={sorted(scols)} duck={sorted(dcols)}'))
             continue
-        tdiff = {c: (dict(stypes)[c], dict(dtypes)[c]) for c in scols
-                 if dict(stypes)[c] != dict(dtypes)[c]}
+        # positional (name-sorted) type compare — a dict keyed by name would
+        # collapse duplicate columns and let a dup-named column with a
+        # different type slip through the gate
+        sidx = sorted(range(len(scols)), key=lambda i: (scols[i], i))
+        didx = sorted(range(len(dcols)), key=lambda i: (dcols[i], i))
+        tdiff = [(stypes[i], dtypes[j]) for i, j in zip(sidx, didx)
+                 if stypes[i][1] != dtypes[j][1]]
         if tdiff:
             fails.append((name, f'TYPE MISMATCH {tdiff}'))
             continue
-        sidx = sorted(range(len(scols)), key=lambda i: (scols[i], i))
-        didx = sorted(range(len(dcols)), key=lambda i: (dcols[i], i))
         srows = sorted(tuple(canon(r[i]) for i in sidx) for r in sdf)
         drows = sorted(tuple(canon(r[i]) for i in didx) for r in ddf)
         if len(srows) != len(drows):
