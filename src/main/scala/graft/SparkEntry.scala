@@ -176,6 +176,22 @@ object SparkEntry {
       withOrders.crossJoin(withoutOrders)
     }),
 
+    // correlated scalar subqueries (Catalyst decorrelates to aggregate+join;
+    // see PLANS.md): orders pricier than their customer's average. Exactness
+    // trick: compare price*count > sum in DECIMAL — no division, no AVG
+    // (Spark and DuckDB disagree on AVG(DECIMAL) result types), no
+    // double-summation order dependence.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_custkey FROM orders_v o
+          |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+          |    (SELECT COUNT(*) FROM orders_v i WHERE i.o_custkey = o.o_custkey)
+          |  > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders_v i
+          |     WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -557,6 +573,14 @@ object SparkEntry {
         |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT o.o_orderkey, o.o_custkey FROM orders o
+        |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) *
+        |    (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) FROM orders i
+        |     WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
