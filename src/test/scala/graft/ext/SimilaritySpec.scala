@@ -9,6 +9,24 @@ import graft.functions.VectorExprs
 class SimilaritySpec extends AnyFunSuite {
   import spark.implicits._
 
+  test("EngineConfig srp tunables thread into cosinePairsBucketed") {
+    val emb = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "embeddings")
+    val cfg = graft.etl.EngineConfig(inputDir = "/in", outputPath = Some("/o")).validate()
+    // defaults through the config overload == the plain defaults
+    val viaCfg = Similarity.cosinePairsBucketed(emb, cfg, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val plain = Similarity.cosinePairsBucketed(emb, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaCfg == plain)
+    // more tables can only widen the candidate set (recall grows with L)
+    val wider = Similarity.cosinePairsBucketed(emb,
+      cfg.copy(srpPairTables = 16), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(wider.toSet.size >= viaCfg.toSet.size)
+    assert(viaCfg.toSet.subsetOf(wider.toSet))
+  }
+
   test("FloatVectorDot matches a manual double-accumulated dot product") {
     val a = Array(1.5f, -2.0f, 3.25f)
     val b = Array(0.5f, 4.0f, -1.0f)
