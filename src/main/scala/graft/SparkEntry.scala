@@ -289,6 +289,21 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // ROWS-frame moving window (the frame type events_rolling_count's RANGE
+    // frame doesn't cover): per-customer 3-order moving total, exact DECIMAL
+    // rendered to string; (o_orderdate, o_orderkey) is a unique frame order
+    // so ROWS peers are deterministic in both engines
+    "window_moving_sum" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("mov3", dstr(sum(d2(col("o_totalprice"))).over(w)))
+        .select("o_custkey", "o_orderkey", "mov3")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "window_rank_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -665,6 +680,13 @@ object SparkEntry {
         |FULL JOIN (SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
         |      FROM lineitem GROUP BY 1) l USING (d)
         |ORDER BY d""".stripMargin,
+
+    "window_moving_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS VARCHAR) AS mov3
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "window_rank_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
