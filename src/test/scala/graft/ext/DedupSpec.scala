@@ -144,6 +144,11 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.adaptiveSalts(2000L) == 1)
     assert(Dedup.adaptiveSalts(2001L) == 2)
     assert(Dedup.adaptiveSalts(1000000000L) == 64)
+    // the stats-based estimator never launches a job and stays in range
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val s = Dedup.adaptiveSaltsFor(d)
+    assert(s >= 1 && s <= 64)
   }
 
   test("salted jaccardPairs output is byte-identical to the unsalted join") {
