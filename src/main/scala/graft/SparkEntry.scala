@@ -249,6 +249,28 @@ object SparkEntry {
           dstr(revenue()).as("total_revenue"))
     }),
 
+    // TPC-H Q10 shape (returned-item revenue report): 4-way join, revenue
+    // aggregation grouped on the wide customer key set, top 20. Revenue in
+    // exact DECIMAL rendered to string; ordering ties broken by c_custkey.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-07-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = t(s, dir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(revenue().as("_r"))
+        .orderBy(col("_r").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), dstr(col("_r")).as("revenue"),
+          col("c_acctbal"), col("n_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
     "q13_custdist" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
@@ -588,6 +610,21 @@ object SparkEntry {
         |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, CAST(rev AS VARCHAR) AS revenue,
+         |  c_acctbal, n_name, c_mktsegment
+         |FROM (
+         |  SELECT c_custkey, c_name, c_acctbal, n_name, c_mktsegment, $revenueSql AS rev
+         |  FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+         |    AND l_returnflag = 'R'
+         |  GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+         |  ORDER BY rev DESC, c_custkey LIMIT 20)
+         |ORDER BY c_custkey""".stripMargin,
 
     "q_scalar_subquery" ->
       """SELECT o.o_orderkey, o.o_custkey FROM orders o

@@ -108,6 +108,26 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("NDJSON stream restart with the same checkpoint writes no duplicate batches") {
+    val tmp = java.nio.file.Files.createTempDirectory("ndjson_restart").toString
+    def runOnce(): Unit = {
+      val q = EventStreams.writeNdjsonStream(
+        EventStreams.readEvents(spark, sf0001),
+        s"$tmp/out", s"$tmp/ckpt", Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val rows1 = spark.read.json(s"$tmp/out/batch=*").count()
+    val batches1 = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    runOnce() // restart over the same checkpoint: source exhausted → no new batches
+    val rows2 = spark.read.json(s"$tmp/out/batch=*").count()
+    val batches2 = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(rows1 > 0 && rows2 == rows1)
+    assert(batches2 == batches1)
+  }
+
   test("stream through the reference NDJSON sink (K1) round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("ndjson_stream").toString
     val q = EventStreams.writeNdjsonStream(
