@@ -159,6 +159,22 @@ class DedupSpec extends AnyFunSuite {
     assert(run(5) == run(1))
   }
 
+  test("keep-first invariants on the fixture: idempotent, block minima survive") {
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val once = Dedup.dropNearDuplicates(d, 0.8)
+    val onceIds = once.select("doc_id").as[Long].collect().sorted.toSeq
+    // a survivor set has no (a < b, J >= t) pair left, so a second pass is a no-op
+    val twiceIds = Dedup.dropNearDuplicates(once, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(twiceIds == onceIds)
+    // the lowest-id doc of every (lang, bkt) block can never be dropped
+    val blockMins = d.selectExpr("lang", "CAST(n_chars DIV 100 AS BIGINT) AS bkt", "doc_id")
+      .groupBy("lang", "bkt").agg(org.apache.spark.sql.functions.min("doc_id").as("m"))
+      .select("m").as[Long].collect().toSet
+    assert(blockMins.subsetOf(onceIds.toSet))
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on random sorted arrays") {
     import org.apache.spark.sql.functions.{array_intersect, array_sort, col, size}
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
