@@ -249,6 +249,29 @@ object SparkEntry {
           dstr(revenue()).as("total_revenue"))
     }),
 
+    // TPC-H Q7 shape (volume shipping between a nation pair): 6-way join
+    // with a DISJUNCTIVE cross-nation condition, revenue per (supplier
+    // nation, customer nation, ship year)
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(dstr(revenue()).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    }),
+
     // TPC-H Q10 shape (returned-item revenue report): 4-way join, revenue
     // aggregation grouped on the wide customer key set, top 20. Revenue in
     // exact DECIMAL rendered to string; ordering ties broken by c_custkey.
@@ -610,6 +633,21 @@ object SparkEntry {
         |    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer
         |    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders""".stripMargin,
+
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  $revenueVarcharSql AS revenue
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
 
     "q10_returned_items" ->
       s"""SELECT c_custkey, c_name, CAST(rev AS VARCHAR) AS revenue,
