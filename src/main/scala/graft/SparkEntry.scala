@@ -334,6 +334,20 @@ object SparkEntry {
         .orderBy("d")
     }),
 
+    // lag() window: per-user inter-event gap in seconds (exact integer math
+    // on epoch micros; (user_id, ts, event_id) is a unique order so lag
+    // peers are deterministic in both engines)
+    "events_lag_delta" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("_us", unix_micros(col("ts")))
+        .withColumn("gap_s",
+          ((col("_us") - lag(col("_us"), 1).over(w)) / lit(1000000L)).cast("long"))
+        .select("user_id", "event_id", "gap_s")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ROWS-frame moving window (the frame type events_rolling_count's RANGE
     // frame doesn't cover): per-customer 3-order moving total, exact DECIMAL
     // rendered to string; (o_orderdate, o_orderkey) is a unique frame order
@@ -755,6 +769,13 @@ object SparkEntry {
         |FULL JOIN (SELECT l_shipdate AS d, CAST(COUNT(*) AS BIGINT) AS n_ships
         |      FROM lineitem GROUP BY 1) l USING (d)
         |ORDER BY d""".stripMargin,
+
+    "events_lag_delta" ->
+      """SELECT user_id, event_id,
+        |  CAST((epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) // 1000000
+        |    AS BIGINT) AS gap_s
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "window_moving_sum" ->
       """SELECT o_custkey, o_orderkey,
