@@ -312,6 +312,27 @@ object SparkEntry {
         .agg(dstr(sum(d2(col("l_quantity")))))
         .orderBy("l_linestatus")),
 
+    // UNPIVOT (stack): wide per-flag aggregates melted to (flag, metric,
+    // value) rows; values already string-rendered decimals
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(dstr(sum(d2(col("l_quantity")))).as("sum_qty"),
+          dstr(sum(d2(col("l_extendedprice")))).as("sum_price"))
+        .selectExpr("l_returnflag",
+          "stack(2, 'qty', sum_qty, 'price', sum_price) AS (metric, val)")
+        .orderBy("l_returnflag", "metric")),
+
+    // deterministic string aggregation: collect_list is order-nondeterministic
+    // under parallelism, so sort_array pins it — the portable equivalent of
+    // DuckDB's string_agg(... ORDER BY ...)
+    "q_string_agg" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(array_join(sort_array(collect_list(col("s_suppkey").cast("string"))), ",")
+          .as("supp_keys"))
+        .orderBy("s_nationkey")),
+
     "q_setops" -> ((s, dir) => {
       val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
@@ -750,6 +771,23 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS "N",
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS VARCHAR) AS "R"
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_qty,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'qty' AS metric, sum_qty AS val FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'price' AS metric, sum_price AS val FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT s_nationkey,
+        |  string_agg(CAST(s_suppkey AS VARCHAR), ','
+        |    ORDER BY CAST(s_suppkey AS VARCHAR)) AS supp_keys
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
 
     "q_setops" ->
       """SELECT nationkey, true AS both FROM
