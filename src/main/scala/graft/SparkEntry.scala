@@ -402,6 +402,17 @@ object SparkEntry {
         .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"), col("n"), col("sum_value"))),
 
+    // sliding event-time windows (1 h window, 30 min slide — every event in
+    // exactly 2 overlapping windows) via Spark's native window(); the oracle
+    // reconstructs the same windows as two 30-min-offset tumbling grids
+    "events_sliding_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dstr(sum(d2(col("value")))).as("sum_value"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")),
+
     "events_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -836,6 +847,17 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
         |FROM events GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY hr, event_type""".stripMargin,
+
+    "events_sliding_agg" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        | w AS (
+        |  SELECT (us // 1800000000) * 1800000000 AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (us // 1800000000) * 1800000000 - 1800000000 AS ws, event_type, value FROM e)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
