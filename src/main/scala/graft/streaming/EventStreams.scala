@@ -51,6 +51,19 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
       .select(col("window.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 30 minutes (each event in 2 overlapping
+    * windows) — the streaming twin of the batch events_sliding_agg query.
+    * State: one row per open (window, event_type); expired by the
+    * watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Streaming exact deduplication by event id with a watermark bounding the
     * dedup state — the streaming half of the dedup suite (ext/Dedup covers
     * batch). State holds only ids newer than the watermark. */

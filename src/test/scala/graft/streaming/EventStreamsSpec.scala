@@ -29,6 +29,23 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming sliding windows equal the batch sliding aggregation (AvailableNow)") {
+    val stream = EventStreams.slidingCounts(EventStreams.readEvents(spark, sf0001))
+    val q = stream.writeStream
+      .format("memory").queryName("sliding_test").outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sliding_test")
+      .selectExpr("date_format(w_start, 'yyyy-MM-dd HH:mm:ss') AS ws",
+        "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry.queries("events_sliding_agg")(spark, sf0001)
+      .selectExpr("w_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream windowed self-join equals the batch join (AvailableNow)") {
     import org.apache.spark.sql.functions._
     val joined = EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, sf0001))
