@@ -305,6 +305,47 @@ object SparkEntry {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q18 shape (large-volume orders): the group-by-HAVING subquery
+    // feeds a join back to orders+customer — aggregation as a join input,
+    // the "find heavy groups, then enrich them" pattern. The HAVING filter
+    // reduces the subquery to a tiny relation BEFORE the join (AQE can then
+    // broadcast it), so the expensive side is one lineitem aggregation.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(d2(col("l_quantity"))).as("_sq"))
+        .filter(col("_sq") > lit(300))
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+          dstr(d2(col("o_totalprice"))).as("total_price"),
+          dstr(col("_sq")).as("sum_qty"))
+        .orderBy("o_orderkey")
+    }),
+
+    // TPC-H Q19 shape (disjunctive predicate join): an OR-of-ANDs predicate
+    // spanning both join sides. Catalyst extracts the common join key as an
+    // equi-condition and keeps the disjunction as a post-join filter, while
+    // the part-only conjuncts (p_size >= 1) are pushed below the join — the
+    // point of the shape is that the plan stays a hash join, not a
+    // nested-loop over the OR.
+    "q19_disjunctive" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 35) &&
+            col("l_quantity").between(20, 30)))
+        .agg(dstr(revenue()).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -393,6 +434,50 @@ object SparkEntry {
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
     }),
+
+    // distribution-rank window functions (ntile / percent_rank / cume_dist):
+    // (c_acctbal, c_custkey) is a unique order within each segment, so ranks
+    // are tie-free and the derived doubles are single divisions of identical
+    // integers on both engines — bit-identical
+    "window_ntile" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy("c_custkey")
+    }),
+
+    // interval-point range join (see ext/Ranges.scala): 10-minute windows
+    // anchored at each purchase event, counting all events inside. Bucket
+    // width = interval length, so each interval lands in ≤2 buckets; the
+    // oracle runs the same join as a raw non-equi predicate (DuckDB IEJoin),
+    // independently checking the bucket decomposition.
+    "events_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val winUs = 600000000L // 10 min
+      val anchors = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(winUs)).as("e_us"))
+      val points = e.select(col("event_id").as("point_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+      graft.ext.Ranges.bucketedRangeJoin(points, "p_us", anchors, "s_us", "e_us", winUs)
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_events"),
+          dstr(sum(d2(col("value")))).as("sum_value"))
+        .orderBy("anchor_id")
+    }),
+
+    // KMV distinct-count sketch (see ext/Sketch.scala): deterministic given
+    // md5, so — unlike HLL — the ESTIMATE itself is oracle-checked, not just
+    // row counts. est_distinct is a double computed from identical hashes on
+    // both engines (exact 32-bit fraction), bit-identical.
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"), 64)),
 
     "events_tumbling_agg" -> ((s, dir) =>
       t(s, dir, "events")
@@ -775,6 +860,60 @@ object SparkEntry {
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_price,
+        |  CAST(sq AS VARCHAR) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      s"""SELECT $revenueVarcharSql AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "window_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "events_range_join" ->
+      """WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 600000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        | p AS (SELECT epoch_us(ts) AS p_us, value FROM events)
+        |SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM a JOIN p ON p.p_us >= a.s_us AND p.p_us < a.e_us
+        |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
+
+    "sketch_kmv_distinct" ->
+      """WITH hs AS (SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS h
+        |  FROM lineitem),
+        | mink AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+        | kth AS (SELECT max(h) AS kth_hash FROM mink),
+        | ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM hs)
+        |SELECT CAST(64 AS BIGINT) AS k, kth_hash,
+        |  63.0 / (('0x' || substring(kth_hash, 1, 8))::UBIGINT / 4294967296.0)
+        |    AS est_distinct,
+        |  exact_distinct
+        |FROM kth, ex""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch (Bar-Yossef et al. 2002,
+  * "Counting distinct elements in a data stream").
+  *
+  * Unlike HLL (Spark's `approx_count_distinct`), whose register layout is
+  * implementation-specific and therefore un-checkable across engines, KMV is
+  * DETERMINISTIC given the hash function: the estimate depends only on the
+  * k lexicographically smallest distinct md5 values, which DuckDB computes
+  * identically — so the sketch itself is oracle-checked bit-for-bit, not
+  * just smoke-tested. Estimator: with the k-th smallest of n uniform hashes
+  * at fraction v_k of the hash space, E[v_k] ≈ k/n, so n̂ = (k-1)/v_k (the
+  * unbiased form).
+  *
+  * Distributed shape: a bounded [[Aggregator]] whose state is the ≤k
+  * smallest distinct hashes seen by a partition — partial states are k-item
+  * arrays, so the reduction ships O(k) per map task regardless of input
+  * size; no global distinct/shuffle of the full key set ever happens. This
+  * is the same single-pass merge-of-bounded-states shape as
+  * [[graft.functions.TopKAgg]], and exactly how you'd sketch 100 TB: one
+  * narrow pass, one k-sized state per partition.
+  */
+object Sketch {
+
+  /** Bounded k-minimum-distinct-values aggregate: buffer = the ≤k smallest
+    * DISTINCT inputs, kept sorted ascending. */
+  class MinKDistinct(k: Int) extends Aggregator[String, Seq[String], Seq[String]] {
+    require(k > 0)
+    override def zero: Seq[String] = Seq.empty
+    override def reduce(buf: Seq[String], in: String): Seq[String] = {
+      // fast reject: full buffer and the candidate loses to the current max
+      if (in == null || (buf.size >= k && in >= buf.last)) buf
+      else if (buf.contains(in)) buf
+      else ((in +: buf).sorted).take(k)
+    }
+    override def merge(a: Seq[String], b: Seq[String]): Seq[String] =
+      (a ++ b).distinct.sorted.take(k)
+    override def finish(buf: Seq[String]): Seq[String] = buf
+    override def bufferEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]()
+    override def outputEncoder: Encoder[Seq[String]] = bufferEncoder
+  }
+
+  def minKDistinct(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MinKDistinct(k), org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+
+  /** Map a lowercase md5 hex string to its position in [0,1): the first 8
+    * hex digits as a 32-bit integer over 2^32. Exact in a double (32-bit
+    * value, 53-bit mantissa); DuckDB mirrors it as
+    * `('0x' || substring(h,1,8))::UBIGINT / 4294967296.0`. */
+  private def hashFraction(h: Column): Column =
+    conv(substring(h, 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+
+  /** One-row KMV distinct-count estimate of `key` over `df`, alongside the
+    * exact count for the differential check. Columns:
+    * k BIGINT, kth_hash STRING, est_distinct DOUBLE, exact_distinct BIGINT.
+    * (The exact count is for the oracle/demo; a production sketch would
+    * drop it — the estimate path alone never shuffles the key set.) */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val hashed = df.select(md5(key.cast("string")).as("h"))
+    hashed
+      .agg(minKDistinct(k)(col("h")).as("mins"),
+        countDistinct(col("h")).as("exact_distinct"))
+      .select(
+        lit(k.toLong).as("k"),
+        element_at(col("mins"), k).as("kth_hash"),
+        (lit((k - 1).toDouble) /
+          hashFraction(element_at(col("mins"), k))).as("est_distinct"),
+        col("exact_distinct").cast("long").as("exact_distinct"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("MinKDistinct keeps the k smallest distinct values through reduce and merge") {
+    val agg = new Sketch.MinKDistinct(3)
+    val buf = Seq("d", "b", "f", "b", "a", "z", "a")
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf == Seq("a", "b", "d"))
+    assert(agg.merge(Seq("a", "c", "e"), Seq("b", "c", "d")) == Seq("a", "b", "c"))
+    assert(agg.reduce(buf, null) == buf)
+  }
+
+  test("kmv estimate is within 3 relative standard errors of the truth") {
+    // n distinct keys, heavy duplication; RSE of KMV ≈ 1/sqrt(k-2)
+    val n = 2000
+    val k = 64
+    val df = spark.range(n * 5).select((col("id") % n).as("key"))
+    val row = Sketch.kmvDistinct(df.toDF(), col("key"), k).collect().head
+    val est = row.getAs[Double]("est_distinct")
+    val exact = row.getAs[Long]("exact_distinct")
+    assert(exact == n)
+    val rse = 1.0 / math.sqrt(k - 2)
+    assert(math.abs(est - n) / n < 3 * rse, s"est=$est exact=$exact")
+  }
+
+  test("estimate is exact-input deterministic: partitioning does not change it") {
+    val df = spark.range(5000).select((col("id") % 777).as("key")).toDF()
+    val a = Sketch.kmvDistinct(df.repartition(1), col("key"), 32).collect().head
+    val b = Sketch.kmvDistinct(df.repartition(13), col("key"), 32).collect().head
+    assert(a == b)
+  }
+
+  test("kth_hash is null when there are fewer than k distinct keys") {
+    val df = spark.range(10).toDF()
+    val row = Sketch.kmvDistinct(df, col("id"), 64).collect().head
+    assert(row.isNullAt(row.fieldIndex("kth_hash")))
+    assert(row.getAs[Long]("exact_distinct") == 10L)
+  }
+}
