@@ -58,13 +58,20 @@ object Sketch {
   /** One-row KMV distinct-count estimate of `key` over `df`, alongside the
     * exact count for the differential check. Columns:
     * k BIGINT, kth_hash STRING, est_distinct DOUBLE, exact_distinct BIGINT.
-    * (The exact count is for the oracle/demo; a production sketch would
-    * drop it — the estimate path alone never shuffles the key set.) */
+    *
+    * The two aggregates are computed in SEPARATE passes joined at the end,
+    * deliberately: combining a distinct aggregate with the sketch in one
+    * `agg` makes Spark plan the expand/distinct path — hash-shuffling the
+    * ENTIRE distinct key set, which is exactly what the sketch exists to
+    * avoid. Alone, the sketch plan is partial_minkdistinct per partition →
+    * one k-sized state per task → SinglePartition merge: O(k) shuffled
+    * bytes per task regardless of input size. (The exact count is the
+    * demo/differential side; a production sketch would drop it.) */
   def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
     val hashed = df.select(md5(key.cast("string")).as("h"))
-    hashed
-      .agg(minKDistinct(k)(col("h")).as("mins"),
-        countDistinct(col("h")).as("exact_distinct"))
+    val sk = hashed.agg(minKDistinct(k)(col("h")).as("mins"))
+    val ex = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
+    sk.crossJoin(ex)
       .select(
         lit(k.toLong).as("k"),
         element_at(col("mins"), k).as("kth_hash"),
