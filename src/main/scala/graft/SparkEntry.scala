@@ -192,6 +192,61 @@ object SparkEntry {
           |ORDER BY o.o_orderkey""".stripMargin)
     }),
 
+    // correlated EXISTS / NOT EXISTS (SQL surface): Catalyst decorrelates
+    // both to one semi and one anti join on s_suppkey — no per-row subquery
+    // execution survives in the plan
+    "q_exists_correlated" -> ((s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("exc_supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("exc_lineitem")
+      s.sql(
+        """SELECT s_suppkey, s_nationkey FROM exc_supplier s
+          |WHERE EXISTS (SELECT 1 FROM exc_lineitem l
+          |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 48)
+          |  AND NOT EXISTS (SELECT 1 FROM exc_lineitem l2
+          |                  WHERE l2.l_suppkey = s.s_suppkey
+          |                    AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49.5)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // NOT IN over a nullable subquery column: Spark's only correct plan is
+    // the broadcast null-aware anti join (three-valued NOT IN semantics
+    // can't be a plain hash anti join unless non-nullability is proven)
+    "q_not_in_nullaware" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("nin_orders")
+      t(s, dir, "customer").createOrReplaceTempView("nin_customer")
+      s.sql(
+        """SELECT o_orderkey, o_custkey FROM nin_orders
+          |WHERE o_custkey NOT IN
+          |  (SELECT c_custkey FROM nin_customer WHERE c_acctbal > 9000)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // LATERAL correlated subquery with LIMIT (top-2 suppliers per nation):
+    // Catalyst decorrelates the per-row LIMIT into a ranked window join
+    "q_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("lat_nation")
+      t(s, dir, "supplier").createOrReplaceTempView("lat_supplier")
+      s.sql(
+        """SELECT n_nationkey, t.s_suppkey FROM lat_nation n,
+          |LATERAL (SELECT s_suppkey FROM lat_supplier s
+          |         WHERE s.s_nationkey = n.n_nationkey
+          |         ORDER BY s_suppkey LIMIT 2) t
+          |ORDER BY n_nationkey, s_suppkey""".stripMargin)
+    }),
+
+    // SQL-standard aggregate FILTER clause (selective aggregation without
+    // CASE scaffolding); one scan, one aggregation
+    "q_agg_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("af_lineitem")
+      s.sql(
+        """SELECT l_linestatus,
+          |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+          |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+          |    FILTER (WHERE l_tax > 0.04) AS STRING) AS qty_taxed
+          |FROM af_lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    }),
+
     "q_rollup" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
@@ -860,6 +915,36 @@ object SparkEntry {
         |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_exists_correlated" ->
+      """SELECT s_suppkey, s_nationkey FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 48)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+        |                  WHERE l2.l_suppkey = s.s_suppkey
+        |                    AND l2.l_returnflag = 'R' AND l2.l_quantity >= 49.5)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_not_in_nullaware" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_lateral_topn" ->
+      """SELECT n_nationkey, t.s_suppkey FROM nation n,
+        |LATERAL (SELECT s_suppkey FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_suppkey LIMIT 2) t
+        |ORDER BY n_nationkey, s_suppkey""".stripMargin,
+
+    "q_agg_filter" ->
+      """SELECT l_linestatus,
+        |  CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS n_returned,
+        |  CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    FILTER (WHERE l_tax > 0.04) AS VARCHAR) AS qty_taxed
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q18_large_orders" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS odate,
