@@ -118,6 +118,34 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Interval range join CHAINED into a windowed aggregation in ONE
+    * streaming query — multiple stateful operators (Spark 3.5+): each
+    * purchase anchor joins the same user's events in the following 10
+    * minutes (the symmetric hash join requires an equi-key, so the interval
+    * is keyed by user; the event-time range bounds join state), and the
+    * matches then aggregate per anchor inside a 10-minute event-time window
+    * so the aggregation state is watermark-expired too. The batch twin is
+    * ext/Ranges.bucketedRangeJoin + the user-key filter; EventStreamsSpec
+    * proves equivalence on all watermark-finalized windows. */
+  def rangeJoinCounts(events: DataFrame): DataFrame = {
+    val anchors = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("a_user"), col("event_id").as("anchor_id"),
+        col("ts").as("a_ts"))
+      .withWatermark("a_ts", "10 minutes")
+    val points = events
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "10 minutes")
+    points.join(anchors,
+        col("p_user") === col("a_user") &&
+          col("p_ts") >= col("a_ts") &&
+          col("p_ts") < col("a_ts") + expr("INTERVAL 10 MINUTES"))
+      .groupBy(window(col("a_ts"), "10 minutes"), col("anchor_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+      .select(col("window.end").as("w_end"), col("anchor_id"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Gap-based sessionization in streaming mode via session_window (30 min
     * inactivity gap) — the streaming analog of the batch events_sessionize. */
   def sessionWindows(events: DataFrame): DataFrame =

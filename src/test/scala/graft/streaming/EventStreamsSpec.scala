@@ -73,6 +73,45 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("chained stateful ops: interval join + windowed agg equals the batch range join on finalized windows") {
+    import org.apache.spark.sql.functions._
+    val stream = EventStreams.rangeJoinCounts(EventStreams.readEvents(spark, sf0001))
+    val q = stream.writeStream
+      .format("memory").queryName("rangejoin_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    val winUs = 600000000L
+    val anchors = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("anchor_id"), col("user_id").as("a_user"),
+        unix_micros(col("ts")).as("s_us"),
+        (unix_micros(col("ts")) + lit(winUs)).as("e_us"))
+    val points = ev.select(col("user_id").as("p_user"),
+      unix_micros(col("ts")).as("p_us"), col("value"))
+    val batchAll = graft.ext.Ranges
+      .bucketedRangeJoin(points, "p_us", anchors, "s_us", "e_us", winUs)
+      .where(col("p_user") === col("a_user"))
+      .groupBy("anchor_id", "s_us")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("sv"))
+
+    // append mode only emits watermark-finalized windows; restrict BOTH
+    // sides to anchors whose 10-min window closed well before stream end
+    val cutoffUs = anchors.agg(max("s_us")).head.getLong(0) - 3600000000L
+    val batch = batchAll
+      .where((floor(col("s_us") / winUs) + 1) * winUs <= cutoffUs)
+      .selectExpr("anchor_id", "n", "CAST(sv AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+    val streamed = spark.table("rangejoin_test")
+      .where(unix_micros(col("w_end")) <= cutoffUs)
+      .selectExpr("anchor_id", "n_events", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+
+    assert(batch.nonEmpty, "fixture should contain finalized anchor windows")
+    assert(streamed == batch)
+  }
+
   test("stream-static enrichment join equals the batch join") {
     import org.apache.spark.sql.functions._
     val users = graft.etl.IngestOps.table(spark, sf0001, "events")
