@@ -30,7 +30,12 @@ final case class EngineConfig(
     dedupMinBlockForCap: Int = graft.ext.Dedup.MinBlockForCap,
     lshSaltBuckets: Int = graft.ext.Dedup.DefaultSaltBuckets,
     srpPairTables: Int = graft.ext.Similarity.PairTables,
-    srpPairBitsPerTable: Int = graft.ext.Similarity.PairBitsPerTable) {
+    srpPairBitsPerTable: Int = graft.ext.Similarity.PairBitsPerTable,
+    // interval-length-scaled bucket width for ext/Ranges.bucketedRangeJoin
+    // and the RangeJoinBucketing optimizer rule (µs); 0 = caller supplies
+    rangeJoinBucketUs: Long = 0L,
+    // k-minimum-values sketch width (ext/Sketch); RSE ≈ 1/sqrt(k-2)
+    sketchK: Int = 64) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -49,6 +54,9 @@ final case class EngineConfig(
     require(srpPairTables > 0, s"srpPairTables must be > 0, got $srpPairTables")
     require(srpPairBitsPerTable > 0 && srpPairBitsPerTable <= 62,
       s"srpPairBitsPerTable must be in [1, 62], got $srpPairBitsPerTable")
+    require(rangeJoinBucketUs >= 0,
+      s"rangeJoinBucketUs must be >= 0 (0 = caller supplies), got $rangeJoinBucketUs")
+    require(sketchK >= 3, s"sketchK must be >= 3, got $sketchK")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json").contains(fmt), s"unknown format '$format'")
     // outputPath required unless CSV (which derives chunk names from input;

@@ -67,6 +67,10 @@ object Sketch {
     * one k-sized state per task → SinglePartition merge: O(k) shuffled
     * bytes per task regardless of input size. (The exact count is the
     * demo/differential side; a production sketch would drop it.) */
+  /** Config-tuned entry point (EngineConfig.sketchK). */
+  def kmvDistinct(df: DataFrame, key: Column, cfg: graft.etl.EngineConfig): DataFrame =
+    kmvDistinct(df, key, cfg.sketchK)
+
   def kmvDistinct(df: DataFrame, key: Column, k: Int): DataFrame = {
     val hashed = df.select(md5(key.cast("string")).as("h"))
     val sk = hashed.agg(minKDistinct(k)(col("h")).as("mins"))

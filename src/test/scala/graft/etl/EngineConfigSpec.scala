@@ -37,5 +37,10 @@ class EngineConfigSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ok.copy(lshSaltBuckets = 0).validate())
     intercept[IllegalArgumentException](ok.copy(srpPairTables = 0).validate())
     intercept[IllegalArgumentException](ok.copy(srpPairBitsPerTable = 63).validate())
+    assert(ok.rangeJoinBucketUs == 0L) // caller supplies unless configured
+    assert(ok.sketchK == 64)
+    ok.copy(rangeJoinBucketUs = 600000000L, sketchK = 128).validate()
+    intercept[IllegalArgumentException](ok.copy(rangeJoinBucketUs = -1L).validate())
+    intercept[IllegalArgumentException](ok.copy(sketchK = 2).validate())
   }
 }
