@@ -534,6 +534,12 @@ object SparkEntry {
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"), 64)),
 
+    // grouped sketch: one KMV estimate per document source (k=16); groups
+    // with < k distinct texts yield null estimate on both engines
+    "sketch_kmv_by_source" -> ((s, dir) =>
+      graft.ext.Sketch.kmvDistinctBy(t(s, dir, "documents"), "source", col("text"), 16)
+        .orderBy("source")),
+
     "events_tumbling_agg" -> ((s, dir) =>
       t(s, dir, "events")
         .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
@@ -999,6 +1005,21 @@ object SparkEntry {
         |    AS est_distinct,
         |  exact_distinct
         |FROM kth, ex""".stripMargin,
+
+    "sketch_kmv_by_source" ->
+      """WITH hs AS (SELECT DISTINCT source, md5(text) AS h FROM documents),
+        | ranked AS (SELECT source, h,
+        |   row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+        | mink AS (SELECT source,
+        |   CASE WHEN count(*) >= 16 THEN max(h) END AS kth_hash
+        |   FROM ranked WHERE rn <= 16 GROUP BY source),
+        | ex AS (SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+        |   FROM hs GROUP BY source)
+        |SELECT m.source, CAST(16 AS BIGINT) AS k, kth_hash,
+        |  15.0 / (('0x' || substring(kth_hash, 1, 8))::UBIGINT / 4294967296.0)
+        |    AS est_distinct,
+        |  exact_distinct
+        |FROM mink m JOIN ex USING (source) ORDER BY source""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_linestatus,

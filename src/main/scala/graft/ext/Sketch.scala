@@ -67,6 +67,24 @@ object Sketch {
     * one k-sized state per task → SinglePartition merge: O(k) shuffled
     * bytes per task regardless of input size. (The exact count is the
     * demo/differential side; a production sketch would drop it.) */
+  /** Grouped KMV: one estimate row per group — the Aggregator runs in
+    * grouped mode, so partial states are (group, ≤k hashes) pairs and the
+    * shuffle carries O(k) per group per map task (vs the full per-group key
+    * sets a grouped exact distinct moves). Groups with fewer than k
+    * distinct keys report null kth_hash/estimate (k-th order statistic
+    * undefined); the oracle mirrors this with a count guard. */
+  def kmvDistinctBy(df: DataFrame, group: String, key: Column, k: Int): DataFrame = {
+    val hashed = df.select(col(group), md5(key.cast("string")).as("h"))
+    val sk = hashed.groupBy(group).agg(minKDistinct(k)(col("h")).as("mins"))
+    val ex = hashed.groupBy(group).agg(countDistinct(col("h")).as("exact_distinct"))
+    sk.join(ex, Seq(group))
+      .select(col(group), lit(k.toLong).as("k"),
+        element_at(col("mins"), k).as("kth_hash"),
+        (lit((k - 1).toDouble) /
+          hashFraction(element_at(col("mins"), k))).as("est_distinct"),
+        col("exact_distinct").cast("long").as("exact_distinct"))
+  }
+
   /** Config-tuned entry point (EngineConfig.sketchK). */
   def kmvDistinct(df: DataFrame, key: Column, cfg: graft.etl.EngineConfig): DataFrame =
     kmvDistinct(df, key, cfg.sketchK)

@@ -37,6 +37,23 @@ class SketchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("grouped kmv estimates each group within 3 RSE; small groups go null") {
+    val k = 128
+    val df = spark.range(20000).select(
+      when(col("id") < 10000, "a").otherwise("b").as("g"),
+      // group a: 2000 distinct; group b: 10 distinct (< k -> null estimate)
+      when(col("id") < 10000, col("id") % 2000).otherwise(col("id") % 10).as("key"))
+    val rows = Sketch.kmvDistinctBy(df, "g", col("key"), k)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    val rse = 1.0 / math.sqrt(k - 2)
+    assert(a.getAs[Long]("exact_distinct") == 2000)
+    assert(math.abs(a.getAs[Double]("est_distinct") - 2000) / 2000 < 3 * rse)
+    val b = rows("b")
+    assert(b.isNullAt(b.fieldIndex("kth_hash")) && b.isNullAt(b.fieldIndex("est_distinct")))
+    assert(b.getAs[Long]("exact_distinct") == 10)
+  }
+
   test("kth_hash is null when there are fewer than k distinct keys") {
     val df = spark.range(10).toDF()
     val row = Sketch.kmvDistinct(df, col("id"), 64).collect().head
