@@ -684,6 +684,28 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang", "source"),
         "lang", "doc_id", 20).orderBy("doc_id")),
 
+    // weighted corpus mixing: src0 gets 2x the share of every other source,
+    // every group downsampled deterministically (hash-ordered rank)
+    "sample_mix_weighted" -> ((s, dir) =>
+      graft.ext.Pipelines.mixSources(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id",
+        when(col("source") === "src0", 2.0).otherwise(1.0))
+        .select("doc_id", "source", "sample_rank").orderBy("doc_id")),
+
+    // Gopher-style duplicate-3-gram repetition signal per doc
+    "text_repetition" -> ((s, dir) =>
+      graft.ext.TextOps.repetition(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // benchmark decontamination: drop docs sharing any 5-token shingle with
+    // the src0 "benchmark" corpus
+    "text_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ext.TextOps.decontaminate(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
     "pipeline_corpus" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1169,6 +1191,10 @@ object SparkEntry {
     "dedup_minhash_shingles" -> Dedup.minhashShinglesSqlDuck(),
     "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
+    "sample_mix_weighted" -> graft.ext.Pipelines.mixSourcesSqlDuck(
+      "source", "doc_id", "src0", "documents", "doc_id, source"),
+    "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
+    "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck)

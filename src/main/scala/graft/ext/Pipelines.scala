@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation — the composition the north star asks
@@ -47,6 +47,46 @@ object Pipelines {
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= n).drop("_rn")
   }
+
+  /** Weighted corpus mixing (domain balancing): downsample each group so
+    * the surviving mix matches the given per-group weights with maximum
+    * retention — target_g = floor(scale · w_g) with scale = min_g(n_g/w_g),
+    * so the most-constraining group is kept whole. Selection inside a group
+    * is the same hash-ordered deterministic rank as [[stratifiedSample]]
+    * (no RNG, partitioning-invariant, identical in the oracle). Shuffles:
+    * one tiny groupBy for counts (broadcast back), one rank shuffle keyed
+    * by the group — the target count rides in as a broadcast column. */
+  def mixSources(df: DataFrame, groupCol: String, keyCol: String,
+      weight: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", weight)
+    val scale = counts.agg(min(col("_n") / col("_w")).as("_scale"))
+    val tgt = counts.crossJoin(broadcast(scale))
+      .select(col(groupCol), floor(col("_scale") * col("_w")).cast("long").as("_tgt"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .join(broadcast(tgt), Seq(groupCol))
+      .where(col("sample_rank") <= col("_tgt"))
+      .drop("_tgt")
+  }
+
+  /** DuckDB oracle twin of [[mixSources]] with weight 2.0 for `boosted`,
+    * 1.0 otherwise. */
+  def mixSourcesSqlDuck(groupCol: String, keyCol: String, boosted: String,
+      table: String, cols: String): String =
+    s"""WITH counts AS (SELECT $groupCol, count(*) AS n,
+       |    CASE WHEN $groupCol = '$boosted' THEN 2.0 ELSE 1.0 END AS w
+       |  FROM $table GROUP BY $groupCol),
+       | scale AS (SELECT min(n / w) AS s FROM counts),
+       | tgt AS (SELECT $groupCol, CAST(floor(s * w) AS BIGINT) AS t
+       |   FROM counts, scale),
+       | rk AS (SELECT $cols, CAST(row_number() OVER (
+       |     PARTITION BY $groupCol ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol)
+       |   AS BIGINT) AS sample_rank FROM $table)
+       |SELECT $cols, sample_rank FROM rk JOIN tgt USING ($groupCol)
+       |WHERE sample_rank <= t ORDER BY $keyCol""".stripMargin
 
   def stratifiedSampleSqlDuck(stratumCol: String, keyCol: String, n: Int,
       table: String, cols: String): String =

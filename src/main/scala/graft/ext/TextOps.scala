@@ -199,7 +199,85 @@ object TextOps {
        |    '$SpaceRunPattern', ' ', 'g')), 1, $maxChars) AS cleaned
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signal (Rae et al. 2021 §A1.1: fraction of
+    * duplicated n-grams): per-doc shingle totals, distinct count, the top
+    * shingle's multiplicity, and dup_ratio = (n - distinct) / n. Highly
+    * repetitive (boilerplate / degenerate) docs score high and get filtered
+    * upstream of training. Two keyed aggregations — (doc, shingle) counts
+    * collapse map-side, then per-doc stats; shuffle ∝ distinct shingles,
+    * never all-pairs. Docs with < w tokens have no shingles: all-zero row. */
+  def repetition(docs: DataFrame, w: Int = 3): DataFrame = {
+    val cnts = Dedup.shingles(docs, w)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("_c"))
+    val stats = cnts.groupBy("doc_id").agg(
+      sum("_c").cast("long").as("n_shingles"),
+      count(lit(1)).cast("long").as("n_distinct"),
+      max("_c").cast("long").as("max_rep"))
+    docs.select("doc_id").join(stats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"),
+        when(col("n_shingles") > 0,
+          (col("n_shingles") - col("n_distinct")).cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+  }
+
+  /** Benchmark decontamination: drop every candidate doc sharing ANY
+    * w-token shingle with the benchmark corpus — the standard test-set
+    * leakage guard for training data. Shape: distinct (doc, shingle-hash)
+    * against a distinct benchmark shingle-hash set, equi-join on the hash,
+    * then one anti join — all keyed shuffles, benchmark side dedup'd
+    * first so a ubiquitous shingle costs its candidate fan-out only once. */
+  def decontaminate(candidates: DataFrame, benchmark: DataFrame, w: Int = 5): DataFrame = {
+    val candSh = Dedup.shingles(candidates, w)
+      .select(col("doc_id"), md5(col("tok")).as("_h")).distinct()
+    val benchSh = Dedup.shingles(benchmark, w)
+      .select(md5(col("tok")).as("_h")).distinct()
+    val bad = candSh.join(benchSh, "_h").select("doc_id").distinct()
+    candidates.join(bad, Seq("doc_id"), "left_anti")
+  }
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
+
+  /** Ordered w-shingle CTE body (lead-based; incomplete tail shingles null
+    * out — mirrors Dedup.shingles). Yields rows (doc_id, source, s). */
+  private def shingleCtesDuck(w: Int, where: String): String = {
+    val parts = ("tok" +: (1 until w).map(j =>
+      s"lead(tok, $j) OVER (PARTITION BY doc_id ORDER BY i)")).mkString(" || ' ' || ")
+    s"""SELECT doc_id, source, $parts AS s FROM (
+       |  SELECT doc_id, source, unnest(tks) AS tok, generate_subscripts(tks, 1) AS i
+       |  FROM (SELECT doc_id, source, ${tokensSqlDuck("text")} AS tks
+       |        FROM documents $where))""".stripMargin
+  }
+
+  def repetitionSqlDuck(w: Int = 3): String =
+    s"""WITH sh AS (${shingleCtesDuck(w, "")}),
+       | c AS (SELECT doc_id, s, count(*) AS c FROM sh WHERE s IS NOT NULL
+       |       GROUP BY doc_id, s),
+       | st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+       |        CAST(count(*) AS BIGINT) AS n_distinct,
+       |        CAST(max(c) AS BIGINT) AS max_rep FROM c GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_shingles, 0) AS n_shingles,
+       |  coalesce(n_distinct, 0) AS n_distinct, coalesce(max_rep, 0) AS max_rep,
+       |  CASE WHEN coalesce(n_shingles, 0) > 0
+       |    THEN CAST(n_shingles - n_distinct AS DOUBLE) / n_shingles
+       |    ELSE 0.0 END AS dup_ratio
+       |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  def decontaminateSqlDuck(benchSource: String, w: Int = 5): String =
+    s"""WITH shc AS (SELECT DISTINCT doc_id, md5(s) AS h
+       |   FROM (${shingleCtesDuck(w, s"WHERE source <> '$benchSource'")})
+       |   WHERE s IS NOT NULL),
+       | shb AS (SELECT DISTINCT md5(s) AS h
+       |   FROM (${shingleCtesDuck(w, s"WHERE source = '$benchSource'")})
+       |   WHERE s IS NOT NULL),
+       | bad AS (SELECT DISTINCT doc_id FROM shc JOIN shb USING (h))
+       |SELECT doc_id, source FROM documents
+       |WHERE source <> '$benchSource'
+       |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
 
   def tokensSqlDuck(textCol: String): String =
     s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)"

@@ -34,4 +34,24 @@ class PipelinesSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 3L)) // 2 = dup of 1; 4 = wrong language
   }
+
+  test("mixSources: smallest-constrained group kept whole, boosted group gets 2x share") {
+    import org.apache.spark.sql.functions._
+    // a: 100 docs, b: 40, c: 25. weights: a=2, others=1.
+    // scale = min(100/2, 40/1, 25/1) = 25 -> targets a=50, b=25, c=25.
+    val df = spark.range(165).select(
+      when(col("id") < 100, "a").when(col("id") < 140, "b").otherwise("c").as("g"),
+      col("id").as("k"))
+    val out = Pipelines.mixSources(df, "g", "k",
+      when(col("g") === "a", 2.0).otherwise(1.0))
+    val counts = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 50L, "b" -> 25L, "c" -> 25L))
+    // deterministic: repartitioning does not change the selection
+    val ids1 = out.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Pipelines.mixSources(df.repartition(7), "g", "k",
+      when(col("g") === "a", 2.0).otherwise(1.0))
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+  }
 }

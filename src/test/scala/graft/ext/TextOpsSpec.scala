@@ -90,4 +90,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out((2L, 1L)) == ("other", 6.0))
     assert(out.size == 6) // k=2 per doc, 3 docs
   }
+
+  test("repetition: duplicate 3-grams counted; short docs all-zero") {
+    val d = docs(
+      (1L, "a b c a b c a b c"),   // 7 shingles, 3 distinct (abc,bca,cab), max 3
+      (2L, "one two three four"),  // 2 shingles, both distinct
+      (3L, "too short"))           // < 3 tokens: no shingles
+    val out = TextOps.repetition(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(out(1L) == ((7L, 3L, 3L, 4.0 / 7)))
+    assert(out(2L) == ((2L, 2L, 1L, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0)))
+  }
+
+  test("decontaminate: drops exactly the candidates sharing a 5-shingle with the benchmark") {
+    val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
+    val cand = docs(
+      (1L, "prefix words alpha beta gamma delta epsilon suffix"), // shares 5-gram
+      (2L, "alpha beta gamma delta unrelated epsilon"),           // only 4-gram runs
+      (3L, "completely different text with many words here"))
+    val kept = TextOps.decontaminate(cand, bench, w = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 3L))
+  }
 }
