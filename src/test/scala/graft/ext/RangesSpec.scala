@@ -47,6 +47,25 @@ class RangesSpec extends AnyFunSuite {
       s"range join planned as a product:\n$plan")
   }
 
+  test("property: random intervals/points/widths always equal the naive theta join") {
+    val rnd = new scala.util.Random(13)
+    for (round <- 1 to 4) {
+      val ivs = (1 to 30).map { i =>
+        val s = rnd.nextInt(1000).toLong
+        (i.toLong, s, s + rnd.nextInt(120).toLong) // incl. empty intervals
+      }.toDF("iv_id", "s", "e")
+      val pts = (1 to 80).map(i => (i.toLong, rnd.nextInt(1100).toLong))
+        .toDF("pt_id", "p")
+      val expect = pts.crossJoin(ivs).where($"p" >= $"s" && $"p" < $"e")
+        .select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+      val w = rnd.nextInt(200).toLong + 1
+      val got = Ranges.bucketedRangeJoin(pts, "p", ivs, "s", "e", w)
+        .select("iv_id", "pt_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"round=$round w=$w: duplicates")
+      assert(got.toSet == expect, s"round=$round w=$w")
+    }
+  }
+
   test("column collisions and non-positive widths are rejected") {
     intercept[IllegalArgumentException] {
       Ranges.bucketedRangeJoin(points, "p", points, "p", "p", 10L)

@@ -17,6 +17,21 @@ class SketchSpec extends AnyFunSuite {
     assert(agg.reduce(buf, null) == buf)
   }
 
+  test("property: MinKDistinct reduce-in-any-order equals sorted-distinct-take-k") {
+    val rnd = new scala.util.Random(19)
+    val agg = new Sketch.MinKDistinct(8)
+    for (round <- 1 to 6) {
+      val xs = Seq.fill(rnd.nextInt(60) + 1)(s"v${rnd.nextInt(30)}")
+      val expect = xs.distinct.sorted.take(8)
+      // arbitrary reduce order
+      assert(rnd.shuffle(xs).foldLeft(agg.zero)(agg.reduce) == expect, s"round=$round")
+      // arbitrary partition split + merge
+      val parts = xs.grouped(rnd.nextInt(10) + 1)
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+      assert(parts.reduce(agg.merge) == expect, s"round=$round merge")
+    }
+  }
+
   test("kmv estimate is within 3 relative standard errors of the truth") {
     // n distinct keys, heavy duplication; RSE of KMV ≈ 1/sqrt(k-2)
     val n = 2000
