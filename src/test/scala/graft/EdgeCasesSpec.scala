@@ -86,4 +86,29 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(IngestOps.allString(empty).count() == 0)
     assert(IngestOps.dropEmptyRows(IngestOps.blanksForNulls(empty)).count() == 0)
   }
+
+  test("range join, sketch, mixing, repetition, decontamination on empty inputs") {
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("iv_id", "s", "e")
+    val emptyPt = Seq.empty[(Long, Long)].toDF("pt_id", "p")
+    val pts = Seq((1L, 5L)).toDF("pt_id", "p")
+    val ivs = Seq((1L, 0L, 10L)).toDF("iv_id", "s", "e")
+    assert(graft.ext.Ranges.bucketedRangeJoin(emptyPt, "p", ivs, "s", "e", 10L).count() == 0)
+    assert(graft.ext.Ranges.bucketedRangeJoin(pts, "p", emptyIv, "s", "e", 10L).count() == 0)
+
+    val emptyKeys = Seq.empty[Long].toDF("k")
+    val sk = graft.ext.Sketch.kmvDistinct(emptyKeys, col("k"), 4).collect().head
+    assert(sk.isNullAt(sk.fieldIndex("kth_hash")) &&
+      sk.getAs[Long]("exact_distinct") == 0L)
+    assert(graft.ext.Sketch.kmvDistinctBy(
+      emptyDocs, "source", col("text"), 4).count() == 0)
+
+    assert(graft.ext.Pipelines.mixSources(
+      emptyDocs, "source", "doc_id", lit(1.0)).count() == 0)
+    assert(TextOps.repetition(emptyDocs).count() == 0)
+    assert(TextOps.decontaminate(emptyDocs, emptyDocs).count() == 0)
+    // empty benchmark: nothing is contaminated, all candidates survive
+    val cand = Seq((1L, "some words in a document right here", "en", 35L, "s"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    assert(TextOps.decontaminate(cand, emptyDocs).count() == 1)
+  }
 }
