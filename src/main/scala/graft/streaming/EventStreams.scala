@@ -156,6 +156,13 @@ object EventStreams {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"), col("n_events"))
 
+  /** Stream-static ANTI join: drop every event whose user appears in a
+    * static blocklist — the streaming form of the curation/PII gate
+    * (static side broadcast per micro-batch, no streaming state at all).
+    * Complements the stream-static INNER enrichment join in the spec. */
+  def filterBlocklisted(events: DataFrame, blocklist: DataFrame): DataFrame =
+    events.join(blocklist, events("user_id") === blocklist("blocked_user"), "left_anti")
+
   /** Stream → reference NDJSON sink (K1): every micro-batch appends through
     * `etl.Sinks.ndjson` via foreachBatch, closing the loop from the
     * streaming extension back to the reference's sink surface (all-string

@@ -129,6 +129,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch && streamed > 0)
   }
 
+  test("stream-static anti join (blocklist) equals the batch anti join") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    // block the 5 most active users — guarantees both dropped and kept rows
+    val blocklist = ev.groupBy("user_id").count()
+      .orderBy(col("count").desc, col("user_id")).limit(5)
+      .select(col("user_id").as("blocked_user"))
+    val q = EventStreams.filterBlocklisted(
+        EventStreams.readEvents(spark, sf0001), blocklist)
+      .select("event_id")
+      .writeStream.format("memory").queryName("blocklist_test").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("blocklist_test")
+      .collect().map(_.getLong(0)).toSet
+    val batch = EventStreams.filterBlocklisted(ev, blocklist)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val total = ev.count()
+    assert(batch.nonEmpty && batch.size < total, "blocklist must drop some but not all")
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState per-user totals equal the batch aggregation") {
     import org.apache.spark.sql.functions._
     val stateful = EventStreams.userTotalsState(EventStreams.readEvents(spark, sf0001))
