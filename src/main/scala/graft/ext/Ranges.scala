@@ -57,7 +57,9 @@ object Ranges {
 
     def bkt(c: Column): Column = floor(c / lit(bucketUs)).cast("long")
 
-    val iv = intervals.withColumn("__bkt",
+    // degenerate intervals (end <= start) match nothing; dropping them before
+    // the explode avoids sequence() descending into spurious buckets
+    val iv = intervals.where(col(endUs) > col(startUs)).withColumn("__bkt",
       explode(sequence(bkt(col(startUs)), bkt(col(endUs) - lit(1L)))))
     val pt = points.withColumn("__bkt", bkt(col(pointUs)))
 

@@ -76,12 +76,16 @@ case class RangeJoinBucketing() extends Rule[LogicalPlan] {
     val pts = Project(points.output :+ pBkt, points)
 
     val ivBkt = AttributeReference("__iv_bkt", LongType)()
+    // degenerate intervals (e <= s) match nothing but MUST NOT reach the
+    // explode: sequence(start, stop, 1) THROWS when stop < start (an empty
+    // interval one bucket back), so filter them out first
+    val nonEmpty = Filter(GreaterThan(e, s), intervals)
     // timeZoneId must be pinned here: Sequence is TimeZoneAwareExpression and
     // stays UNRESOLVED with None — the optimizer never re-runs ResolveTimeZone
     val gen = Explode(Sequence(bkt(s), bkt(Subtract(e, Literal(1L, LongType))),
       Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone)))
     val ivs = Generate(gen, unrequiredChildIndex = Nil, outer = false,
-      qualifier = None, generatorOutput = Seq(ivBkt), child = intervals)
+      qualifier = None, generatorOutput = Seq(ivBkt), child = nonEmpty)
 
     // keep the original child order so downstream attribute expectations and
     // any join hint sides still line up

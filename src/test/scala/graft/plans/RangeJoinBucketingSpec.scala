@@ -7,8 +7,10 @@ import graft.SparkTestSession.spark
 class RangeJoinBucketingSpec extends AnyFunSuite {
   import spark.implicits._
 
-  private val iv = Seq((1L, 100L, 200L), (2L, 150L, 160L), (3L, 190L, 410L))
-    .toDF("iv_id", "s", "e")
+  // (4) is an empty interval: must not throw in the rewritten sequence()
+  // and must match nothing
+  private val iv = Seq((1L, 100L, 200L), (2L, 150L, 160L), (3L, 190L, 410L),
+    (4L, 500L, 500L)).toDF("iv_id", "s", "e")
   private val pt = Seq((10L, 99L), (11L, 100L), (12L, 155L), (13L, 199L),
     (14L, 200L), (15L, 409L), (16L, 410L)).toDF("pt_id", "p")
 
