@@ -50,17 +50,32 @@ object Bench {
     // Best-of-N per query: identical code measured in consecutive rounds has
     // shown up to 4x swings on individual join queries (GC / run-order / JIT
     // noise at these sub-second scales); min-of-2 reports the plan's cost,
-    // not the noise.
-    val results = names.map { name =>
-      val ts = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => -1L }
-        finally graft.etl.CacheRegistry.releaseAll()
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> ts.min
+    // not the noise. When the N samples disagree >2x the machine was loaded
+    // mid-measure — escalate with one extra sample so min() reflects the
+    // plan, and surface the spread in the JSON (`noisy`) so a cold reader
+    // can tell load noise from a real regression without re-running.
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => -1L }
+      finally graft.etl.CacheRegistry.releaseAll()
+      (System.nanoTime() - t0) / 1e9
     }
+    val loadStart = loadavg()
+    var escalated = 0
+    val samples = names.map { name =>
+      var ts = (1 to iters).map(_ => timeOnce(name)).toVector
+      if (iters >= 2 && ts.max > 2 * ts.min) { escalated += 1; ts = ts :+ timeOnce(name) }
+      name -> ts
+    }
+    val loadEnd = loadavg()
+    val results = samples.map { case (n, ts) => n -> ts.min }
+    // spread = max/min of the samples; only entries still >2x after
+    // escalation are reported (bounded count keeps the line small)
+    val noisy = samples
+      .map { case (n, ts) => (n, ts.max / math.max(ts.min, 1e-9)) }
+      .filter(_._2 > 2.0).sortBy(-_._2).take(8)
+      .map { case (n, r) => "\"" + n + "\":" + fmt(r) }.mkString(",")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
 
     // Emit per-query entries in descending-time order within a character
@@ -82,8 +97,17 @@ object Bench {
     val omitted = results.size - kept
     val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"iters":$iters,"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }
+
+  /** 1/5/15-minute load averages from /proc/loadavg — recorded at bench
+    * start and end so a reader of the JSON can adjudicate noise (a loaded
+    * machine inflates individual queries up to 20x; see rounds 5-6). */
+  private def loadavg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+").take(3).mkString(",") finally src.close()
+    } catch { case _: Throwable => "unavailable" }
 }

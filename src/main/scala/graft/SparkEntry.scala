@@ -651,10 +651,12 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
-    "sim_ann_lsh" -> ((s, dir) => // rows-only check: ANN recall is approximate
+    // approximate by DESIGN (LSH recall < 1), exact by CHECK: the oracle
+    // replicates the seeded bucket arithmetic, so results hash-match
+    "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
-    "sim_ivf_topk" -> ((s, dir) => // rows-only check: IVF recall is approximate
+    "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
     "text_quality" -> ((s, dir) =>
@@ -1181,7 +1183,8 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
-    // sim_ann_lsh: intentionally no oracle (approximate recall) → rows-only
+    "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
+    "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,

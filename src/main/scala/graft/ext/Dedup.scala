@@ -272,11 +272,13 @@ object Dedup {
     * hash joins keyed by doc id (once per side), never through the
     * salt-replicated join.
     *
-    * @param salts 0 = adaptive from `docs.count()` ([[adaptiveSalts]]). */
+    * @param salts 0 = adaptive from plan statistics ([[adaptiveSaltsFor]] —
+    *   no job runs at DataFrame-construction time; at 100 TB an extra
+    *   corpus scan just to pick a salt count is a full pass over the world). */
   def dropNearDuplicates(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", maxDocFreq: Double = MaxDocFreq,
       minBlockForCap: Int = MinBlockForCap, salts: Int = 0): DataFrame = {
-    val nSalts = if (salts > 0) salts else adaptiveSalts(docs.count())
+    val nSalts = if (salts > 0) salts else adaptiveSaltsFor(docs)
     // sorted once per doc: pair checks run the linear-merge intersect count
     // (array_except preserves the first array's order, so `toks` stays sorted)
     val t0 = docs.select(col("doc_id"), col("lang"),

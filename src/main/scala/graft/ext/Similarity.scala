@@ -89,10 +89,49 @@ object Similarity {
       .drop("_scores")
   }
 
+  /** Centroid-mean quantizer: per-dimension sums accumulate as
+    * `floor(v_i * Quant)` BIGINTs, so the group sum is exact integer
+    * arithmetic — order-independent, hence bit-reproducible by a DuckDB
+    * GROUP BY (a double sum's value depends on reduction order, which no
+    * cross-engine oracle can match). floor (not round) because Java
+    * `Math.round` and SQL `round` disagree on negative half-way values;
+    * `floor` is IEEE-identical everywhere. Max |sum| ≈ corpus × Quant stays
+    * far under 2^53, so the final toDouble is exact. */
+  val Quant = 1e6
+
+  /** Aggregation buffer for [[VecSumQ]]: quantized per-dimension sums + n. */
+  case class VecAcc(sums: Array[Long], n: Long)
+
+  /** Partial-aggregating vector-sum for the Lloyd mean step: map-side
+    * partials merge per-partition (one buffer per cluster per task), so no
+    * reducer ever streams a whole cluster — the scale fix for the previous
+    * `groupByKey.mapGroups` single-reducer-per-cluster shape. */
+  object VecSumQ extends org.apache.spark.sql.expressions.Aggregator[Array[Float], VecAcc, VecAcc] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: VecAcc = VecAcc(new Array[Long](Dim), 0L)
+    def reduce(b: VecAcc, v: Array[Float]): VecAcc = {
+      var i = 0
+      while (i < Dim) { b.sums(i) += math.floor(v(i).toDouble * Quant).toLong; i += 1 }
+      VecAcc(b.sums, b.n + 1)
+    }
+    def merge(a: VecAcc, b: VecAcc): VecAcc = {
+      var i = 0
+      while (i < Dim) { a.sums(i) += b.sums(i); i += 1 }
+      VecAcc(a.sums, a.n + b.n)
+    }
+    def finish(r: VecAcc): VecAcc = r
+    def bufferEncoder: Encoder[VecAcc] = Encoders.product[VecAcc]
+    def outputEncoder: Encoder[VecAcc] = Encoders.product[VecAcc]
+  }
+
   /** k-means-lite coarse quantizer: deterministic init from the first k
     * vectors, `iters` Lloyd iterations. Per iteration: one distributed
-    * assignment pass + one groupByKey mean (shuffle keyed by cluster —
-    * k rows out). Centroid count is driver-resident (k × Dim doubles). */
+    * assignment pass + one partial-aggregating quantized vector sum keyed by
+    * cluster ([[VecSumQ]] — k buffer rows out of each map task, k total
+    * rows collected). Only the k × Dim centroid matrix is driver-resident.
+    * Mean arithmetic (`sum.toDouble / n / Quant`, left-assoc) is mirrored
+    * term-for-term in [[ivfTopKSqlDuck]]; empty clusters keep their previous
+    * centroid. */
   def ivfCentroids(emb: DataFrame, k: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     import emb.sparkSession.implicits._
     var cents = emb.filter(col("vec_id") < k).orderBy("vec_id")
@@ -100,16 +139,12 @@ object Similarity {
     for (_ <- 1 to iters) {
       val means = ivfAssign(emb, cents)
         .select(col("cluster"), col("embedding")).as[(Int, Array[Float])]
-        .groupByKey(_._1)
-        .mapGroups { (c, it) =>
-          val acc = new Array[Double](Dim)
-          var n = 0L
-          it.foreach { case (_, v) =>
-            var i = 0; while (i < Dim) { acc(i) += v(i); i += 1 }; n += 1
-          }
-          (c, acc.map(_ / n))
-        }.collect().toMap
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(VecSumQ.toColumn)
+        .collect().toMap
+      cents = cents.indices.map(i => means.get(i)
+        .map(a => a.sums.map(s => s.toDouble / a.n / Quant))
+        .getOrElse(cents(i))).toArray
     }
     cents
   }
@@ -142,6 +177,76 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[ivfTopK]]: the whole trainer is deterministic
+    * (first-k init, `iters` Lloyd rounds), so it unrolls as CTEs —
+    * per round an assignment (argmax of k linear scores, first-max-wins as
+    * `row_number` ordered by score DESC, cluster ASC) and a mean
+    * (GROUP BY cluster over the exact quantized BIGINT sums of
+    * [[VecSumQ]], divided back in the same `sum/n/Quant` order). Centroids
+    * carry as one 64-column pivoted relation per round; every dot/half chain
+    * is the same left-associated double accumulation from 0.0 as
+    * [[graft.functions.FloatVectorDotConst]], so scores are bit-identical
+    * and the assignment/probe/top-k decisions agree exactly. */
+  def ivfTopKSqlDuck(nQueries: Int = 8, k: Int = 10, kClusters: Int = 16,
+      nProbe: Int = 3, iters: Int = 2): String = {
+    val dims = 1 to Dim
+    // score(e, c) = e·c - |c|²/2, both chains left-assoc from 0.0 (the
+    // FloatVectorDotConst / Array[Double].sum accumulation order)
+    def dotEC(c: String): String =
+      "0.0 + " + dims.map(i => s"CAST(e.embedding[$i] AS DOUBLE)*$c.c$i").mkString(" + ")
+    def halfSql(c: String): String =
+      "(0.0 + " + dims.map(i => s"$c.c$i*$c.c$i").mkString(" + ") + ") / 2"
+    def scoreSql(c: String): String = s"(${dotEC(c)}) - (${halfSql(c)})"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (SELECT vec_id, cluster FROM (
+         |  SELECT e.vec_id, c.cluster, row_number() OVER (
+         |    PARTITION BY e.vec_id ORDER BY ${scoreSql("c")} DESC, c.cluster) AS rn
+         |  FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def sumsCte(name: String, assign: String): String = {
+      val ss = dims.map(i =>
+        s"SUM(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      s"""$name AS (SELECT a.cluster, $ss, COUNT(*) AS n
+         |  FROM embeddings e JOIN $assign a ON a.vec_id = e.vec_id GROUP BY a.cluster)""".stripMargin
+    }
+    def centsCte(name: String, prev: String, sums: String): String = {
+      val cs = dims.map(i =>
+        s"COALESCE(CAST(s.s$i AS DOUBLE) / CAST(s.n AS DOUBLE) / 1000000.0, p.c$i) AS c$i")
+        .mkString(", ")
+      s"$name AS (SELECT p.cluster, $cs FROM $prev p LEFT JOIN $sums s ON s.cluster = p.cluster)"
+    }
+    val cents0 = s"cents0 AS (SELECT vec_id AS cluster, ${dims.map(i =>
+      s"CAST(embedding[$i] AS DOUBLE) AS c$i").mkString(", ")} FROM embeddings WHERE vec_id < $kClusters)"
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(assignCte(s"assign$r", s"cents${r - 1}"),
+        sumsCte(s"sums$r", s"assign$r"),
+        centsCte(s"cents$r", s"cents${r - 1}", s"sums$r"))
+    }
+    val cF = s"cents$iters"
+    s"""WITH $cents0,
+       | ${rounds.mkString(",\n ")},
+       | ${assignCte("assignf", cF)},
+       | probes AS (SELECT query_id, cluster FROM (
+       |  SELECT e.vec_id AS query_id, c.cluster, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${scoreSql("c")} DESC, c.cluster) AS rn
+       |  FROM embeddings e CROSS JOIN $cF c WHERE e.vec_id < $nQueries) WHERE rn <= $nProbe),
+       | v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assignf a ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
+       | scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN v a ON a.vec_id = cand.query_id
+       |            JOIN v b ON b.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`. All-pairs on
@@ -273,14 +378,18 @@ object Similarity {
   /** Multi-table SRP bucket assignment: `buckets` = array of (table, bucket)
     * structs. Standard LSH tradeoff: each table is a coarse 2^bits partition;
     * a true near-duplicate (cos ≥ ~0.9) collides in at least one of the L
-    * tables with high probability (≈ 1-(1-p^bits)^L, p = 1-θ/π). */
+    * tables with high probability (≈ 1-(1-p^bits)^L, p = 1-θ/π).
+    *
+    * Hyperplanes are the seeded Rademacher family ([[srpSigns]]) — the same
+    * construction [[cosinePairsBucketed]] uses — so the DuckDB oracle
+    * ([[annTopKSqlDuck]]) reproduces the exact bucket arithmetic and the
+    * query is hash-checkable, not rows-only. */
   def srpTables(emb: DataFrame, nTables: Int = AnnTables,
       bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
+    val signs = srpSigns(nTables, bitsPerTable, seed)
     val tables = (0 until nTables).map { t =>
-      val planes = Array.fill(bitsPerTable, Dim)(rnd.nextGaussian())
-      val bits = planes.zipWithIndex.map { case (p, j) =>
-        val proj = graft.functions.VectorExprs.dotConst(col("embedding"), p)
+      val bits = (0 until bitsPerTable).map { j =>
+        val proj = graft.functions.VectorExprs.dotConst(col("embedding"), signs(t)(j))
         when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
       }
       struct(lit(t).as("t"), bits.reduce(_ + _).as("b"))
@@ -325,5 +434,43 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** DuckDB oracle for [[annTopK]]: identical bucket arithmetic (the seeded
+    * Rademacher sign chains of [[srpTables]]), Hamming-1 multi-probe
+    * expansion on the query side (`xor(b, 1<<j)` per bit plus the identity
+    * probe), candidate dedup on slim ids, exact cosine re-score, top-k
+    * window — term-for-term the [[cosinePairsBucketedSqlDuck]] pattern. */
+  def annTopKSqlDuck(nQueries: Int = 8, k: Int = 10, nTables: Int = AnnTables,
+      bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): String = {
+    val signs = srpSigns(nTables, bitsPerTable, seed)
+    val bkUnion = (0 until nTables).map { t =>
+      val bits = (0 until bitsPerTable).map { j =>
+        s"(CASE WHEN ${signedProjSqlDuck(signs(t)(j))} >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS t, CAST($bits AS BIGINT) AS b FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       | bk AS ($bkUnion),
+       | qp AS (
+       |  SELECT q.vec_id AS query_id, q.t,
+       |    CASE WHEN p.j < 0 THEN q.b ELSE xor(q.b, CAST(1 AS BIGINT) << p.j) END AS b
+       |  FROM bk q CROSS JOIN range(-1, $bitsPerTable) p(j)
+       |  WHERE q.vec_id < $nQueries),
+       | cand AS (
+       |  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+       |  FROM bk c JOIN qp ON c.t = qp.t AND c.b = qp.b AND c.vec_id <> qp.query_id),
+       | scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
+       |  FROM cand JOIN v a ON a.vec_id = cand.query_id
+       |            JOIN v b ON b.vec_id = cand.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
   }
 }

@@ -151,6 +151,37 @@ class DedupSpec extends AnyFunSuite {
     assert(s >= 1 && s <= 64)
   }
 
+  test("dropNearDuplicates construction launches no Spark job (adaptive salts from stats)") {
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.add(Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("?")); ()
+      }
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      // the bus delivers asynchronously in FIFO order: run a tagged marker
+      // job and wait for ITS event — once it lands, every earlier event
+      // (e.g. the parquet schema-inference job from table()) has landed too
+      def flushBus(tag: String): Unit = {
+        sc.setJobGroup(tag, tag)
+        try sc.parallelize(Seq(1)).count() finally sc.clearJobGroup()
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        while (!jobs.contains(tag) && System.nanoTime() < deadline) Thread.sleep(20)
+      }
+      flushBus("flush-pre")
+      jobs.clear()
+      Dedup.dropNearDuplicates(d, 0.8) // construction only — no action
+      flushBus("flush-post") // after this lands, jobs holds every construction job
+      assert(jobs.toArray.toSeq == Seq("flush-post"),
+        s"construction must run no job, saw: ${jobs.toArray.mkString("; ")}")
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("salted jaccardPairs output is byte-identical to the unsalted join") {
     val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
       graft.SparkTestSession.sf0001, "documents")
