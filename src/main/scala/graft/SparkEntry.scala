@@ -642,6 +642,11 @@ object SparkEntry {
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.dropNearDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // keep-first with LSH candidates (band collisions, not char-length
+    // blocking) — the pair enumeration that survives a 100x corpus
+    "dedup_keep_first_lsh" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesLsh(t(s, dir, "documents")).orderBy("doc_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
 
@@ -710,6 +715,9 @@ object SparkEntry {
 
     "pipeline_corpus" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "pipeline_corpus_lsh" -> ((s, dir) =>
+      graft.ext.Pipelines.curateCorpusLsh(t(s, dir, "documents")).orderBy("doc_id")),
 
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
@@ -1180,6 +1188,7 @@ object SparkEntry {
     "dedup_clusters" -> Dedup.clustersSqlDuck,
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
+    "dedup_keep_first_lsh" -> Dedup.dropNearDuplicatesLshSqlDuck(),
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
@@ -1199,6 +1208,7 @@ object SparkEntry {
     "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
+    "pipeline_corpus_lsh" -> graft.ext.Pipelines.curateCorpusLshSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck)
 }

@@ -344,6 +344,39 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Keep-first near-duplicate removal with LSH candidates — the 100 TB
+    * replacement for [[dropNearDuplicates]]'s char-length blocking. The
+    * blocking form enumerates all pairs within `(lang, n_chars DIV 100)`, so
+    * a hot block of k docs costs k² pair work no matter how the salt spreads
+    * it — a 100× corpus does 10,000× the work. Here candidates are bounded
+    * by MinHash signature collisions ([[lshCandidatePairs]] — salted band
+    * equi-join, pair count grows with actual near-duplicate density, not
+    * block size²), then exact Jaccard re-scores candidates only with the
+    * same slim-pairs/join-back-by-id payload discipline. Approximate by
+    * design (a true near-dup pair missing every band collision escapes —
+    * P(miss) = (1-J^r)^b; ≈0.35 at J=0.8 under the compact in-repo 2-band ×
+    * 4-row family, shrinking geometrically as bands grow — production sizes
+    * the family, e.g. 16×4 → P(miss) ≈ 0.02%); the oracle replicates the
+    * exact band arithmetic so the CHECK is exact at any family size.
+    * Docs with no tokens have no signature, hence no candidates: unlike the
+    * blocking form they always survive (Jaccard-1.0-on-empty needs the
+    * block prior to be meaningful; LSH has no block). */
+  def dropNearDuplicatesLsh(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val pairs = lshCandidatePairs(minhashSignatures(docs, textCol))
+    val t = graft.etl.CacheRegistry.persist(docs.select(col("doc_id"),
+      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks")))
+    val sim = pairs
+      .join(t.select(col("doc_id").as("doc_a"),
+        col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"),
+        col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
+      .filter(jaccardFromIntersect(intersectCount(col("ta"), col("tb")),
+        col("na"), col("nb")) >= threshold)
+    val losers = sim.select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Transitive duplicate clusters via iterative min-label propagation over
     * a pair graph (connected components): every doc starts labeled with its
     * own id; each round joins labels across edges and keeps the minimum;
@@ -474,8 +507,10 @@ object Dedup {
 
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
-  def toksCteDuck: String =
-    s"toks AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSqlDuck("text")})) AS tok FROM documents)"
+  def toksCteDuck: String = toksCteDuck("documents")
+
+  def toksCteDuck(rel: String): String =
+    s"toks AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokensSqlDuck("text")})) AS tok FROM $rel)"
 
   def sigsCteDuck: String = {
     val mins = (0 until NumHashes).map(i => s"min(md5('mh$i' || tok)) AS s$i").mkString(", ")
@@ -569,6 +604,32 @@ object Dedup {
        |  WHERE CASE WHEN len(list_distinct(list_concat(a.toks, b.toks))) > 0
        |    THEN ${jaccardExprDuck("a.toks", "b.toks")} >= $threshold
        |    ELSE ${jaccardExprDuck("a.toks0", "b.toks0")} >= $threshold END)""".stripMargin
+
+  /** CTE chain ending in `losers` for [[dropNearDuplicatesLsh]]: candidate
+    * pairs from the exact MinHash band arithmetic ([[lshPairsSqlDuck]]'s
+    * bucket-join CTEs), then the Jaccard re-score — the LSH counterpart of
+    * [[losersCteDuck]]. */
+  def lshLosersCteDuck(rel: String, threshold: Double): String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
+      .mkString(" UNION ALL ")
+    s"""${toksCteDuck(rel)}, $sigsCteDuck,
+       | bands AS (SELECT doc_id, $bandsExprDuck FROM sigs),
+       | buckets AS ($bandUnion),
+       | prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM buckets x JOIN buckets y
+       |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id),
+       | tl AS (SELECT doc_id, list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM $rel),
+       | losers AS (SELECT DISTINCT p.doc_b AS doc_id FROM prs p
+       |   JOIN tl a ON a.doc_id = p.doc_a JOIN tl b ON b.doc_id = p.doc_b
+       |   WHERE ${jaccardExprDuck("a.toks", "b.toks")} >= $threshold)""".stripMargin
+  }
+
+  def dropNearDuplicatesLshSqlDuck(threshold: Double = 0.8): String =
+    s"""WITH ${lshLosersCteDuck("documents", threshold)}
+       |SELECT d.* FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   def dropNearDuplicatesSqlDuck(threshold: Double = 0.8): String =
     s"""WITH ${losersCteDuck("documents", threshold)}

@@ -35,6 +35,27 @@ object Pipelines {
       .select("doc_id", "lang", "source", "n_chars", "n_tokens", "alpha_ratio", "stop_ratio")
   }
 
+  /** [[curateCorpus]] with the near-dup stage on LSH candidates
+    * ([[Dedup.dropNearDuplicatesLsh]]) instead of char-length blocking —
+    * the composition to run at 100 TB, where a hot (lang, size) block's
+    * quadratic pair enumeration would dominate the whole pipeline. */
+  def curateCorpusLsh(docs: DataFrame,
+      lang: String = "en",
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8): DataFrame = {
+    val q = TextOps.quality(docs).select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio")
+    val gated = docs.join(q, "doc_id")
+      .filter(col("lang") === lang &&
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("alpha_ratio") >= minAlphaRatio)
+    val kept = Dedup.dropNearDuplicatesLsh(
+      gated.select("doc_id", "text", "lang", "n_chars", "source"), dedupeThreshold)
+    kept.join(gated.select("doc_id", "n_tokens", "alpha_ratio", "stop_ratio"), "doc_id")
+      .select("doc_id", "lang", "source", "n_chars", "n_tokens", "alpha_ratio", "stop_ratio")
+  }
+
   /** Deterministic stratified sampling: up to `n` rows per stratum, chosen
     * by md5-hash order of the key — reproducible across runs, partitionings,
     * and engines (no RNG in the plan), the standard trick for stable
@@ -117,6 +138,31 @@ object Pipelines {
        |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
        |    AND alpha_ratio >= $minAlphaRatio),
        | ${Dedup.losersCteDuck("gated", dedupeThreshold)}
+       |SELECT g.doc_id, g.lang, g.source, g.n_chars, g.n_tokens, g.alpha_ratio, g.stop_ratio
+       |FROM gated g
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[curateCorpusLsh]] — same gates, LSH candidates. */
+  def curateCorpusLshSqlDuck(lang: String = "en", minTokens: Long = 10,
+      maxTokens: Long = 100000, minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8): String =
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END AS alpha_ratio,
+       |    CASE WHEN len(${TextOps.tokensSqlDuck("text")}) > 0
+       |      THEN CAST(${TextOps.stopCountSqlDuck("text", TextOps.LangProfiles.head._2)} AS DOUBLE) /
+       |        len(${TextOps.tokensSqlDuck("text")})
+       |      ELSE 0.0 END AS stop_ratio
+       |  FROM documents),
+       | gated AS (
+       |  SELECT * FROM q
+       |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |    AND alpha_ratio >= $minAlphaRatio),
+       | ${Dedup.lshLosersCteDuck("gated", dedupeThreshold)}
        |SELECT g.doc_id, g.lang, g.source, g.n_chars, g.n_tokens, g.alpha_ratio, g.stop_ratio
        |FROM gated g
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)

@@ -190,6 +190,34 @@ class DedupSpec extends AnyFunSuite {
     assert(run(5) == run(1))
   }
 
+  test("dropNearDuplicatesLsh: losers are exactly band-collided pairs at J >= t") {
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val kept = Dedup.dropNearDuplicatesLsh(d, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // independent reference: Jaccard re-score of the LSH candidate pairs
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(d))
+    val toks = d.select($"doc_id",
+      org.apache.spark.sql.functions.array_distinct(
+        TextOps.fastTokens($"text")).as("toks"))
+    val losers = pairs
+      .join(toks.select($"doc_id".as("doc_a"), $"toks".as("ta")), "doc_a")
+      .join(toks.select($"doc_id".as("doc_b"), $"toks".as("tb")), "doc_b")
+      .withColumn("u", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_union($"ta", $"tb")))
+      .withColumn("i", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_intersect($"ta", $"tb")))
+      .filter(org.apache.spark.sql.functions.when($"u" > 0,
+        $"i".cast("double") / $"u").otherwise(1.0) >= 0.8)
+      .select("doc_b").as[Long].collect().toSet
+    val all = d.select("doc_id").as[Long].collect().toSet
+    assert(kept == all -- losers)
+    // exact duplicates always collide in every band, so they never survive
+    val exactLosers = Dedup.exactGroups(d)
+      .filter($"n_dups" > 1).select("keep_id").as[Long].collect().toSet
+    assert(exactLosers.subsetOf(kept) || exactLosers.isEmpty)
+  }
+
   test("keep-first invariants on the fixture: idempotent, block minima survive") {
     val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
       graft.SparkTestSession.sf0001, "documents")
