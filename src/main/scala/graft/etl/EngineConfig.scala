@@ -10,6 +10,7 @@ package graft.etl
   */
 final case class EngineConfig(
     inputDir: String,
+    inputFormat: String = "parquet", // parquet (fixture tables) | xlsx
     sheetName: Option[String] = None,
     sheetIndex: Int = 0,
     headerRow: Int = 0,
@@ -59,6 +60,8 @@ final case class EngineConfig(
     require(sketchK >= 3, s"sketchK must be >= 3, got $sketchK")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json").contains(fmt), s"unknown format '$format'")
+    require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),
+      s"unknown inputFormat '$inputFormat'")
     // outputPath required unless CSV (which derives chunk names from input;
     // config/ConverterConfig.java:34-35,106-109)
     require(fmt == "csv" || outputPath.isDefined,

@@ -52,4 +52,41 @@ class ConvertSpec extends AnyFunSuite {
     val r = Convert.run(spark, cfg("ndjson", out).copy(sheetName = None, sheetIndex = 0))
     assert(r.sheet == "region" && r.rowsWritten == 5)
   }
+
+  test("end-to-end from a real .xlsx package: scan → header → ndjson sink") {
+    val dir = Files.createTempDirectory("cvx").toString
+    graft.sources.XlsxTestFiles.writeDense(s"$dir/book.xlsx", Seq(
+      ("Inventory", Seq(
+        Seq("sku", "name", "qty"),
+        Seq("s1", "first item", "10"),
+        Seq("s2", "second item", "20"),
+        Seq("s3", "third item", "30")))))
+    val out = s"$dir/nd"
+    val r = Convert.run(spark, EngineConfig(
+      inputDir = s"$dir/book.xlsx", inputFormat = "xlsx",
+      sheetName = Some("INVENTORY"), // case-insensitive resolve (S3)
+      format = "ndjson", outputPath = Some(out), overwrite = true))
+    assert(r.sheet == "Inventory" && r.rowsWritten == 3)
+    val back = spark.read.json(out).orderBy("sku").collect()
+    assert(back.map(_.getAs[String]("name")).toSeq ==
+      Seq("first item", "second item", "third item"))
+  }
+
+  test("xlsx headerRow preamble skip and chunked csv sink compose") {
+    val dir = Files.createTempDirectory("cvx2").toString
+    graft.sources.XlsxTestFiles.writeDense(s"$dir/book.xlsx", Seq(
+      ("S", Seq(
+        Seq("col_a", "col_b"),
+        Seq("PREAMBLE", "ignored"), // headerRow=1 drops this data row
+        Seq("a1", "b1"),
+        Seq("a2", "b2")))))
+    val out = s"$dir/csv"
+    val r = Convert.run(spark, EngineConfig(
+      inputDir = s"$dir/book.xlsx", inputFormat = "xlsx", headerRow = 1,
+      format = "csv", outputPath = Some(out), overwrite = true, batchSize = 1))
+    assert(r.rowsWritten == 2)
+    val back = spark.read.option("header", "true").csv(out).orderBy("col_a").collect()
+    assert(back.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("a1", "b1"), ("a2", "b2")))
+  }
 }
