@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.rangejoin.bucketUs", "600000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -105,6 +105,21 @@ object SparkEntry {
     "k2_csv_chunks" -> ((s, dir) =>
       Sinks.chunkStats(t(s, dir, "orders"), 1000, col("o_orderkey")).orderBy("chunk_id")),
 
+    // C1..K1 end-to-end through Convert.run: orders → ndjson sink on disk,
+    // then the sink's ACTUAL bytes read back line-by-line — each line must
+    // byte-match the oracle's independent JSON rendering of the same row
+    "convert_e2e" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_convert_e2e_" +
+        new java.io.File(dir).getName
+      graft.etl.Convert.run(s, graft.etl.EngineConfig(
+        inputDir = dir, sheetName = Some("orders"), format = "ndjson",
+        outputPath = Some(out), overwrite = true))
+      s.read.text(out)
+        .select(get_json_object(col("value"), "$.o_orderkey").cast("long").as("okey"),
+          col("value").as("line"))
+        .orderBy("okey")
+    }),
+
     "c4_json_tolerant" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -527,6 +542,40 @@ object SparkEntry {
         .orderBy("anchor_id")
     }),
 
+    // the SAME range join through the RAW SQL surface: no library call — the
+    // rewrite to a bucketed equi-join must come from the registered
+    // optimizer rule (plans.RangeJoinBucketing via GraftExtensions), and the
+    // query self-asserts it did: a nested-loop/cartesian plan throws, so a
+    // broken optimizer rung shows as a RED correctness row, not a slow one
+    "events_range_join_sql" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val winUs = 600000000L // 10 min
+      e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(winUs)).as("e_us"))
+        .createOrReplaceTempView("rj_anchors")
+      e.select(unix_micros(col("ts")).as("p_us"), col("value"))
+        .createOrReplaceTempView("rj_points")
+      val q = s.sql(
+        """SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS sum_value
+          |FROM rj_points p JOIN rj_anchors a
+          |  ON p.p_us >= a.s_us AND p.p_us < a.e_us
+          |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin)
+      var nestedLoop = false
+      graft.etl.PlanWalk.visit(q.queryExecution.executedPlan) { p =>
+        val n = p.getClass.getSimpleName
+        if (n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct"))
+          nestedLoop = true
+      }
+      if (nestedLoop) throw new IllegalStateException(
+        "RangeJoinBucketing did not fire: nested-loop/cartesian join in the plan " +
+          "(is spark.sql.extensions=graft.plans.GraftExtensions registered and " +
+          "spark.graft.rangejoin.bucketUs set?)")
+      q
+    }),
+
     // KMV distinct-count sketch (see ext/Sketch.scala): deterministic given
     // md5, so — unlike HLL — the ESTIMATE itself is oracle-checked, not just
     // row counts. est_distinct is a double computed from identical hashes on
@@ -800,6 +849,8 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
 
     "k1_ndjson_lines" -> ordersAllStringJsonSql,
+    // the written sink bytes equal the declarative rendering — same oracle
+    "convert_e2e" -> ordersAllStringJsonSql,
 
     "k2_csv_chunks" ->
       """SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_rows,
@@ -1017,6 +1068,18 @@ object SparkEntry {
         |ORDER BY c_custkey""".stripMargin,
 
     "events_range_join" ->
+      """WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + 600000000 AS e_us
+        |  FROM events WHERE event_type = 'purchase'),
+        | p AS (SELECT epoch_us(ts) AS p_us, value FROM events)
+        |SELECT anchor_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM a JOIN p ON p.p_us >= a.s_us AND p.p_us < a.e_us
+        |GROUP BY anchor_id ORDER BY anchor_id""".stripMargin,
+
+    // identical semantics to events_range_join — the twin proves the raw-SQL
+    // surface (optimizer-rule path) computes the same relation
+    "events_range_join_sql" ->
       """WITH a AS (SELECT event_id AS anchor_id, epoch_us(ts) AS s_us,
         |    epoch_us(ts) + 600000000 AS e_us
         |  FROM events WHERE event_type = 'purchase'),

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false") // reference parity: bad cells → null
       .config("spark.ui.enabled", "false")
+      // optimizer rung end-to-end: raw-SQL range theta joins rewrite to the
+      // bucketed equi-join (plans.RangeJoinBucketing; events_range_join_sql
+      // plan-asserts the rewrite happened)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.rangejoin.bucketUs", "600000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -24,7 +29,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: $e")
+        e.getStackTrace.take(8).foreach(f => System.err.println(s"[verify]   at $f"))
       }
       finally graft.etl.CacheRegistry.releaseAll()
     }

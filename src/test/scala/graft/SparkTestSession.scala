@@ -14,6 +14,9 @@ object SparkTestSession {
       java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // mirror the Verify/Bench sessions: the optimizer extension is live
+    // (inert unless spark.graft.rangejoin.bucketUs is set)
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"
