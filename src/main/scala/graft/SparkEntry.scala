@@ -768,6 +768,22 @@ object SparkEntry {
     "pipeline_corpus_lsh" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpusLsh(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // sliding context-window chunking: docs → overlapping 32-token windows
+    // advancing by 24 (narrow explode, shuffle-free at any scale)
+    "text_chunks" -> ((s, dir) =>
+      graft.ext.Chunking.chunkDocs(t(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // token-budget sequence packing by cumulative-offset binning over
+    // (lang, shard) streams — RNG-free, partitioning-invariant
+    "pack_sequences" -> ((s, dir) =>
+      graft.ext.Chunking.packSequences(t(s, dir, "documents"))
+        .orderBy("lang", "shard", "seq_id")),
+
+    // corpus-level top-k bigrams via distributed TakeOrderedAndProject
+    "text_top_ngrams" -> ((s, dir) =>
+      graft.ext.Chunking.topNgrams(t(s, dir, "documents")).orderBy("rank")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
@@ -1272,6 +1288,9 @@ object SparkEntry {
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "pipeline_corpus_lsh" -> graft.ext.Pipelines.curateCorpusLshSqlDuck(),
+    "text_chunks" -> graft.ext.Chunking.chunkDocsSqlDuck(),
+    "pack_sequences" -> graft.ext.Chunking.packSequencesSqlDuck(),
+    "text_top_ngrams" -> graft.ext.Chunking.topNgramsSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck)
 }
