@@ -120,6 +120,21 @@ object SparkEntry {
         .orderBy("okey")
     }),
 
+    // the full Excel container roundtrip: orders → formatted all-string →
+    // distributed XlsxSink (one workbook per partition, inlineStr cells) →
+    // read back through the XlsxSource DataSource V2 → must equal the
+    // oracle's independent all-string rendering of the same table. This is
+    // the query that oracle-checks the xlsx source+sink pair end-to-end.
+    "xlsx_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_roundtrip_" +
+        new java.io.File(dir).getName
+      val orders = IngestOps.allString(t(s, dir, "orders"))
+      graft.sources.XlsxSink.write(orders.repartition(4), out,
+        sheetName = "orders", overwrite = true)
+      s.read.format("xlsx").option("sheetName", "orders").load(out)
+        .orderBy(col("o_orderkey").cast("long"))
+    }),
+
     "c4_json_tolerant" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -863,6 +878,17 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
         |FROM lineitem""".stripMargin,
+
+    // what went out through the xlsx container must equal a direct
+    // all-string render of the table (same per-type rules as cellToString)
+    "xlsx_roundtrip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY orders.o_orderkey""".stripMargin,
 
     "k1_ndjson_lines" -> ordersAllStringJsonSql,
     // the written sink bytes equal the declarative rendering — same oracle

@@ -100,5 +100,9 @@ object Convert {
       case "json" =>
         Sinks.jsonArray(df, out, overwrite = config.overwrite,
           pretty = config.prettyJson) // K3
+      case "xlsx" => // outbound Excel: one workbook per partition, streamed
+        graft.sources.XlsxSink.write(df,
+          out, sheetName = config.sheetName.getOrElse("Sheet1"),
+          overwrite = config.overwrite)
     }
 }

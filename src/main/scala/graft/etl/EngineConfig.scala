@@ -59,7 +59,7 @@ final case class EngineConfig(
       s"rangeJoinBucketUs must be >= 0 (0 = caller supplies), got $rangeJoinBucketUs")
     require(sketchK >= 3, s"sketchK must be >= 3, got $sketchK")
     val fmt = format.toLowerCase
-    require(Set("ndjson", "csv", "json").contains(fmt), s"unknown format '$format'")
+    require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),
       s"unknown inputFormat '$inputFormat'")
     // outputPath required unless CSV (which derives chunk names from input;

@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.spark
+
+class XlsxSinkSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = Files.createTempDirectory("xlsx_sink_").toFile
+    d.delete() // the sink creates it (and the guard checks existence)
+    d.getPath
+  }
+
+  test("roundtrip: values, header names, and row count survive sink → source") {
+    val dir = tmpDir()
+    val df = Seq(("1", "alpha", "x y"), ("2", "beta", ""), ("3", "gamma", "z"))
+      .toDF("id", "name", "note")
+    val n = XlsxSink.write(df, dir, sheetName = "data")
+    assert(n == 3L)
+    val back = spark.read.format("xlsx").option("sheetName", "data").load(dir)
+      .orderBy("id").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("1", "2", "3"))
+    assert(back.map(_.getString(1)).toSeq == Seq("alpha", "beta", "gamma"))
+    assert(back.map(_.getString(2)).toSeq == Seq("x y", "", "z"))
+  }
+
+  test("roundtrip: XML-special and whitespace-edged values escape correctly") {
+    val dir = tmpDir()
+    val vals = Seq("a & b", "x < y > z", "\"quoted\"", " lead", "trail ", "a  b")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toString, v) }.toDF("id", "v")
+    XlsxSink.write(df, dir)
+    val back = spark.read.format("xlsx").load(dir)
+      .orderBy(org.apache.spark.sql.functions.col("id").cast("int"))
+      .collect().map(_.getString(1)).toSeq
+    assert(back == vals)
+  }
+
+  test("multi-partition write: one workbook per non-empty partition, all rows read back") {
+    val dir = tmpDir()
+    val df = (1 to 100).map(i => (i.toString, s"v$i")).toDF("k", "v").repartition(7)
+    val n = XlsxSink.write(df, dir)
+    assert(n == 100L)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".xlsx"))
+    assert(files.nonEmpty && files.length <= 7)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.count() == 100L)
+    assert(back.select("k").as[String].collect().map(_.toInt).sorted.toSeq == (1 to 100))
+  }
+
+  test("overwrite guard: existing dir errors without overwrite, truncates with it") {
+    val dir = tmpDir()
+    val df = Seq(("1", "a")).toDF("id", "v")
+    XlsxSink.write(df, dir)
+    val e = intercept[IllegalStateException](XlsxSink.write(df, dir))
+    assert(e.getMessage.contains("overwrite"))
+    XlsxSink.write(Seq(("9", "z")).toDF("id", "v"), dir, overwrite = true)
+    val back = spark.read.format("xlsx").load(dir).collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("9"))
+  }
+
+  test("non-string columns are rejected with a pointer to allString") {
+    val dir = tmpDir()
+    val e = intercept[IllegalArgumentException](
+      XlsxSink.write(Seq((1, "a")).toDF("id", "v"), dir))
+    assert(e.getMessage.contains("allString"))
+  }
+
+  test("Convert.run writes xlsx end-to-end (parquet fixture → Excel out)") {
+    val dir = tmpDir()
+    val res = graft.etl.Convert.run(spark, graft.etl.EngineConfig(
+      inputDir = "/root/testdata/sf0.001", sheetName = Some("nation"),
+      format = "xlsx", outputPath = Some(dir), overwrite = true))
+    assert(res.rowsWritten > 0)
+    val back = spark.read.format("xlsx").option("sheetName", "nation").load(dir)
+    assert(back.count() == res.rowsWritten)
+    assert(back.columns.contains("n_name"))
+  }
+}
