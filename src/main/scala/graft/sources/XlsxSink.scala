@@ -81,70 +81,80 @@ object XlsxSink {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        val file = new File(dir, f"part-$pid%05d.xlsx")
-        var n = 0L
-        val zos = new ZipOutputStream(
-          new BufferedOutputStream(new FileOutputStream(file)))
-        val w = new OutputStreamWriter(zos, StandardCharsets.UTF_8)
-        def entry(name: String, content: String): Unit = {
-          zos.putNextEntry(new ZipEntry(name))
-          w.write(content); w.flush()
-          zos.closeEntry()
-        }
-        try {
-          entry("[Content_Types].xml",
-            """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-              |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
-              |<Default Extension="xml" ContentType="application/xml"/>
-              |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-              |</Types>""".stripMargin)
-          entry("_rels/.rels",
-            """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-              |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-              |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
-              |</Relationships>""".stripMargin)
-          entry("xl/workbook.xml",
-            s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-               |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-               |<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
-          entry("xl/_rels/workbook.xml.rels",
-            """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-              |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-              |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-              |</Relationships>""".stripMargin)
-          // the sheet itself streams: header row, then one <row> per input
-          // row as the iterator advances — nothing buffers
-          zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-          w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-          w.write("\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
-          def writeRow(r: Long, cells: Seq[String]): Unit = {
-            w.write(s"""<row r="$r">""")
-            var c = 0
-            while (c < cells.length) {
-              val v = cells(c)
-              if (v != null && v.nonEmpty)
-                // xml:space keeps leading/trailing whitespace through
-                // standards-conforming parsers
-                w.write(s"""<c r="${colName(c)}$r" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
-              c += 1
-            }
-            w.write("</row>")
-          }
-          writeRow(1L, names)
-          var r = 2L
-          while (it.hasNext) {
-            val row = it.next()
-            writeRow(r, (0 until row.length).map(i =>
-              if (row.isNullAt(i)) "" else row.getString(i)))
-            r += 1; n += 1
-          }
-          w.write("</sheetData></worksheet>")
-          w.flush()
-          zos.closeEntry()
-        } finally w.close() // closes the zip stream beneath
-        acc.add(n)
+        writeWorkbook(new File(dir, f"part-$pid%05d.xlsx"), sheet, names, it, acc)
       }
     }
+    // an all-empty input still yields a READABLE empty dataset: one
+    // header-only workbook keeps the schema (XlsxSource errors on a
+    // fileless directory, and rightly so)
+    if (acc.value == 0L)
+      writeWorkbook(new File(dir, "part-00000.xlsx"), sheet, names,
+        Iterator.empty, acc)
     acc.value
+  }
+
+  private def writeWorkbook(file: File, sheet: String, names: Seq[String],
+      it: Iterator[Row], acc: org.apache.spark.util.LongAccumulator): Unit = {
+    var n = 0L
+    val zos = new ZipOutputStream(
+      new BufferedOutputStream(new FileOutputStream(file)))
+    val w = new OutputStreamWriter(zos, StandardCharsets.UTF_8)
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      w.write(content); w.flush()
+      zos.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |</Types>""".stripMargin)
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin)
+      entry("xl/workbook.xml",
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin)
+      // the sheet itself streams: header row, then one <row> per input
+      // row as the iterator advances — nothing buffers
+      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+      def writeRow(r: Long, cells: Seq[String]): Unit = {
+        w.write(s"""<row r="$r">""")
+        var c = 0
+        while (c < cells.length) {
+          val v = cells(c)
+          if (v != null && v.nonEmpty)
+            // xml:space keeps leading/trailing whitespace through
+            // standards-conforming parsers
+            w.write(s"""<c r="${colName(c)}$r" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
+          c += 1
+        }
+        w.write("</row>")
+      }
+      writeRow(1L, names)
+      var r = 2L
+      while (it.hasNext) {
+        val row = it.next()
+        writeRow(r, (0 until row.length).map(i =>
+          if (row.isNullAt(i)) "" else row.getString(i)))
+        r += 1; n += 1
+      }
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      zos.closeEntry()
+    } finally w.close() // closes the zip stream beneath
+    acc.add(n)
   }
 }

@@ -62,6 +62,16 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(back.map(_.getString(0)).toSeq == Seq("9"))
   }
 
+  test("all-empty input yields a readable header-only workbook (schema survives)") {
+    val dir = tmpDir()
+    val df = Seq(("1", "a")).toDF("id", "v").filter("id = 'nope'")
+    val n = XlsxSink.write(df, dir)
+    assert(n == 0L)
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    assert(back.count() == 0L)
+  }
+
   test("non-string columns are rejected with a pointer to allString") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException](
