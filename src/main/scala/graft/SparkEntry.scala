@@ -799,6 +799,12 @@ object SparkEntry {
     "text_top_ngrams" -> ((s, dir) =>
       graft.ext.Chunking.topNgrams(t(s, dir, "documents")).orderBy("rank")),
 
+    // the WHOLE doc→training-example flow in one plan: gates → LSH dedup →
+    // chunk → pack; output is the packed-sequence manifest
+    "pipeline_training_examples" -> ((s, dir) =>
+      graft.ext.Pipelines.trainingExamples(t(s, dir, "documents"))
+        .orderBy("shard", "seq_id")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
@@ -1317,6 +1323,7 @@ object SparkEntry {
     "text_chunks" -> graft.ext.Chunking.chunkDocsSqlDuck(),
     "pack_sequences" -> graft.ext.Chunking.packSequencesSqlDuck(),
     "text_top_ngrams" -> graft.ext.Chunking.topNgramsSqlDuck(),
+    "pipeline_training_examples" -> graft.ext.Pipelines.trainingExamplesSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck)
 }

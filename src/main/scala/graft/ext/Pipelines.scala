@@ -56,6 +56,99 @@ object Pipelines {
       .select("doc_id", "lang", "source", "n_chars", "n_tokens", "alpha_ratio", "stop_ratio")
   }
 
+  /** The whole doc→training-example flow as ONE declarative plan:
+    * quality/language gates → LSH near-dup removal → sliding-window
+    * chunking → token-budget sequence packing. Returns the packed
+    * sequence manifest (shard, seq_id, chunk and token counts, fill).
+    *
+    * Chunks pack in (doc_id, chunk_id) order within `doc_id % shards`
+    * streams — like [[Chunking.packSequences]], the shard key keeps every
+    * window partition at 1/shards of the corpus, and the whole composition
+    * stays RNG-free/partitioning-invariant. Stage economics: gates fuse
+    * into the scan, dedup is the salted band equi-join family, chunking is
+    * a narrow explode, packing is one keyed shuffle — nothing in the chain
+    * holds more than a (shard) stream's running sum as state. */
+  def trainingExamples(docs: DataFrame,
+      lang: String = "en",
+      minTokens: Long = 10,
+      maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8,
+      chunkTokens: Int = 32,
+      stride: Int = 24,
+      budget: Int = 256,
+      shards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextOps.quality(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    val gated = docs.join(q, "doc_id")
+      .filter(col("lang") === lang &&
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("alpha_ratio") >= minAlphaRatio)
+    val kept = Dedup.dropNearDuplicatesLsh(
+      gated.select("doc_id", "text", "lang", "n_chars", "source"), dedupeThreshold)
+    val chunks = Chunking.chunkDocs(kept, chunkTokens, stride)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id", expr(s"CAST((cum - n_tokens) DIV $budget AS BIGINT)"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("seq_tokens"))
+      .withColumn("fill_ratio", col("seq_tokens").cast("double") / budget)
+  }
+
+  /** DuckDB oracle for [[trainingExamples]] — the gate CTEs of
+    * [[curateCorpusLshSqlDuck]], the chunk arithmetic of
+    * [[Chunking.chunkDocsSqlDuck]], and the pack arithmetic of
+    * [[Chunking.packSequencesSqlDuck]] composed into one statement (CTE
+    * names prefixed ck_/pk_ to dodge the dedup fragment's names). */
+  def trainingExamplesSqlDuck(lang: String = "en", minTokens: Long = 10,
+      maxTokens: Long = 100000, minAlphaRatio: Double = 0.5,
+      dedupeThreshold: Double = 0.8, chunkTokens: Int = 32, stride: Int = 24,
+      budget: Int = 256, shards: Int = 8): String = {
+    val slice = s"list_slice(ck_toks, chunk_id * $stride + 1, chunk_id * $stride + $chunkTokens)"
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, source, n_chars,
+       |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+       |    CASE WHEN length(text) > 0
+       |      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+       |      ELSE 0.0 END AS alpha_ratio
+       |  FROM documents),
+       | gated AS (
+       |  SELECT * FROM q
+       |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
+       |    AND alpha_ratio >= $minAlphaRatio),
+       | ${Dedup.lshLosersCteDuck("gated", dedupeThreshold)},
+       | kept AS (
+       |  SELECT g.doc_id, g.text FROM gated g
+       |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)),
+       | ck_t AS (
+       |  SELECT doc_id, ${TextOps.tokensSqlDuck("text")} AS ck_toks,
+       |    len(${TextOps.tokensSqlDuck("text")}) AS n
+       |  FROM kept WHERE len(${TextOps.tokensSqlDuck("text")}) > 0),
+       | ck_c AS (
+       |  SELECT doc_id, ck_toks,
+       |    unnest(generate_series(0, (greatest(n - $chunkTokens, 0) + ${stride - 1}) // $stride)) AS chunk_id
+       |  FROM ck_t),
+       | ck AS (
+       |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |    CAST(len($slice) AS BIGINT) AS n_tokens, doc_id % $shards AS shard
+       |  FROM ck_c),
+       | pk AS (
+       |  SELECT shard, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, chunk_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM ck)
+       |SELECT shard, (cum - n_tokens) // $budget AS seq_id,
+       |  CAST(count(*) AS BIGINT) AS n_chunks,
+       |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |  CAST(sum(n_tokens) AS DOUBLE) / $budget AS fill_ratio
+       |FROM pk
+       |GROUP BY shard, (cum - n_tokens) // $budget
+       |ORDER BY shard, seq_id""".stripMargin
+  }
+
   /** Deterministic stratified sampling: up to `n` rows per stratum, chosen
     * by md5-hash order of the key — reproducible across runs, partitionings,
     * and engines (no RNG in the plan), the standard trick for stable

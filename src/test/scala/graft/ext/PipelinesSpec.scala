@@ -35,6 +35,38 @@ class PipelinesSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 3L)) // 2 = dup of 1; 4 = wrong language
   }
 
+  test("trainingExamples: manifest conserves chunk tokens and respects bin arithmetic") {
+    val docs = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val out = Pipelines.trainingExamples(docs, budget = 256, shards = 4)
+      .orderBy("shard", "seq_id").collect()
+    assert(out.nonEmpty)
+    // token conservation: the manifest's total equals the chunks' total
+    // over the same kept set
+    val kept = Dedup.dropNearDuplicatesLsh(
+      docs.join(TextOps.quality(docs).select("doc_id", "n_tokens", "alpha_ratio"), "doc_id")
+        .filter($"lang" === "en" && $"n_tokens" >= 10 && $"n_tokens" <= 100000 &&
+          $"alpha_ratio" >= 0.5)
+        .select("doc_id", "text", "lang", "n_chars", "source"))
+    val chunkTotal = Chunking.chunkDocs(kept)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).as[Long].head()
+    assert(out.map(_.getAs[Long]("seq_tokens")).sum == chunkTotal)
+    // bins start where the previous stream offset says they do: per shard,
+    // seq_ids are nondecreasing and bounded by cum/budget
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val seqs = rows.map(_.getAs[Long]("seq_id")).toSeq
+      assert(seqs == seqs.sorted)
+    }
+  }
+
+  test("trainingExamples is partitioning-invariant") {
+    val docs = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val a = Pipelines.trainingExamples(docs.repartition(3), budget = 128)
+      .orderBy("shard", "seq_id").collect().toSeq
+    val b = Pipelines.trainingExamples(docs.repartition(17), budget = 128)
+      .orderBy("shard", "seq_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("mixSources: smallest-constrained group kept whole, boosted group gets 2x share") {
     import org.apache.spark.sql.functions._
     // a: 100 docs, b: 40, c: 25. weights: a=2, others=1.
