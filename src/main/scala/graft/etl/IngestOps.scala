@@ -55,7 +55,9 @@ object IngestOps {
       continueOnError: Boolean = true,
       guards: Option[EngineConfig] = None): DataFrame = {
     // S7/S8 input-sanity guards, enforced before any scan task is planned
-    guards.foreach(g =>
+    // (xlsx runs its own central-directory + counting-stream guards inside
+    // the source — see the case below)
+    if (!format.equalsIgnoreCase("xlsx")) guards.foreach(g =>
       InputGuards.validate(spark, path, g.maxEntrySizeBytes, g.minInflateRatio))
     val mode = if (continueOnError) "PERMISSIVE" else "FAILFAST"
     val r0 = spark.read
@@ -65,8 +67,14 @@ object IngestOps {
       case "orc" => r.orc(path)
       case "csv" => r.option("header", "true").option("mode", mode).csv(path)
       case "json" | "ndjson" => r.option("mode", mode).json(path)
+      case "xlsx" => // guards run INSIDE the source (central-directory caps
+        // + counting-stream re-check); thread the limits through as options
+        guards.foldLeft(r.format("xlsx")) { (rd, g) =>
+          rd.option("maxEntrySizeBytes", g.maxEntrySizeBytes.toString)
+            .option("minInflateRatio", g.minInflateRatio.toString)
+        }.load(path)
       case other => throw new IllegalArgumentException(
-        s"Unknown format '$other'. Supported: parquet, orc, csv, json")
+        s"Unknown format '$other'. Supported: parquet, orc, csv, json, xlsx")
     }
   }
 

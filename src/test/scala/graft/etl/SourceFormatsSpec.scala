@@ -51,6 +51,22 @@ class SourceFormatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Supported"))
   }
 
+  test("xlsx flows through the generic read surface with guard options threaded") {
+    val dir = Files.createTempDirectory("ingest_xlsx_").toString
+    graft.sources.XlsxTestFiles.writeDense(s"$dir/a.xlsx",
+      Seq(("Sheet1", Seq(Seq("k", "v"), Seq("1", "x"), Seq("2", "y")))))
+    val df = IngestOps.read(spark, dir, "xlsx",
+      guards = Some(EngineConfig(inputDir = dir, outputPath = Some("/tmp/o"))))
+    assert(canon(df) == Set(Seq("1", "x"), Seq("2", "y")))
+    // a guard tight enough to reject the workbook surfaces the typed error
+    val tight = EngineConfig(inputDir = dir, outputPath = Some("/tmp/o"),
+      maxEntrySizeBytes = 10)
+    val e = intercept[Exception](
+      IngestOps.read(spark, dir, "xlsx", guards = Some(tight)).collect())
+    assert(e.isInstanceOf[InputTooLargeException] ||
+      Option(e.getCause).exists(_.isInstanceOf[InputTooLargeException]))
+  }
+
   test("S8 guard: oversized input rejected with a typed error before scanning") {
     val dir = graft.SparkTestSession.sf0001
     val guards = EngineConfig(inputDir = dir, outputPath = Some("/tmp/unused"),
