@@ -30,9 +30,12 @@ object Chunking {
     * boundary context so no next-token prediction loses its left context).
     *
     * Chunk starts are `0, stride, 2·stride, …` with
-    * `nChunks = 1 + ceil(max(n - chunkTokens, 0) / stride)`, so every token
-    * is covered and the final chunk may be short. Zero-token docs produce
-    * no chunks. Pure per-row explode: no shuffle at any scale.
+    * `nChunks = 1 + ceil(max(n - chunkTokens, 0) / stride)`; the final
+    * chunk may be short. When `stride <= chunkTokens` every token is
+    * covered (property-tested); `stride > chunkTokens` deliberately
+    * subsamples — gaps of `stride - chunkTokens` tokens between windows.
+    * Zero-token docs produce no chunks. Pure per-row explode: no shuffle
+    * at any scale.
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24,
       textCol: String = "text"): DataFrame = {
