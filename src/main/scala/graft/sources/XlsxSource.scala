@@ -354,34 +354,50 @@ private[sources] class XlsxTable(path: String, tableSchema: StructType,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new XlsxScan(path, tableSchema, opts)
-    }
+    new XlsxScanBuilder(path, tableSchema, opts)
 }
 
-private[sources] class XlsxScan(path: String, schema: StructType,
-    opts: XlsxOptions) extends Scan with Batch {
-  override def readSchema(): StructType = schema
+/** Column pruning: a projection of k columns builds k-wide rows — Catalyst
+  * hands the required schema down and the reader materializes only those
+  * ordinals (the XML still streams past every cell; what pruning saves is
+  * row width, string allocation, and everything downstream of the scan). */
+private[sources] class XlsxScanBuilder(path: String, tableSchema: StructType,
+    opts: XlsxOptions) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required: StructType = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // intersect in table order; Catalyst only asks for existing columns
+    required = StructType(tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new XlsxScan(path, tableSchema, required, opts)
+}
+
+private[sources] class XlsxScan(path: String, tableSchema: StructType,
+    required: StructType, opts: XlsxOptions) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     XlsxParsing.listFiles(path).map(f => XlsxFilePartition(f): InputPartition).toArray
-  override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(schema.length, opts)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val ordinals = required.fieldNames.map(tableSchema.fieldIndex)
+    new XlsxReaderFactory(ordinals, opts)
+  }
 }
 
 private[sources] final case class XlsxFilePartition(file: String) extends InputPartition
 
-private[sources] class XlsxReaderFactory(width: Int, opts: XlsxOptions)
+private[sources] class XlsxReaderFactory(ordinals: Array[Int], opts: XlsxOptions)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition].file, width, opts)
+    new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition].file, ordinals, opts)
 }
 
 /** Streams one workbook's selected sheet: guard pass → sheet resolve →
-  * shared strings → row pull. Rows pad/truncate to the schema width; rows
-  * whose cells are all blank are dropped (T2,
-  * core/poi/CatmePoiSheetContentsHandler.java:122-125). */
-private[sources] class XlsxPartitionReader(file: String, width: Int,
+  * shared strings → row pull. Rows materialize only the pruned `ordinals`
+  * (pad with "" past the physical row end); rows whose cells are ALL blank
+  * — judged on the FULL physical row, projection-independent (T2,
+  * core/poi/CatmePoiSheetContentsHandler.java:122-125) — are dropped. */
+private[sources] class XlsxPartitionReader(file: String, ordinals: Array[Int],
     opts: XlsxOptions) extends PartitionReader[InternalRow] {
 
   private val zip = new ZipFile(file)
@@ -406,10 +422,11 @@ private[sources] class XlsxPartitionReader(file: String, width: Int,
   }
 
   override def get(): InternalRow = {
-    val vals = new Array[Any](width)
+    val vals = new Array[Any](ordinals.length)
     var i = 0
-    while (i < width) {
-      vals(i) = UTF8String.fromString(if (i < current.length) current(i) else "")
+    while (i < ordinals.length) {
+      val c = ordinals(i)
+      vals(i) = UTF8String.fromString(if (c < current.length) current(c) else "")
       i += 1
     }
     new GenericInternalRow(vals)

@@ -72,6 +72,23 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(back.count() == 0L)
   }
 
+  test("column pruning reaches the xlsx scan: projected reads build narrow rows") {
+    val dir = tmpDir()
+    val df = Seq(("1", "a", "x"), ("2", "b", "y")).toDF("id", "name", "extra")
+    XlsxSink.write(df, dir)
+    val back = spark.read.format("xlsx").load(dir).select("name")
+    // the DSv2 scan's readSchema must be the pruned single column
+    val scan = back.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("name") && !scan.contains("extra"),
+      s"scan not pruned: $scan")
+    assert(back.as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // T2 is projection-independent: a row blank only in the projected
+    // column still survives when the full row has content
+    val dir2 = tmpDir()
+    XlsxSink.write(Seq(("1", "", "x")).toDF("id", "name", "extra"), dir2)
+    assert(spark.read.format("xlsx").load(dir2).select("name").count() == 1L)
+  }
+
   test("non-string columns are rejected with a pointer to allString") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException](
