@@ -363,9 +363,13 @@ object Dedup {
     * block prior to be meaningful; LSH has no block). */
   def dropNearDuplicatesLsh(docs: DataFrame, threshold: Double = 0.8,
       textCol: String = "text"): DataFrame = {
-    val pairs = lshCandidatePairs(minhashSignatures(docs, textCol))
+    // ONE tokenizer pass: the cached distinct-token arrays feed both the
+    // signature build (exploded back to a (doc_id, tok) stream — sort order
+    // is irrelevant to the min aggregates) and the exact re-score below
     val t = graft.etl.CacheRegistry.persist(docs.select(col("doc_id"),
       array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks")))
+    val pairs = lshCandidatePairs(
+      minhashFromTokens(t.select(col("doc_id"), explode(col("toks")).as("tok"))))
     val sim = pairs
       .join(t.select(col("doc_id").as("doc_a"),
         col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
