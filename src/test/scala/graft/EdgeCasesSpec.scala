@@ -29,6 +29,27 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TextOps.clean(emptyDocs).count() == 0)
   }
 
+  test("chunk/pack/ngram/pipeline ops on an empty corpus return empty, not errors") {
+    import graft.ext.{Chunking, Pipelines}
+    assert(Chunking.chunkDocs(emptyDocs).count() == 0)
+    assert(Chunking.packSequences(emptyDocs).count() == 0)
+    assert(Chunking.topNgrams(emptyDocs).count() == 0)
+    assert(Dedup.dropNearDuplicatesLsh(emptyDocs).count() == 0)
+    assert(Pipelines.trainingExamples(emptyDocs).count() == 0)
+  }
+
+  test("chunk/pack on whitespace-only and single-token docs") {
+    import graft.ext.Chunking
+    val d = Seq((1L, "   "), (2L, "word"), (3L, "")).toDF("doc_id", "text")
+    val chunks = Chunking.chunkDocs(d).collect()
+    assert(chunks.length == 1 && chunks.head.getAs[String]("chunk_text") == "word")
+    val packed = Chunking.packSequences(
+      d.withColumn("lang", lit("en")), budget = 4, shards = 1).collect()
+    // token-less docs still pack (n_tok = 0) — they occupy a slot, not budget
+    assert(packed.map(_.getAs[Long]("n_docs")).sum == 3)
+    assert(packed.map(_.getAs[Long]("seq_tokens")).sum == 1)
+  }
+
   test("single-doc corpus: clusters itself alone, tfidf scores 1*1/1") {
     val one = Seq((7L, "solo words here", "en", 15L, "t"))
       .toDF("doc_id", "text", "lang", "n_chars", "source")
