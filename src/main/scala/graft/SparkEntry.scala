@@ -809,7 +809,17 @@ object SparkEntry {
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
     "multimodal_decode" -> ((s, dir) => // stub codec is deterministic → oracle-checked
-      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")))
+      Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")),
+
+    // nearest-neighbor byte resample: the real resize index arithmetic over
+    // the payload, stub pixel interpretation
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")),
+
+    // every-2nd stub frame's byte slice — the container→frames→sample shape
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents"))).toDF
+        .orderBy("doc_id", "frame_idx")))
 
   // =====================================================================
   // Oracle SQL (DuckDB dialect, same parquet tables)
@@ -1325,5 +1335,7 @@ object SparkEntry {
     "text_top_ngrams" -> graft.ext.Chunking.topNgramsSqlDuck(),
     "pipeline_training_examples" -> graft.ext.Pipelines.trainingExamplesSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
-    "multimodal_decode" -> Multimodal.decodeSqlDuck)
+    "multimodal_decode" -> Multimodal.decodeSqlDuck,
+    "multimodal_resize" -> Multimodal.resizeSqlDuck(),
+    "multimodal_frame_sample" -> Multimodal.frameSampleSqlDuck())
 }

@@ -83,6 +83,115 @@ object Multimodal {
       byte_sum = sum)
   }
 
+  /** Resized-media record: nearest-neighbor byte resample of the payload. */
+  final case class Resized(
+      doc_id: Long, out_w: Int, out_h: Int, n_bytes: Long,
+      head_hex: String, byte_sum: Long)
+
+  /** "Resize" over the opaque payload: REAL nearest-neighbor resampling
+    * arithmetic (out[i] = in[floor(i·len/N)], N = outW·outH) applied to the
+    * byte stream in place of decoded pixels — the plumbing (batch-shaped
+    * partition transform, integer index mapping, output summary) is exactly
+    * what a real pixel resize runs; only the pixel interpretation is
+    * stubbed out with the codec. Empty payloads resize to empty. */
+  def resize(media: DataFrame, outW: Int = 8, outH: Int = 4): org.apache.spark.sql.Dataset[Resized] = {
+    import media.sparkSession.implicits._
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val n = outW * outH
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val out =
+          if (bytes.isEmpty) Array.empty[Byte]
+          else Array.tabulate(n)(i => bytes((i.toLong * bytes.length / n).toInt))
+        var sum = 0L
+        out.foreach(b => sum += (b & 0xff))
+        Resized(id, outW, outH, out.length.toLong,
+          out.take(8).map(b => f"${b & 0xff}%02x").mkString, sum)
+      }
+    }
+  }
+
+  /** Sampled-frame record: every `k`-th stub frame's byte slice summary. */
+  final case class Frame(
+      doc_id: Long, frame_idx: Int, f_start: Long, f_len: Long, byte_sum: Long)
+
+  /** Frame sampling: the payload's [[stubDecode]] frame count
+    * (`len % 30 + 1`) partitions the bytes into contiguous frame slices
+    * (`frame j = [j·len/nf, (j+1)·len/nf)`); every `every`-th frame is
+    * emitted with its slice summary. One-to-many batch transform — the
+    * video-pipeline shape (decode container → iterate frames → keep a
+    * sample) with the codec stubbed and the iteration real. */
+  def frameSample(media: DataFrame, every: Int = 2): org.apache.spark.sql.Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    require(every > 0, "every must be positive")
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val len = bytes.length.toLong
+        val nf = (bytes.length % 30) + 1
+        (0 until nf).iterator.filter(_ % every == 0).map { j =>
+          val start = j * len / nf
+          val end = (j + 1) * len / nf
+          var sum = 0L
+          var i = start
+          while (i < end) { sum += (bytes(i.toInt) & 0xff); i += 1 }
+          Frame(id, j, start, end - start, sum)
+        }
+      }
+    }
+  }
+
+  // hex-pair → byte value, shared by the resize/frame oracles ($p = a
+  // 2-char uppercase hex pair expression)
+  private def hexValDuck(p: String): String = {
+    val hx = "'0123456789ABCDEF'"
+    s"((strpos($hx, substr($p, 1, 1)) - 1) * 16 + strpos($hx, substr($p, 2, 1)) - 1)"
+  }
+
+  /** Oracle for [[resize]]: the same floor(i·nb/N) index map over the
+    * payload's hex rendering — pairs picked by position, re-concatenated,
+    * summed with the shared hex arithmetic. */
+  def resizeSqlDuck(outW: Int = 8, outH: Int = 4): String = {
+    val n = outW * outH
+    val pair = s"substr(hx, CAST(((i * nb) // $n) * 2 + 1 AS BIGINT), 2)"
+    s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb FROM documents)
+       |SELECT doc_id, CAST($outW AS INTEGER) AS out_w, CAST($outH AS INTEGER) AS out_h,
+       |  CAST(CASE WHEN nb = 0 THEN 0 ELSE $n END AS BIGINT) AS n_bytes,
+       |  CASE WHEN nb = 0 THEN '' ELSE lower(array_to_string(
+       |    list_transform(generate_series(0, 7), i -> $pair), '')) END AS head_hex,
+       |  CAST(CASE WHEN nb = 0 THEN 0 ELSE list_sum(
+       |    list_transform(generate_series(0, ${n - 1}), i -> ${hexValDuck(pair)}))
+       |  END AS BIGINT) AS byte_sum
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for [[frameSample]] — same frame-boundary and stride arithmetic
+    * over the hex pairs; an empty slice sums to 0 via the empty series. */
+  def frameSampleSqlDuck(every: Int = 2): String = {
+    val nf = "(nb % 30 + 1)"
+    val start = s"(j * nb) // $nf"
+    val end = s"((j + 1) * nb) // $nf"
+    val pair = "substr(hx, CAST(i * 2 + 1 AS BIGINT), 2)"
+    s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb FROM documents),
+       | f AS (SELECT doc_id, hx, nb, unnest(generate_series(0, nb % 30)) AS j FROM h)
+       |SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+       |  CAST($start AS BIGINT) AS f_start,
+       |  CAST($end - ($start) AS BIGINT) AS f_len,
+       |  CAST(coalesce(list_sum(list_transform(
+       |    generate_series(CAST($start AS BIGINT), CAST($end AS BIGINT) - 1),
+       |    i -> ${hexValDuck(pair)})), 0) AS BIGINT) AS byte_sum
+       |FROM f WHERE j % $every = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   /** Oracle for the (deterministic) stub decode: the payload's UTF-8 bytes
     * re-derive from `hex(blob)` split into 2-char pairs (DuckDB lacks a
     * get_byte, and its range() can't laterally reference columns), each pair

@@ -33,4 +33,51 @@ class MultimodalSpec extends AnyFunSuite {
       assert(d.width >= 1 && d.width <= 640 && d.height >= 1 && d.height <= 480)
     }
   }
+
+  private def mediaOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  test("resize: nearest-neighbor index map on a known payload") {
+    // bytes "abcd" (0x61..0x64) resized to 2x1: out[0]=in[0], out[1]=in[2]
+    val out = Multimodal.resize(mediaOf((1L, "abcd")), outW = 2, outH = 1)
+      .collect().head
+    assert(out.n_bytes == 2L)
+    assert(out.head_hex == "6163") // 'a','c'
+    assert(out.byte_sum == 0x61L + 0x63L)
+    // empty payload resizes to empty, not an index error
+    val e = Multimodal.resize(mediaOf((2L, "")), outW = 2, outH = 1).collect().head
+    assert(e.n_bytes == 0L && e.head_hex == "" && e.byte_sum == 0L)
+  }
+
+  test("resize: upsample repeats bytes deterministically") {
+    // 2 bytes → 8 "pixels": indexes floor(i*2/8) = 0,0,0,0,1,1,1,1
+    val out = Multimodal.resize(mediaOf((1L, "xy")), outW = 4, outH = 2)
+      .collect().head
+    assert(out.n_bytes == 8L)
+    assert(out.byte_sum == 4L * 'x'.toLong + 4L * 'y'.toLong)
+  }
+
+  test("frameSample: slices tile the payload; stride keeps every k-th frame") {
+    val text = "a" * 35 // 35 bytes → nf = 35 % 30 + 1 = 6 frames
+    val all = Multimodal.frameSample(mediaOf((1L, text)), every = 1).collect()
+    assert(all.length == 6)
+    // frames tile [0, 35) exactly: starts/lengths reconstruct the payload
+    assert(all.map(_.f_len).sum == 35L)
+    assert(all.sortBy(_.frame_idx).sliding(2).forall {
+      case Array(a, b) => a.f_start + a.f_len == b.f_start
+      case _ => true
+    })
+    assert(all.map(_.byte_sum).sum == 35L * 'a'.toLong)
+    val sampled = Multimodal.frameSample(mediaOf((1L, text)), every = 2).collect()
+    assert(sampled.map(_.frame_idx).sorted.toSeq == Seq(0, 2, 4))
+  }
+
+  test("frameSample: empty payload yields the single empty frame") {
+    val f = Multimodal.frameSample(mediaOf((1L, "")), every = 2).collect()
+    assert(f.length == 1 && f.head.f_len == 0L && f.head.byte_sum == 0L)
+  }
 }
