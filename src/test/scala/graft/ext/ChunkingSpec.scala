@@ -97,6 +97,26 @@ class ChunkingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("chunkDocs is stateless-streaming-safe: file stream equals batch") {
+    // a narrow explode has no state, no watermark, no output-mode caveats —
+    // the SAME call chunks an unbounded stream in append mode
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001, "documents")
+    val dir = Files.createTempDirectory("chunk_stream_")
+    Files.copy(Paths.get(s"${graft.SparkTestSession.sf0001}/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val streamed = Chunking.chunkDocs(
+      spark.readStream.schema(src.schema).parquet(dir.toString))
+    val q = streamed.writeStream.format("memory").queryName("chunk_stream_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("chunk_stream_test").collect().map(_.toSeq).toSet
+    val want = Chunking.chunkDocs(src).collect().map(_.toSeq).toSet
+    assert(got == want)
+  }
+
   test("topNgrams plans a TakeOrderedAndProject, not a global sort") {
     val d = docs((1L, "a b c d"), (2L, "b c d e"))
     val plan = Chunking.topNgrams(d, k = 5).queryExecution.executedPlan.toString
