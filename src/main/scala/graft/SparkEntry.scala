@@ -707,9 +707,15 @@ object SparkEntry {
       Dedup.dropNearDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
     // keep-first with LSH candidates (band collisions, not char-length
-    // blocking) — the pair enumeration that survives a 100x corpus
+    // blocking); pair volume tracks duplicate density
     "dedup_keep_first_lsh" -> ((s, dir) =>
       Dedup.dropNearDuplicatesLsh(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // keep-first vs bucket REPRESENTATIVES: candidate volume linear in the
+    // corpus at any duplicate density — the shape that survives 100 TB of
+    // boilerplate (see the round-7 10x probe in NOTES.md)
+    "dedup_keep_first_lsh_rep" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesLshRep(t(s, dir, "documents")).orderBy("doc_id")),
 
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
@@ -1310,6 +1316,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_keep_first_lsh" -> Dedup.dropNearDuplicatesLshSqlDuck(),
+    "dedup_keep_first_lsh_rep" -> Dedup.dropNearDuplicatesLshRepSqlDuck(),
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),

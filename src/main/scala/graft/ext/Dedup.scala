@@ -381,6 +381,48 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Keep-first near-dup removal against BUCKET REPRESENTATIVES — the
+    * strictly-linear candidate scheme for corpora where near-duplicate
+    * density itself is high (boilerplate floods, template spam: the 100 TB
+    * web reality). [[dropNearDuplicatesLsh]] re-scores every within-bucket
+    * pair, which is exact over the band candidates but quadratic in bucket
+    * occupancy — a 10× denser corpus measured ~500× the work (see
+    * NOTES.md round-7 probe). Here each (band, bucket) elects its min-id
+    * member as representative via a PARTIAL-AGGREGATING min (map-side
+    * combine — no reducer ever holds a bucket), and every other member is
+    * re-scored against representatives only: candidate volume is exactly
+    * |buckets·members| ≤ n·bands, linear at any density, no hot reducer
+    * anywhere in the plan.
+    *
+    * Recall tradeoff, stated honestly: b is dropped iff some bucket
+    * representative (min id) is `threshold`-similar to b. In a true
+    * near-dup cluster sharing a bucket, all members are mutually similar,
+    * so everyone but the min drops — the intended outcome. A miss needs b
+    * to collide with a DISSIMILAR min while a similar non-min shares the
+    * bucket — second-order under banding (collision correlates with
+    * similarity). The oracle replicates the representative arithmetic
+    * exactly, so the check stays exact. */
+  def dropNearDuplicatesLshRep(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text"): DataFrame = {
+    val t = graft.etl.CacheRegistry.persist(docs.select(col("doc_id"),
+      array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks")))
+    val buckets = graft.etl.CacheRegistry.persist(bandBuckets(
+      minhashFromTokens(t.select(col("doc_id"), explode(col("toks")).as("tok")))))
+    val reps = buckets.groupBy("bi", "band").agg(min("doc_id").as("doc_a"))
+    val pairs = buckets.join(reps, Seq("bi", "band"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b")).distinct()
+    val sim = pairs
+      .join(t.select(col("doc_id").as("doc_a"),
+        col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"),
+        col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
+      .filter(jaccardFromIntersect(intersectCount(col("ta"), col("tb")),
+        col("na"), col("nb")) >= threshold)
+    val losers = sim.select(col("doc_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Transitive duplicate clusters via iterative min-label propagation over
     * a pair graph (connected components): every doc starts labeled with its
     * own id; each round joins labels across edges and keeps the minimum;
@@ -613,16 +655,29 @@ object Dedup {
     * pairs from the exact MinHash band arithmetic ([[lshPairsSqlDuck]]'s
     * bucket-join CTEs), then the Jaccard re-score — the LSH counterpart of
     * [[losersCteDuck]]. */
-  def lshLosersCteDuck(rel: String, threshold: Double): String = {
+  def lshLosersCteDuck(rel: String, threshold: Double): String =
+    lshLosersCteDuck(rel, threshold, repMode = false)
+
+  /** @param repMode false = every within-bucket pair ([[dropNearDuplicatesLsh]]);
+    *   true = member-vs-bucket-representative only ([[dropNearDuplicatesLshRep]]). */
+  def lshLosersCteDuck(rel: String, threshold: Double, repMode: Boolean): String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
       .mkString(" UNION ALL ")
+    val prs =
+      if (repMode)
+        s"""reps AS (SELECT bi, band, min(doc_id) AS doc_a FROM buckets GROUP BY bi, band),
+           | prs AS (SELECT DISTINCT r.doc_a, m.doc_id AS doc_b
+           |   FROM buckets m JOIN reps r ON m.bi = r.bi AND m.band = r.band
+           |   WHERE m.doc_id <> r.doc_a)""".stripMargin
+      else
+        s"""prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |   FROM buckets x JOIN buckets y
+           |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id)""".stripMargin
     s"""${toksCteDuck(rel)}, $sigsCteDuck,
        | bands AS (SELECT doc_id, $bandsExprDuck FROM sigs),
        | buckets AS ($bandUnion),
-       | prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |   FROM buckets x JOIN buckets y
-       |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id),
+       | $prs,
        | tl AS (SELECT doc_id, list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM $rel),
        | losers AS (SELECT DISTINCT p.doc_b AS doc_id FROM prs p
        |   JOIN tl a ON a.doc_id = p.doc_a JOIN tl b ON b.doc_id = p.doc_b
@@ -631,6 +686,12 @@ object Dedup {
 
   def dropNearDuplicatesLshSqlDuck(threshold: Double = 0.8): String =
     s"""WITH ${lshLosersCteDuck("documents", threshold)}
+       |SELECT d.* FROM documents d
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  def dropNearDuplicatesLshRepSqlDuck(threshold: Double = 0.8): String =
+    s"""WITH ${lshLosersCteDuck("documents", threshold, repMode = true)}
        |SELECT d.* FROM documents d
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
        |ORDER BY d.doc_id""".stripMargin

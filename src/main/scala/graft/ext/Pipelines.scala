@@ -65,9 +65,13 @@ object Pipelines {
     * streams — like [[Chunking.packSequences]], the shard key keeps every
     * window partition at 1/shards of the corpus, and the whole composition
     * stays RNG-free/partitioning-invariant. Stage economics: gates fuse
-    * into the scan, dedup is the salted band equi-join family, chunking is
-    * a narrow explode, packing is one keyed shuffle — nothing in the chain
-    * holds more than a (shard) stream's running sum as state. */
+    * into the scan, dedup is the bucket-REPRESENTATIVE scheme
+    * ([[Dedup.dropNearDuplicatesLshRep]] — candidate volume linear in the
+    * corpus at ANY duplicate density; the round-7 10× probe measured the
+    * all-pairs form at ~500× on a dense corpus, the reason the pipeline
+    * uses representatives), chunking is a narrow explode, packing is one
+    * keyed shuffle — nothing in the chain holds more than a (shard)
+    * stream's running sum as state. */
   def trainingExamples(docs: DataFrame,
       lang: String = "en",
       minTokens: Long = 10,
@@ -84,7 +88,7 @@ object Pipelines {
       .filter(col("lang") === lang &&
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
         col("alpha_ratio") >= minAlphaRatio)
-    val kept = Dedup.dropNearDuplicatesLsh(
+    val kept = Dedup.dropNearDuplicatesLshRep(
       gated.select("doc_id", "text", "lang", "n_chars", "source"), dedupeThreshold)
     val chunks = Chunking.chunkDocs(kept, chunkTokens, stride)
       .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
@@ -119,7 +123,7 @@ object Pipelines {
        |  SELECT * FROM q
        |  WHERE lang = '$lang' AND n_tokens >= $minTokens AND n_tokens <= $maxTokens
        |    AND alpha_ratio >= $minAlphaRatio),
-       | ${Dedup.lshLosersCteDuck("gated", dedupeThreshold)},
+       | ${Dedup.lshLosersCteDuck("gated", dedupeThreshold, repMode = true)},
        | kept AS (
        |  SELECT g.doc_id, g.text FROM gated g
        |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)),

@@ -218,6 +218,42 @@ class DedupSpec extends AnyFunSuite {
     assert(exactLosers.subsetOf(kept) || exactLosers.isEmpty)
   }
 
+  test("dropNearDuplicatesLshRep: cluster members drop against the representative") {
+    // three near-identical docs (one token differs) + one distinct doc:
+    // identical band signatures put the cluster in shared buckets, the min
+    // id is the representative, the rest drop; the distinct doc survives
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = Seq(
+      (10L, base + " one"), (11L, base + " two"), (12L, base + " three"),
+      (99L, "completely different words with nothing shared at all here ok"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesLshRep(d, 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 99L))
+    // and the survivor set is a subset of the all-pairs variant's CANDIDATE
+    // basis: rep candidates ⊆ all pairs, so rep can only keep MORE docs
+    val keptPairs = Dedup.dropNearDuplicatesLsh(d, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPairs.subsetOf(kept.toSet))
+  }
+
+  test("dropNearDuplicatesLshRep: bucket minima always survive") {
+    val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
+      graft.SparkTestSession.sf0001, "documents")
+    val kept = Dedup.dropNearDuplicatesLshRep(d, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // a bucket's min id is never a doc_b, so the global min doc survives,
+    // and every bucket representative survives unless a SMALLER rep of
+    // another shared bucket beats it — check the global min as the anchor
+    val minId = d.agg(org.apache.spark.sql.functions.min("doc_id"))
+      .head().getLong(0)
+    assert(kept.contains(minId))
+    // rep keeps at least as much as the all-pairs form (candidates shrink)
+    val keptPairs = Dedup.dropNearDuplicatesLsh(d, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptPairs.subsetOf(kept))
+  }
+
   test("keep-first invariants on the fixture: idempotent, block minima survive") {
     val d = graft.etl.IngestOps.table(graft.SparkTestSession.spark,
       graft.SparkTestSession.sf0001, "documents")

@@ -42,7 +42,7 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out.nonEmpty)
     // token conservation: the manifest's total equals the chunks' total
     // over the same kept set
-    val kept = Dedup.dropNearDuplicatesLsh(
+    val kept = Dedup.dropNearDuplicatesLshRep(
       docs.join(TextOps.quality(docs).select("doc_id", "n_tokens", "alpha_ratio"), "doc_id")
         .filter($"lang" === "en" && $"n_tokens" >= 10 && $"n_tokens" <= 100000 &&
           $"alpha_ratio" >= 0.5)
