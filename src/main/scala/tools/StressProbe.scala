@@ -30,7 +30,46 @@ object StressProbe {
           .as("n_chars"))
     }.reduce(_ unionAll _)
 
-    val ops: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
+    // ---- other table families: embeddings (identical-similarity replicas:
+    // per-replica scalar scaling preserves every cosine, so similarity
+    // density grows 10x — the stress case) and events (time-shifted
+    // replicas: the corpus grows along the time axis, window populations
+    // stay constant — the realistic growth shape)
+    val emb = graft.etl.IngestOps.table(spark, dir, "embeddings")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    val emb10 = (0 until 10).map { r =>
+      emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
+        expr(s"transform(embedding, x -> x * CAST(1.0 + $r * 0.125 AS FLOAT))").as("embedding"),
+        col("label"))
+    }.reduce(_ unionAll _)
+    val ev = graft.etl.IngestOps.table(spark, dir, "events")
+    val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
+    val spanDays = 400L
+    val ev10 = (0 until 10).map { r =>
+      ev.select((col("event_id") + lit(r * maxEv)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL ${r * spanDays} DAYS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+    def rangeJoinCount(e: org.apache.spark.sql.DataFrame): Long = {
+      val winUs = 600000000L
+      val anchors = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("anchor_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + lit(winUs)).as("e_us"))
+      val points = e.select(col("event_id").as("point_id"),
+        unix_micros(col("ts")).as("p_us"), col("value"))
+      graft.ext.Ranges.bucketedRangeJoin(points, "p_us", anchors, "s_us", "e_us", winUs)
+        .groupBy("anchor_id").agg(count(lit(1))).count()
+    }
+    def asofCount(e: org.apache.spark.sql.DataFrame): Long = {
+      val left = e.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ext.AsOf.asofJoin(left, clicks, "user_id", "us",
+        Map("value" -> "ref_value")).count()
+    }
+
+    val docOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "text_chunks" -> (d => graft.ext.Chunking.chunkDocs(d).count()),
       "pack_sequences" -> (d => graft.ext.Chunking.packSequences(d).count()),
       "text_top_ngrams" -> (d => graft.ext.Chunking.topNgrams(d).count()),
@@ -38,12 +77,28 @@ object StressProbe {
       "dedup_keep_first_lsh_rep" -> (d => graft.ext.Dedup.dropNearDuplicatesLshRep(d).count()),
       "pipeline_training_examples" -> (d => graft.ext.Pipelines.trainingExamples(d).count()),
       "multimodal_resize" -> (d => graft.ext.Multimodal.resize(graft.ext.Multimodal.asMedia(d)).count()),
-      "multimodal_frame_sample" -> (d => graft.ext.Multimodal.frameSample(graft.ext.Multimodal.asMedia(d)).count()))
+      "multimodal_frame_sample" -> (d => graft.ext.Multimodal.frameSample(graft.ext.Multimodal.asMedia(d)).count()),
+      "dedup_clusters" -> (d => graft.ext.Dedup.clusterByBuckets(d,
+        graft.ext.Dedup.bandBuckets(graft.ext.Dedup.minhashSignatures(d))).count()),
+      "text_decontaminate" -> (d => graft.ext.TextOps.decontaminate(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()))
+    val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
+      "dedup_embedding_cosine_bucketed" ->
+        (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
+      "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()))
+    val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
+      "events_range_join" -> rangeJoinCount,
+      "events_asof_join" -> asofCount)
+
+    val families: Seq[(String, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
+      Seq(("doc", docs, x10, docOps), ("emb", emb, emb10, embOps), ("ev", ev, ev10, evOps))
+
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on
     // this dense fixture) — the rep variant is the standing scale path
-    val names = if (args.nonEmpty) args.toSeq
-      else ops.keys.toSeq.sorted.filterNot(_ == "dedup_keep_first_lsh")
+    val requested = if (args.nonEmpty) args.toSet
+      else families.flatMap(_._4.keys).toSet - "dedup_keep_first_lsh"
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -51,12 +106,12 @@ object StressProbe {
       graft.etl.CacheRegistry.releaseAll()
       ((System.nanoTime() - t0) / 1e9, n)
     }
-    names.foreach { name =>
+    for ((_, base, big, ops) <- families; name <- ops.keys.toSeq.sorted if requested(name)) {
       val op = ops(name)
-      time(op(docs)) // warm codegen/JIT on the small side
-      val (t1, n1) = time(op(docs))
-      val (t10, n10) = time(op(x10))
-      println(f"PROBE $name%-28s 1x: $t1%6.2fs ($n1%9d rows)  10x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
+      time(op(base)) // warm codegen/JIT on the small side
+      val (t1, n1) = time(op(base))
+      val (t10, n10) = time(op(big))
+      println(f"PROBE $name%-32s 1x: $t1%6.2fs ($n1%9d rows)  10x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
     }
     spark.stop()
   }
