@@ -56,26 +56,38 @@ object Bench {
     // mid-measure — escalate with one extra sample so min() reflects the
     // plan, and surface the spread in the JSON (`noisy`) so a cold reader
     // can tell load noise from a real regression without re-running.
-    def timeOnce(name: String): Double = {
+    // (time, succeeded): a crashed query must surface as FAILED, never as
+    // a fast sample — a time-to-crash min would silently deflate the total
+    // and the >2x spread check would mislabel the crash as load noise
+    def timeOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      finally graft.etl.CacheRegistry.releaseAll()
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+        finally graft.etl.CacheRegistry.releaseAll()
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val loadStart = loadavg()
     var escalated = 0
     val samples = names.map { name =>
       var ts = (1 to iters).map(_ => timeOnce(name)).toVector
-      if (iters >= 2 && ts.max > 2 * ts.min) { escalated += 1; ts = ts :+ timeOnce(name) }
+      val good0 = ts.filter(_._2).map(_._1)
+      if (good0.size >= 2 && good0.max > 2 * good0.min) {
+        escalated += 1; ts = ts :+ timeOnce(name)
+      }
       name -> ts
     }
     val loadEnd = loadavg()
-    val results = samples.map { case (n, ts) => n -> ts.min }
-    // spread = max/min of the samples; only entries still >2x after
-    // escalation are reported (bounded count keeps the line small)
+    val failed = samples.collect { case (n, ts) if ts.forall(!_._2) => n }
+    val results = samples
+      .filterNot { case (n, _) => failed.contains(n) }
+      .map { case (n, ts) => n -> ts.filter(_._2).map(_._1).min }
+    // spread = max/min of the SUCCESSFUL samples; only entries still >2x
+    // after escalation are reported (bounded count keeps the line small)
     val noisy = samples
-      .map { case (n, ts) => (n, ts.max / math.max(ts.min, 1e-9)) }
+      .map { case (n, ts) => (n, ts.filter(_._2).map(_._1)) }
+      .collect { case (n, good) if good.size >= 2 =>
+        (n, good.max / math.max(good.min, 1e-9)) }
       .filter(_._2 > 2.0).sortBy(-_._2).take(8)
       .map { case (n, r) => "\"" + n + "\":" + fmt(r) }.mkString(",")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -98,8 +110,9 @@ object Bench {
     }
     val omitted = results.size - kept
     val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
+    val failedJson = failed.take(8).map("\"" + _ + "\"").mkString(",")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

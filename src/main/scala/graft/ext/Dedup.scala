@@ -250,8 +250,12 @@ object Dedup {
     * estimate error shifts balance, never results. */
   def adaptiveSaltsFor(df: DataFrame): Int = {
     val stats = df.queryExecution.optimizedPlan.stats
-    val rows = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / 2000L)
+    // BigInt → Long must clamp, not truncate: the size-only estimator
+    // MULTIPLIES child sizes across joins, so sizeInBytes can exceed
+    // Long.MaxValue exactly on the giant inputs that need the most salts —
+    // a wrapped (possibly negative) toLong would collapse salting to 1
+    val rows = stats.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse(stats.sizeInBytes.min(BigInt(Long.MaxValue)).toLong / 2000L)
     adaptiveSalts(rows)
   }
 

@@ -52,6 +52,32 @@ object XlsxSink {
     sb.toString
   }
 
+  /** Cell-text escape: XML entities PLUS the ECMA-376 `_xHHHH_` convention
+    * for characters XML 1.0 cannot carry. Chars < 0x20 other than tab/LF
+    * are either illegal in XML entirely (parse error on read-back) or, for
+    * CR, destroyed by mandatory line-end normalization — both silent
+    * roundtrip breaks without this. Literal "_x" pre-escapes to
+    * "_x005F_x" so the decode ([[XlsxParsing.decodeCellEscapes]]) is a
+    * bijection. */
+  private def escCell(s: String): String = {
+    val pre = if (s.indexOf("_x") >= 0) s.replace("_x", "_x005F_x") else s
+    val sb = new StringBuilder(pre.length)
+    var i = 0
+    while (i < pre.length) {
+      val c = pre.charAt(i)
+      if (c < 0x20 && c != '\t' && c != '\n') sb.append(f"_x${c.toInt}%04X_")
+      else c match {
+        case '&' => sb.append("&amp;")
+        case '<' => sb.append("&lt;")
+        case '>' => sb.append("&gt;")
+        case '"' => sb.append("&quot;")
+        case _ => sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Writes `df` (all StringType columns) as one .xlsx per partition under
     * `dir`, first row of every workbook = the column names (the S4 header
     * contract on the way out). Empty partitions produce no file. Returns
@@ -138,7 +164,7 @@ object XlsxSink {
           if (v != null && v.nonEmpty)
             // xml:space keeps leading/trailing whitespace through
             // standards-conforming parsers
-            w.write(s"""<c r="${colName(c)}$r" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
+            w.write(s"""<c r="${colName(c)}$r" t="inlineStr"><is><t xml:space="preserve">${escCell(v)}</t></is></c>""")
           c += 1
         }
         w.write("</row>")

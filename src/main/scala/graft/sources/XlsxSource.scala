@@ -154,6 +154,29 @@ object XlsxParsing {
     }
   }
 
+  /** ECMA-376 `_xHHHH_` cell-escape decode (the convention Excel/POI and
+    * [[XlsxSink.escCell]] use for XML-illegal characters): each literal
+    * `_xHHHH_` becomes the code point HHHH; everything else passes through.
+    * Scanning resumes AFTER a decoded char, so the writer's `_x005F_x`
+    * pre-escape round-trips a literal "_x" exactly. */
+  def decodeCellEscapes(s: String): String = {
+    if (s == null || s.indexOf("_x") < 0) return s
+    def hex4(i: Int): Boolean = (i until i + 4).forall { j =>
+      val c = s.charAt(j)
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+    }
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (i + 7 <= s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+          s.charAt(i + 6) == '_' && hex4(i + 2)) {
+        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+        i += 7
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** sharedStrings.xml → dense array; `<si>` rich-text runs concatenate
     * (ReadOnlySharedStringsTable semantics). */
   def sharedStrings(zip: ZipFile, cap: Long): Array[String] = {
@@ -169,7 +192,7 @@ object XlsxParsing {
         case XMLStreamConstants.START_ELEMENT if xr.getLocalName == "t" && sb != null =>
           sb.append(xr.getElementText)
         case XMLStreamConstants.END_ELEMENT if xr.getLocalName == "si" =>
-          out += sb.toString; sb = null
+          out += decodeCellEscapes(sb.toString); sb = null
         case _ =>
       }
     } finally xr.close()
@@ -236,10 +259,11 @@ object XlsxParsing {
       t match {
         case "s" =>
           val i = v.trim.toInt
-          if (i >= 0 && i < shared.length) shared(i)
+          if (i >= 0 && i < shared.length) shared(i) // decoded at table parse
           else throw new IllegalArgumentException(
             s"Shared-string index $i out of range (${shared.length} strings)")
         case "b" => if (v.trim == "1") "TRUE" else "FALSE"
+        case "inlineStr" => XlsxParsing.decodeCellEscapes(v)
         case _ => v
       }
     }
@@ -283,7 +307,14 @@ private[sources] final case class XlsxOptions(
 
 private[sources] object XlsxOptions {
   def apply(options: java.util.Map[String, String]): XlsxOptions = {
-    def get(k: String): Option[String] = Option(options.get(k))
+    // inferSchema receives a CaseInsensitiveStringMap but getTable receives
+    // the CASE-SENSITIVE map (DataSourceV2Utils.loadV2Source) — normalize
+    // here so option("SheetName", …) resolves identically on both paths
+    // instead of silently reverting to defaults at read time
+    val lower = new java.util.HashMap[String, String]()
+    options.forEach((k, v) => lower.put(k.toLowerCase(java.util.Locale.ROOT), v))
+    def get(k: String): Option[String] =
+      Option(lower.get(k.toLowerCase(java.util.Locale.ROOT)))
     XlsxOptions(
       sheetName = get("sheetName").filter(_.nonEmpty),
       sheetIndex = get("sheetIndex").map(_.toInt).getOrElse(0),
@@ -333,9 +364,19 @@ class XlsxSource extends TableProvider with DataSourceRegister {
         var width = header.length
         var r = rows.nextRow()
         while (r != null) { width = math.max(width, r.length); r = rows.nextRow() }
+        // duplicate header cells would collapse in name-keyed lookups
+        // (StructType.fieldIndex — last-wins — would silently map two
+        // ordinals to one physical column); uniquify deterministically by
+        // suffixing later occurrences with their position
+        val used = scala.collection.mutable.Set.empty[String]
         val names = (0 until width).map { i =>
-          if (i < header.length && header(i) != null && header(i).nonEmpty) header(i)
-          else i.toString
+          val base =
+            if (i < header.length && header(i) != null && header(i).nonEmpty) header(i)
+            else i.toString
+          var cand = base
+          while (used.contains(cand)) cand = s"${cand}_$i"
+          used += cand
+          cand
         }
         StructType(names.map(n => StructField(n, StringType, nullable = false)))
       } finally rows.close()

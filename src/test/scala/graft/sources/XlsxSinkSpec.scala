@@ -89,6 +89,43 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(spark.read.format("xlsx").load(dir2).select("name").count() == 1L)
   }
 
+  test("control characters and literal _xHHHH_ text roundtrip via ECMA escapes") {
+    val dir = tmpDir()
+    val vals = Seq("a\rb", "ab", "has _x0041_ literal", "_x", "tab\there",
+      "line\nbreak", "crlf\r\nhere")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toString, v) }.toDF("id", "v")
+    XlsxSink.write(df, dir)
+    val back = spark.read.format("xlsx").load(dir)
+      .orderBy(org.apache.spark.sql.functions.col("id").cast("int"))
+      .collect().map(_.getString(1)).toSeq
+    assert(back == vals)
+  }
+
+  test("duplicate header names stay addressable as distinct columns") {
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    // build the workbook directly: header [a, a, b], rows below
+    XlsxTestFiles.writeDense(s"$dir/d.xlsx",
+      Seq(("Sheet1", Seq(Seq("a", "a", "b"), Seq("1", "2", "3")))))
+    val back = spark.read.format("xlsx").load(dir)
+    assert(back.columns.toSeq == Seq("a", "a_1", "b"))
+    val r = back.collect().head
+    assert(r.getString(0) == "1" && r.getString(1) == "2" && r.getString(2) == "3")
+  }
+
+  test("options resolve case-insensitively on the executor path too") {
+    val dir = tmpDir()
+    new java.io.File(dir).mkdirs()
+    XlsxTestFiles.writeDense(s"$dir/d.xlsx", Seq(
+      ("First", Seq(Seq("k"), Seq("1"))),
+      ("Second", Seq(Seq("k"), Seq("2")))))
+    // mixed-case option name + mixed-case sheet value: both paths
+    // (inferSchema's case-insensitive map AND getTable's case-sensitive
+    // properties) must land on the same sheet
+    val back = spark.read.format("xlsx").option("SHEETNAME", "second").load(dir)
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("2"))
+  }
+
   test("non-string columns are rejected with a pointer to allString") {
     val dir = tmpDir()
     val e = intercept[IllegalArgumentException](

@@ -14,12 +14,8 @@ object XlsxTestFiles {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
-  def colName(i: Int): String = {
-    var n = i + 1
-    val sb = new StringBuilder
-    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
-    sb.toString
-  }
+  /** A1-style column names — the production encoding, not a test copy. */
+  def colName(i: Int): String = XlsxSink.colName(i)
 
   private def isNumeric(s: String): Boolean =
     s.nonEmpty && s.matches("-?\\d+(\\.\\d+)?")
