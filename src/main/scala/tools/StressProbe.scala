@@ -17,10 +17,24 @@ object StressProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "10").toInt
     val docs = graft.etl.IngestOps.table(spark, dir, "documents")
 
+    // Replica sets MATERIALIZE to parquet and read back as one scan. A
+    // lazy reps-way union would re-embed its whole branch list at every
+    // reference an operator makes to its input — measured at 100x: a
+    // 40,000-FileScan plan tree whose Catalyst planning time dwarfed the
+    // actual data processing. A real Nx corpus is one bigger scan, and
+    // that is what the probe must hand the operators.
+    val scratch = java.nio.file.Files.createTempDirectory("graft_probe_").toString
+    def materialize(df: org.apache.spark.sql.DataFrame, name: String): org.apache.spark.sql.DataFrame = {
+      val p = s"$scratch/$name"
+      df.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+
     val maxId = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val x10 = (0 until 10).map { r =>
+    val x10 = materialize((0 until reps).map { r =>
       docs.select(
         (col("doc_id") + lit(r * maxId)).as("doc_id"),
         (if (r == 0) col("text")
@@ -28,7 +42,7 @@ object StressProbe {
         col("lang"), col("source"),
         (col("n_chars") + lit(if (r == 0) 0 else s" replica$r marker".length))
           .as("n_chars"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), "docs")
 
     // ---- other table families: embeddings (identical-similarity replicas:
     // per-replica scalar scaling preserves every cosine, so similarity
@@ -37,19 +51,19 @@ object StressProbe {
     // stay constant — the realistic growth shape)
     val emb = graft.etl.IngestOps.table(spark, dir, "embeddings")
     val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
-    val emb10 = (0 until 10).map { r =>
+    val emb10 = materialize((0 until reps).map { r =>
       emb.select((col("vec_id") + lit(r * maxVec)).as("vec_id"),
         expr(s"transform(embedding, x -> x * CAST(1.0 + $r * 0.125 AS FLOAT))").as("embedding"),
         col("label"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), "emb")
     val ev = graft.etl.IngestOps.table(spark, dir, "events")
     val maxEv = ev.agg(max("event_id")).head().getLong(0) + 1
     val spanDays = 400L
-    val ev10 = (0 until 10).map { r =>
+    val ev10 = materialize((0 until reps).map { r =>
       ev.select((col("event_id") + lit(r * maxEv)).as("event_id"),
         (col("ts") + expr(s"INTERVAL ${r * spanDays} DAYS")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ unionAll _), "ev")
 
     def rangeJoinCount(e: org.apache.spark.sql.DataFrame): Long = {
       val winUs = 600000000L
@@ -111,7 +125,7 @@ object StressProbe {
       time(op(base)) // warm codegen/JIT on the small side
       val (t1, n1) = time(op(base))
       val (t10, n10) = time(op(big))
-      println(f"PROBE $name%-32s 1x: $t1%6.2fs ($n1%9d rows)  10x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
+      println(f"PROBE $name%-32s 1x: $t1%6.2fs ($n1%9d rows)  ${reps}x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
     }
     spark.stop()
   }
