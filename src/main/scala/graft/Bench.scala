@@ -79,6 +79,13 @@ object Bench {
     }
     val loadEnd = loadavg()
     val failed = samples.collect { case (n, ts) if ts.forall(!_._2) => n }
+    // a query that crashed on SOME samples but succeeded on others still
+    // reports min() of the good runs — surface the crash count so an
+    // intermittent failure is distinguishable from a healthy query
+    val flaky = samples
+      .collect { case (n, ts) if ts.exists(_._2) && ts.exists(!_._2) =>
+        "\"" + n + "\":" + ts.count(!_._2) }
+      .take(8).mkString(",")
     val results = samples
       .filterNot { case (n, _) => failed.contains(n) }
       .map { case (n, ts) => n -> ts.filter(_._2).map(_._1).min }
@@ -112,7 +119,7 @@ object Bench {
     val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
     val failedJson = failed.take(8).map("\"" + _ + "\"").mkString(",")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -30,12 +30,16 @@ object Chunking {
     * boundary context so no next-token prediction loses its left context).
     *
     * Chunk starts are `0, stride, 2·stride, …` with
-    * `nChunks = 1 + ceil(max(n - chunkTokens, 0) / stride)`; the final
-    * chunk may be short. When `stride <= chunkTokens` every token is
-    * covered (property-tested); `stride > chunkTokens` deliberately
-    * subsamples — gaps of `stride - chunkTokens` tokens between windows.
-    * Zero-token docs produce no chunks. Pure per-row explode: no shuffle
-    * at any scale.
+    * `nChunks = 1 + min(ceil(max(n - chunkTokens, 0) / stride),
+    * (n - 1) div stride)`; the final chunk may be short. The second bound
+    * only bites when `stride > chunkTokens`: it clamps the start sequence
+    * to `start < n`, so no degenerate zero-token chunk row is ever
+    * emitted (downstream training consumers must never see an empty
+    * example). When `stride <= chunkTokens` every token is covered
+    * (property-tested); `stride > chunkTokens` deliberately subsamples —
+    * gaps of `stride - chunkTokens` tokens between windows. Zero-token
+    * docs produce no chunks. Pure per-row explode: no shuffle at any
+    * scale.
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 32, stride: Int = 24,
       textCol: String = "text"): DataFrame = {
@@ -46,7 +50,7 @@ object Chunking {
       .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"),
         explode(expr(
-          s"sequence(0, CAST((greatest(n - $chunkTokens, 0) + ${stride - 1}) DIV $stride AS INT))"
+          s"sequence(0, CAST(least((greatest(n - $chunkTokens, 0) + ${stride - 1}) DIV $stride, (n - 1) DIV $stride) AS INT))"
         )).as("chunk_id"))
       .withColumn("chunk_toks", expr(s"slice(toks, chunk_id * $stride + 1, $chunkTokens)"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -64,7 +68,7 @@ object Chunking {
        |  FROM documents WHERE len(${TextOps.tokensSqlDuck("text")}) > 0),
        | c AS (
        |  SELECT doc_id, toks,
-       |    unnest(generate_series(0, (greatest(n - $chunkTokens, 0) + ${stride - 1}) // $stride)) AS chunk_id
+       |    unnest(generate_series(0, least((greatest(n - $chunkTokens, 0) + ${stride - 1}) // $stride, (n - 1) // $stride))) AS chunk_id
        |  FROM t)
        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        |  CAST(len($slice) AS BIGINT) AS n_tokens,
@@ -106,10 +110,13 @@ object Chunking {
 
   /** DuckDB oracle for [[packSequences]] — identical window frame and
     * integer bin arithmetic (sums cast back to BIGINT: DuckDB widens
-    * `sum(BIGINT)` to HUGEINT, Spark keeps LONG). */
+    * `sum(BIGINT)` to HUGEINT, Spark keeps LONG; the shard term spells
+    * pmod explicitly because DuckDB's `%` is sign-of-dividend while
+    * Spark's `pmod` is always nonnegative — engine-invariant even for
+    * negative doc_ids). */
   def packSequencesSqlDuck(budget: Int = 512, shards: Int = 8): String =
     s"""WITH n AS (
-       |  SELECT doc_id, lang, doc_id % $shards AS shard,
+       |  SELECT doc_id, lang, ((doc_id % $shards) + $shards) % $shards AS shard,
        |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tok
        |  FROM documents),
        | c AS (

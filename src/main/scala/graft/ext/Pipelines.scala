@@ -133,11 +133,12 @@ object Pipelines {
        |  FROM kept WHERE len(${TextOps.tokensSqlDuck("text")}) > 0),
        | ck_c AS (
        |  SELECT doc_id, ck_toks,
-       |    unnest(generate_series(0, (greatest(n - $chunkTokens, 0) + ${stride - 1}) // $stride)) AS chunk_id
+       |    unnest(generate_series(0, least((greatest(n - $chunkTokens, 0) + ${stride - 1}) // $stride, (n - 1) // $stride))) AS chunk_id
        |  FROM ck_t),
        | ck AS (
        |  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-       |    CAST(len($slice) AS BIGINT) AS n_tokens, doc_id % $shards AS shard
+       |    CAST(len($slice) AS BIGINT) AS n_tokens,
+       |    ((doc_id % $shards) + $shards) % $shards AS shard
        |  FROM ck_c),
        | pk AS (
        |  SELECT shard, n_tokens,

@@ -107,16 +107,39 @@ object XlsxSink {
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val pid = TaskContext.getPartitionId()
-        writeWorkbook(new File(dir, f"part-$pid%05d.xlsx"), sheet, names, it, acc)
+        writeCommitted(new File(dir, f"part-$pid%05d.xlsx"), sheet, names, it, acc)
       }
     }
     // an all-empty input still yields a READABLE empty dataset: one
     // header-only workbook keeps the schema (XlsxSource errors on a
     // fileless directory, and rightly so)
     if (acc.value == 0L)
-      writeWorkbook(new File(dir, "part-00000.xlsx"), sheet, names,
+      writeCommitted(new File(dir, "part-00000.xlsx"), sheet, names,
         Iterator.empty, acc)
     acc.value
+  }
+
+  /** Task-commit protocol: stream the workbook to an attempt-unique temp
+    * file, then atomically rename onto the final name only after a complete,
+    * successful write. Under task retries or speculative execution two
+    * attempts of the same partition may run concurrently — each streams to
+    * its own temp, and whichever renames last wins whole (POSIX same-dir
+    * rename is atomic; both attempts consume the same deterministic rows, so
+    * either winner is a correct workbook). A failed/killed attempt leaves at
+    * worst a `.tmp` orphan, which [[XlsxParsing.listFiles]]'s `.xlsx` filter
+    * never reads. */
+  private def writeCommitted(dest: File, sheet: String, names: Seq[String],
+      it: Iterator[Row], acc: org.apache.spark.util.LongAccumulator): Unit = {
+    val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = new File(dest.getParentFile, s".${dest.getName}.a$attempt.tmp")
+    var ok = false
+    try {
+      writeWorkbook(tmp, sheet, names, it, acc)
+      java.nio.file.Files.move(tmp.toPath, dest.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ok = true
+    } finally if (!ok) { tmp.delete(); () }
   }
 
   private def writeWorkbook(file: File, sheet: String, names: Seq[String],
@@ -135,7 +158,9 @@ object XlsxSink {
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
           |<Default Extension="xml" ContentType="application/xml"/>
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
           |</Types>""".stripMargin)
       entry("_rels/.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>

@@ -14,13 +14,19 @@ class ChunkingPropertySpec extends AnyFunSuite {
   private def naiveChunks(tokens: Seq[String], c: Int, s: Int): Seq[(Long, Seq[String])] =
     if (tokens.isEmpty) Seq.empty
     else {
-      val nChunks = 1 + (math.max(tokens.length - c, 0) + s - 1) / s
+      // last start clamped below n: when stride > chunk the ceil formula
+      // alone can place a start past the end (n=5, c=2, s=5 → starts 0, 5),
+      // which would emit a degenerate empty chunk
+      val nChunks = 1 + math.min(
+        (math.max(tokens.length - c, 0) + s - 1) / s,
+        (tokens.length - 1) / s)
       (0 until nChunks).map(i => (i.toLong, tokens.slice(i * s, i * s + c)))
     }
 
   test("chunkDocs ≡ naive sliding window: ∀ (n, chunk, stride)") {
     val rnd = new scala.util.Random(17)
-    val cases = Seq((0, 3, 2), (1, 3, 2), (3, 3, 3), (4, 3, 3), (7, 5, 5)) ++
+    val cases = Seq((0, 3, 2), (1, 3, 2), (3, 3, 3), (4, 3, 3), (7, 5, 5),
+      (5, 2, 5), (6, 2, 5), (11, 2, 5)) ++ // stride > chunk: start-clamp cases
       Seq.fill(10)((rnd.nextInt(40), rnd.nextInt(6) + 1, rnd.nextInt(6) + 1))
     cases.foreach { case (n, c, s) =>
       val tokens = (0 until n).map(i => s"w$i")
@@ -30,6 +36,7 @@ class ChunkingPropertySpec extends AnyFunSuite {
         .collect().map(r => (r.getAs[Long]("chunk_id"), r.getAs[String]("chunk_text")))
       val want = naiveChunks(tokens, c, s).map { case (i, t) => (i, t.mkString(" ")) }
       assert(got.toSeq == want, s"n=$n chunk=$c stride=$s")
+      assert(got.forall(_._2.nonEmpty), s"empty chunk emitted: n=$n chunk=$c stride=$s")
       // coverage: with stride <= chunk every token index falls inside some
       // window (stride > chunk is deliberate subsampling — gaps expected)
       if (n > 0 && s <= c) {
