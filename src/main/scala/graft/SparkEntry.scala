@@ -431,6 +431,162 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q4 shape (order-priority checking): EXISTS with a correlated
+    // date-arithmetic residual (late line: shipped >60 days after the order
+    // date) → LeftSemi hash join on the order key with the non-equi term as
+    // the join residual, then a tiny priority rollup.
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1997-07-01"))
+      val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q8 shape (national market share): 8-relation join where nation
+    // appears in TWO roles (customer's region gate, supplier's share term),
+    // conditional-sum ratio per order year. All small dims broadcast; the
+    // only shuffles are the fact-fact joins and the final year rollup.
+    // Both sums are exact decimals; the share is one double division.
+    "q8_market_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_regionkey").as("n1_region"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation"))
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val p = t(s, dir, "part").filter(col("p_type") === "STANDARD")
+      val vol = d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount")))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("n1_key"))
+        .join(broadcast(r), col("n1_region") === col("r_regionkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("n2_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_2", vol).otherwise(d2(lit(0))))
+            .cast("double") / sum(vol).cast("double")).as("share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q12 shape (priority classes per line attribute): fact-fact join
+    // with a pushed ship-date range, CASE-membership counted into two
+    // columns in one pass (the fixtures carry no l_shipmode; l_returnflag
+    // stands in as the grouping attribute — the shape is the point).
+    "q12_priority_class" -> ((s, dir) => {
+      val urgent = Seq("1-URGENT", "2-HIGH")
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01") &&
+          col("l_shipdate") < lit("1999-01-01"))
+      t(s, dir, "orders")
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin(urgent: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(urgent: _*), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q15 shape (top supplier): an aggregated subquery used TWICE —
+    // once as the join input, once reduced to its max — with the scalar max
+    // broadcast back as an equality gate on an EXACT decimal (ties would
+    // all surface; no epsilon games).
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2000-01-01") &&
+          col("l_shipdate") < lit("2000-07-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(revenue().as("_tr"))
+      val mx = rev.agg(max(col("_tr")).as("_mx"))
+      t(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("supplier_no"))
+        .join(broadcast(mx), col("_tr") === col("_mx"))
+        .select(col("s_suppkey"), col("s_name"), dstr(col("_tr")).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): correlated per-part AVG
+    // subquery, decorrelated by hand into a partial-aggregated per-part
+    // average joined back on the part key — only Brand#3's lineitems are
+    // ever aggregated (the correlation key restricts l2 to those parts).
+    // l_quantity is integral, so the double avg is an exact sum/count.
+    "q17_small_qty" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") === "Brand#3").select("p_partkey")
+      val lb = t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val av = lb.groupBy(col("l_partkey").as("_pk")).agg(avg(col("l_quantity")).as("_avg"))
+      lb.join(av, col("l_partkey") === col("_pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("_avg"))
+        .agg(
+          (sum(d2(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept the order waiting): the DOUBLE
+    // correlated quantifier — EXISTS a co-supplier line on the same order,
+    // NOT EXISTS a co-supplier line shipped later — as a LeftSemi + LeftAnti
+    // pair on the order key with the supplier/date terms as residuals (the
+    // fixtures carry no receipt/commit dates; "kept waiting" = this
+    // supplier's line shipped strictly last among multi-supplier F-orders).
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val n = t(s, dir, "nation").filter(col("n_name").isin("NATION_1", "NATION_6"))
+      val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l1 = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
+      val l3 = t(s, dir, "lineitem").select(col("l_orderkey").as("l3_ok"),
+        col("l_suppkey").as("l3_sk"), col("l_shipdate").as("l3_sd"))
+      l1.join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l2_ok") === col("l_orderkey") &&
+          col("l2_sk") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("l3_ok") === col("l_orderkey") &&
+          col("l3_sk") =!= col("l_suppkey") &&
+          col("l3_sd") > col("l_shipdate"), "left_anti")
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): customers in selected
+    // code groups, above the positive-balance average, with no recent
+    // orders. The AVG comparison is the exact-arithmetic transform
+    // balance·count > total (the q_scalar_subquery trick) so no float
+    // average enters the plan; the no-orders quantifier is a LeftAnti join.
+    // (No c_phone in the fixtures — the code is the last two digits of
+    // c_name; every customer has SOME order, so "idle" is date-scoped.)
+    "q22_idle_customers" -> ((s, dir) => {
+      val codes = Seq("13", "31", "23", "29", "30", "18", "17")
+      val c = t(s, dir, "customer")
+        .withColumn("cntrycode", expr("substring(c_name, length(c_name)-1, 2)"))
+        .filter(col("cntrycode").isin(codes: _*))
+      val pos = c.filter(col("c_acctbal") > 0.0)
+        .agg(count(lit(1)).as("_cnt"), sum(d2(col("c_acctbal"))).as("_tot"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01")).select("o_custkey")
+      c.crossJoin(broadcast(pos))
+        .filter(d2(col("c_acctbal")) * col("_cnt") > col("_tot"))
+        .join(recent, col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(count(lit(1)).as("numcust"),
+          dstr(sum(d2(col("c_acctbal")))).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     "q_pivot" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_linestatus")
@@ -1121,6 +1277,97 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+         |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+         |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST($revenueSql AS DOUBLE) AS share,
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |GROUP BY year(o_orderdate)
+         |ORDER BY o_year""".stripMargin,
+
+    "q12_priority_class" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= DATE '1998-01-01' AND l_shipdate < DATE '1999-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, $revenueSql AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '2000-01-01' AND l_shipdate < DATE '2000-07-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(total_revenue AS VARCHAR) AS total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name IN ('NATION_1','NATION_6')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > l1.l_shipdate)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (
+        |  SELECT CAST(c_acctbal AS DECIMAL(18,2)) AS b FROM customer
+        |  WHERE c_acctbal > 0.0
+        |    AND substring(c_name, length(c_name)-1, 2) IN ('13','31','23','29','30','18','17'))
+        |SELECT substring(c_name, length(c_name)-1, 2) AS cntrycode,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS totacctbal
+        |FROM customer
+        |WHERE substring(c_name, length(c_name)-1, 2) IN ('13','31','23','29','30','18','17')
+        |  AND CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM pos)
+        |      > (SELECT sum(b) FROM pos)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '1999-01-01')
+        |GROUP BY substring(c_name, length(c_name)-1, 2)
+        |ORDER BY cntrycode""".stripMargin,
 
     "window_ntile" ->
       """SELECT c_custkey, c_mktsegment,
