@@ -754,6 +754,22 @@ object SparkEntry {
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"), 64)),
 
+    // deterministic hash-min-k sample quantiles (ext/Sketch.sampleQuantiles):
+    // the k=256 md5-minima of o_orderkey are a reproducible uniform sample;
+    // the quantiles are exact order statistics of that sample — so the whole
+    // ESTIMATE is oracle-checked bit-for-bit (percentile ≡ quantile_cont,
+    // proven bitwise by events_quantiles). Plan: TakeOrderedAndProject (O(k)
+    // per task), never a global sort.
+    "sketch_sample_quantiles" -> ((s, dir) =>
+      graft.ext.Sketch.sampleQuantiles(
+        t(s, dir, "orders"), "o_totalprice", col("o_orderkey"), 256)),
+
+    // per-group variant: rank-by-hash inside each priority class
+    // (WindowGroupLimit caps map-side state at k rows per group)
+    "sketch_sample_quantiles_grouped" -> ((s, dir) =>
+      graft.ext.Sketch.sampleQuantilesByGroup(
+        t(s, dir, "orders"), "o_orderpriority", "o_totalprice", col("o_orderkey"), 64)),
+
     // grouped sketch: one KMV estimate per document source (k=16); groups
     // with < k distinct texts yield null estimate on both engines
     "sketch_kmv_by_source" -> ((s, dir) =>
@@ -898,6 +914,11 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // within-doc repeated-segment removal (C4/FineWeb line dedup adapted to
+    // 8-token segments): pure per-row array algebra, zero shuffles
+    "text_dedup_segments" -> ((s, dir) =>
+      TextOps.dedupSegments(t(s, dir, "documents")).orderBy("doc_id")),
 
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1573,6 +1594,26 @@ object SparkEntry {
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
+
+    "text_dedup_segments" -> TextOps.dedupSegmentsSqlDuck(),
+
+    "sketch_sample_quantiles" ->
+      """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS _v FROM orders
+        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 256)
+        |SELECT CAST(count(*) AS BIGINT) AS sample_n,
+        |  quantile_cont(_v, 0.25) AS q25, quantile_cont(_v, 0.5) AS q50,
+        |  quantile_cont(_v, 0.75) AS q75, quantile_cont(_v, 0.9) AS q90
+        |FROM s""".stripMargin,
+
+    "sketch_sample_quantiles_grouped" ->
+      """WITH r AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS _v,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS sample_n,
+        |  quantile_cont(_v, 0.5) AS q50, quantile_cont(_v, 0.9) AS q90
+        |FROM r WHERE rn <= 64
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "text_tfidf" -> TextOps.tfidfSqlDuck(),
     "text_clean" -> TextOps.cleanSqlDuck(),
     "dedup_minhash_shingles" -> Dedup.minhashShinglesSqlDuck(),

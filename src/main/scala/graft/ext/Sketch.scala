@@ -101,4 +101,46 @@ object Sketch {
           hashFraction(element_at(col("mins"), k))).as("est_distinct"),
         col("exact_distinct").cast("long").as("exact_distinct"))
   }
+
+  /** Deterministic sample quantiles: the k rows with the smallest
+    * `md5(key)` form a uniform, REPRODUCIBLE sample of the population (same
+    * winners on any partitioning, any cluster, any engine — no RNG in the
+    * plan), and the quantiles are then EXACT interpolated order statistics
+    * of that sample. Unlike t-digest/KLL — whose merge state is
+    * implementation-defined and so un-checkable across engines — the whole
+    * estimate is deterministic given md5, so the oracle checks it
+    * bit-for-bit; sampling error (±O(1/√k)) is the only approximation.
+    *
+    * Distributed shape: `orderBy(hash).limit(k)` plans as
+    * TakeOrderedAndProject — every task keeps its local k rows, the driver
+    * merges task winners — O(k) state per task, no global sort. The same
+    * bounded-state single-pass shape as [[MinKDistinct]]: this is how you
+    * take a trustworthy quantile profile of 100 TB in one narrow pass. */
+  def sampleQuantiles(df: DataFrame, valueCol: String, key: Column, k: Int,
+      probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(k > 0 && probs.nonEmpty, "k and probs must be positive/nonempty")
+    val qs = probs.map(p => expr(s"percentile(_v, $p)").as(s"q${math.round(p * 100)}"))
+    df.select(md5(key.cast("string")).as("_h"), col(valueCol).cast("double").as("_v"))
+      .orderBy("_h")
+      .limit(k)
+      .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
+  }
+
+  /** Per-group [[sampleQuantiles]]: rank-by-hash inside each group
+    * (WindowGroupLimit bounds every map task to k rows per group before the
+    * shuffle), keep each group's k hash-minima, aggregate exact sample
+    * order statistics per group. */
+  def sampleQuantilesByGroup(df: DataFrame, group: String, valueCol: String,
+      key: Column, k: Int, probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0 && probs.nonEmpty, "k and probs must be positive/nonempty")
+    val w = Window.partitionBy(group).orderBy("_h")
+    val qs = probs.map(p => expr(s"percentile(_v, $p)").as(s"q${math.round(p * 100)}"))
+    df.select(col(group), md5(key.cast("string")).as("_h"),
+        col(valueCol).cast("double").as("_v"))
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .groupBy(group)
+      .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
+      .orderBy(group)
+  }
 }

@@ -238,6 +238,36 @@ object TextOps {
     candidates.join(bad, Seq("doc_id"), "left_anti")
   }
 
+  /** Within-document repeated-segment removal — the C4/FineWeb
+    * line-deduplication cleaning step, adapted to consecutive `w`-token
+    * segments (the fixture corpus carries no newlines; for real corpora
+    * split on the line break instead — the keep-first algebra is
+    * identical). A doc's token stream is cut into w-token segments; any
+    * segment textually identical to an EARLIER segment of the same doc is
+    * dropped, and the survivors rejoin in original order.
+    *
+    * Everything is per-row array algebra — tokenize → segment → keep-first
+    * filter → rejoin — one narrow projection, no shuffle at any scale
+    * (within-doc dedup is embarrassingly parallel; cross-doc identity is
+    * [[Dedup]]'s job). The keep-first test is `first_index(x) == i`, the
+    * same rule on both engines' 1-based `array_position`/`list_position`.
+    * Zero-token docs produce no row (no segments — the
+    * [[Chunking.chunkDocs]] contract). */
+  def dedupSegments(docs: DataFrame, w: Int = 8, textCol: String = "text"): DataFrame = {
+    require(w > 0, "w must be positive")
+    docs
+      .select(col("doc_id"), fastTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("segs", expr(
+        s"transform(sequence(0, CAST((n + ${w - 1}) DIV $w AS INT) - 1), i -> array_join(slice(toks, i * $w + 1, $w), ' '))"))
+      .withColumn("kept", expr("filter(segs, (x, i) -> array_position(segs, x) == i + 1)"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segments"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " ").as("text_deduped"))
+  }
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   /** Ordered w-shingle CTE body (lead-based; incomplete tail shingles null
@@ -277,6 +307,30 @@ object TextOps {
        |SELECT doc_id, source FROM documents
        |WHERE source <> '$benchSource'
        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[dedupSegments]] — same segmentation arithmetic and
+    * the same keep-first rule via DuckDB's indexed lambda (`i` is 1-based
+    * there, 0-based in Spark — hence `= i` vs `== i + 1`). */
+  def dedupSegmentsSqlDuck(w: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSqlDuck("text")} AS toks,
+       |    len(${tokensSqlDuck("text")}) AS n
+       |  FROM documents WHERE len(${tokensSqlDuck("text")}) > 0),
+       | sg AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, (n + ${w - 1}) // $w - 1),
+       |      i -> array_to_string(list_slice(toks, i * $w + 1, i * $w + $w), ' ')) AS segs
+       |  FROM t),
+       | kp AS (
+       |  SELECT doc_id, segs,
+       |    list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+       |  FROM sg)
+       |SELECT doc_id,
+       |  CAST(len(segs) AS BIGINT) AS n_segments,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  array_to_string(kept, ' ') AS text_deduped
+       |FROM kp
        |ORDER BY doc_id""".stripMargin
 
   def tokensSqlDuck(textCol: String): String =

@@ -75,4 +75,39 @@ class SketchSpec extends AnyFunSuite {
     assert(row.isNullAt(row.fieldIndex("kth_hash")))
     assert(row.getAs[Long]("exact_distinct") == 10L)
   }
+
+  test("sampleQuantiles: partitioning-invariant; ±3 RSE of truth; n<k degenerates to exact") {
+    // values 0..9999 uniformly: true median 4999.5, p90 8999.x
+    val df = spark.range(10000).select(col("id").as("key"), col("id").cast("double").as("v")).toDF()
+    val a = Sketch.sampleQuantiles(df.repartition(1), "v", col("key"), 256).collect().head
+    val b = Sketch.sampleQuantiles(df.repartition(13), "v", col("key"), 256).collect().head
+    assert(a == b) // same winners on any partitioning
+    assert(a.getAs[Long]("sample_n") == 256L)
+    val rse = 1.0 / math.sqrt(256)
+    assert(math.abs(a.getAs[Double]("q50") - 5000.0) / 10000.0 < 3 * rse)
+    assert(math.abs(a.getAs[Double]("q90") - 9000.0) / 10000.0 < 3 * rse)
+    // fewer rows than k: the "sample" is the whole population -> exact
+    val small = spark.range(101).select(col("id").as("key"), col("id").cast("double").as("v")).toDF()
+    val s = Sketch.sampleQuantiles(small, "v", col("key"), 256).collect().head
+    assert(s.getAs[Long]("sample_n") == 101L)
+    assert(s.getAs[Double]("q50") == 50.0)
+  }
+
+  test("sampleQuantilesByGroup: every group sampled; per-group exact when group < k") {
+    val df = spark.range(3000).select(
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c").as("g"),
+      col("id").as("key"), col("id").cast("double").as("v")).toDF()
+    val rows = Sketch.sampleQuantilesByGroup(df, "g", "v", col("key"), 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "c"))
+    assert(rows.values.forall(_.getAs[Long]("sample_n") == 64L))
+    // tiny groups: sample == group -> exact interpolated median
+    val tiny = spark.range(30).select(
+      when(col("id") < 10, "x").otherwise("y").as("g"),
+      col("id").as("key"), col("id").cast("double").as("v")).toDF()
+    val tx = Sketch.sampleQuantilesByGroup(tiny, "g", "v", col("key"), 64)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(tx("x").getAs[Long]("sample_n") == 10L)
+    assert(tx("x").getAs[Double]("q50") == 4.5)
+  }
 }

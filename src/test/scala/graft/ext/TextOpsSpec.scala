@@ -104,6 +104,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0L, 0.0)))
   }
 
+  test("dedupSegments: keep-first within doc; order preserved; short tail distinct") {
+    val d = docs(
+      // segments of 2: "a b" | "c d" | "a b" | "e f" -> middle repeat dropped
+      (1L, "a b c d a b e f"),
+      // repeated tail shorter than w stays: "x y" | "x" (distinct strings)
+      (2L, "x y x"),
+      (3L, ""))                    // zero tokens: no row
+    val out = TextOps.dedupSegments(d, w = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((4L, 3L, "a b c d e f")))
+    assert(out(2L) == ((2L, 2L, "x y x")))
+    assert(!out.contains(3L))
+    // idempotence: a deduped doc dedups to itself
+    val again = TextOps.dedupSegments(
+      Seq((1L, out(1L)._3)).toDF("doc_id", "text"), w = 2).collect().head
+    assert(again.getString(3) == out(1L)._3)
+  }
+
   test("decontaminate: drops exactly the candidates sharing a 5-shingle with the benchmark") {
     val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
     val cand = docs(
