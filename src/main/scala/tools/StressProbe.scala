@@ -108,11 +108,37 @@ object StressProbe {
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
       Seq(("doc", docs, x10, docOps), ("emb", emb, emb10, embOps), ("ev", ev, ev10, evOps))
 
+    // ---- relational family: a full Nx TABLE DIRECTORY, so any SparkEntry
+    // query can be probed BY NAME against it. Facts (orders, lineitem)
+    // replicate with re-keyed order keys; dimensions stay at 1x — constant
+    // dim cardinality under fact growth is the realistic 100 TB shape (and
+    // the broadcast-join stressor: the build side must NOT grow with the
+    // corpus).
+    val relDir = s"$scratch/rel"
+    val orders = graft.etl.IngestOps.table(spark, dir, "orders")
+    val li = graft.etl.IngestOps.table(spark, dir, "lineitem")
+    val maxOrd = orders.agg(max("o_orderkey")).head().getLong(0) + 1
+    (0 until reps).map { r =>
+      orders.withColumn("o_orderkey", col("o_orderkey") + lit(r * maxOrd))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$relDir/orders.parquet")
+    (0 until reps).map { r =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(r * maxOrd))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$relDir/lineitem.parquet")
+    Seq("region", "nation", "customer", "supplier", "part").foreach { tn =>
+      graft.etl.IngestOps.table(spark, dir, tn)
+        .write.mode("overwrite").parquet(s"$relDir/$tn.parquet")
+    }
+    val relQueries = Seq("q4_order_priority", "q8_market_share",
+      "q12_priority_class", "q17_small_qty", "q21_waiting_supplier",
+      "sketch_sample_quantiles", "sketch_sample_quantiles_grouped")
+
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on
     // this dense fixture) — the rep variant is the standing scale path
     val requested = if (args.nonEmpty) args.toSet
-      else families.flatMap(_._4.keys).toSet - "dedup_keep_first_lsh"
+      else families.flatMap(_._4.keys).toSet - "dedup_keep_first_lsh" ++ relQueries
 
     def time(f: => Long): (Double, Long) = {
       val t0 = System.nanoTime()
@@ -125,6 +151,13 @@ object StressProbe {
       time(op(base)) // warm codegen/JIT on the small side
       val (t1, n1) = time(op(base))
       val (t10, n10) = time(op(big))
+      println(f"PROBE $name%-32s 1x: $t1%6.2fs ($n1%9d rows)  ${reps}x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
+    }
+    for (name <- relQueries if requested(name)) {
+      val op = (d: String) => graft.SparkEntry.queries(name)(spark, d).count()
+      time(op(dir)) // warm
+      val (t1, n1) = time(op(dir))
+      val (t10, n10) = time(op(relDir))
       println(f"PROBE $name%-32s 1x: $t1%6.2fs ($n1%9d rows)  ${reps}x: $t10%6.2fs ($n10%9d rows)  ratio: ${t10 / t1}%5.2f")
     }
     spark.stop()

@@ -123,6 +123,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.ext.Sketch.kmvDistinctBy(
       emptyDocs, "source", col("text"), 4).count() == 0)
 
+    // sample quantiles: empty input -> one row, zero sample, null quantiles
+    val emptyVals = Seq.empty[(Long, Double)].toDF("k", "v")
+    val sq = graft.ext.Sketch.sampleQuantiles(emptyVals, "v", col("k"), 4)
+      .collect().head
+    assert(sq.getAs[Long]("sample_n") == 0L && sq.isNullAt(sq.fieldIndex("q50")))
+    assert(graft.ext.Sketch.sampleQuantilesByGroup(
+      emptyDocs, "source", "n_chars", col("doc_id"), 4).count() == 0)
+    // segment dedup: empty corpus and token-less docs yield no rows
+    assert(TextOps.dedupSegments(emptyDocs).count() == 0)
+    assert(TextOps.dedupSegments(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")).count() == 0)
+
     assert(graft.ext.Pipelines.mixSources(
       emptyDocs, "source", "doc_id", lit(1.0)).count() == 0)
     assert(TextOps.repetition(emptyDocs).count() == 0)
