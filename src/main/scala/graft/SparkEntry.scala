@@ -754,6 +754,17 @@ object SparkEntry {
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"), 64)),
 
+    // KMV corpus-overlap estimate (ext/Sketch.kmvJaccard): how much 3-shingle
+    // vocabulary src1 shares with src0, answered from two k=128 sketches —
+    // the dataset-pair contamination triage. Deterministic given md5, so the
+    // ESTIMATE hash-checks; exact Jaccard rides along as the differential.
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shA = Dedup.shingles(docs.filter(col("source") === "src0"), 3)
+      val shB = Dedup.shingles(docs.filter(col("source") === "src1"), 3)
+      graft.ext.Sketch.kmvJaccard(shA, col("tok"), shB, col("tok"), 128)
+    }),
+
     // deterministic hash-min-k sample quantiles (ext/Sketch.sampleQuantiles):
     // the k=256 md5-minima of o_orderkey are a reproducible uniform sample;
     // the quantiles are exact order statistics of that sample — so the whole
@@ -1596,6 +1607,9 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
 
     "text_dedup_segments" -> TextOps.dedupSegmentsSqlDuck(),
+
+    "sketch_kmv_overlap" ->
+      graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),
 
     "sketch_sample_quantiles" ->
       """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS _v FROM orders

@@ -102,6 +102,69 @@ object Sketch {
         col("exact_distinct").cast("long").as("exact_distinct"))
   }
 
+  /** KMV corpus-overlap (Jaccard) estimate between two keyed sets — the
+    * corpus-pair triage for dataset contamination: "how much does corpus B
+    * share with corpus A" answered from two k-sized sketches instead of a
+    * full cross-corpus join. Estimator (Beyer et al. 2007 §5): with
+    * KA/KB the k smallest distinct hashes of each side and M the k
+    * smallest of KA ∪ KB, Ĵ = |{h ∈ M : h ∈ KA ∩ KB}| / |M| — M is a
+    * uniform sample of the union, so the hit fraction estimates the
+    * resemblance, with RSE ≈ √(J(1−J)/k).
+    *
+    * Deterministic given md5 (same winners on any engine/partitioning), so
+    * the ESTIMATE is oracle-checked bit-for-bit — the exact Jaccard rides
+    * along as the differential check, mirroring [[kmvDistinct]]. The
+    * sketches are one bounded-Aggregator pass per side (O(k) partial
+    * states); only the exactness columns touch a full distinct. */
+  def kmvJaccard(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ha = a.select(md5(aKey.cast("string")).as("h"))
+    val hb = b.select(md5(bKey.cast("string")).as("h"))
+    val ska = ha.agg(minKDistinct(k)(col("h")).as("ka"))
+    val skb = hb.agg(minKDistinct(k)(col("h")).as("kb"))
+    val ex = ha.distinct().withColumn("_ina", lit(1))
+      .join(hb.distinct().withColumn("_inb", lit(1)), Seq("h"), "full_outer")
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("_ina").isNotNull && col("_inb").isNotNull, 1L).otherwise(0L))
+          .as("exact_inter"))
+    ska.crossJoin(skb).crossJoin(ex)
+      .withColumn("m", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .withColumn("hits",
+        expr("size(filter(m, h -> array_contains(ka, h) AND array_contains(kb, h)))"))
+      .select(lit(k.toLong).as("k"),
+        size(col("m")).cast("long").as("k_merged"),
+        col("hits").cast("long").as("j_hits"),
+        (col("hits").cast("double") / size(col("m")).cast("double")).as("jaccard_est"),
+        (col("exact_inter").cast("double") / col("exact_union").cast("double"))
+          .as("jaccard_exact"))
+  }
+
+  /** DuckDB oracle for [[kmvJaccard]] over w-shingle sets of two document
+    * sources — the same k-minima, merged-sample, and hit-fraction
+    * arithmetic (and the same exact-side distinct joins). */
+  def kmvJaccardShinglesSqlDuck(srcA: String, srcB: String, w: Int, k: Int): String =
+    s"""WITH ha AS (SELECT DISTINCT md5(s) AS h
+       |   FROM (${TextOps.shingleCtesDuck(w, s"WHERE source = '$srcA'")})
+       |   WHERE s IS NOT NULL),
+       | hb AS (SELECT DISTINCT md5(s) AS h
+       |   FROM (${TextOps.shingleCtesDuck(w, s"WHERE source = '$srcB'")})
+       |   WHERE s IS NOT NULL),
+       | ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       | kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       | m AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |       ORDER BY h LIMIT $k),
+       | hits AS (SELECT CAST(count(*) AS BIGINT) AS j_hits FROM m
+       |          WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+       | kp AS (SELECT CAST(count(*) AS BIGINT) AS k_merged FROM m),
+       | ex AS (SELECT
+       |   CAST((SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS BIGINT) AS exact_inter,
+       |   CAST((SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS BIGINT) AS exact_union)
+       |SELECT CAST($k AS BIGINT) AS k, k_merged, j_hits,
+       |  CAST(j_hits AS DOUBLE) / CAST(k_merged AS DOUBLE) AS jaccard_est,
+       |  CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE) AS jaccard_exact
+       |FROM kp, hits, ex""".stripMargin
+
   /** Deterministic sample quantiles: the k rows with the smallest
     * `md5(key)` form a uniform, REPRODUCIBLE sample of the population (same
     * winners on any partitioning, any cluster, any engine — no RNG in the

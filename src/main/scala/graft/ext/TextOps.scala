@@ -272,7 +272,7 @@ object TextOps {
 
   /** Ordered w-shingle CTE body (lead-based; incomplete tail shingles null
     * out — mirrors Dedup.shingles). Yields rows (doc_id, source, s). */
-  private def shingleCtesDuck(w: Int, where: String): String = {
+  private[ext] def shingleCtesDuck(w: Int, where: String): String = {
     val parts = ("tok" +: (1 until w).map(j =>
       s"lead(tok, $j) OVER (PARTITION BY doc_id ORDER BY i)")).mkString(" || ' ' || ")
     s"""SELECT doc_id, source, $parts AS s FROM (

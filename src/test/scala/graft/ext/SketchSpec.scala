@@ -76,6 +76,30 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getAs[Long]("exact_distinct") == 10L)
   }
 
+  test("kmvJaccard: exact at the extremes; ±3 RSE between; partitioning-invariant") {
+    def ids(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
+    def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, k: Int) =
+      Sketch.kmvJaccard(a, col("k"), b, col("k"), k).collect().head
+    // identical sets: every merged hash is in both -> exactly 1.0
+    val same = j(ids(0, 500), ids(0, 500), 64)
+    assert(same.getAs[Double]("jaccard_est") == 1.0 &&
+      same.getAs[Double]("jaccard_exact") == 1.0)
+    // disjoint sets: no merged hash is in both -> exactly 0.0
+    val disj = j(ids(0, 500), ids(500, 1000), 64)
+    assert(disj.getAs[Double]("jaccard_est") == 0.0 &&
+      disj.getAs[Double]("jaccard_exact") == 0.0)
+    // true J = 500/1500 = 1/3; RSE ≈ sqrt(J(1-J)/k)
+    val k = 256
+    val mid = j(ids(0, 1000), ids(500, 1500), k)
+    assert(mid.getAs[Double]("jaccard_exact") == 1.0 / 3.0)
+    val rse = math.sqrt((1.0 / 3) * (2.0 / 3) / k)
+    assert(math.abs(mid.getAs[Double]("jaccard_est") - 1.0 / 3) < 3 * rse)
+    // partitioning cannot change the winners
+    val a = j(ids(0, 1000).repartition(1), ids(500, 1500).repartition(1), k)
+    val b = j(ids(0, 1000).repartition(13), ids(500, 1500).repartition(7), k)
+    assert(a == b)
+  }
+
   test("sampleQuantiles: partitioning-invariant; ±3 RSE of truth; n<k degenerates to exact") {
     // values 0..9999 uniformly: true median 4999.5, p90 8999.x
     val df = spark.range(10000).select(col("id").as("key"), col("id").cast("double").as("v")).toDF()
