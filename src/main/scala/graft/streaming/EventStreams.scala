@@ -96,6 +96,46 @@ object EventStreams {
       }
   }
 
+  /** Streaming quantile profile with BOUNDED custom state: per event type
+    * the state is the k smallest (md5(event_id), value) pairs seen so far —
+    * the [[graft.ext.Sketch.sampleQuantiles]] deterministic sample
+    * maintained incrementally. State is O(k) per group FOREVER (no
+    * watermark needed — a sketch never grows), each micro-batch emits the
+    * group's refreshed profile, and after the last batch the profile
+    * equals the batch sketch on the same data BIT-FOR-BIT — including the
+    * percentile interpolation, which mirrors Spark's
+    * `(higher - position)·lowerVal + (position - lower)·higherVal` exactly
+    * (EventStreamsSpec proves the equivalence across multi-batch runs). */
+  final case class QuantState(hs: List[String], vs: List[Double], seen: Long)
+  final case class QuantProfile(event_type: String, n_seen: Long,
+    sample_n: Long, q50: Double, q90: Double)
+
+  def quantileProfileState(events: DataFrame, k: Int = 64):
+      org.apache.spark.sql.Dataset[QuantProfile] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    def interp(sv: IndexedSeq[Double], p: Double): Double = {
+      val pos = p * (sv.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sv(lo) else (hi - pos) * sv(lo) + (pos - lo) * sv(hi)
+    }
+    events.selectExpr("event_type", "md5(CAST(event_id AS STRING)) AS h", "value")
+      .as[(String, String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[QuantState, QuantProfile](GroupStateTimeout.NoTimeout) {
+        (typ, rows, state) =>
+          val prev = state.getOption.getOrElse(QuantState(Nil, Nil, 0L))
+          var pairs: List[(String, Double)] = prev.hs.zip(prev.vs)
+          var seen = prev.seen
+          rows.foreach { case (_, h, v) => pairs = (h, v) :: pairs; seen += 1 }
+          val kept = pairs.sortBy(_._1).take(k)
+          state.update(QuantState(kept.map(_._1), kept.map(_._2), seen))
+          val sv = kept.map(_._2).sorted.toIndexedSeq
+          QuantProfile(typ, seen, sv.length.toLong, interp(sv, 0.5), interp(sv, 0.9))
+      }
+  }
+
   /** Windowed stream-stream inner join — the hardest Structured Streaming
     * shape: each purchase joined to the same user's clicks in the preceding
     * hour. Both sides carry watermarks and the join condition includes an

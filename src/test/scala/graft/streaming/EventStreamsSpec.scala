@@ -206,6 +206,37 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batches2 == batches1)
   }
 
+  test("bounded-state streaming quantile profile equals the batch sketch bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    // split the fixture into 4 files and feed them one per micro-batch, so
+    // the k-minima state provably merges ACROSS batches (a single-batch run
+    // would never exercise the incremental path)
+    val dir = java.nio.file.Files.createTempDirectory("qprof_").toString
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select("event_id", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$dir/ev")
+    val stream = spark.readStream.schema(spark.read.parquet(s"$dir/ev").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/ev")
+    val q = EventStreams.quantileProfileState(stream, k = 64).writeStream
+      .format("memory").queryName("qprof_test").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final profile per group = the emission with the highest n_seen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n_seen").desc)
+    val streamed = spark.table("qprof_test")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .selectExpr("event_type", "sample_n",
+        "CAST(q50 AS STRING) AS q50", "CAST(q90 AS STRING) AS q90")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Sketch.sampleQuantilesByGroup(
+        spark.read.parquet(s"$dir/ev"), "event_type", "value", col("event_id"), 64)
+      .selectExpr("event_type", "sample_n",
+        "CAST(q50 AS STRING) AS q50", "CAST(q90 AS STRING) AS q90")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream through the reference NDJSON sink (K1) round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("ndjson_stream").toString
     val q = EventStreams.writeNdjsonStream(
