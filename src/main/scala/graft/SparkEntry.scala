@@ -958,6 +958,15 @@ object SparkEntry {
         when(col("source") === "src0", 2.0).otherwise(1.0))
         .select("doc_id", "source", "sample_rank").orderBy("doc_id")),
 
+    // token-budget mixing: keep docs per source, hash-ordered, until 800
+    // tokens per source are reached (packSequences boundary rule: the doc
+    // that straddles the budget stays)
+    "sample_token_budget" -> ((s, dir) =>
+      graft.ext.Pipelines.mixByTokenBudget(
+        t(s, dir, "documents").select("doc_id", "source", "lang", "text"),
+        "source", "doc_id", 800L)
+        .select("doc_id", "source", "lang", "n_tok").orderBy("doc_id")),
+
     // Gopher-style duplicate-3-gram repetition signal per doc
     "text_repetition" -> ((s, dir) =>
       graft.ext.TextOps.repetition(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1635,6 +1644,8 @@ object SparkEntry {
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
     "sample_mix_weighted" -> graft.ext.Pipelines.mixSourcesSqlDuck(
       "source", "doc_id", "src0", "documents", "doc_id, source"),
+    "sample_token_budget" -> graft.ext.Pipelines.mixByTokenBudgetSqlDuck(
+      "source", "doc_id", 800L, "doc_id, source, lang"),
     "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),

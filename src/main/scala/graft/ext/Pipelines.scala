@@ -191,6 +191,43 @@ object Pipelines {
       .drop("_tgt")
   }
 
+  /** Token-budget corpus mixing: from each group keep documents — in the
+    * deterministic md5-hash order of [[stratifiedSample]] — until the
+    * group's TOKEN budget is spent. The pretraining mixing unit is tokens,
+    * not documents ("500M tokens of code, 2B of web"): doc-count targets
+    * ([[mixSources]]) over-sample domains with short documents. A doc is
+    * kept iff its cumulative token offset within the group's hash-ordered
+    * stream STARTS before the budget (the [[Chunking.packSequences]]
+    * boundary rule: the budget may overflow by at most one document, never
+    * silently undershoot). RNG-free, partitioning-invariant; one window
+    * shuffle keyed by the group. */
+  def mixByTokenBudget(df: DataFrame, groupCol: String, keyCol: String,
+      budgetTokens: Long, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tok", size(TextOps.fastTokens(col(textCol))).cast("long"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .filter(col("cum_tok") - col("n_tok") < budgetTokens)
+      .drop("cum_tok")
+  }
+
+  /** DuckDB oracle for [[mixByTokenBudget]] over the documents table. */
+  def mixByTokenBudgetSqlDuck(groupCol: String, keyCol: String,
+      budgetTokens: Long, cols: String): String =
+    s"""WITH c AS (
+       |  SELECT $cols, CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tok,
+       |    CAST(sum(CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT)) OVER (
+       |      PARTITION BY $groupCol
+       |      ORDER BY md5(CAST($keyCol AS VARCHAR)), $keyCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+       |  FROM documents)
+       |SELECT $cols, n_tok FROM c
+       |WHERE cum_tok - n_tok < $budgetTokens
+       |ORDER BY $keyCol""".stripMargin
+
   /** DuckDB oracle twin of [[mixSources]] with weight 2.0 for `boosted`,
     * 1.0 otherwise. */
   def mixSourcesSqlDuck(groupCol: String, keyCol: String, boosted: String,

@@ -86,4 +86,27 @@ class PipelinesSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids1 == ids2)
   }
+
+  test("mixByTokenBudget: per-group token totals land in [budget, budget + max doc); invariant") {
+    import org.apache.spark.sql.functions._
+    // 2 groups x 50 docs of 3..12 tokens each; budget 60 tokens per group
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 100L).map { i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        Seq.fill(rnd.nextInt(10) + 3)("t").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "g", "text")
+    val out = Pipelines.mixByTokenBudget(df, "g", "doc_id", 60L)
+    val byG = out.groupBy("g").agg(sum("n_tok").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.keySet == Set("a", "b"))
+    // straddle rule: never undershoots the budget, overflows < one max doc
+    byG.values.foreach(t => assert(t >= 60L && t < 60L + 12L, s"tot=$t"))
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Pipelines.mixByTokenBudget(df.repartition(7), "g", "doc_id", 60L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // budget larger than the corpus: everything kept
+    assert(Pipelines.mixByTokenBudget(df, "g", "doc_id", 100000L).count() == 100)
+  }
 }
