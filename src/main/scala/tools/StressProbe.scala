@@ -95,7 +95,14 @@ object StressProbe {
       "dedup_clusters" -> (d => graft.ext.Dedup.clusterByBuckets(d,
         graft.ext.Dedup.bandBuckets(graft.ext.Dedup.minhashSignatures(d))).count()),
       "text_decontaminate" -> (d => graft.ext.TextOps.decontaminate(
-        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()))
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()),
+      "text_dedup_segments" -> (d => graft.ext.TextOps.dedupSegments(d).count()),
+      "sample_token_budget" -> (d =>
+        graft.ext.Pipelines.mixByTokenBudget(d, "source", "doc_id", 800L).count()),
+      "sketch_kmv_overlap" -> (d => graft.ext.Sketch.kmvJaccard(
+        graft.ext.Dedup.shingles(d.filter(col("source") === "src0"), 3), col("tok"),
+        graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),
+        128).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
