@@ -960,9 +960,13 @@ object SparkEntry {
 
     // token-budget mixing: keep docs per source, hash-ordered, until 800
     // tokens per source are reached (packSequences boundary rule: the doc
-    // that straddles the budget stays)
+    // that straddles the budget stays). Driver path runs the SCALABLE
+    // bucket-cut formulation (no per-group total order; the doc-level
+    // window touches only the straddling hash bucket) — its output is
+    // proven identical to the simple window form (PipelinesSpec), so one
+    // oracle checks both.
     "sample_token_budget" -> ((s, dir) =>
-      graft.ext.Pipelines.mixByTokenBudget(
+      graft.ext.Pipelines.mixByTokenBudgetScalable(
         t(s, dir, "documents").select("doc_id", "source", "lang", "text"),
         "source", "doc_id", 800L)
         .select("doc_id", "source", "lang", "n_tok").orderBy("doc_id")),

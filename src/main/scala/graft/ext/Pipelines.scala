@@ -214,6 +214,52 @@ object Pipelines {
       .drop("cum_tok")
   }
 
+  /** [[mixByTokenBudget]] without the per-group total order — the 100 TB
+    * formulation. The group window above funnels EVERY document of a group
+    * through one reducer; at scale a hot domain is a straight bottleneck.
+    * But the hash order is lexicographic, and the first two hex digits of
+    * the hash split each group into 256 buckets whose numeric order IS the
+    * hash order — so the budget cut happens in two cheap phases:
+    *
+    *   1. per (group, bucket) token sums — map-side partial agg, then a
+    *      window over ≤256 ROWS per group (bucket summaries, not docs) to
+    *      get each bucket's cumulative start offset;
+    *   2. buckets wholly inside the budget keep all docs, buckets starting
+    *      past it drop all docs — both decided by a broadcast join, no doc
+    *      window at all. Only the ONE straddling bucket per group (≈1/256
+    *      of that group) runs the exact intra-bucket window.
+    *
+    * Output is IDENTICAL to [[mixByTokenBudget]] (PipelinesSpec proves
+    * equivalence), which is why both share the oracle. */
+  def mixByTokenBudgetScalable(df: DataFrame, groupCol: String, keyCol: String,
+      budgetTokens: Long, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val base = df
+      .withColumn("n_tok", size(TextOps.fastTokens(col(textCol))).cast("long"))
+      .withColumn("_h", md5(col(keyCol).cast("string")))
+      .withColumn("_b", conv(substring(col("_h"), 1, 2), 16, 10).cast("int"))
+    // phase 1: bucket summaries (≤256 per group) and their start offsets
+    val wb = Window.partitionBy(groupCol).orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pref = base.groupBy(col(groupCol), col("_b"))
+      .agg(sum("n_tok").as("_bt"))
+      .withColumn("_pre", coalesce(sum("_bt").over(wb), lit(0L)))
+    // phase 2: whole-bucket verdicts by broadcast join; the doc-level
+    // window runs ONLY inside the straddling bucket
+    val tagged = base.join(broadcast(pref), Seq(groupCol, "_b"))
+    val wholly = tagged.filter(col("_pre") + col("_bt") <= budgetTokens)
+    val wi = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col("_h"), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val straddle = tagged
+      .filter(col("_pre") < budgetTokens && col("_pre") + col("_bt") > budgetTokens)
+      .withColumn("_cum", sum("n_tok").over(wi))
+      .filter(col("_pre") + col("_cum") - col("n_tok") < budgetTokens)
+      .drop("_cum")
+    wholly.unionByName(straddle).drop("_h", "_b", "_bt", "_pre")
+  }
+
   /** DuckDB oracle for [[mixByTokenBudget]] over the documents table. */
   def mixByTokenBudgetSqlDuck(groupCol: String, keyCol: String,
       budgetTokens: Long, cols: String): String =

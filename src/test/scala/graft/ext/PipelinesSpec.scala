@@ -109,4 +109,20 @@ class PipelinesSpec extends AnyFunSuite {
     // budget larger than the corpus: everything kept
     assert(Pipelines.mixByTokenBudget(df, "g", "doc_id", 100000L).count() == 100)
   }
+
+  test("mixByTokenBudgetScalable ≡ mixByTokenBudget: ∀ budgets, incl. bucket-boundary cases") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    val docs = (0L until 400L).map { i =>
+      (i, s"g${i % 3}", Seq.fill(rnd.nextInt(15) + 1)("t").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "g", "text")
+    def ids(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    Seq(1L, 17L, 100L, 500L, 1000L, 100000L).foreach { b =>
+      val simple = ids(Pipelines.mixByTokenBudget(df, "g", "doc_id", b))
+      val scalable = ids(Pipelines.mixByTokenBudgetScalable(df, "g", "doc_id", b))
+      assert(simple == scalable, s"budget=$b")
+    }
+  }
 }
