@@ -36,7 +36,15 @@ final case class EngineConfig(
     // and the RangeJoinBucketing optimizer rule (µs); 0 = caller supplies
     rangeJoinBucketUs: Long = 0L,
     // k-minimum-values sketch width (ext/Sketch); RSE ≈ 1/sqrt(k-2)
-    sketchK: Int = 64) {
+    sketchK: Int = 64,
+    // sample size for the deterministic quantile sketch
+    // (ext/Sketch.sampleQuantiles); sampling error ≈ 1/sqrt(k)
+    quantileSampleK: Int = 256,
+    // within-doc segment-dedup window, tokens (ext/TextOps.dedupSegments)
+    segmentTokens: Int = 8,
+    // per-group token budget for corpus mixing
+    // (ext/Pipelines.mixByTokenBudget*); 0 = operator caller supplies
+    mixTokenBudget: Long = 0L) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -58,6 +66,10 @@ final case class EngineConfig(
     require(rangeJoinBucketUs >= 0,
       s"rangeJoinBucketUs must be >= 0 (0 = caller supplies), got $rangeJoinBucketUs")
     require(sketchK >= 3, s"sketchK must be >= 3, got $sketchK")
+    require(quantileSampleK > 0, s"quantileSampleK must be > 0, got $quantileSampleK")
+    require(segmentTokens > 0, s"segmentTokens must be > 0, got $segmentTokens")
+    require(mixTokenBudget >= 0,
+      s"mixTokenBudget must be >= 0 (0 = caller supplies), got $mixTokenBudget")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

@@ -231,6 +231,15 @@ object Pipelines {
     *
     * Output is IDENTICAL to [[mixByTokenBudget]] (PipelinesSpec proves
     * equivalence), which is why both share the oracle. */
+  /** Config-tuned entry point (EngineConfig.mixTokenBudget, which must be
+    * set — 0 means the caller supplies the budget explicitly). */
+  def mixByTokenBudgetScalable(df: DataFrame, groupCol: String, keyCol: String,
+      cfg: graft.etl.EngineConfig): DataFrame = {
+    require(cfg.mixTokenBudget > 0,
+      "EngineConfig.mixTokenBudget must be set for the config-tuned mix")
+    mixByTokenBudgetScalable(df, groupCol, keyCol, cfg.mixTokenBudget)
+  }
+
   def mixByTokenBudgetScalable(df: DataFrame, groupCol: String, keyCol: String,
       budgetTokens: Long, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

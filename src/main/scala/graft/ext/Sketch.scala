@@ -189,6 +189,11 @@ object Sketch {
       .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
   }
 
+  /** Config-tuned entry point (EngineConfig.quantileSampleK). */
+  def sampleQuantiles(df: DataFrame, valueCol: String, key: Column,
+      cfg: graft.etl.EngineConfig): DataFrame =
+    sampleQuantiles(df, valueCol, key, cfg.quantileSampleK)
+
   /** Per-group [[sampleQuantiles]]: rank-by-hash inside each group
     * (WindowGroupLimit bounds every map task to k rows per group before the
     * shuffle), keep each group's k hash-minima, aggregate exact sample

@@ -253,6 +253,10 @@ object TextOps {
     * same rule on both engines' 1-based `array_position`/`list_position`.
     * Zero-token docs produce no row (no segments — the
     * [[Chunking.chunkDocs]] contract). */
+  /** Config-tuned entry point (EngineConfig.segmentTokens). */
+  def dedupSegments(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    dedupSegments(docs, cfg.segmentTokens)
+
   def dedupSegments(docs: DataFrame, w: Int = 8, textCol: String = "text"): DataFrame = {
     require(w > 0, "w must be positive")
     docs

@@ -42,5 +42,10 @@ class EngineConfigSpec extends AnyFunSuite {
     ok.copy(rangeJoinBucketUs = 600000000L, sketchK = 128).validate()
     intercept[IllegalArgumentException](ok.copy(rangeJoinBucketUs = -1L).validate())
     intercept[IllegalArgumentException](ok.copy(sketchK = 2).validate())
+    assert(ok.quantileSampleK == 256 && ok.segmentTokens == 8 && ok.mixTokenBudget == 0L)
+    ok.copy(quantileSampleK = 64, segmentTokens = 4, mixTokenBudget = 1000L).validate()
+    intercept[IllegalArgumentException](ok.copy(quantileSampleK = 0).validate())
+    intercept[IllegalArgumentException](ok.copy(segmentTokens = 0).validate())
+    intercept[IllegalArgumentException](ok.copy(mixTokenBudget = -1L).validate())
   }
 }

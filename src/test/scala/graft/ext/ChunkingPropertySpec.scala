@@ -47,6 +47,25 @@ class ChunkingPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dedupSegments ≡ naive keep-first segmentation: ∀ (n, w), tiny vocab forces repeats") {
+    val rnd = new scala.util.Random(31)
+    def naive(tokens: Seq[String], w: Int): (Long, Long, String) = {
+      val segs = tokens.grouped(w).map(_.mkString(" ")).toList
+      val kept = segs.zipWithIndex.filter { case (s, i) => segs.indexOf(s) == i }.map(_._1)
+      (segs.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    val cases = Seq((1, 1), (4, 2), (7, 3), (8, 8), (9, 8)) ++
+      Seq.fill(10)((rnd.nextInt(60) + 1, rnd.nextInt(5) + 1))
+    cases.foreach { case (n, w) =>
+      // vocab of 2 tokens => w-token segments collide constantly
+      val tokens = (0 until n).map(_ => if (rnd.nextBoolean()) "aa" else "bb")
+      val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+      val got = TextOps.dedupSegments(df, w = w).collect().head
+      val want = naive(tokens, w)
+      assert((got.getLong(1), got.getLong(2), got.getString(3)) == want, s"n=$n w=$w")
+    }
+  }
+
   private def naivePack(nToks: Seq[(Long, Long)], budget: Int): Map[Long, (Long, Long)] = {
     // sequential cumulative-offset binning over a doc_id-ordered stream →
     // seq_id -> (n_docs, seq_tokens)
