@@ -148,8 +148,16 @@ object XlsxSink {
     val zos = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(file)))
     val w = new OutputStreamWriter(zos, StandardCharsets.UTF_8)
+    // fixed entry mtime: ZipEntry defaults to wall-clock, which would make
+    // two attempts of the same partition byte-differ for no reason —
+    // reproducible output is part of the sink's contract
+    def fixedEntry(name: String): ZipEntry = {
+      val e = new ZipEntry(name)
+      e.setTime(0L)
+      e
+    }
     def entry(name: String, content: String): Unit = {
-      zos.putNextEntry(new ZipEntry(name))
+      zos.putNextEntry(fixedEntry(name))
       w.write(content); w.flush()
       zos.closeEntry()
     }
@@ -161,12 +169,33 @@ object XlsxSink {
           |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
           |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
           |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |<Override PartName="/docProps/core.xml" ContentType="application/vnd.openxmlformats-package.core-properties+xml"/>
+          |<Override PartName="/docProps/app.xml" ContentType="application/vnd.openxmlformats-officedocument.extended-properties+xml"/>
           |</Types>""".stripMargin)
       entry("_rels/.rels",
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/package/2006/relationships/metadata/core-properties" Target="docProps/core.xml"/>
+          |<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/extended-properties" Target="docProps/app.xml"/>
           |</Relationships>""".stripMargin)
+      // docProps keep strict OOXML consumers from flagging the package for
+      // repair. Timestamps are FIXED, not wall-clock: two writes of the
+      // same partition must be byte-identical (speculative attempts, the
+      // task-commit protocol above, and reproducible-output guarantees all
+      // rely on it).
+      entry("docProps/core.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<cp:coreProperties xmlns:cp="http://schemas.openxmlformats.org/package/2006/metadata/core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/" xmlns:dcterms="http://purl.org/dc/terms/" xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">
+          |<dc:creator>graft</dc:creator>
+          |<dcterms:created xsi:type="dcterms:W3CDTF">1970-01-01T00:00:00Z</dcterms:created>
+          |<dcterms:modified xsi:type="dcterms:W3CDTF">1970-01-01T00:00:00Z</dcterms:modified>
+          |</cp:coreProperties>""".stripMargin)
+      entry("docProps/app.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Properties xmlns="http://schemas.openxmlformats.org/officeDocument/2006/extended-properties">
+          |<Application>graft</Application>
+          |</Properties>""".stripMargin)
       entry("xl/workbook.xml",
         s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
            |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
@@ -178,7 +207,7 @@ object XlsxSink {
           |</Relationships>""".stripMargin)
       // the sheet itself streams: header row, then one <row> per input
       // row as the iterator advances — nothing buffers
-      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      zos.putNextEntry(fixedEntry("xl/worksheets/sheet1.xml"))
       w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       w.write("\n<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
       def writeRow(r: Long, cells: Seq[String]): Unit = {

@@ -133,6 +133,24 @@ class XlsxSinkSpec extends AnyFunSuite {
     assert(e.getMessage.contains("allString"))
   }
 
+  test("reproducible output: two writes of the same data are byte-identical") {
+    import spark.implicits._
+    val df = Seq(("a", "1"), ("b", "2"), ("c", "3")).toDF("k", "v").repartition(2)
+    val d1 = tmpDir(); val d2 = tmpDir()
+    XlsxSink.write(df, d1, overwrite = true)
+    XlsxSink.write(df, d2, overwrite = true)
+    val f1 = new java.io.File(d1).listFiles().filter(_.getName.endsWith(".xlsx")).sortBy(_.getName)
+    val f2 = new java.io.File(d2).listFiles().filter(_.getName.endsWith(".xlsx")).sortBy(_.getName)
+    assert(f1.nonEmpty && f1.map(_.getName).toSeq == f2.map(_.getName).toSeq)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(a.toPath),
+        java.nio.file.Files.readAllBytes(b.toPath)), a.getName)
+    }
+    // and no stray temp files linger after a successful commit
+    assert(new java.io.File(d1).listFiles().forall(!_.getName.endsWith(".tmp")))
+  }
+
   test("Convert.run writes xlsx end-to-end (parquet fixture → Excel out)") {
     val dir = tmpDir()
     val res = graft.etl.Convert.run(spark, graft.etl.EngineConfig(
