@@ -931,6 +931,11 @@ object SparkEntry {
     "text_dedup_segments" -> ((s, dir) =>
       TextOps.dedupSegments(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // CORPUS-WIDE boilerplate removal (the C4 rule: 4-token segments seen
+    // >= 3 times anywhere are dropped from every doc)
+    "text_dedup_segments_global" -> ((s, dir) =>
+      TextOps.dedupSegmentsGlobal(t(s, dir, "documents")).orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1620,6 +1625,8 @@ object SparkEntry {
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
 
     "text_dedup_segments" -> TextOps.dedupSegmentsSqlDuck(),
+
+    "text_dedup_segments_global" -> TextOps.dedupSegmentsGlobalSqlDuck(),
 
     "sketch_kmv_overlap" ->
       graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),

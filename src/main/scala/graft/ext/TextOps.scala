@@ -272,6 +272,42 @@ object TextOps {
         array_join(col("kept"), " ").as("text_deduped"))
   }
 
+  /** CORPUS-WIDE repeated-segment removal — the C4 boilerplate rule (Raffel
+    * et al. 2020 §2.2: lines occurring ≥ 3 times in the corpus are removed
+    * from every document; headers, footers, cookie banners). Counterpart of
+    * [[dedupSegments]] (within-doc): here the count crosses documents, so
+    * the op costs two keyed shuffles — segment-hash counts with map-side
+    * partials (the repeated-segment relation is tiny: boilerplate by
+    * definition concentrates), an anti join of the exploded segments
+    * against it, and an ordered per-doc reassembly (`sort_array` over
+    * (pos, seg) structs — deterministic on any partitioning; positions are
+    * unique). Docs whose every segment was boilerplate survive as empty
+    * rows (n_kept = 0), preserving corpus cardinality for downstream
+    * stats. */
+  def dedupSegmentsGlobal(docs: DataFrame, w: Int = 4, minRep: Long = 3,
+      textCol: String = "text"): DataFrame = {
+    require(w > 0 && minRep > 1, "w must be positive, minRep > 1")
+    val segs = docs
+      .select(col("doc_id"), fastTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST((n + ${w - 1}) DIV $w AS INT) - 1), i -> array_join(slice(toks, i * $w + 1, $w), ' '))"
+      )).as(Seq("pos", "seg")))
+    val repeated = segs.groupBy("seg").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") >= minRep).select(col("seg"))
+    val kept = segs.join(repeated, Seq("seg"), "left_anti")
+    val base = segs.groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_segments"))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).cast("long").as("n_kept"),
+      array_join(expr("transform(sort_array(collect_list(struct(pos, seg))), x -> x.seg)"), " ")
+        .as("text_deduped"))
+    base.join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   /** Ordered w-shingle CTE body (lead-based; incomplete tail shingles null
@@ -336,6 +372,33 @@ object TextOps {
        |  array_to_string(kept, ' ') AS text_deduped
        |FROM kp
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[dedupSegmentsGlobal]] — same segmentation, the
+    * same corpus-wide count threshold, the same ordered reassembly. */
+  def dedupSegmentsGlobalSqlDuck(w: Int = 4, minRep: Long = 3): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSqlDuck("text")} AS toks,
+       |    len(${tokensSqlDuck("text")}) AS n
+       |  FROM documents WHERE len(${tokensSqlDuck("text")}) > 0),
+       | sg AS (
+       |  SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos
+       |  FROM (SELECT doc_id,
+       |    list_transform(generate_series(0, (n + ${w - 1}) // $w - 1),
+       |      i -> array_to_string(list_slice(toks, i * $w + 1, i * $w + $w), ' ')) AS segs
+       |  FROM t)),
+       | rep AS (SELECT seg FROM sg GROUP BY seg HAVING count(*) >= $minRep),
+       | kept AS (SELECT doc_id, pos, seg FROM sg
+       |          WHERE seg NOT IN (SELECT seg FROM rep)),
+       | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |         array_to_string(list(seg ORDER BY pos), ' ') AS text_deduped
+       |         FROM kept GROUP BY doc_id),
+       | base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+       |          FROM sg GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_segments,
+       |  coalesce(a.n_kept, 0) AS n_kept,
+       |  coalesce(a.text_deduped, '') AS text_deduped
+       |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 
   def tokensSqlDuck(textCol: String): String =
     s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)"

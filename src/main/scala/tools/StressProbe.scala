@@ -97,6 +97,8 @@ object StressProbe {
       "text_decontaminate" -> (d => graft.ext.TextOps.decontaminate(
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()),
       "text_dedup_segments" -> (d => graft.ext.TextOps.dedupSegments(d).count()),
+      "text_dedup_segments_global" -> (d =>
+        graft.ext.TextOps.dedupSegmentsGlobal(d).count()),
       "sample_token_budget" -> (d =>
         graft.ext.Pipelines.mixByTokenBudget(d, "source", "doc_id", 800L).count()),
       "sketch_kmv_overlap" -> (d => graft.ext.Sketch.kmvJaccard(

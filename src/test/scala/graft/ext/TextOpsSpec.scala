@@ -122,6 +122,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.getString(3) == out(1L)._3)
   }
 
+  test("dedupSegmentsGlobal: corpus-wide boilerplate removed everywhere; all-boilerplate doc empties") {
+    // "cookie banner text here" appears in 3 docs (>= minRep) -> removed
+    // from ALL of them, including doc 4 which is nothing but the banner
+    val d = docs(
+      (1L, "cookie banner text here real content one two"),
+      (2L, "cookie banner text here other body words four"),
+      (3L, "cookie banner text here third unique tail words"),
+      (4L, "cookie banner text here"),
+      (5L, "entirely original document body with words here"))
+    val out = TextOps.dedupSegmentsGlobal(d, w = 4, minRep = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 1L, "real content one two")))
+    assert(out(2L) == ((2L, 1L, "other body words four")))
+    assert(out(3L) == ((2L, 1L, "third unique tail words")))
+    assert(out(4L) == ((1L, 0L, ""))) // survives as an empty row
+    assert(out(5L) == ((2L, 2L, "entirely original document body with words here")))
+    // below the repetition threshold nothing is touched
+    val two = TextOps.dedupSegmentsGlobal(d.filter($"doc_id" <= 2), w = 4, minRep = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(two == Map(1L -> 2L, 2L -> 2L))
+  }
+
   test("decontaminate: drops exactly the candidates sharing a 5-shingle with the benchmark") {
     val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
     val cand = docs(
