@@ -1633,7 +1633,8 @@ object SparkEntry {
 
     "sketch_sample_quantiles" ->
       """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS _v FROM orders
-        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)) LIMIT 256)
+        |           ORDER BY md5(CAST(o_orderkey AS VARCHAR)), CAST(o_totalprice AS DOUBLE)
+        |           LIMIT 256)
         |SELECT CAST(count(*) AS BIGINT) AS sample_n,
         |  quantile_cont(_v, 0.25) AS q25, quantile_cont(_v, 0.5) AS q50,
         |  quantile_cont(_v, 0.75) AS q75, quantile_cont(_v, 0.9) AS q90
@@ -1642,7 +1643,7 @@ object SparkEntry {
     "sketch_sample_quantiles_grouped" ->
       """WITH r AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS _v,
         |    row_number() OVER (PARTITION BY o_orderpriority
-        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR))) AS rn
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), CAST(o_totalprice AS DOUBLE)) AS rn
         |  FROM orders)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS sample_n,
         |  quantile_cont(_v, 0.5) AS q50, quantile_cont(_v, 0.9) AS q90

@@ -183,8 +183,10 @@ object Sketch {
       probs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
     require(k > 0 && probs.nonEmpty, "k and probs must be positive/nonempty")
     val qs = probs.map(p => expr(s"percentile(_v, $p)").as(s"q${math.round(p * 100)}"))
+    // value-secondary sort: a non-unique key duplicates _h, and a
+    // hash-only order would then pick tie members nondeterministically
     df.select(md5(key.cast("string")).as("_h"), col(valueCol).cast("double").as("_v"))
-      .orderBy("_h")
+      .orderBy("_h", "_v")
       .limit(k)
       .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
   }
@@ -202,7 +204,7 @@ object Sketch {
       key: Column, k: Int, probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0 && probs.nonEmpty, "k and probs must be positive/nonempty")
-    val w = Window.partitionBy(group).orderBy("_h")
+    val w = Window.partitionBy(group).orderBy("_h", "_v")
     val qs = probs.map(p => expr(s"percentile(_v, $p)").as(s"q${math.round(p * 100)}"))
     df.select(col(group), md5(key.cast("string")).as("_h"),
         col(valueCol).cast("double").as("_v"))

@@ -129,7 +129,9 @@ object EventStreams {
           var pairs: List[(String, Double)] = prev.hs.zip(prev.vs)
           var seen = prev.seen
           rows.foreach { case (_, h, v) => pairs = (h, v) :: pairs; seen += 1 }
-          val kept = pairs.sortBy(_._1).take(k)
+          // (hash, value) order — a hash tie (non-unique key) must not
+          // resolve by arrival order, or restarts would change the sample
+          val kept = pairs.sortBy(p => (p._1, p._2)).take(k)
           state.update(QuantState(kept.map(_._1), kept.map(_._2), seen))
           val sv = kept.map(_._2).sorted.toIndexedSeq
           QuantProfile(typ, seen, sv.length.toLong, interp(sv, 0.5), interp(sv, 0.9))

@@ -117,6 +117,16 @@ class SketchSpec extends AnyFunSuite {
     assert(s.getAs[Double]("q50") == 50.0)
   }
 
+  test("sampleQuantiles: duplicate keys (hash ties) still sample deterministically") {
+    // key repeats -> identical _h values; the value-secondary order must
+    // pick tie members identically on any partitioning
+    val df = spark.range(2000).select((col("id") % 100).as("key"),
+      (col("id") % 7).cast("double").as("v")).toDF()
+    val a = Sketch.sampleQuantiles(df.repartition(1), "v", col("key"), 64).collect().head
+    val b = Sketch.sampleQuantiles(df.repartition(17), "v", col("key"), 64).collect().head
+    assert(a == b)
+  }
+
   test("sampleQuantilesByGroup: every group sampled; per-group exact when group < k") {
     val df = spark.range(3000).select(
       when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c").as("g"),
