@@ -754,6 +754,14 @@ object SparkEntry {
     "sketch_kmv_distinct" -> ((s, dir) =>
       graft.ext.Sketch.kmvDistinct(t(s, dir, "lineitem"), col("l_partkey"), 64)),
 
+    // EXACT type-1 quantiles by distributed selection (ext/Sketch
+    // .exactQuantileDisc): O(log range) narrow count-passes, O(1) state —
+    // the 100 TB-safe exact path (the built-in exact percentile buffers
+    // every value in one aggregator's memory)
+    "events_quantile_selection" -> ((s, dir) =>
+      graft.ext.Sketch.exactQuantileDisc(
+        t(s, dir, "events"), "value", Seq(0.5, 0.9)).orderBy("prob")),
+
     // KMV corpus-overlap estimate (ext/Sketch.kmvJaccard): how much 3-shingle
     // vocabulary src1 shares with src0, answered from two k=128 sketches —
     // the dataset-pair contamination triage. Deterministic given md5, so the
@@ -1630,6 +1638,18 @@ object SparkEntry {
 
     "sketch_kmv_overlap" ->
       graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),
+
+    "events_quantile_selection" ->
+      """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+        |           WHERE value IS NOT NULL),
+        | s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |       count(*) OVER () AS n FROM v)
+        |SELECT CAST(0.5 AS DOUBLE) AS prob, CAST(n AS BIGINT) AS n, v AS value
+        |FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(0.9 AS DOUBLE), CAST(n AS BIGINT), v
+        |FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |ORDER BY prob""".stripMargin,
 
     "sketch_sample_quantiles" ->
       """WITH s AS (SELECT CAST(o_totalprice AS DOUBLE) AS _v FROM orders

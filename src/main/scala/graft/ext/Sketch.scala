@@ -191,6 +191,58 @@ object Sketch {
       .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
   }
 
+  /** EXACT type-1 quantile by distributed selection — the 100 TB-safe exact
+    * path. Spark's built-in exact `percentile` is an ObjectHashAggregate
+    * that buffers EVERY value in one aggregator's memory: fine at fixture
+    * scale, dead at corpus scale. Selection instead bisects the VALUE
+    * domain: each round is one narrow aggregation computing, for the
+    * midpoint m, (count ≤ m, max value ≤ m, min value > m), and the
+    * bracket [lo, hi] — always actual dataset values — halves until it
+    * pins THE answer: the smallest value v with at least ⌈p·n⌉ values ≤ v.
+    * Doubles bisect in ≤ ~64 rounds regardless of row count, so the whole
+    * thing is O(log range) scans with O(1) state — no sort, no shuffle, no
+    * driver collection. (Inherently iterative, like the CC and Lloyd
+    * operators: jobs run at call time, not plan time.)
+    *
+    * Returns (prob, n, value) per requested probability. Empty input → one
+    * row per prob with n = 0 and null value. */
+  def exactQuantileDisc(df: DataFrame, valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the loop re-aggregates the same single-column projection ~log(range)
+    // times — persist it for the duration (released via CacheRegistry, the
+    // library's standard lifecycle for operator-internal caches)
+    val vals = graft.etl.CacheRegistry.persist(
+      df.select(col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
+    val head = vals.agg(count(lit(1)), min("_v"), max("_v")).head()
+    val n = head.getLong(0)
+    val out: Seq[(Double, Long, Option[Double])] =
+      if (n == 0L) probs.map(p => (p, 0L, None))
+      else probs.map { p =>
+        val target = math.ceil(p * n).toLong.max(1L)
+        var lo = head.getDouble(1)
+        var hi = head.getDouble(2)
+        while (lo < hi) {
+          // midpoint can round UP to hi when lo/hi are adjacent doubles —
+          // probing lo instead guarantees the bracket strictly shrinks
+          val mid0 = lo / 2 + hi / 2
+          val mid = if (mid0 >= hi) lo else mid0
+          val r = vals.agg(
+            sum(when(col("_v") <= mid, 1L).otherwise(0L)),
+            max(when(col("_v") <= mid, col("_v"))),
+            min(when(col("_v") > mid, col("_v")))).head()
+          val cLe = if (r.isNullAt(0)) 0L else r.getLong(0)
+          if (cLe >= target) hi = r.getDouble(1) // answer is a value ≤ mid
+          else lo = r.getDouble(2)               // answer is a value > mid
+        }
+        (p, n, Some(lo))
+      }
+    out.toDF("prob", "n", "value")
+  }
+
   /** Config-tuned entry point (EngineConfig.quantileSampleK). */
   def sampleQuantiles(df: DataFrame, valueCol: String, key: Column,
       cfg: graft.etl.EngineConfig): DataFrame =

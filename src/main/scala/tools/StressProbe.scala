@@ -111,7 +111,9 @@ object StressProbe {
       "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
-      "events_asof_join" -> asofCount)
+      "events_asof_join" -> asofCount,
+      "events_quantile_selection" -> (e =>
+        graft.ext.Sketch.exactQuantileDisc(e, "value").count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

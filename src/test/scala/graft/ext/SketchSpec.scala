@@ -76,6 +76,35 @@ class SketchSpec extends AnyFunSuite {
     assert(row.getAs[Long]("exact_distinct") == 10L)
   }
 
+  test("exactQuantileDisc: type-1 quantiles exact on knowns, duplicates, empties") {
+    import spark.implicits._
+    // 1..100: target(0.5) = ceil(50) = 50 -> value 50; target(0.9) -> 90
+    val df = spark.range(1, 101).select(col("id").cast("double").as("v")).toDF()
+    val q = Sketch.exactQuantileDisc(df, "v", Seq(0.5, 0.9)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    assert(q == Map(0.5 -> 50.0, 0.9 -> 90.0))
+    // heavy duplicates: median of [1,1,1,1,9] is 1
+    val dup = Seq(1.0, 1.0, 1.0, 1.0, 9.0).toDF("v")
+    assert(Sketch.exactQuantileDisc(dup, "v", Seq(0.5)).collect().head.getDouble(2) == 1.0)
+    // adjacent doubles: bracket must terminate, not loop
+    val adj = Seq(1.0, math.nextUp(1.0)).toDF("v")
+    assert(Sketch.exactQuantileDisc(adj, "v", Seq(0.5)).collect().head.getDouble(2) == 1.0)
+    assert(Sketch.exactQuantileDisc(adj, "v", Seq(1.0)).collect().head.getDouble(2)
+      == math.nextUp(1.0))
+    // empty input: n = 0, null value
+    val e = Sketch.exactQuantileDisc(Seq.empty[Double].toDF("v"), "v", Seq(0.5))
+      .collect().head
+    assert(e.getLong(1) == 0L && e.isNullAt(2))
+    // agrees with a full sort on random data (the thing it must never do)
+    val rnd = new scala.util.Random(47)
+    val xs = Seq.fill(501)(rnd.nextDouble() * 200 - 100)
+    val got = Sketch.exactQuantileDisc(xs.toDF("v"), "v", Seq(0.25, 0.75)).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(2)).toMap
+    val sorted = xs.sorted
+    def t1(p: Double) = sorted(math.ceil(p * xs.size).toInt - 1)
+    assert(got == Map(0.25 -> t1(0.25), 0.75 -> t1(0.75)))
+  }
+
   test("kmvJaccard: exact at the extremes; ±3 RSE between; partitioning-invariant") {
     def ids(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
     def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, k: Int) =
