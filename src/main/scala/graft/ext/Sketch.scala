@@ -221,24 +221,35 @@ object Sketch {
     val n = head.getLong(0)
     val out: Seq[(Double, Long, Option[Double])] =
       if (n == 0L) probs.map(p => (p, 0L, None))
-      else probs.map { p =>
-        val target = math.ceil(p * n).toLong.max(1L)
-        var lo = head.getDouble(1)
-        var hi = head.getDouble(2)
-        while (lo < hi) {
+      else {
+        // all probabilities bisect in LOCKSTEP: one aggregation per round
+        // carries every still-open bracket's three terms, so the job count
+        // is max-rounds, not probs × rounds
+        val target = probs.map(p => math.ceil(p * n).toLong.max(1L))
+        val lo = Array.fill(probs.size)(head.getDouble(1))
+        val hi = Array.fill(probs.size)(head.getDouble(2))
+        var open = probs.indices.filter(i => lo(i) < hi(i))
+        while (open.nonEmpty) {
           // midpoint can round UP to hi when lo/hi are adjacent doubles —
           // probing lo instead guarantees the bracket strictly shrinks
-          val mid0 = lo / 2 + hi / 2
-          val mid = if (mid0 >= hi) lo else mid0
-          val r = vals.agg(
-            sum(when(col("_v") <= mid, 1L).otherwise(0L)),
-            max(when(col("_v") <= mid, col("_v"))),
-            min(when(col("_v") > mid, col("_v")))).head()
-          val cLe = if (r.isNullAt(0)) 0L else r.getLong(0)
-          if (cLe >= target) hi = r.getDouble(1) // answer is a value ≤ mid
-          else lo = r.getDouble(2)               // answer is a value > mid
+          val mid = open.map { i =>
+            val m = lo(i) / 2 + hi(i) / 2
+            i -> (if (m >= hi(i)) lo(i) else m)
+          }.toMap
+          val aggs = open.flatMap { i =>
+            Seq(sum(when(col("_v") <= mid(i), 1L).otherwise(0L)),
+              max(when(col("_v") <= mid(i), col("_v"))),
+              min(when(col("_v") > mid(i), col("_v"))))
+          }
+          val r = vals.agg(aggs.head, aggs.tail: _*).head()
+          open.zipWithIndex.foreach { case (i, j) =>
+            val cLe = if (r.isNullAt(3 * j)) 0L else r.getLong(3 * j)
+            if (cLe >= target(i)) hi(i) = r.getDouble(3 * j + 1) // answer ≤ mid
+            else lo(i) = r.getDouble(3 * j + 2)                  // answer > mid
+          }
+          open = open.filter(i => lo(i) < hi(i))
         }
-        (p, n, Some(lo))
+        probs.zipWithIndex.map { case (p, i) => (p, n, Some(lo(i))) }
       }
     out.toDF("prob", "n", "value")
   }
