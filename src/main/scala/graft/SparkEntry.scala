@@ -984,6 +984,15 @@ object SparkEntry {
         "source", "doc_id", 800L)
         .select("doc_id", "source", "lang", "n_tok").orderBy("doc_id")),
 
+    // deterministic hash-threshold train/val/test split: assignment depends
+    // only on the key — stable across runs, partitionings, and corpus
+    // growth (new docs never reassign old ones, unlike RNG splits)
+    "sample_split_hash" -> ((s, dir) =>
+      graft.ext.Pipelines.splitByHash(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // Gopher-style duplicate-3-gram repetition signal per doc
     "text_repetition" -> ((s, dir) =>
       graft.ext.TextOps.repetition(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1678,6 +1687,9 @@ object SparkEntry {
       "source", "doc_id", "src0", "documents", "doc_id, source"),
     "sample_token_budget" -> graft.ext.Pipelines.mixByTokenBudgetSqlDuck(
       "source", "doc_id", 800L, "doc_id, source, lang"),
+    "sample_split_hash" -> graft.ext.Pipelines.splitByHashSqlDuck(
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      "documents", "doc_id, source"),
     "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),

@@ -154,6 +154,47 @@ object Pipelines {
        |ORDER BY shard, seq_id""".stripMargin
   }
 
+  /** Deterministic train/val/test split by hash threshold — the standard
+    * reproducible split: a row's assignment depends only on its key, so it
+    * is stable across runs, partitionings, engines, and GROWING corpora (a
+    * new document never reassigns an old one — the property RNG splits
+    * lack). The key's md5 maps to a position in [0,1) (the
+    * [[Sketch]] hash-fraction construction) and the cumulative fraction
+    * ranges assign the named splits, first match wins; fractions must sum
+    * to ≤ 1, any remainder falls into the LAST split. Pure narrow
+    * projection — no shuffle, no state. */
+  def splitByHash(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "fractions must be positive")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"fractions sum to $total > 1")
+    val frac = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val assign = splits.init.zip(bounds.init).foldRight(
+      lit(splits.last._1)) { case (((name, _), upper), onFalse) =>
+      when(frac < upper, name).otherwise(onFalse)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** DuckDB oracle for [[splitByHash]] — the cumulative bounds are computed
+    * by the SAME double scanLeft and embedded at full round-trip precision
+    * (0.8 + 0.1 is not 0.9 in binary; a hand-written 0.9 literal would be a
+    * different threshold). */
+  def splitByHashSqlDuck(keyCol: String, splits: Seq[(String, Double)],
+      table: String, cols: String): String = {
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val arms = splits.init.zip(bounds.init).map { case ((name, _), upper) =>
+      s"WHEN frac < $upper THEN '$name'"
+    }.mkString(" ")
+    s"""SELECT $cols, CASE $arms ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT $cols,
+       |  ('0x' || substring(md5(CAST($keyCol AS VARCHAR)), 1, 8))::UBIGINT / 4294967296.0 AS frac
+       |  FROM $table)
+       |ORDER BY $keyCol""".stripMargin
+  }
+
   /** Deterministic stratified sampling: up to `n` rows per stratum, chosen
     * by md5-hash order of the key — reproducible across runs, partitionings,
     * and engines (no RNG in the plan), the standard trick for stable

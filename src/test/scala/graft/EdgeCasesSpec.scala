@@ -134,6 +134,12 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TextOps.dedupSegments(emptyDocs).count() == 0)
     assert(TextOps.dedupSegments(
       Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")).count() == 0)
+    assert(TextOps.dedupSegmentsGlobal(emptyDocs).count() == 0)
+    // selection quantile and hash split on empty frames
+    val eq = graft.ext.Sketch.exactQuantileDisc(emptyDocs, "n_chars").collect()
+    assert(eq.length == 2 && eq.forall(r => r.getLong(1) == 0L && r.isNullAt(2)))
+    assert(graft.ext.Pipelines.splitByHash(emptyDocs, "doc_id",
+      Seq("train" -> 0.9, "test" -> 0.1)).count() == 0)
 
     assert(graft.ext.Pipelines.mixSources(
       emptyDocs, "source", "doc_id", lit(1.0)).count() == 0)

@@ -110,6 +110,31 @@ class PipelinesSpec extends AnyFunSuite {
     assert(Pipelines.mixByTokenBudget(df, "g", "doc_id", 100000L).count() == 100)
   }
 
+  test("splitByHash: growth-stable, proportional, deterministic; remainder to last split") {
+    import org.apache.spark.sql.functions._
+    val small = spark.range(1000).toDF("k")
+    val big = spark.range(5000).toDF("k")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      Pipelines.splitByHash(df, "k", splits)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = asMap(small)
+    val b = asMap(big)
+    // growth stability: adding 4000 rows reassigns NONE of the first 1000
+    assert(a.forall { case (k, s) => b(k) == s })
+    // proportions within a few points of the fractions at n=5000
+    val counts = b.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") / 5000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 5000.0 - 0.1) < 0.03)
+    assert(math.abs(counts("test") / 5000.0 - 0.1) < 0.03)
+    // under-1 fractions: the remainder lands in the last split
+    val c = Pipelines.splitByHash(big, "k", Seq("a" -> 0.5, "b" -> 0.25))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c("b") > 2000) // 0.25 + the 0.25 remainder
+    intercept[IllegalArgumentException](
+      Pipelines.splitByHash(big, "k", Seq("a" -> 0.9, "b" -> 0.2)))
+  }
+
   test("mixByTokenBudgetScalable ≡ mixByTokenBudget: ∀ budgets, incl. bucket-boundary cases") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(43)
