@@ -840,6 +840,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a
+    // 1-day grid per user, each point carrying the latest value at or
+    // before it — grid from a tiny bounds agg, ONE keyed shuffle, never a
+    // grid x observations theta join; oracle = DuckDB generate_series +
+    // native ASOF JOIN
+    "events_resample_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ext.AsOf.resampleFfill(ev, "user_id", "us", "value", 86400000000L)
+        .orderBy("user_id", "grid_us")
+    }),
+
     "events_rolling_count" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("us")
@@ -1599,6 +1611,17 @@ object SparkEntry {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "events_resample_ffill" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+        |           max(CAST(value AS DOUBLE)) AS v
+        |           FROM events GROUP BY user_id, epoch_us(ts)),
+        | b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM p GROUP BY user_id),
+        | g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400000000)) AS grid_us
+        |       FROM b)
+        |SELECT g.user_id, g.grid_us, p.v AS value_ffill
+        |FROM g ASOF JOIN p ON g.user_id = p.user_id AND g.grid_us >= p.us
+        |ORDER BY g.user_id, g.grid_us""".stripMargin,
 
     "events_rolling_count" ->
       """SELECT event_id,

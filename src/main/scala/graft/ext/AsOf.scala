@@ -62,4 +62,36 @@ object AsOf {
       }
     matched.select(outCols: _*)
   }
+
+  /** Regular-grid resampling with forward fill (last observation carried
+    * forward) — the time-series normalization step relational algebra
+    * lacks: per key, a grid of `stepUs`-spaced instants spans the key's
+    * observed range, and every grid point takes the latest value at or
+    * before it. Same composition as [[asofJoin]]: generate the grid from a
+    * tiny per-key bounds aggregate (`sequence` explode — narrow), tag and
+    * union grid with observations, one running `last(ignoreNulls)` window
+    * per key — ONE shuffle on the key, never a grid×observations theta
+    * join. Observations at a grid instant sort before it (tag 0 < 1), so
+    * the grid point sees them; the first grid point is the key's own first
+    * observation, so fills never start null. Duplicate (key, time)
+    * observations collapse to max(value) first — deterministic on both
+    * engines. Oracle: DuckDB generate_series + native ASOF JOIN. */
+  def resampleFfill(events: DataFrame, key: String, timeUs: String,
+      valueCol: String, stepUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stepUs > 0, "stepUs must be positive")
+    val pts = events.select(col(key), col(timeUs).as("_us"),
+        col(valueCol).cast("double").as("_v"))
+      .groupBy(col(key), col("_us")).agg(max("_v").as("_v"))
+    val grid = pts.groupBy(key).agg(min("_us").as("_lo"), max("_us").as("_hi"))
+      .select(col(key), explode(expr(s"sequence(_lo, _hi, ${stepUs}L)")).as("_us"))
+    val tagged = pts.select(col(key), col("_us"), lit(0).as("_tag"), col("_v"))
+      .unionByName(grid.select(col(key), col("_us"), lit(1).as("_tag"),
+        lit(null).cast("double").as("_v")))
+    val w = Window.partitionBy(key).orderBy(col("_us"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("_ff", last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+      .select(col(key), col("_us").as("grid_us"), col("_ff").as("value_ffill"))
+  }
 }

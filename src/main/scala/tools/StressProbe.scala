@@ -112,6 +112,9 @@ object StressProbe {
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
       "events_asof_join" -> asofCount,
+      "events_resample_ffill" -> (e => graft.ext.AsOf.resampleFfill(
+        e.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")),
+        "user_id", "us", "value", 86400000000L).count()),
       "events_quantile_selection" -> (e =>
         graft.ext.Sketch.exactQuantileDisc(e, "value").count()))
 

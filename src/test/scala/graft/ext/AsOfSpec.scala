@@ -48,4 +48,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(inner("b").contains(100.0) && inner("f").contains(150.0))
     assert(!inner.contains("a") && !inner.contains("e")) // still no match at all
   }
+
+  test("resampleFfill: gaps carry the last value; observation at a grid instant wins") {
+    import spark.implicits._
+    // key u: obs at 0->1.0, 10->2.0, 35->3.0; step 10 -> grid 0,10,20,30
+    // key w: single obs -> single grid point
+    val obs = Seq(("u", 0L, 1.0), ("u", 10L, 2.0), ("u", 35L, 3.0),
+      ("w", 7L, 9.0)).toDF("k", "us", "v")
+    val out = AsOf.resampleFfill(obs, "k", "us", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      ("u", 0L) -> 1.0, ("u", 10L) -> 2.0, // grid-instant obs is visible
+      ("u", 20L) -> 2.0, ("u", 30L) -> 2.0, // gap forward-fills
+      ("w", 7L) -> 9.0))
+    // duplicate (key, time) observations collapse to max deterministically
+    val dup = Seq(("u", 0L, 1.0), ("u", 0L, 5.0), ("u", 10L, 2.0)).toDF("k", "us", "v")
+    val d = AsOf.resampleFfill(dup, "k", "us", "v", 10L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(d == Map(0L -> 5.0, 10L -> 2.0))
+  }
 }
