@@ -747,6 +747,29 @@ object SparkEntry {
       q
     }),
 
+    // the registered SQL-function surface (GraftExtensions.injectFunction):
+    // the codegen'd AsciiRunTokens tokenizer reached from raw SQL as
+    // graft_tokens() — token count and canonical fingerprint must match the
+    // oracle's regexp formulation (the same equivalence fastTokens relies on)
+    "sql_fn_tokens" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("fn_docs")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(size(graft_tokens(text)) AS BIGINT) AS n_toks,
+          |  md5(array_join(graft_tokens(text), ' ')) AS fp
+          |FROM fn_docs ORDER BY doc_id""".stripMargin)
+    }),
+
+    // graft_vec_dot() from raw SQL: the strict-sequential double-accumulation
+    // contract means self-dot equals the oracle's explicit 64-term chain
+    // bit-for-bit
+    "sql_fn_vec_dot" -> ((s, dir) => {
+      t(s, dir, "embeddings").createOrReplaceTempView("fn_emb")
+      s.sql(
+        """SELECT vec_id, graft_vec_dot(embedding, embedding) AS dot
+          |FROM fn_emb ORDER BY vec_id""".stripMargin)
+    }),
+
     // KMV distinct-count sketch (see ext/Sketch.scala): deterministic given
     // md5, so — unlike HLL — the ESTIMATE itself is oracle-checked, not just
     // row counts. est_distinct is a double computed from identical hashes on
@@ -870,6 +893,19 @@ object SparkEntry {
           expr("percentile(value, 0.9)").as("p90"),
           min("value").as("vmin"), max("value").as("vmax"))
         .orderBy("event_type")),
+
+    // stepwise conversion funnel (view → click → purchase, strictly ordered
+    // per user): three whole-partition window mins + a per-user rollup, all
+    // inside ONE exchange on user_id (see ext/Analytics.scala)
+    "events_funnel" -> ((s, dir) =>
+      graft.ext.Analytics.funnel(t(s, dir, "events")).orderBy("user_id")),
+
+    // cohort retention triangle: users cohorted by first-seen day; the
+    // (cohort, offset) rollup's key space is days², independent of corpus
+    // size, so the second shuffle moves only map-combined partials
+    "events_retention_cohort" -> ((s, dir) =>
+      graft.ext.Analytics.retentionCohorts(t(s, dir, "events"))
+        .orderBy("cohort_day", "offset_d")),
 
     "s6_dict_lookup" -> ((s, dir) =>
       t(s, dir, "customer")
@@ -1017,6 +1053,27 @@ object SparkEntry {
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
         .select("doc_id", "source").orderBy("doc_id")
     }),
+
+    // decontamination through the broadcast-Bloom prefilter: result (and
+    // oracle) IDENTICAL to text_decontaminate — the Bloom stage is pure
+    // pre-shuffle reduction, confirmed by the exact join (no false
+    // negatives exist; false positives are filtered by the equi-join)
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ext.TextOps.decontaminateBloom(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0"))
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
+
+    // PII redaction: deterministic doc_id-derived PII appended on BOTH
+    // engines (the fixture text carries none), then counted and redacted
+    "text_pii_redact" -> ((s, dir) =>
+      graft.ext.TextOps.piiRedact(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // BM25 retrieval scoring against a fixed query — rational idf (same
+    // monotone-transform argument as text_tfidf), bit-stable double math
+    "text_bm25" -> ((s, dir) =>
+      graft.ext.TextOps.bm25(t(s, dir, "documents")).orderBy("doc_id")),
 
     "pipeline_corpus" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
@@ -1715,6 +1772,21 @@ object SparkEntry {
       "documents", "doc_id, source"),
     "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
+    // IDENTICAL oracle to text_decontaminate: the Bloom prefilter is pure
+    // data reduction — exactness is the point of the check
+    "text_decontaminate_bloom" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
+    "text_pii_redact" -> graft.ext.TextOps.piiRedactSqlDuck,
+    "text_bm25" -> graft.ext.TextOps.bm25SqlDuck(),
+    "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
+    "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
+    "sql_fn_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(${TextOps.tokensSqlDuck("text")}, ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "sql_fn_vec_dot" ->
+      s"""SELECT vec_id, ${Similarity.dotSqlDuck("embedding", "embedding")} AS dot
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "pipeline_corpus_lsh" -> graft.ext.Pipelines.curateCorpusLshSqlDuck(),
     "text_chunks" -> graft.ext.Chunking.chunkDocsSqlDuck(),

@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-funnel and cohort-retention analytics over the `events` stream
+  * table — the product-analytics queries a large event corpus is mined with
+  * (reference: the engine's event aggregation surface, e.g.
+  * strategy/UserModeEventConversionStrategy.java's per-row event model; the
+  * analytics themselves are standard Spark windowed aggregation).
+  *
+  * Both operators are single-exchange designs: all per-user computation
+  * happens inside one hash partitioning on `user_id`, so at 100 TB the only
+  * data movement is the unavoidable key shuffle (plus, for retention, the
+  * final small (cohort, offset) rollup whose cardinality is days², not rows).
+  */
+object Analytics {
+
+  /** Stepwise conversion funnel: for each user, the earliest time of step 1,
+    * the earliest step-2 event strictly AFTER that, the earliest step-3
+    * event strictly after THAT, and the step count reached. The strict
+    * ordering is what distinguishes a funnel from three independent mins —
+    * a purchase before the first view does not convert.
+    *
+    * Plan shape: one exchange on `user_id`; the three window mins and the
+    * final per-user rollup all reuse that partitioning (window → aggregate
+    * keeps the child distribution, so no second shuffle). Per-user state is
+    * O(1) — no event list is ever collected.
+    */
+  def funnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.size == 3, "funnel is specified for exactly 3 steps")
+    val w = Window.partitionBy("user_id")
+    val us = unix_micros(col("ts"))
+    val withSteps = events
+      .select(col("user_id"), col("event_type"), us.as("us"))
+      .withColumn("t1", min(when(col("event_type") === steps(0), col("us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === steps(1) && col("us") > col("t1"),
+        col("us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === steps(2) && col("us") > col("t2"),
+        col("us"))).over(w))
+    withSteps.groupBy("user_id")
+      .agg(min("t1").as("ts1_us"), min("t2").as("ts2_us"), min("t3").as("ts3_us"))
+      .withColumn("step_reached",
+        when(col("ts3_us").isNotNull, 3L)
+          .when(col("ts2_us").isNotNull, 2L)
+          .when(col("ts1_us").isNotNull, 1L)
+          .otherwise(0L))
+  }
+
+  /** DuckDB twin: layered CTEs because a window expression cannot reference
+    * a sibling window alias in the same SELECT. */
+  def funnelSqlDuck(steps: Seq[String] = Seq("view", "click", "purchase")): String =
+    s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       | s1 AS (SELECT *, min(CASE WHEN event_type = '${steps(0)}' THEN us END)
+       |   OVER (PARTITION BY user_id) AS t1 FROM e),
+       | s2 AS (SELECT *, min(CASE WHEN event_type = '${steps(1)}' AND us > t1 THEN us END)
+       |   OVER (PARTITION BY user_id) AS t2 FROM s1),
+       | s3 AS (SELECT *, min(CASE WHEN event_type = '${steps(2)}' AND us > t2 THEN us END)
+       |   OVER (PARTITION BY user_id) AS t3 FROM s2)
+       |SELECT user_id, min(t1) AS ts1_us, min(t2) AS ts2_us, min(t3) AS ts3_us,
+       |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+       |            WHEN min(t2) IS NOT NULL THEN 2
+       |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS step_reached
+       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Cohort retention: users are cohorted by their first-seen calendar day;
+    * every event then lands in (cohort_day, day offset) with distinct-user
+    * and event counts. The classic retention triangle.
+    *
+    * Shape: the cohort day is a whole-partition window min (first exchange,
+    * on `user_id`); the rollup is a second exchange on (cohort, offset) —
+    * whose key cardinality is bounded by days², independent of row count,
+    * so the second shuffle moves only partial-aggregated rows (map-side
+    * combine makes it days²-sized per task).
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    events
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .withColumn("cohort", min(col("d")).over(w))
+      .withColumn("offset_d", datediff(col("d"), col("cohort")).cast("long"))
+      .groupBy(col("cohort").cast("string").as("cohort_day"), col("offset_d"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def retentionCohortsSqlDuck: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+      | c AS (SELECT *, min(d) OVER (PARTITION BY user_id) AS cohort FROM e)
+      |SELECT CAST(cohort AS VARCHAR) AS cohort_day,
+      |  CAST(date_diff('day', cohort, d) AS BIGINT) AS offset_d,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+}

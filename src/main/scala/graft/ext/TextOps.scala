@@ -444,4 +444,172 @@ object TextOps {
   def fingerprintSqlDuck: String =
     s"""SELECT doc_id, md5(array_to_string(${tokensSqlDuck("text")}, ' ')) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // PII redaction
+  // =====================================================================
+
+  /** PII patterns, dialect-portable (no backslashes — Spark/Java and
+    * DuckDB/RE2 parse these identically; see [[TokenPattern]]'s note). */
+  val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+  val PhonePat = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+  val Ipv4Pat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** The fixture corpus is synthetic word salad with no PII in it, so the
+    * redaction operator would never fire on raw `text`. To exercise it
+    * under the oracle, both engines append the SAME deterministic PII tail
+    * derived from `doc_id` — an email, a phone, and an IPv4 — and then
+    * redact. (Integer→string rendering is identical in Spark and DuckDB.) */
+  def piiSeeded(textCol: String): Column =
+    concat(col(textCol), lit(" contact user"), col("doc_id"),
+      lit("@mail"), col("doc_id") % 7, lit(".example.com tel 415-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), col("doc_id") % 256, lit(".0."), (col("doc_id") * 7) % 256)
+
+  def piiSeededSqlDuck(textCol: String): String =
+    s"$textCol || ' contact user' || doc_id || '@mail' || (doc_id % 7) || " +
+      "'.example.com tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+
+  /** PII redaction: count emails / phones / IPv4s, then replace each with a
+    * typed redaction token. Redaction order (email → phone → ip) matters
+    * when matches could overlap and is fixed identically on both engines.
+    * Pure narrow projection — regexp count + three chained global
+    * replaces per row, shuffle-free at any scale. Counts are taken on the
+    * pre-redaction text. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), piiSeeded(textCol).as("_t"))
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(_t, '$EmailPat', 0)")).cast("long").as("n_email"),
+        size(expr(s"regexp_extract_all(_t, '$PhonePat', 0)")).cast("long").as("n_phone"),
+        size(expr(s"regexp_extract_all(_t, '$Ipv4Pat', 0)")).cast("long").as("n_ip"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("_t"), EmailPat, "[EMAIL]"),
+            PhonePat, "[PHONE]"),
+          Ipv4Pat, "[IP]").as("redacted"))
+
+  def piiRedactSqlDuck: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(_t, '$EmailPat', 0)) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(_t, '$PhonePat', 0)) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(_t, '$Ipv4Pat', 0)) AS BIGINT) AS n_ip,
+       |  regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(_t, '$EmailPat', '[EMAIL]', 'g'),
+       |      '$PhonePat', '[PHONE]', 'g'),
+       |    '$Ipv4Pat', '[IP]', 'g') AS redacted
+       |FROM (SELECT doc_id, ${piiSeededSqlDuck("text")} AS _t FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // =====================================================================
+  // BM25 retrieval scoring
+  // =====================================================================
+
+  /** BM25 relevance of every document against a fixed query-term set — the
+    * retrieval scorer a curation pipeline uses for query-driven corpus
+    * selection (and decontamination triage). Standard Robertson tf
+    * saturation; the idf is the exact rational (N - df + 0.5)/(df + 0.5) —
+    * NOT log-scaled, same monotone-transform argument as [[tfidfTopTerms]]
+    * (libm `ln` is not guaranteed identically rounded across engines, while
+    * every op used here is IEEE-correctly-rounded and evaluated in the
+    * same textual order on both sides, so scores are bit-identical).
+    *
+    * Shape: one narrow pass builds (dl, tf_i) per doc; corpus stats (N,
+    * total length, per-term df) are ONE single-row aggregate, combined
+    * back with a broadcast single-row cross join — the adjudicated
+    * 1-row-aggregate crossJoin pattern. No per-term shuffle, no posting
+    * lists; linear at any corpus size.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String] = Seq("spark", "join", "stream"),
+      k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && terms == terms.distinct)
+    val perDoc = docs
+      .select(col("doc_id"), tokensArr(textCol).as("_toks"))
+      .select(Seq(col("doc_id"), size(col("_toks")).cast("long").as("dl")) ++
+        terms.map(t =>
+          size(filter(col("_toks"), x => x === lit(t))).cast("long").as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +: terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t")): _*)
+    // constants rendered through Double.toString on BOTH engines (round-trip
+    // exact), so k1+1 parses to the identical double in the SQL twin. Every
+    // operand is cast to DOUBLE explicitly BEFORE any arithmetic: DuckDB
+    // parses `0.5`-style literals as exact DECIMAL and would carry wider
+    // intermediates than IEEE double, diverging by an ulp.
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+    def termScore(t: String): Column =
+      col(s"tf_$t").cast("double") * lit(k1p1) /
+        (col(s"tf_$t").cast("double") + lit(k1) * (lit(oneMinusB) + lit(b) *
+          ((col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")))) *
+        (((col("n_docs") - col(s"df_$t")).cast("double") + lit(0.5)) /
+          (col(s"df_$t").cast("double") + lit(0.5)))
+    perDoc.crossJoin(broadcast(stats))
+      .select(Seq(col("doc_id")) ++ terms.map(t => col(s"tf_$t")) :+
+        terms.map(termScore).reduce(_ + _).as("bm25"): _*)
+  }
+
+  def bm25SqlDuck(terms: Seq[String] = Seq("spark", "join", "stream"),
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(_toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(",\n    ")
+    val score = terms.map(t =>
+      s"CAST(tf_$t AS DOUBLE) * CAST($k1p1 AS DOUBLE) / " +
+        s"(CAST(tf_$t AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) * " +
+        s"(CAST(dl * n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE)))) * " +
+        s"((CAST(n_docs - df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+        s"(CAST(df_$t AS DOUBLE) + CAST(0.5 AS DOUBLE)))").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(_toks) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id, ${tokensSqlDuck("text")} AS _toks FROM documents)),
+       | st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM d)
+       |SELECT doc_id, ${terms.map(t => s"tf_$t").mkString(", ")},
+       |  $score AS bm25
+       |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin
+  }
+
+  // =====================================================================
+  // Bloom-prefiltered decontamination
+  // =====================================================================
+
+  /** [[decontaminate]] with a broadcast Bloom prefilter — the 100 TB shape
+    * for a SMALL benchmark side: instead of shuffling every candidate
+    * shingle into the semi-join, a fixed-size Bloom filter built over the
+    * benchmark shingle hashes (distributed `treeAggregate`; only the
+    * filter's bounded bits ever reach the driver) drops the overwhelming
+    * majority of corpus shingles map-side. Survivors are CONFIRMED by the
+    * exact equi-join, so false positives cannot leak into the output and
+    * the result — and the oracle — are identical to [[decontaminate]]:
+    * the Bloom stage is pure pre-shuffle data reduction, never semantics.
+    *
+    * The eager `count()` runs on the BENCHMARK side only (the small side
+    * by contract — benchmark suites are KBs against a 100 TB corpus);
+    * sizing the filter from it is one tiny pass, never a corpus scan. */
+  def decontaminateBloom(candidates: DataFrame, benchmark: DataFrame,
+      w: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val candSh = Dedup.shingles(candidates, w)
+      .select(col("doc_id"), md5(col("tok")).as("_h"))
+    val benchSh = Dedup.shingles(benchmark, w)
+      .select(md5(col("tok")).as("_h")).distinct()
+    val benchLong = benchSh.select(xxhash64(col("_h")).as("_hl"))
+    val expected = math.max(benchLong.count(), 1L)
+    val bf = benchLong.stat.bloomFilter("_hl", expected, fpp)
+    val bfBc = candidates.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
+    val pre = candSh.withColumn("_hl", xxhash64(col("_h")))
+      .filter(mightContain(col("_hl")))
+    val bad = pre.join(benchSh, "_h").select("doc_id").distinct()
+    candidates.join(bad, Seq("doc_id"), "left_anti")
+  }
 }

@@ -95,8 +95,51 @@ case class RangeJoinBucketing() extends Rule[LogicalPlan] {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: the optimizer rule plus the engine's
+  * codegen'd expressions registered as SQL functions, so the raw-SQL surface
+  * (`spark.sql(...)`) reaches the same fast paths as the library API:
+  *
+  *  - `graft_tokens(str)`       → lowercase `[a-z0-9]+` token array
+  *                                ([[graft.functions.AsciiRunTokens]] over
+  *                                `lower()`, the TextOps.fastTokens pipeline)
+  *  - `graft_vec_dot(a, b)`     → float-vector dot product in strict
+  *                                left-to-right double accumulation
+  *                                ([[graft.functions.FloatVectorDot]])
+  *  - `graft_sorted_intersect(a, b)` → intersection size of two SORTED
+  *                                string arrays ([[graft.functions.SortedIntersectCount]])
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Lower}
+  import graft.functions.{AsciiRunTokens, FloatVectorDot, SortedIntersectCount}
+
+  private def info(name: String, clazz: String, usage: String) =
+    new ExpressionInfo(clazz, name) // (usage is Scaladoc-only: the richer
+  // ExpressionInfo constructors validate `group`/`source` against Spark's
+  // built-in registry vocabularies, which user functions aren't part of)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RangeJoinBucketing())
+    ext.injectFunction((FunctionIdentifier("graft_tokens"),
+      info("graft_tokens", classOf[AsciiRunTokens].getCanonicalName,
+        "graft_tokens(str) - lowercase [a-z0-9]+ token runs of str"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_tokens expects 1 argument")
+        AsciiRunTokens(Lower(children.head))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_vec_dot"),
+      info("graft_vec_dot", classOf[FloatVectorDot].getCanonicalName,
+        "graft_vec_dot(a, b) - dot product of two float vectors, sequential double accumulation"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_vec_dot expects 2 arguments")
+        FloatVectorDot(children(0), children(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
+      info("graft_sorted_intersect", classOf[SortedIntersectCount].getCanonicalName,
+        "graft_sorted_intersect(a, b) - intersection size of two sorted string arrays"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_sorted_intersect expects 2 arguments")
+        SortedIntersectCount(children(0), children(1))
+      }))
+  }
 }

@@ -104,7 +104,11 @@ object StressProbe {
       "sketch_kmv_overlap" -> (d => graft.ext.Sketch.kmvJaccard(
         graft.ext.Dedup.shingles(d.filter(col("source") === "src0"), 3), col("tok"),
         graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),
-        128).count()))
+        128).count()),
+      "text_pii_redact" -> (d => graft.ext.TextOps.piiRedact(d).count()),
+      "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
+      "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -116,7 +120,10 @@ object StressProbe {
         e.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")),
         "user_id", "us", "value", 86400000000L).count()),
       "events_quantile_selection" -> (e =>
-        graft.ext.Sketch.exactQuantileDisc(e, "value").count()))
+        graft.ext.Sketch.exactQuantileDisc(e, "value").count()),
+      "events_funnel" -> (e => graft.ext.Analytics.funnel(e).count()),
+      "events_retention_cohort" -> (e =>
+        graft.ext.Analytics.retentionCohorts(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession.spark
+
+class AnalyticsSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  private def events(rows: (Long, String, Long)*) =
+    rows.toDF("user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+
+  test("funnel requires strict temporal order across steps") {
+    val e = events(
+      // user 1: full ordered conversion
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase BEFORE the first view — step 3 not reached
+      (2L, "purchase", 5L), (2L, "view", 10L), (2L, "click", 20L),
+      // user 3: click at the same instant as the view — strict `>` rejects it
+      (3L, "view", 10L), (3L, "click", 10L),
+      // user 4: no funnel event at all
+      (4L, "error", 10L))
+    val out = Analytics.funnel(e)
+      .select("user_id", "step_reached").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 0L))
+  }
+
+  test("funnel picks the EARLIEST valid time per step") {
+    val e = events(
+      (1L, "view", 10L), (1L, "view", 5L),
+      (1L, "click", 7L), // before the first view at 5? no: 7 > 5, valid
+      (1L, "click", 50L),
+      (1L, "purchase", 6L), // before click at 7 — invalid
+      (1L, "purchase", 40L))
+    val r = Analytics.funnel(e)
+      .select("ts1_us", "ts2_us", "ts3_us").as[(Long, Long, Long)].head()
+    assert(r == ((5L, 7L, 40L)))
+  }
+
+  test("retention cohorts count distinct users per (first-day, offset)") {
+    val day = 86400000000L // one day of micros
+    val e = events(
+      (1L, "view", 0L), (1L, "view", day + 1), (1L, "click", 2 * day),
+      (2L, "view", 1L), (2L, "view", 2 * day + 5),
+      (3L, "view", day)) // cohorted on day 1
+    val out = Analytics.retentionCohorts(e)
+      .select("cohort_day", "offset_d", "n_users", "n_events")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("1970-01-01", 0L, 2L, 2L), // users 1,2 on their first day
+      ("1970-01-01", 1L, 1L, 1L), // user 1 returned next day
+      ("1970-01-01", 2L, 2L, 2L), // users 1,2 on day 2
+      ("1970-01-02", 0L, 1L, 1L))) // user 3's own cohort
+  }
+
+  test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
+    val e = events((1L, "view", 10L), (2L, "click", 20L))
+    val plan = Analytics.funnel(e).queryExecution.executedPlan
+    var exchanges = 0
+    graft.etl.PlanWalk.visit(plan) { p =>
+      if (p.getClass.getSimpleName.contains("ShuffleExchange")) exchanges += 1
+    }
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}

@@ -1,0 +1,99 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession.spark
+
+class CurationSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  // ---- PII redaction ----------------------------------------------------
+
+  test("piiRedact counts and redacts the seeded email/phone/ip") {
+    val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
+    val r = PiiRow(TextOps.piiRedact(docs))
+    assert(r.nEmail == 1 && r.nPhone == 1 && r.nIp == 1)
+    assert(r.redacted.contains("[EMAIL]") && r.redacted.contains("[PHONE]")
+      && r.redacted.contains("[IP]"))
+    assert(!r.redacted.contains("@") && !r.redacted.contains("415-555"))
+    assert(r.redacted.startsWith("hello world"))
+  }
+
+  test("piiRedact catches PII already present in the text") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org today"),
+      (2L, "server at 192.168.10.254 and fallback 10.0.0.1"),
+      (3L, "call 800-555-0199 x12")).toDF("doc_id", "text")
+    val rows = TextOps.piiRedact(docs).orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ip", "redacted")
+      .as[(Long, Long, Long, String)].collect()
+    // every row ALSO carries the seeded (+1) tail
+    assert(rows(0)._1 == 2 && rows(0)._4.contains("[EMAIL] today"))
+    assert(rows(1)._3 == 3 && !rows(1)._4.contains("192.168"))
+    assert(rows(2)._2 == 2 && rows(2)._4.contains("[PHONE] x12"))
+  }
+
+  private case class PiiRow(nEmail: Long, nPhone: Long, nIp: Long, redacted: String)
+  private object PiiRow {
+    def apply(df: org.apache.spark.sql.DataFrame): PiiRow = {
+      val r = df.select("n_email", "n_phone", "n_ip", "redacted").head()
+      PiiRow(r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+    }
+  }
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  private val corpus = Seq(
+    (1L, "spark spark join fast"),
+    (2L, "spark slow"),
+    (3L, "stream only here"),
+    (4L, "nothing relevant at all")).toDF("doc_id", "text")
+
+  test("bm25 matches the formula computed by hand") {
+    // corpus stats: N=4, sum_dl=13; df(spark)=2, df(join)=1, df(stream)=1
+    val out = TextOps.bm25(corpus).orderBy("doc_id")
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    def score(tf: Long, df: Long, dl: Long, n: Long = 4L, s: Long = 13L): Double =
+      tf.toDouble * 2.2 / (tf.toDouble + 1.2 * (0.25 + 0.75 *
+        ((dl * n).toDouble / s.toDouble))) *
+        (((n - df).toDouble + 0.5) / (df.toDouble + 0.5))
+    val d1 = score(2, 2, 4) + score(1, 1, 4) + score(0, 1, 4)
+    val d2 = score(1, 2, 2)
+    assert(out(1L) == d1 && out(2L) == d2 && out(4L) == 0.0)
+  }
+
+  test("bm25 term-frequency saturation: more hits score higher, sublinearly") {
+    val out = TextOps.bm25(corpus).orderBy("doc_id")
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L)) // two 'spark' + a 'join' beats one 'spark'
+    assert(out(3L) > 0.0 && out(4L) == 0.0)
+  }
+
+  // ---- Bloom-prefiltered decontamination ---------------------------------
+
+  test("decontaminateBloom is output-identical to exact decontaminate") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contaminated (shares 5-shingle)
+      (2L, "totally unrelated text about other things entirely"),
+      (3L, "alpha beta gamma delta other words here")) // 4-overlap only: clean at w=5
+      .toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(cands, bench).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    val bloom = TextOps.decontaminateBloom(cands, bench).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(bloom == exact && exact == Seq(2L, 3L))
+  }
+
+  test("decontaminateBloom with an aggressive fpp still confirms exactly") {
+    // fpp=0.5 forces heavy false-positive traffic through the prefilter;
+    // the exact confirm join must still produce the identical survivor set
+    val bench = Seq((100L, "one two three four five six")).toDF("doc_id", "text")
+    val cands = (1L to 40L).map(i =>
+      (i, s"doc $i unique words w${i}a w${i}b w${i}c w${i}d w${i}e")).toDF("doc_id", "text")
+    val exact = TextOps.decontaminate(cands, bench).count()
+    val bloom = TextOps.decontaminateBloom(cands, bench, fpp = 0.5).count()
+    assert(bloom == exact && exact == 40L)
+  }
+}
