@@ -907,6 +907,16 @@ object SparkEntry {
       graft.ext.Analytics.retentionCohorts(t(s, dir, "events"))
         .orderBy("cohort_day", "offset_d")),
 
+    // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
+    // bisection, never a sort): two scalar bounds, one pushed-down filter
+    "events_outliers_iqr" -> ((s, dir) =>
+      graft.ext.Analytics.outliersIqr(t(s, dir, "events")).orderBy("event_id")),
+
+    // per-type min-max scaling: comparisons not sums, so bit-deterministic;
+    // tiny stats side broadcast back onto the stream
+    "events_minmax_scale" -> ((s, dir) =>
+      graft.ext.Analytics.minmaxScale(t(s, dir, "events")).orderBy("event_id")),
+
     "s6_dict_lookup" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -1779,6 +1789,8 @@ object SparkEntry {
     "text_bm25" -> graft.ext.TextOps.bm25SqlDuck(),
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
+    "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
+    "events_minmax_scale" -> graft.ext.Analytics.minmaxScaleSqlDuck,
     "sql_fn_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_toks,

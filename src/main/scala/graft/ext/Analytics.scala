@@ -94,4 +94,71 @@ object Analytics {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Tukey-fence outlier detection: rows outside
+    * `[q1 - 1.5·IQR, q3 + 1.5·IQR]` of the EXACT type-1 quartiles. The
+    * quartiles come from [[Sketch.exactQuantileDisc]] (O(log range) narrow
+    * count passes, O(1) state — never a full sort or a value buffer), so
+    * the whole operator is 100 TB-exact: two scalar bounds computed once,
+    * then one codegen'd filter with full scan pushdown potential.
+    *
+    * The fence arithmetic happens ONCE on the driver over two collected
+    * scalars (the adjudicated bounded-collect shape) in the same textual
+    * order as the oracle's — IEEE-identical. */
+  def outliersIqr(events: DataFrame, valueCol: String = "value",
+      fence: Double = 1.5): DataFrame = {
+    val q = Sketch.exactQuantileDisc(events, valueCol, Seq(0.25, 0.75))
+      .select("prob", "value").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val (q1, q3) = (q(0.25), q(0.75))
+    val lo = q1 - fence * (q3 - q1)
+    val hi = q3 + fence * (q3 - q1)
+    events.filter(col(valueCol) < lit(lo) || col(valueCol) > lit(hi))
+      .select(col("event_id"), col(valueCol).as("value"),
+        when(col(valueCol) < lit(lo), "low").otherwise("high").as("side"))
+  }
+
+  def outliersIqrSqlDuck(fence: Double = 1.5): String =
+    s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+       |           WHERE value IS NOT NULL),
+       | s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |       count(*) OVER () AS n FROM v),
+       | q AS (SELECT max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS q1,
+       |              max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS q3
+       |       FROM s),
+       | b AS (SELECT q1 - CAST($fence AS DOUBLE) * (q3 - q1) AS lo,
+       |              q3 + CAST($fence AS DOUBLE) * (q3 - q1) AS hi FROM q)
+       |SELECT event_id, CAST(value AS DOUBLE) AS value,
+       |  CASE WHEN CAST(value AS DOUBLE) < lo THEN 'low' ELSE 'high' END AS side
+       |FROM events CROSS JOIN b
+       |WHERE CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi
+       |ORDER BY event_id""".stripMargin
+
+  /** Per-group min-max feature scaling to [0, 1] — the ML-prep normalizer.
+    * Min/max of doubles are COMPARISONS, not sums, so unlike a mean they
+    * are partitioning-invariant and bit-deterministic; the scale division
+    * is a single double op in identical order on both engines. Groups with
+    * a degenerate range (min == max) scale to 0.0 by convention.
+    *
+    * Shape: one map-side-combined aggregate over the (tiny) group key
+    * domain, broadcast back onto the stream — the full corpus is touched
+    * exactly once plus a broadcast hash join, no wide shuffle. */
+  def minmaxScale(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val stats = events.groupBy(keyCol)
+      .agg(min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+    events.join(broadcast(stats), keyCol)
+      .select(col("event_id"), col(keyCol), col(valueCol).as("value"),
+        when(col("vmax") > col("vmin"),
+          (col(valueCol) - col("vmin")) / (col("vmax") - col("vmin")))
+          .otherwise(lit(0.0)).as("scaled"))
+  }
+
+  def minmaxScaleSqlDuck: String =
+    """WITH st AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+      |            FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, value,
+      |  CASE WHEN vmax > vmin THEN (value - vmin) / (vmax - vmin)
+      |       ELSE 0.0E0 END AS scaled
+      |FROM events e JOIN st USING (event_type)
+      |ORDER BY event_id""".stripMargin
 }

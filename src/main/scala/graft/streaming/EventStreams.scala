@@ -138,6 +138,53 @@ object EventStreams {
       }
   }
 
+  /** Streaming conversion funnel with O(1) state per user FOREVER: the
+    * state is just the three step timestamps (unset = -1), folded forward
+    * as events arrive — the live "user completed step N" trigger.
+    *
+    * Contract: batches arrive in event-time order (each micro-batch's
+    * events all at-or-after the previous batch's; WITHIN a batch order is
+    * free — the fold sorts its group iterator). Under that contract the
+    * final state per user provably equals [[graft.ext.Analytics.funnel]]
+    * on the union of all batches (EventStreamsSpec proves it across a
+    * forced multi-batch run): t1 monotonically fixes to the global min
+    * view time before any later click is folded, so the first qualifying
+    * click in arrival order IS the batch semantics' earliest-after-t1, and
+    * inductively likewise for step 3. Out-of-order sources would need a
+    * watermark-bounded event buffer instead (the state stops being O(1) —
+    * that variant is deliberately not offered; feed ordered streams).
+    *
+    * State never grows and never expires: NoTimeout like the sketch state
+    * — a funnel position is a lifetime fact, not a window. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(user_id: Long, ts1_us: Option[Long],
+    ts2_us: Option[Long], ts3_us: Option[Long], step_reached: Long)
+
+  def funnelState(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")):
+      org.apache.spark.sql.Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(steps.size == 3)
+    events.selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          var t1 = st0.t1; var t2 = st0.t2; var t3 = st0.t3
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, us) =>
+            if (t1 < 0) { if (typ == steps(0)) t1 = us }
+            else if (t2 < 0) { if (typ == steps(1) && us > t1) t2 = us }
+            else if (t3 < 0) { if (typ == steps(2) && us > t2) t3 = us }
+          }
+          state.update(FunnelState(t1, t2, t3))
+          def opt(t: Long) = if (t >= 0) Some(t) else None
+          val step = if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
+          FunnelRow(uid, opt(t1), opt(t2), opt(t3), step)
+      }
+  }
+
   /** Windowed stream-stream inner join — the hardest Structured Streaming
     * shape: each purchase joined to the same user's clicks in the preceding
     * hour. Both sides carry watermarks and the join condition includes an

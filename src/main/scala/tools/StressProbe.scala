@@ -123,7 +123,9 @@ object StressProbe {
         graft.ext.Sketch.exactQuantileDisc(e, "value").count()),
       "events_funnel" -> (e => graft.ext.Analytics.funnel(e).count()),
       "events_retention_cohort" -> (e =>
-        graft.ext.Analytics.retentionCohorts(e).count()))
+        graft.ext.Analytics.retentionCohorts(e).count()),
+      "events_outliers_iqr" -> (e => graft.ext.Analytics.outliersIqr(e).count()),
+      "events_minmax_scale" -> (e => graft.ext.Analytics.minmaxScale(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

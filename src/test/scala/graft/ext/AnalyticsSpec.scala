@@ -55,6 +55,33 @@ class AnalyticsSpec extends AnyFunSuite {
       ("1970-01-02", 0L, 1L, 1L))) // user 3's own cohort
   }
 
+  test("outliersIqr flags exactly the rows outside the Tukey fences") {
+    // values 1..20 plus two extremes; exact type-1 quartiles of 22 values:
+    // q1 = v[ceil(0.25*22)] = v[6], q3 = v[ceil(0.75*22)] = v[17]
+    val vals = ((1 to 20).map(_.toDouble) ++ Seq(-100.0, 500.0))
+    val e = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+    val sorted = vals.sorted
+    val (q1, q3) = (sorted(5), sorted(16)) // 0-based: rank 6 and 17
+    val lo = q1 - 1.5 * (q3 - q1)
+    val hi = q3 + 1.5 * (q3 - q1)
+    val out = Analytics.outliersIqr(e)
+      .select("value", "side").as[(Double, String)].collect().toSet
+    val expected = vals.filter(v => v < lo || v > hi)
+      .map(v => (v, if (v < lo) "low" else "high")).toSet
+    assert(out == expected && out == Set((-100.0, "low"), (500.0, "high")))
+  }
+
+  test("minmaxScale maps each group's range onto [0,1]; degenerate range to 0") {
+    val e = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),
+      (4L, "b", 7.0), (5L, "b", 7.0)) // degenerate: min == max
+      .toDF("event_id", "event_type", "value")
+    val out = Analytics.minmaxScale(e)
+      .select("event_id", "scaled").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.5, 4L -> 0.0, 5L -> 0.0))
+  }
+
   test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
     val e = events((1L, "view", 10L), (2L, "click", 20L))
     val plan = Analytics.funnel(e).queryExecution.executedPlan

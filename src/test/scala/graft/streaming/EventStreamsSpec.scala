@@ -237,6 +237,43 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("O(1)-state streaming funnel equals the batch funnel across ordered batches") {
+    import org.apache.spark.sql.functions._
+    // the funnelState contract is event-time-ORDERED batches: split the
+    // fixture into 4 ts-quartile files written sequentially, so the file
+    // source (modification-time order) feeds them as ordered micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("funnel_").toString
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select("user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val bucketed = ev.withColumn("b", ntile(4).over(w)).cache()
+    (1 to 4).foreach { i =>
+      bucketed.filter(col("b") === i).drop("b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/ev/b$i")
+      Thread.sleep(50) // distinct mod-times: the source orders files by them
+    }
+    bucketed.unpersist()
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev/b1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/ev/b*")
+    val q = EventStreams.funnelState(stream).writeStream
+      .format("memory").queryName("funnel_test").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final state per user = the emission with the highest step (ts fields
+    // never change once set, so equal-step emissions are identical rows)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("step_reached").desc)
+    val streamed = spark.table("funnel_test").distinct()
+      .withColumn("rk", row_number().over(rk)).filter(col("rk") === 1).drop("rk")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Analytics.funnel(
+        graft.etl.IngestOps.table(spark, sf0001, "events"))
+      .select("user_id", "ts1_us", "ts2_us", "ts3_us", "step_reached")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream through the reference NDJSON sink (K1) round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("ndjson_stream").toString
     val q = EventStreams.writeNdjsonStream(
