@@ -1085,6 +1085,17 @@ object SparkEntry {
     "text_bm25" -> ((s, dir) =>
       graft.ext.TextOps.bm25(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // capped inverted-index posting lists: |vocab|·k output rows; the
+    // rank-limit window plans as Partial-mode WindowGroupLimit (k rows per
+    // term per map task cross the exchange, never the corpus)
+    "text_postings" -> ((s, dir) =>
+      graft.ext.TextOps.postings(t(s, dir, "documents")).orderBy("term", "rank")),
+
+    // corpus-order n-gram novelty: fraction of a doc's distinct shingles
+    // first seen IN that doc — keep-first dedup's grading dual
+    "text_novelty" -> ((s, dir) =>
+      graft.ext.TextOps.novelty(t(s, dir, "documents")).orderBy("doc_id")),
+
     "pipeline_corpus" -> ((s, dir) =>
       graft.ext.Pipelines.curateCorpus(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1787,6 +1798,8 @@ object SparkEntry {
     "text_decontaminate_bloom" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     "text_pii_redact" -> graft.ext.TextOps.piiRedactSqlDuck,
     "text_bm25" -> graft.ext.TextOps.bm25SqlDuck(),
+    "text_postings" -> graft.ext.TextOps.postingsSqlDuck(),
+    "text_novelty" -> graft.ext.TextOps.noveltySqlDuck(),
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),

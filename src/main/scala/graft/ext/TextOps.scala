@@ -580,6 +580,92 @@ object TextOps {
   }
 
   // =====================================================================
+  // Inverted-index posting lists
+  // =====================================================================
+
+  /** Capped posting lists: for every term, its document frequency, and the
+    * top-`k` documents by term frequency (ties to the lower doc_id) — the
+    * inverted-index slice a retrieval layer serves from, flattened to one
+    * row per posting so the relation stays hashable/oracle-comparable.
+    *
+    * Shape: tf counting is one keyed shuffle with map-side combine on
+    * (term, doc); the per-term rank is a window WITH a rank-limit filter,
+    * which Spark plans as Partial-mode WindowGroupLimit — each map task
+    * keeps only k rows per term before the exchange, so reducer state is
+    * bounded by k · |vocab-per-task|, never by corpus size. Output volume
+    * is |vocab| · k, independent of corpus row count. */
+  def postings(docs: DataFrame, k: Int = 3, minDf: Long = 2,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(tokensArr(textCol)).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy("term").orderBy(col("tf").desc, col("doc_id"))
+    val wc = Window.partitionBy("term")
+    // df window BELOW the rank window: the rank filter must sit directly on
+    // its own Window node for Catalyst's InsertWindowGroupLimit to rewrite
+    // it into the Partial/Final group-limit pair
+    tf.withColumn("df", count(lit(1)).over(wc))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k && col("df") >= minDf)
+      .select("term", "rank", "doc_id", "tf", "df")
+  }
+
+  def postingsSqlDuck(k: Int = 3, minDf: Long = 2): String =
+    s"""WITH tf AS (
+       |  SELECT t.term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term
+       |        FROM documents) t
+       |  GROUP BY t.term, doc_id),
+       | r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS BIGINT) AS rank,
+       |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+       |  FROM tf)
+       |SELECT term, rank, doc_id, tf, df FROM r
+       |WHERE rank <= $k AND df >= $minDf
+       |ORDER BY term, rank""".stripMargin
+
+  // =====================================================================
+  // N-gram novelty scoring
+  // =====================================================================
+
+  /** Corpus-order novelty: the fraction of a document's DISTINCT
+    * `w`-shingles whose globally FIRST occurrence (minimum doc_id) is this
+    * document — high for fresh content, near zero for boilerplate
+    * recombinations. The curriculum/quality signal dual to keep-first
+    * dedup: where [[Dedup.dropNearDuplicates]] removes repeats, novelty
+    * GRADES them.
+    *
+    * Shape: distinct (shingle-hash, doc) relation → global min-doc per
+    * hash (keyed shuffle, map-side combine over a slim 2-column relation)
+    * → join back on hash → per-doc counts. All bucketed equi-joins on
+    * content hashes; no quadratic pair enumeration anywhere. The ratio is
+    * one int/int double division — exact on both engines. */
+  def novelty(docs: DataFrame, w: Int = 5): DataFrame = {
+    val sh = Dedup.shingles(docs, w)
+      .select(col("doc_id"), md5(col("tok")).as("_h")).distinct()
+    val firsts = sh.groupBy("_h").agg(min("doc_id").as("first_doc"))
+    sh.join(firsts, "_h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  def noveltySqlDuck(w: Int = 5): String =
+    s"""WITH sh AS (${shingleCtesDuck(w, "")}),
+       | dsh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM sh WHERE s IS NOT NULL),
+       | f AS (SELECT h, min(doc_id) AS first_doc FROM dsh GROUP BY h)
+       |SELECT dsh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(sum(CASE WHEN f.first_doc = dsh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_doc = dsh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM dsh JOIN f USING (h)
+       |GROUP BY dsh.doc_id ORDER BY dsh.doc_id""".stripMargin
+
+  // =====================================================================
   // Bloom-prefiltered decontamination
   // =====================================================================
 

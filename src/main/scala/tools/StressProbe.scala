@@ -106,6 +106,8 @@ object StressProbe {
         graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),
         128).count()),
       "text_pii_redact" -> (d => graft.ext.TextOps.piiRedact(d).count()),
+      "text_postings" -> (d => graft.ext.TextOps.postings(d).count()),
+      "text_novelty" -> (d => graft.ext.TextOps.novelty(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
       "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(
         d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()))

@@ -70,6 +70,53 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) > 0.0 && out(4L) == 0.0)
   }
 
+  // ---- Posting lists ------------------------------------------------------
+
+  test("postings ranks docs by tf with doc_id tie-break, capped at k") {
+    val docs = Seq(
+      (1L, "apple apple apple banana"),
+      (2L, "apple apple banana banana"),
+      (3L, "apple banana banana banana"),
+      (4L, "apple cherry")).toDF("doc_id", "text")
+    val out = TextOps.postings(docs, k = 2, minDf = 2)
+      .select("term", "rank", "doc_id", "tf", "df")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("apple", 1L, 1L, 3L, 4L), ("apple", 2L, 2L, 2L, 4L),
+      ("banana", 1L, 3L, 3L, 3L), ("banana", 2L, 2L, 2L, 3L)))
+    // cherry: df=1 < minDf — excluded entirely
+  }
+
+  test("postings plans the rank cap as a WindowGroupLimit (bounded map state)") {
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val plan = TextOps.postings(docs, k = 3, minDf = 1).queryExecution.executedPlan
+    var hasLimit = false
+    graft.etl.PlanWalk.visit(plan) { p =>
+      if (p.getClass.getSimpleName.contains("WindowGroupLimit")) hasLimit = true
+    }
+    assert(hasLimit, s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  // ---- Novelty ------------------------------------------------------------
+
+  test("novelty is 1.0 for first-of-its-content and drops for repeats") {
+    val docs = Seq(
+      (1L, "one two three four five six"), // 2 distinct 5-shingles, both first here
+      (2L, "one two three four five six"), // exact repeat: novelty 0
+      (3L, "one two three four five seven")) // shares shingle 1 of 2 with doc 1
+      .toDF("doc_id", "text")
+    val out = TextOps.novelty(docs)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set(
+      (1L, 2L, 2L, 1.0), (2L, 2L, 0L, 0.0), (3L, 2L, 1L, 0.5)))
+  }
+
+  test("novelty skips docs shorter than the shingle width") {
+    val docs = Seq((1L, "too short"), (2L, "just five tokens right here")).toDF("doc_id", "text")
+    assert(TextOps.novelty(docs, w = 5).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   // ---- Bloom-prefiltered decontamination ---------------------------------
 
   test("decontaminateBloom is output-identical to exact decontaminate") {
