@@ -1086,8 +1086,9 @@ object SparkEntry {
       graft.ext.TextOps.bm25(t(s, dir, "documents")).orderBy("doc_id")),
 
     // capped inverted-index posting lists: |vocab|·k output rows; the
-    // rank-limit window plans as Partial-mode WindowGroupLimit (k rows per
-    // term per map task cross the exchange, never the corpus)
+    // rank cap plans as a WindowGroupLimit, so only k rows per term reach
+    // the row_number window (the tf rows below it are df's information
+    // floor — each crosses the term exchange exactly once)
     "text_postings" -> ((s, dir) =>
       graft.ext.TextOps.postings(t(s, dir, "documents")).orderBy("term", "rank")),
 

@@ -44,7 +44,20 @@ final case class EngineConfig(
     segmentTokens: Int = 8,
     // per-group token budget for corpus mixing
     // (ext/Pipelines.mixByTokenBudget*); 0 = operator caller supplies
-    mixTokenBudget: Long = 0L) {
+    mixTokenBudget: Long = 0L,
+    // BM25 retrieval-scoring shape (ext/TextOps.bm25)
+    bm25K1: Double = 1.2,
+    bm25B: Double = 0.75,
+    // Bloom prefilter target false-positive rate (ext/TextOps
+    // .decontaminateBloom); filter size scales with ln(1/fpp)
+    bloomFpp: Double = 0.01,
+    // Tukey fence multiplier (ext/Analytics.outliersIqr)
+    iqrFence: Double = 1.5,
+    // posting-list cap and df floor (ext/TextOps.postings)
+    postingsK: Int = 3,
+    postingsMinDf: Long = 2L,
+    // novelty shingle width, tokens (ext/TextOps.novelty)
+    noveltyShingle: Int = 5) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -70,6 +83,13 @@ final case class EngineConfig(
     require(segmentTokens > 0, s"segmentTokens must be > 0, got $segmentTokens")
     require(mixTokenBudget >= 0,
       s"mixTokenBudget must be >= 0 (0 = caller supplies), got $mixTokenBudget")
+    require(bm25K1 > 0, s"bm25K1 must be > 0, got $bm25K1")
+    require(bm25B >= 0 && bm25B <= 1, s"bm25B must be in [0, 1], got $bm25B")
+    require(bloomFpp > 0 && bloomFpp < 1, s"bloomFpp must be in (0, 1), got $bloomFpp")
+    require(iqrFence > 0, s"iqrFence must be > 0, got $iqrFence")
+    require(postingsK > 0, s"postingsK must be > 0, got $postingsK")
+    require(postingsMinDf >= 1, s"postingsMinDf must be >= 1, got $postingsMinDf")
+    require(noveltyShingle > 0, s"noveltyShingle must be > 0, got $noveltyShingle")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

@@ -105,6 +105,10 @@ object Analytics {
     * The fence arithmetic happens ONCE on the driver over two collected
     * scalars (the adjudicated bounded-collect shape) in the same textual
     * order as the oracle's — IEEE-identical. */
+  /** Config-tuned entry point (EngineConfig.iqrFence). */
+  def outliersIqr(events: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    outliersIqr(events, fence = cfg.iqrFence)
+
   def outliersIqr(events: DataFrame, valueCol: String = "value",
       fence: Double = 1.5): DataFrame = {
     val q = Sketch.exactQuantileDisc(events, valueCol, Seq(0.25, 0.75))

@@ -522,6 +522,10 @@ object TextOps {
     * 1-row-aggregate crossJoin pattern. No per-term shuffle, no posting
     * lists; linear at any corpus size.
     */
+  /** Config-tuned entry point (EngineConfig.bm25K1/bm25B). */
+  def bm25(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    bm25(docs, k1 = cfg.bm25K1, b = cfg.bm25B)
+
   def bm25(docs: DataFrame, terms: Seq[String] = Seq("spark", "join", "stream"),
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty && terms == terms.distinct)
@@ -589,11 +593,18 @@ object TextOps {
     * row per posting so the relation stays hashable/oracle-comparable.
     *
     * Shape: tf counting is one keyed shuffle with map-side combine on
-    * (term, doc); the per-term rank is a window WITH a rank-limit filter,
-    * which Spark plans as Partial-mode WindowGroupLimit — each map task
-    * keeps only k rows per term before the exchange, so reducer state is
-    * bounded by k · |vocab-per-task|, never by corpus size. Output volume
-    * is |vocab| · k, independent of corpus row count. */
+    * (term, doc); df and rank then share a single term-keyed exchange.
+    * Every (term, doc) tf row crosses that exchange exactly once — df must
+    * count them all, so that traffic is the operator's information floor —
+    * and the rank cap plans as a WindowGroupLimit on the sorted stream, so
+    * only k rows per term reach the row_number window and everything above
+    * it. Output volume is |vocab| · k, independent of corpus row count.
+    * A hot term is one sort-key group, not one reducer's hash entry; AQE
+    * skew-split handles the partition if a term dominates. */
+  /** Config-tuned entry point (EngineConfig.postingsK/postingsMinDf). */
+  def postings(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    postings(docs, cfg.postingsK, cfg.postingsMinDf)
+
   def postings(docs: DataFrame, k: Int = 3, minDf: Long = 2,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -604,7 +615,8 @@ object TextOps {
     val wc = Window.partitionBy("term")
     // df window BELOW the rank window: the rank filter must sit directly on
     // its own Window node for Catalyst's InsertWindowGroupLimit to rewrite
-    // it into the Partial/Final group-limit pair
+    // it into a group limit (stacked the other way the df window blocks the
+    // rewrite and every tf row reaches the row_number window)
     tf.withColumn("df", count(lit(1)).over(wc))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k && col("df") >= minDf)
@@ -641,6 +653,10 @@ object TextOps {
     * → join back on hash → per-doc counts. All bucketed equi-joins on
     * content hashes; no quadratic pair enumeration anywhere. The ratio is
     * one int/int double division — exact on both engines. */
+  /** Config-tuned entry point (EngineConfig.noveltyShingle). */
+  def novelty(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    novelty(docs, cfg.noveltyShingle)
+
   def novelty(docs: DataFrame, w: Int = 5): DataFrame = {
     val sh = Dedup.shingles(docs, w)
       .select(col("doc_id"), md5(col("tok")).as("_h")).distinct()
@@ -682,6 +698,11 @@ object TextOps {
     * The eager `count()` runs on the BENCHMARK side only (the small side
     * by contract — benchmark suites are KBs against a 100 TB corpus);
     * sizing the filter from it is one tiny pass, never a corpus scan. */
+  /** Config-tuned entry point (EngineConfig.bloomFpp). */
+  def decontaminateBloom(candidates: DataFrame, benchmark: DataFrame,
+      cfg: graft.etl.EngineConfig): DataFrame =
+    decontaminateBloom(candidates, benchmark, fpp = cfg.bloomFpp)
+
   def decontaminateBloom(candidates: DataFrame, benchmark: DataFrame,
       w: Int = 5, fpp: Double = 0.01): DataFrame = {
     val candSh = Dedup.shingles(candidates, w)
