@@ -112,7 +112,13 @@ object Analytics {
   def outliersIqr(events: DataFrame, valueCol: String = "value",
       fence: Double = 1.5): DataFrame = {
     val q = Sketch.exactQuantileDisc(events, valueCol, Seq(0.25, 0.75))
-      .select("prob", "value").collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      .select("prob", "value").collect()
+      .flatMap(r => if (r.isNullAt(1)) None else Some(r.getDouble(0) -> r.getDouble(1)))
+      .toMap
+    // no non-null values at all → no quartiles → nothing is an outlier
+    if (q.isEmpty)
+      return events.filter(lit(false))
+        .select(col("event_id"), col(valueCol).as("value"), lit("low").as("side"))
     val (q1, q3) = (q(0.25), q(0.75))
     val lo = q1 - fence * (q3 - q1)
     val hi = q3 + fence * (q3 - q1)

@@ -710,7 +710,10 @@ object TextOps {
     val benchSh = Dedup.shingles(benchmark, w)
       .select(md5(col("tok")).as("_h")).distinct()
     val benchLong = benchSh.select(xxhash64(col("_h")).as("_hl"))
-    val expected = math.max(benchLong.count(), 1L)
+    val expected = benchLong.count()
+    // empty benchmark → nothing can be contaminated (and Spark's
+    // bloomFilter aggregate NPEs on empty input — EdgeCasesSpec)
+    if (expected == 0L) return candidates
     val bf = benchLong.stat.bloomFilter("_hl", expected, fpp)
     val bfBc = candidates.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))

@@ -38,6 +38,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Pipelines.trainingExamples(emptyDocs).count() == 0)
   }
 
+  test("analytics/curation ops on empty inputs return empty, not errors") {
+    import graft.ext.{Analytics, Pipelines, Sketch}
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    assert(Analytics.funnel(emptyEvents).count() == 0)
+    assert(Analytics.retentionCohorts(emptyEvents).count() == 0)
+    assert(Analytics.outliersIqr(emptyEvents).count() == 0)
+    assert(Analytics.minmaxScale(emptyEvents).count() == 0)
+    assert(Sketch.exactQuantileDiscByGroup(emptyEvents, "event_type", "value").count() == 0)
+    assert(TextOps.piiRedact(emptyDocs).count() == 0)
+    assert(TextOps.bm25(emptyDocs).count() == 0)
+    assert(TextOps.postings(emptyDocs).count() == 0)
+    assert(TextOps.novelty(emptyDocs).count() == 0)
+    assert(TextOps.decontaminateBloom(emptyDocs, emptyDocs).count() == 0)
+    assert(Pipelines.incrementalIngest(emptyDocs, emptyDocs).count() == 0)
+  }
+
+  test("analytics ops where every value is null: no outliers, zero scales") {
+    import graft.ext.Analytics
+    val e = Seq((1L, 10L, "view"), (2L, 20L, "click"))
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("value", lit(null).cast("double"))
+    assert(Analytics.outliersIqr(e).count() == 0)
+    // all-null group: vmax > vmin is NULL → CASE falls to ELSE 0.0, the
+    // same on both engines (degenerate-range convention)
+    val scaled = Analytics.minmaxScale(e).select("scaled").collect()
+    assert(scaled.length == 2 && scaled.forall(r => !r.isNullAt(0) && r.getDouble(0) == 0.0))
+  }
+
   test("chunk/pack on whitespace-only and single-token docs") {
     import graft.ext.Chunking
     val d = Seq((1L, "   "), (2L, "word"), (3L, "")).toDF("doc_id", "text")
