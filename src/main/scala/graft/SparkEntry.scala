@@ -1091,9 +1091,12 @@ object SparkEntry {
     }),
 
     // PII redaction: deterministic doc_id-derived PII appended on BOTH
-    // engines (the fixture text carries none), then counted and redacted
+    // engines (the fixture text carries none — seeding lives HERE, in the
+    // query; the operator redacts its text column as given)
     "text_pii_redact" -> ((s, dir) =>
-      graft.ext.TextOps.piiRedact(t(s, dir, "documents")).orderBy("doc_id")),
+      graft.ext.TextOps.piiRedact(
+        t(s, dir, "documents").select(col("doc_id"),
+          graft.ext.TextOps.piiSeeded("text").as("text"))).orderBy("doc_id")),
 
     // BM25 retrieval scoring against a fixed query — rational idf (same
     // monotone-transform argument as text_tfidf), bit-stable double math

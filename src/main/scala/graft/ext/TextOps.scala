@@ -455,11 +455,12 @@ object TextOps {
   val PhonePat = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
   val Ipv4Pat = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
 
-  /** The fixture corpus is synthetic word salad with no PII in it, so the
-    * redaction operator would never fire on raw `text`. To exercise it
-    * under the oracle, both engines append the SAME deterministic PII tail
-    * derived from `doc_id` — an email, a phone, and an IPv4 — and then
-    * redact. (Integer→string rendering is identical in Spark and DuckDB.) */
+  /** Test/oracle helper, NOT part of redaction itself: the fixture corpus
+    * is synthetic word salad with no PII in it, so the driver query seeds
+    * the SAME deterministic doc_id-derived PII tail (an email, a phone, an
+    * IPv4) on both engines before calling [[piiRedact]] — otherwise the
+    * operator would be hash-checked on input it never fires on.
+    * (Integer→string rendering is identical in Spark and DuckDB.) */
   def piiSeeded(textCol: String): Column =
     concat(col(textCol), lit(" contact user"), col("doc_id"),
       lit("@mail"), col("doc_id") % 7, lit(".example.com tel 415-555-"),
@@ -471,14 +472,14 @@ object TextOps {
       "'.example.com tel 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
       "' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
 
-  /** PII redaction: count emails / phones / IPv4s, then replace each with a
-    * typed redaction token. Redaction order (email → phone → ip) matters
-    * when matches could overlap and is fixed identically on both engines.
-    * Pure narrow projection — regexp count + three chained global
-    * replaces per row, shuffle-free at any scale. Counts are taken on the
-    * pre-redaction text. */
+  /** PII redaction of the text column AS GIVEN: count emails / phones /
+    * IPv4s, then replace each with a typed redaction token. Redaction
+    * order (email → phone → ip) matters when matches could overlap and is
+    * fixed identically on both engines. Pure narrow projection — regexp
+    * count + three chained global replaces per row, shuffle-free at any
+    * scale. Counts are taken on the pre-redaction text. */
   def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(col("doc_id"), piiSeeded(textCol).as("_t"))
+    docs.select(col("doc_id"), col(textCol).as("_t"))
       .select(
         col("doc_id"),
         size(expr(s"regexp_extract_all(_t, '$EmailPat', 0)")).cast("long").as("n_email"),
@@ -490,6 +491,7 @@ object TextOps {
             PhonePat, "[PHONE]"),
           Ipv4Pat, "[IP]").as("redacted"))
 
+  /** Oracle twin of the driver query: seeded tail + redaction. */
   def piiRedactSqlDuck: String =
     s"""SELECT doc_id,
        |  CAST(len(regexp_extract_all(_t, '$EmailPat', 0)) AS BIGINT) AS n_email,

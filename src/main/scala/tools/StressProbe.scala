@@ -105,7 +105,8 @@ object StressProbe {
         graft.ext.Dedup.shingles(d.filter(col("source") === "src0"), 3), col("tok"),
         graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),
         128).count()),
-      "text_pii_redact" -> (d => graft.ext.TextOps.piiRedact(d).count()),
+      "text_pii_redact" -> (d => graft.ext.TextOps.piiRedact(d.select(col("doc_id"),
+        graft.ext.TextOps.piiSeeded("text").as("text"))).count()),
       "text_postings" -> (d => graft.ext.TextOps.postings(d).count()),
       "pipeline_incremental" -> (d => graft.ext.Pipelines.incrementalIngest(
         d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0")).count()),

@@ -10,28 +10,30 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- PII redaction ----------------------------------------------------
 
-  test("piiRedact counts and redacts the seeded email/phone/ip") {
+  test("piiRedact counts and redacts emails, phones, and IPs as given") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+spam@corp.example.org today"),
+      (2L, "server at 192.168.10.254 and fallback 10.0.0.1"),
+      (3L, "call 800-555-0199 x12"),
+      (4L, "nothing sensitive here")).toDF("doc_id", "text")
+    val rows = TextOps.piiRedact(docs).orderBy("doc_id")
+      .select("n_email", "n_phone", "n_ip", "redacted")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows(0) == ((1L, 0L, 0L, "mail me at [EMAIL] today")))
+    assert(rows(1) == ((0L, 0L, 2L, "server at [IP] and fallback [IP]")))
+    assert(rows(2) == ((0L, 1L, 0L, "call [PHONE] x12")))
+    assert(rows(3) == ((0L, 0L, 0L, "nothing sensitive here")))
+  }
+
+  test("piiSeeded tail is fully redacted (the driver-query composition)") {
     val docs = Seq((3L, "hello world")).toDF("doc_id", "text")
-    val r = PiiRow(TextOps.piiRedact(docs))
+    val r = PiiRow(TextOps.piiRedact(
+      docs.select(col("doc_id"), TextOps.piiSeeded("text").as("text"))))
     assert(r.nEmail == 1 && r.nPhone == 1 && r.nIp == 1)
     assert(r.redacted.contains("[EMAIL]") && r.redacted.contains("[PHONE]")
       && r.redacted.contains("[IP]"))
     assert(!r.redacted.contains("@") && !r.redacted.contains("415-555"))
     assert(r.redacted.startsWith("hello world"))
-  }
-
-  test("piiRedact catches PII already present in the text") {
-    val docs = Seq(
-      (1L, "mail me at jane.doe+spam@corp.example.org today"),
-      (2L, "server at 192.168.10.254 and fallback 10.0.0.1"),
-      (3L, "call 800-555-0199 x12")).toDF("doc_id", "text")
-    val rows = TextOps.piiRedact(docs).orderBy("doc_id")
-      .select("n_email", "n_phone", "n_ip", "redacted")
-      .as[(Long, Long, Long, String)].collect()
-    // every row ALSO carries the seeded (+1) tail
-    assert(rows(0)._1 == 2 && rows(0)._4.contains("[EMAIL] today"))
-    assert(rows(1)._3 == 3 && !rows(1)._4.contains("192.168"))
-    assert(rows(2)._2 == 2 && rows(2)._4.contains("[PHONE] x12"))
   }
 
   private case class PiiRow(nEmail: Long, nPhone: Long, nIp: Long, redacted: String)
