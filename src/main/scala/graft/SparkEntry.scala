@@ -932,6 +932,17 @@ object SparkEntry {
         .select("doc_id", "source", "lang").orderBy("doc_id")
     }),
 
+    // the near-duplicate form of daily ingest: reject incoming docs
+    // LSH+Jaccard-similar to the existing corpus, then keep-first within
+    // the batch — the production shape (salted cross candidates, slim
+    // bucket relations)
+    "pipeline_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ext.Pipelines.incrementalIngestNearDup(
+        d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0"))
+        .select("doc_id", "source", "lang").orderBy("doc_id")
+    }),
+
     "s6_dict_lookup" -> ((s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
@@ -1837,6 +1848,9 @@ object SparkEntry {
         |ORDER BY event_type, prob""".stripMargin,
     "pipeline_incremental" ->
       graft.ext.Pipelines.incrementalIngestSqlDuck("src0", "doc_id, source, lang"),
+    "pipeline_incremental_neardup" ->
+      graft.ext.Pipelines.incrementalIngestNearDupSqlDuck(
+        "src0", 0.8, "doc_id, source, lang"),
     "sql_fn_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_toks,

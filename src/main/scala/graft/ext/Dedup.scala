@@ -201,7 +201,7 @@ object Dedup {
   /** |A∩B| of sorted distinct string arrays via the codegen'd linear merge
     * ([[graft.functions.SortedIntersectCount]]) — callers sort once per doc
     * with array_sort before pair enumeration. */
-  private def intersectCount(a: Column, b: Column): Column = {
+  private[ext] def intersectCount(a: Column, b: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     toColumn(graft.functions.SortedIntersectCount(toExpression(a), toExpression(b)))
   }
@@ -212,7 +212,7 @@ object Dedup {
     * pipeline (each array pass over ~600k pairs costs ~3s at sf0.1). Two
     * empty sets are Jaccard-1.0 (the oracle's CASE ... ELSE 1.0 branch);
     * the produced doubles are bit-identical to i/|A∪B| (same integers). */
-  private def jaccardFromIntersect(i: Column, na: Column, nb: Column): Column =
+  private[ext] def jaccardFromIntersect(i: Column, na: Column, nb: Column): Column =
     when(na + nb > 0, i.cast("double") / (na + nb - i)).otherwise(lit(1.0))
 
   /** Token document-frequency cap for [[dropNearDuplicates]]: inside a block
@@ -565,6 +565,17 @@ object Dedup {
   def sigsCteDuck: String = {
     val mins = (0 until NumHashes).map(i => s"min(md5('mh$i' || tok)) AS s$i").mkString(", ")
     s"sigs AS (SELECT doc_id, $mins FROM toks GROUP BY doc_id)"
+  }
+
+  /** `bands` + exploded `buckets` CTEs over an existing `sigs` CTE — the
+    * shared band-bucket relation for pair-generating oracles
+    * ([[lshLosersCteDuck]], [[graft.ext.Pipelines.incrementalIngestNearDupSqlDuck]]). */
+  def bucketsCteDuck: String = {
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
+      .mkString(" UNION ALL ")
+    s"""bands AS (SELECT doc_id, $bandsExprDuck FROM sigs),
+       | buckets AS ($bandUnion)""".stripMargin
   }
 
   /** `md5(s0 || s1 || ...) AS bandN` projections, shared by the signature

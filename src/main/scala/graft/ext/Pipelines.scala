@@ -198,6 +198,80 @@ object Pipelines {
        |SELECT $cols FROM documents JOIN firsts USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** [[incrementalIngest]]'s near-duplicate form — what production daily
+    * ingest actually runs: an incoming document is rejected when it is
+    * `threshold`-Jaccard-similar (distinct unigram sets, LSH band-bucket
+    * candidates, exact re-score) to ANY existing document, and the
+    * survivors then go through keep-first near-dup removal within the
+    * batch ([[Dedup.dropNearDuplicatesLsh]]).
+    *
+    * Shape: the existing corpus contributes only its slim (band-index,
+    * band-hash, doc_id) bucket relation plus the token sets of docs that
+    * actually collide; the cross candidate join is salted
+    * ([[Dedup.DefaultSaltBuckets]], incoming side hashed, existing side
+    * replicated — the replicated relation is 3 slim columns), so a
+    * boilerplate-flooded bucket spreads across reducers. Candidate volume
+    * is bounded by band collisions, which correlate with similarity —
+    * never an all-pairs form. */
+  def incrementalIngestNearDup(existing: DataFrame, incoming: DataFrame,
+      threshold: Double = 0.8): DataFrame = {
+    val tE = graft.etl.CacheRegistry.persist(existing.select(col("doc_id"),
+      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
+    val tI = graft.etl.CacheRegistry.persist(incoming.select(col("doc_id"),
+      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
+    def buckets(t: DataFrame) = Dedup.bandBuckets(
+      Dedup.minhashFromTokens(t.select(col("doc_id"), explode(col("toks")).as("tok"))))
+    val salts = Dedup.DefaultSaltBuckets
+    val bI = buckets(tI)
+      .withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val bE = buckets(tE)
+      .select(col("bi"), col("band"), col("doc_id").as("ex_id"))
+      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    val cand = bI.join(bE, Seq("bi", "band", "_salt"))
+      .select(col("doc_id"), col("ex_id")).distinct()
+    val crossLosers = cand
+      .join(tI.select(col("doc_id"), col("toks").as("tb"), size(col("toks")).as("nb")),
+        "doc_id")
+      .join(tE.select(col("doc_id").as("ex_id"), col("toks").as("ta"),
+        size(col("toks")).as("na")), "ex_id")
+      .filter(Dedup.jaccardFromIntersect(
+        Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
+      .select("doc_id").distinct()
+    val survivors = incoming.join(crossLosers, Seq("doc_id"), "left_anti")
+    Dedup.dropNearDuplicatesLsh(survivors, threshold)
+  }
+
+  /** Oracle twin over the fixture split (`existing` = source `exSource`).
+    * One shared signature/bucket chain serves both stages — signatures are
+    * per-document, so filtering the all-docs buckets to a subset equals
+    * recomputing them on that subset. */
+  def incrementalIngestNearDupSqlDuck(exSource: String, threshold: Double,
+      cols: String): String =
+    s"""WITH ${Dedup.toksCteDuck("documents")}, ${Dedup.sigsCteDuck},
+       | ${Dedup.bucketsCteDuck},
+       | tl AS (SELECT doc_id, list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks
+       |        FROM documents),
+       | crosscand AS (SELECT DISTINCT i.doc_id AS in_id, e.doc_id AS ex_id
+       |   FROM buckets i JOIN buckets e ON i.bi = e.bi AND i.band = e.band
+       |   JOIN documents di ON di.doc_id = i.doc_id
+       |   JOIN documents de ON de.doc_id = e.doc_id
+       |   WHERE di.source <> '$exSource' AND de.source = '$exSource'),
+       | crosslosers AS (SELECT DISTINCT c.in_id AS doc_id FROM crosscand c
+       |   JOIN tl a ON a.doc_id = c.ex_id JOIN tl b ON b.doc_id = c.in_id
+       |   WHERE ${Dedup.jaccardExprDuck("a.toks", "b.toks")} >= $threshold),
+       | s1 AS (SELECT d.* FROM documents d WHERE d.source <> '$exSource'
+       |        AND NOT EXISTS (SELECT 1 FROM crosslosers cl WHERE cl.doc_id = d.doc_id)),
+       | batchprs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM buckets x JOIN buckets y
+       |     ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id
+       |   JOIN s1 sa ON sa.doc_id = x.doc_id JOIN s1 sb ON sb.doc_id = y.doc_id),
+       | batchlosers AS (SELECT DISTINCT p.doc_b AS doc_id FROM batchprs p
+       |   JOIN tl a ON a.doc_id = p.doc_a JOIN tl b ON b.doc_id = p.doc_b
+       |   WHERE ${Dedup.jaccardExprDuck("a.toks", "b.toks")} >= $threshold)
+       |SELECT $cols FROM s1
+       |WHERE doc_id NOT IN (SELECT doc_id FROM batchlosers)
+       |ORDER BY doc_id""".stripMargin
+
   def splitByHash(df: DataFrame, keyCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "fractions must be positive")

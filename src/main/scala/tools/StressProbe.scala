@@ -110,6 +110,8 @@ object StressProbe {
       "text_postings" -> (d => graft.ext.TextOps.postings(d).count()),
       "pipeline_incremental" -> (d => graft.ext.Pipelines.incrementalIngest(
         d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0")).count()),
+      "pipeline_incremental_neardup" -> (d => graft.ext.Pipelines.incrementalIngestNearDup(
+        d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0")).count()),
       "text_novelty" -> (d => graft.ext.TextOps.novelty(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
       "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(

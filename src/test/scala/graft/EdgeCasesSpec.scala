@@ -54,6 +54,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(TextOps.novelty(emptyDocs).count() == 0)
     assert(TextOps.decontaminateBloom(emptyDocs, emptyDocs).count() == 0)
     assert(Pipelines.incrementalIngest(emptyDocs, emptyDocs).count() == 0)
+    assert(Pipelines.incrementalIngestNearDup(emptyDocs, emptyDocs).count() == 0)
   }
 
   test("analytics ops where every value is null: no outliers, zero scales") {

@@ -129,6 +129,24 @@ class PipelinesSpec extends AnyFunSuite {
     assert(again == Seq.empty)
   }
 
+  test("incrementalIngestNearDup rejects near-dups of the corpus, then keep-firsts the batch") {
+    import spark.implicits._
+    val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base + " extra"),                          // ~0.97 Jaccard vs corpus → rejected
+      (11L, (31 to 60).map(i => s"v$i").mkString(" ")), // fresh → accepted
+      (12L, (31 to 60).map(i => s"v$i").mkString(" ") + " tail"), // near-dup of 11 → rejected
+      (13L, (61 to 90).map(i => s"u$i").mkString(" ")) // fresh → accepted
+    ).toDF("doc_id", "text")
+    val got = Pipelines.incrementalIngestNearDup(existing, incoming)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(11L, 13L))
+    // growth-stable: after accepting, a re-run of the same batch accepts nothing
+    val grown = existing.unionByName(incoming.filter($"doc_id".isin(11L, 13L)))
+    assert(Pipelines.incrementalIngestNearDup(grown, incoming).count() == 0)
+  }
+
   test("splitByHash: growth-stable, proportional, deterministic; remainder to last split") {
     import org.apache.spark.sql.functions._
     val small = spark.range(1000).toDF("k")
