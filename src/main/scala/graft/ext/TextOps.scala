@@ -660,10 +660,15 @@ object TextOps {
     novelty(docs, cfg.noveltyShingle)
 
   def novelty(docs: DataFrame, w: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = Dedup.shingles(docs, w)
       .select(col("doc_id"), md5(col("tok")).as("_h")).distinct()
-    val firsts = sh.groupBy("_h").agg(min("doc_id").as("first_doc"))
-    sh.join(firsts, "_h")
+    // first occurrence as a whole-partition window min on the hash — the
+    // aggregate+join-back formulation costs one more exchange (the join
+    // side must re-partition on _h); the window reuses the single _h
+    // partitioning directly
+    sh.withColumn("first_doc",
+        min(col("doc_id")).over(Window.partitionBy("_h")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
