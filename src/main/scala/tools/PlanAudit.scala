@@ -1,0 +1,84 @@
+import org.apache.spark.sql.SparkSession
+
+/** Whole-surface plan audit: executes every SparkEntry query at the given
+  * SF and reports scale smells — BroadcastNestedLoopJoin / CartesianProduct
+  * (all-pairs at any cluster size) and partition-less Window sorts (single
+  * reducer). Known, documented exceptions are listed with their
+  * adjudication so a regression is distinguishable from a design decision.
+  */
+object PlanAudit {
+  // query → (smell substring, why it is accepted)
+  val adjudicated: Map[String, (String, String)] = Map(
+    "dedup_embedding_cosine" -> ("BroadcastNestedLoopJoin",
+      "all-pairs by design; fixture-scale oracle twin of the bucketed form, excluded from bench"),
+    "sim_topk_bruteforce" -> ("BroadcastNestedLoopJoin",
+      "broadcast QUERY side (8 rows) vs streamed candidates — the intended brute-force baseline"),
+    "q22_acctbal_filter" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of a 1-row global-average aggregate (the TPC-H Q22 shape)"),
+    "q_scalar_subquery" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of a 1-row aggregate"),
+    "text_bm25" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row corpus-stats aggregate"),
+    "sketch_kmv_overlap" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of two 1-row sketch aggregates"),
+    "t6_row_metrics" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of 1-row aggregates"),
+    "q_semi_anti" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the two 1-row semi/anti count aggregates"),
+    "sketch_kmv_distinct" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row sketch and 1-row exact-count aggregates"),
+    "text_tfidf" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row corpus-size aggregate"),
+    "sample_mix_weighted" -> ("BroadcastNestedLoopJoin",
+      "per-group count relation (|groups| rows) x 1-row min-scale aggregate"),
+    "text_top_ngrams" -> ("SinglePartitionWindow",
+      "rank window runs AFTER limit(k) — k=100 rows through one partition; the distributed part is TakeOrderedAndProject"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.graft.rangejoin.bucketUs", "600000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    var unexplained = 0
+    for (name <- graft.SparkEntry.queries.keys.toSeq.sorted) {
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        df.collect()
+        val smells = scala.collection.mutable.ListBuffer[String]()
+        graft.etl.PlanWalk.visit(df.queryExecution.executedPlan) { p =>
+          val n = p.getClass.getSimpleName
+          if (n.contains("BroadcastNestedLoopJoin")) smells += "BroadcastNestedLoopJoin"
+          if (n.contains("CartesianProduct")) smells += "CartesianProduct"
+          if (n.contains("WindowExec") || n == "WindowGroupLimitExec") {
+            // partition-less window = one reducer; flag via requiredChildDistribution
+            val allSingle = p.requiredChildDistribution.forall(
+              _.getClass.getSimpleName.contains("AllTuples"))
+            if (allSingle) smells += "SinglePartitionWindow"
+          }
+        }
+        val distinctSmells = smells.distinct
+        if (distinctSmells.isEmpty) println(f"AUDIT $name%-36s clean")
+        else adjudicated.get(name) match {
+          case Some((expected, why)) if distinctSmells.forall(_ == expected) =>
+            println(f"AUDIT $name%-36s adjudicated: $expected ($why)")
+          case _ =>
+            unexplained += 1
+            println(f"AUDIT $name%-36s UNEXPLAINED: ${distinctSmells.mkString(",")}")
+        }
+      } catch {
+        case e: Throwable =>
+          unexplained += 1
+          println(f"AUDIT $name%-36s ERROR: ${e.getMessage.take(120)}")
+      } finally graft.etl.CacheRegistry.releaseAll()
+    }
+    println(s"AUDIT_SUMMARY unexplained=$unexplained")
+    spark.stop()
+    if (unexplained > 0) sys.exit(1)
+  }
+}
