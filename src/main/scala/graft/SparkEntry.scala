@@ -917,6 +917,18 @@ object SparkEntry {
     "events_minmax_scale" -> ((s, dir) =>
       graft.ext.Analytics.minmaxScale(t(s, dir, "events")).orderBy("event_id")),
 
+    // semi-structured extraction from the events `props` JSON column: the
+    // typed parser (from_json, codegen'd JacksonParser) and the path
+    // extractor (get_json_object) must agree with each other AND with the
+    // oracle's json_extract — three independent JSON readers, one value
+    "events_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), "k BIGINT", Map.empty[String, String])
+            .getField("k").as("k_typed"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+        .orderBy("event_id")),
+
     // per-group EXACT quantiles: all (group, prob) brackets bisect in
     // lockstep — one aggregation per round, O(groups·probs) driver state
     "events_quantile_selection_grouped" -> ((s, dir) =>
@@ -1834,6 +1846,11 @@ object SparkEntry {
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
     "events_minmax_scale" -> graft.ext.Analytics.minmaxScaleSqlDuck,
+    "events_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k_path
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_quantile_selection_grouped" ->
       """WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events
         |           WHERE value IS NOT NULL),
