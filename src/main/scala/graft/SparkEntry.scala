@@ -944,6 +944,11 @@ object SparkEntry {
         .select("doc_id", "source", "lang").orderBy("doc_id")
     }),
 
+    // curriculum length-bucketing: quartile edges from the deterministic
+    // sample sketch, binning as one codegen'd CASE over the scan
+    "sample_length_quartiles" -> ((s, dir) =>
+      graft.ext.Pipelines.lengthQuartiles(t(s, dir, "documents")).orderBy("doc_id")),
+
     // the near-duplicate form of daily ingest: reject incoming docs
     // LSH+Jaccard-similar to the existing corpus, then keep-first within
     // the batch — the production shape (salted cross candidates, slim
@@ -1868,6 +1873,7 @@ object SparkEntry {
     "pipeline_incremental_neardup" ->
       graft.ext.Pipelines.incrementalIngestNearDupSqlDuck(
         "src0", 0.8, "doc_id, source, lang"),
+    "sample_length_quartiles" -> graft.ext.Pipelines.lengthQuartilesSqlDuck(),
     "sql_fn_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_toks,

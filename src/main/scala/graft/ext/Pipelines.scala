@@ -198,6 +198,48 @@ object Pipelines {
        |SELECT $cols FROM documents JOIN firsts USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Curriculum length-bucketing: assign every document a quartile bucket
+    * (1..4) of its token count, with the quartile EDGES taken from the
+    * deterministic hash-min-k sample sketch ([[Sketch.sampleQuantiles]]) —
+    * never a global sort or an exact percentile buffer. The three edges
+    * ride back as a broadcast 1-row cross join (the adjudicated shape), so
+    * binning is a single codegen'd CASE over the scan. Curriculum
+    * schedules ("short docs first, long docs last") consume the bucket
+    * column directly.
+    *
+    * Sample error moves the EDGES slightly (±~1/√k quantile error), never
+    * the determinism: the same corpus always buckets identically, and the
+    * oracle recomputes the identical sample, edges, and CASE. */
+  def lengthQuartiles(docs: DataFrame, k: Int = 256): DataFrame = {
+    val withLen = docs.select(col("doc_id"),
+      TextOps.tokenCount("text").as("n_tokens"))
+    val edges = Sketch.sampleQuantiles(withLen, "n_tokens", col("doc_id"), k,
+      Seq(0.25, 0.5, 0.75))
+      .select(col("q25"), col("q50"), col("q75"))
+    withLen.crossJoin(broadcast(edges))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") <= col("q25"), 1L)
+          .when(col("n_tokens") <= col("q50"), 2L)
+          .when(col("n_tokens") <= col("q75"), 3L)
+          .otherwise(4L).as("bucket"))
+  }
+
+  def lengthQuartilesSqlDuck(k: Int = 256): String =
+    s"""WITH wl AS (SELECT doc_id,
+       |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       | s AS (SELECT CAST(n_tokens AS DOUBLE) AS _v FROM wl
+       |       ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(n_tokens AS DOUBLE)
+       |       LIMIT $k),
+       | e AS (SELECT quantile_cont(_v, 0.25) AS q25, quantile_cont(_v, 0.5) AS q50,
+       |              quantile_cont(_v, 0.75) AS q75 FROM s)
+       |SELECT doc_id, n_tokens,
+       |  CAST(CASE WHEN n_tokens <= q25 THEN 1
+       |       WHEN n_tokens <= q50 THEN 2
+       |       WHEN n_tokens <= q75 THEN 3
+       |       ELSE 4 END AS BIGINT) AS bucket
+       |FROM wl CROSS JOIN e ORDER BY doc_id""".stripMargin
+
   /** [[incrementalIngest]]'s near-duplicate form — what production daily
     * ingest actually runs: an incoming document is rejected when it is
     * `threshold`-Jaccard-similar (distinct unigram sets, LSH band-bucket

@@ -129,6 +129,20 @@ class PipelinesSpec extends AnyFunSuite {
     assert(again == Seq.empty)
   }
 
+  test("lengthQuartiles: buckets are monotone in token count and cover 1..4") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, (1L to i).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pipelines.lengthQuartiles(docs)
+      .select("n_tokens", "bucket").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == out.map(_._2).sorted.toSeq) // monotone
+    assert(out.map(_._2).distinct.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // deterministic: same corpus, same buckets
+    val again = Pipelines.lengthQuartiles(docs)
+      .select("n_tokens", "bucket").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("incrementalIngestNearDup rejects near-dups of the corpus, then keep-firsts the batch") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
