@@ -261,10 +261,12 @@ object EventStreams {
     * Returns the started query; callers own awaitTermination/stop. */
   def writeNdjsonStream(df: DataFrame, path: String, checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)):
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      outputMode: String = "append"): // "update" for stateful upstreams
       org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .option("checkpointLocation", checkpoint)
+      .outputMode(outputMode)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>

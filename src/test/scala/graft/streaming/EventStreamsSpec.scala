@@ -274,6 +274,51 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("streaming funnel restart with the same checkpoint recovers state, no duplicates") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("funnel_restart").toString
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select("user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val bucketed = ev.withColumn("b", ntile(2).over(w)).cache()
+    (1 to 2).foreach { i =>
+      bucketed.filter(col("b") === i).drop("b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/ev/b$i")
+      Thread.sleep(50)
+    }
+    bucketed.unpersist()
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$tmp/ev/b1").schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$tmp/ev/b*")
+      val q = EventStreams.writeNdjsonStream(
+        EventStreams.funnelState(stream).toDF(),
+        s"$tmp/out", s"$tmp/ckpt", Trigger.AvailableNow(), outputMode = "update")
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val batches1 = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    runOnce() // same checkpoint: exhausted source → no new batches, state intact
+    val batches2 = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(batches1 > 0 && batches2 == batches1)
+    // final per-user rows across batch dirs equal the batch-mode funnel
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("step_reached").desc)
+    val streamed = spark.read.json(s"$tmp/out/batch=*")
+      .selectExpr("CAST(user_id AS BIGINT) AS user_id",
+        "CAST(ts1_us AS BIGINT) AS ts1_us", "CAST(ts2_us AS BIGINT) AS ts2_us",
+        "CAST(ts3_us AS BIGINT) AS ts3_us", "CAST(step_reached AS BIGINT) AS step_reached")
+      .distinct()
+      .withColumn("rk", row_number().over(rk)).filter(col("rk") === 1).drop("rk")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Analytics.funnel(ev)
+      .select("user_id", "ts1_us", "ts2_us", "ts3_us", "step_reached")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   test("stream through the reference NDJSON sink (K1) round-trips all rows") {
     val tmp = java.nio.file.Files.createTempDirectory("ndjson_stream").toString
     val q = EventStreams.writeNdjsonStream(
