@@ -32,7 +32,9 @@ object PlanAudit {
     "sample_mix_weighted" -> ("BroadcastNestedLoopJoin",
       "per-group count relation (|groups| rows) x 1-row min-scale aggregate"),
     "text_top_ngrams" -> ("SinglePartitionWindow",
-      "rank window runs AFTER limit(k) — k=100 rows through one partition; the distributed part is TakeOrderedAndProject"))
+      "rank window runs AFTER limit(k) — k=100 rows through one partition; the distributed part is TakeOrderedAndProject"),
+    "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row quartile-edges aggregate"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
