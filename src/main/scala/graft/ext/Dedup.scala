@@ -123,8 +123,16 @@ object Dedup {
   def lshCandidatePairs(sigs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
     lshCandidatePairs(sigs, cfg.lshSaltBuckets)
 
-  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
-    val buckets = graft.etl.CacheRegistry.persist(bandBuckets(sigs))
+  def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = DefaultSaltBuckets): DataFrame =
+    lshCandidatePairsFromBuckets(
+      graft.etl.CacheRegistry.persist(bandBuckets(sigs)), saltBuckets)
+
+  /** Salted within-bucket pair generation over a PRE-BUILT (doc_id, bi,
+    * band) relation — callers that already hold the bucket relation (e.g.
+    * [[graft.ext.Pipelines.incrementalIngestNearDup]], which uses it for a
+    * cross-corpus stage too) skip a second signature computation. */
+  def lshCandidatePairsFromBuckets(buckets: DataFrame,
+      saltBuckets: Int = DefaultSaltBuckets): DataFrame = {
     val x = buckets.withColumn("_salt", pmod(hash(col("doc_id")), lit(saltBuckets)))
     val y = buckets.withColumn("_salt",
       explode(array((0 until saltBuckets).map(lit(_)): _*)))

@@ -261,15 +261,16 @@ object Pipelines {
       array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
     val tI = graft.etl.CacheRegistry.persist(incoming.select(col("doc_id"),
       array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
-    def buckets(t: DataFrame) = Dedup.bandBuckets(
-      Dedup.minhashFromTokens(t.select(col("doc_id"), explode(col("toks")).as("tok"))))
+    def buckets(t: DataFrame) = graft.etl.CacheRegistry.persist(
+      Dedup.bandBuckets(Dedup.minhashFromTokens(
+        t.select(col("doc_id"), explode(col("toks")).as("tok")))))
     val salts = Dedup.DefaultSaltBuckets
-    val bI = buckets(tI)
-      .withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val bI = buckets(tI) // cached: serves the cross stage AND the batch stage
+    val bIs = bI.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
     val bE = buckets(tE)
       .select(col("bi"), col("band"), col("doc_id").as("ex_id"))
       .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
-    val cand = bI.join(bE, Seq("bi", "band", "_salt"))
+    val cand = bIs.join(bE, Seq("bi", "band", "_salt"))
       .select(col("doc_id"), col("ex_id")).distinct()
     val crossLosers = cand
       .join(tI.select(col("doc_id"), col("toks").as("tb"), size(col("toks")).as("nb")),
@@ -280,7 +281,22 @@ object Pipelines {
         Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
       .select("doc_id").distinct()
     val survivors = incoming.join(crossLosers, Seq("doc_id"), "left_anti")
-    Dedup.dropNearDuplicatesLsh(survivors, threshold)
+    // batch keep-first REUSES the incoming bucket relation: signatures are
+    // per-document, so survivor pairs = all-incoming pairs with both ends
+    // surviving (the exact-Jaccard re-score then decides)
+    val survId = survivors.select("doc_id")
+    val pairs = Dedup.lshCandidatePairsFromBuckets(bI, salts)
+      .join(survId.select(col("doc_id").as("doc_a")), "doc_a")
+      .join(survId.select(col("doc_id").as("doc_b")), "doc_b")
+    val sim = pairs
+      .join(tI.select(col("doc_id").as("doc_a"),
+        col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
+      .join(tI.select(col("doc_id").as("doc_b"),
+        col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
+      .filter(Dedup.jaccardFromIntersect(
+        Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
+    val batchLosers = sim.select(col("doc_b").as("doc_id")).distinct()
+    survivors.join(batchLosers, Seq("doc_id"), "left_anti")
   }
 
   /** Oracle twin over the fixture split (`existing` = source `exSource`).
