@@ -30,40 +30,48 @@ object Analytics {
     */
   def funnel(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    require(steps.size == 3, "funnel is specified for exactly 3 steps")
+    require(steps.nonEmpty && steps == steps.distinct, "steps must be distinct")
     val w = Window.partitionBy("user_id")
     val us = unix_micros(col("ts"))
-    val withSteps = events
-      .select(col("user_id"), col("event_type"), us.as("us"))
-      .withColumn("t1", min(when(col("event_type") === steps(0), col("us"))).over(w))
-      .withColumn("t2", min(when(col("event_type") === steps(1) && col("us") > col("t1"),
-        col("us"))).over(w))
-      .withColumn("t3", min(when(col("event_type") === steps(2) && col("us") > col("t2"),
-        col("us"))).over(w))
+    val withSteps = steps.zipWithIndex.foldLeft(
+      events.select(col("user_id"), col("event_type"), us.as("us"))) {
+      case (d, (step, i)) =>
+        val eligible =
+          if (i == 0) col("event_type") === step
+          else col("event_type") === step && col("us") > col(s"t$i")
+        d.withColumn(s"t${i + 1}", min(when(eligible, col("us"))).over(w))
+    }
+    val ks = steps.indices.map(_ + 1)
+    val stepCase = ks.reverse.foldRight(lit(0L)) { (k, els) =>
+      when(col(s"ts${k}_us").isNotNull, k.toLong).otherwise(els)
+    }
     withSteps.groupBy("user_id")
-      .agg(min("t1").as("ts1_us"), min("t2").as("ts2_us"), min("t3").as("ts3_us"))
-      .withColumn("step_reached",
-        when(col("ts3_us").isNotNull, 3L)
-          .when(col("ts2_us").isNotNull, 2L)
-          .when(col("ts1_us").isNotNull, 1L)
-          .otherwise(0L))
+      .agg(min(s"t${ks.head}").as(s"ts${ks.head}_us"),
+        ks.tail.map(k => min(s"t$k").as(s"ts${k}_us")): _*)
+      .withColumn("step_reached", stepCase)
   }
 
   /** DuckDB twin: layered CTEs because a window expression cannot reference
     * a sibling window alias in the same SELECT. */
-  def funnelSqlDuck(steps: Seq[String] = Seq("view", "click", "purchase")): String =
+  def funnelSqlDuck(steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      val eligible =
+        if (i == 0) s"event_type = '$step'"
+        else s"event_type = '$step' AND us > t$i"
+      val from = if (i == 0) "e" else s"s$i"
+      s"""s${i + 1} AS (SELECT *, min(CASE WHEN $eligible THEN us END)
+         |   OVER (PARTITION BY user_id) AS t${i + 1} FROM $from)""".stripMargin
+    }.mkString(",\n ")
+    val ks = steps.indices.map(_ + 1)
+    val mins = ks.map(k => s"min(t$k) AS ts${k}_us").mkString(", ")
+    val stepCase = ks.reverse.map(k =>
+      s"WHEN min(t$k) IS NOT NULL THEN $k").mkString(" ")
     s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-       | s1 AS (SELECT *, min(CASE WHEN event_type = '${steps(0)}' THEN us END)
-       |   OVER (PARTITION BY user_id) AS t1 FROM e),
-       | s2 AS (SELECT *, min(CASE WHEN event_type = '${steps(1)}' AND us > t1 THEN us END)
-       |   OVER (PARTITION BY user_id) AS t2 FROM s1),
-       | s3 AS (SELECT *, min(CASE WHEN event_type = '${steps(2)}' AND us > t2 THEN us END)
-       |   OVER (PARTITION BY user_id) AS t3 FROM s2)
-       |SELECT user_id, min(t1) AS ts1_us, min(t2) AS ts2_us, min(t3) AS ts3_us,
-       |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
-       |            WHEN min(t2) IS NOT NULL THEN 2
-       |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS step_reached
-       |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin
+       | $ctes
+       |SELECT user_id, $mins,
+       |  CAST(CASE $stepCase ELSE 0 END AS BIGINT) AS step_reached
+       |FROM s${steps.size} GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
 
   /** Cohort retention: users are cohorted by their first-seen calendar day;
     * every event then lands in (cohort_day, day offset) with distinct-user

@@ -39,6 +39,17 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r == ((5L, 7L, 40L)))
   }
 
+  test("funnel generalizes to N steps (4-step chain, strict order)") {
+    val e = events(
+      (1L, "signup", 1L), (1L, "view", 2L), (1L, "click", 3L), (1L, "purchase", 4L),
+      (2L, "signup", 1L), (2L, "view", 2L), (2L, "purchase", 3L)) // no click: stops at 2
+    val out = Analytics.funnel(e, Seq("signup", "view", "click", "purchase"))
+      .select("user_id", "step_reached").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 4L, 2L -> 2L))
+    val cols = Analytics.funnel(e, Seq("signup", "view", "click", "purchase")).columns
+    assert(cols.toSeq == Seq("user_id", "ts1_us", "ts2_us", "ts3_us", "ts4_us", "step_reached"))
+  }
+
   test("retention cohorts count distinct users per (first-day, offset)") {
     val day = 86400000000L // one day of micros
     val e = events(
