@@ -917,6 +917,15 @@ object SparkEntry {
     "events_minmax_scale" -> ((s, dir) =>
       graft.ext.Analytics.minmaxScale(t(s, dir, "events")).orderBy("event_id")),
 
+    // robust median/MAD outliers: the exact bisection path composed over a
+    // DERIVED column (|v - median|), fences again pushed into the scan
+    "events_outliers_mad" -> ((s, dir) =>
+      graft.ext.Analytics.outliersMad(t(s, dir, "events")).orderBy("event_id")),
+
+    // fixed-width histogram: bucket-count output, map-side combined
+    "events_value_histogram" -> ((s, dir) =>
+      graft.ext.Analytics.valueHistogram(t(s, dir, "events")).orderBy("bucket")),
+
     // semi-structured extraction from the events `props` JSON column: the
     // typed parser (from_json, codegen'd JacksonParser) and the path
     // extractor (get_json_object) must agree with each other AND with the
@@ -1850,6 +1859,8 @@ object SparkEntry {
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
+    "events_outliers_mad" -> graft.ext.Analytics.outliersMadSqlDuck(),
+    "events_value_histogram" -> graft.ext.Analytics.valueHistogramSqlDuck(),
     "events_minmax_scale" -> graft.ext.Analytics.minmaxScaleSqlDuck,
     "events_json_extract" ->
       """SELECT event_id,

@@ -151,6 +151,68 @@ object Analytics {
        |WHERE CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi
        |ORDER BY event_id""".stripMargin
 
+  /** Robust (median/MAD) outlier detection: rows with
+    * `|v - median| > k · MAD` where MAD is the median absolute deviation —
+    * the robust-statistics dual of [[outliersIqr]] (immune to the outliers
+    * it hunts). BOTH medians come from [[Sketch.exactQuantileDisc]]'s
+    * value-domain bisection — the second one over the DERIVED column
+    * `|v - med|`, demonstrating that the O(log range)/O(1)-state exact
+    * path composes over expressions, not just raw columns. Two scalar
+    * literals again → pushed-down disjunctive scan predicate. */
+  def outliersMad(events: DataFrame, valueCol: String = "value",
+      k: Double = 3.0): DataFrame = {
+    val medRows = Sketch.exactQuantileDisc(events, valueCol, Seq(0.5)).collect()
+    if (medRows.head.isNullAt(2))
+      return events.filter(lit(false))
+        .select(col("event_id"), col(valueCol).as("value"), lit("low").as("side"))
+    val med = medRows.head.getDouble(2)
+    val dev = events.select(abs(col(valueCol) - lit(med)).as("_d"))
+    val mad = Sketch.exactQuantileDisc(dev, "_d", Seq(0.5)).collect().head.getDouble(2)
+    val lo = med - k * mad
+    val hi = med + k * mad
+    events.filter(col(valueCol) < lit(lo) || col(valueCol) > lit(hi))
+      .select(col("event_id"), col(valueCol).as("value"),
+        when(col(valueCol) < lit(lo), "low").otherwise("high").as("side"))
+  }
+
+  def outliersMadSqlDuck(k: Double = 3.0): String =
+    s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+       |           WHERE value IS NOT NULL),
+       | s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |       count(*) OVER () AS n FROM v),
+       | m AS (SELECT v AS med FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+       | d AS (SELECT abs(v.v - m.med) AS dv FROM v CROSS JOIN m),
+       | ds AS (SELECT dv, row_number() OVER (ORDER BY dv) AS rn,
+       |        count(*) OVER () AS n FROM d),
+       | mad AS (SELECT dv AS mad FROM ds WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+       | b AS (SELECT med - CAST($k AS DOUBLE) * mad AS lo,
+       |              med + CAST($k AS DOUBLE) * mad AS hi
+       |       FROM m CROSS JOIN mad)
+       |SELECT event_id, CAST(value AS DOUBLE) AS value,
+       |  CASE WHEN CAST(value AS DOUBLE) < lo THEN 'low' ELSE 'high' END AS side
+       |FROM events CROSS JOIN b
+       |WHERE CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi
+       |ORDER BY event_id""".stripMargin
+
+  /** Fixed-width value histogram — the profiling primitive: bucket index
+    * `floor(v / width)` (exact double division by a power-of-two-friendly
+    * literal, floor is IEEE-exact on both engines), per-bucket count and
+    * observed min/max. One map-side-combined aggregate; bucket-count
+    * output, independent of row count. */
+  def valueHistogram(events: DataFrame, valueCol: String = "value",
+      width: Double = 25.0): DataFrame =
+    events.filter(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol) / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"))
+
+  def valueHistogramSqlDuck(width: Double = 25.0): String =
+    s"""SELECT CAST(floor(CAST(value AS DOUBLE) / CAST($width AS DOUBLE)) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  min(CAST(value AS DOUBLE)) AS vmin, max(CAST(value AS DOUBLE)) AS vmax
+       |FROM events WHERE value IS NOT NULL
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Per-group min-max feature scaling to [0, 1] — the ML-prep normalizer.
     * Min/max of doubles are COMPARISONS, not sums, so unlike a mean they
     * are partitioning-invariant and bit-deterministic; the scale division

@@ -133,6 +133,8 @@ object StressProbe {
       "events_retention_cohort" -> (e =>
         graft.ext.Analytics.retentionCohorts(e).count()),
       "events_outliers_iqr" -> (e => graft.ext.Analytics.outliersIqr(e).count()),
+      "events_outliers_mad" -> (e => graft.ext.Analytics.outliersMad(e).count()),
+      "events_value_histogram" -> (e => graft.ext.Analytics.valueHistogram(e).count()),
       "events_quantile_selection_grouped" -> (e =>
         graft.ext.Sketch.exactQuantileDiscByGroup(e, "event_type", "value").count()),
       "events_minmax_scale" -> (e => graft.ext.Analytics.minmaxScale(e).count()))

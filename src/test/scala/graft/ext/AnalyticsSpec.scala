@@ -83,6 +83,38 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == expected && out == Set((-100.0, "low"), (500.0, "high")))
   }
 
+  test("outliersMad flags by |v - median| > k*MAD and survives extreme contamination") {
+    // median of 1..21 = 11; deviations 0..10 -> MAD = 5; k=3 -> fences [−4, 26]
+    val vals = (1 to 21).map(_.toDouble) ++ Seq(-1000.0, 1000.0)
+    // contaminated values barely move the MEDIAN (that's the point of MAD)
+    val e = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("event_id", "value")
+    val out = Analytics.outliersMad(e).select("value", "side")
+      .as[(Double, String)].collect().toSet
+    // median of 23 values = 12th = 11; MAD over devs (23 values) = 6th.. compute:
+    val med = vals.sorted.apply(math.ceil(0.5 * vals.size).toInt - 1)
+    val mad = vals.map(v => math.abs(v - med)).sorted
+      .apply(math.ceil(0.5 * vals.size).toInt - 1)
+    val (lo, hi) = (med - 3.0 * mad, med + 3.0 * mad)
+    val expected = vals.filter(v => v < lo || v > hi)
+      .map(v => (v, if (v < lo) "low" else "high")).toSet
+    assert(out == expected && out.contains((-1000.0, "low")) && out.contains((1000.0, "high")))
+  }
+
+  test("outliersMad on empty/all-null values returns empty") {
+    val e = Seq.empty[(Long, Double)].toDF("event_id", "value")
+    assert(Analytics.outliersMad(e).count() == 0)
+  }
+
+  test("valueHistogram buckets by fixed width incl. negatives; counts and extrema") {
+    val e = Seq((1L, -30.0), (2L, -1.0), (3L, 0.0), (4L, 24.9), (5L, 25.0), (6L, 70.0))
+      .toDF("event_id", "value")
+    val out = Analytics.valueHistogram(e).select("bucket", "n", "vmin", "vmax")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(out == Set(
+      (-2L, 1L, -30.0, -30.0), (-1L, 1L, -1.0, -1.0),
+      (0L, 2L, 0.0, 24.9), (1L, 1L, 25.0, 25.0), (2L, 1L, 70.0, 70.0)))
+  }
+
   test("minmaxScale maps each group's range onto [0,1]; degenerate range to 0") {
     val e = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),
