@@ -907,6 +907,15 @@ object SparkEntry {
       graft.ext.Analytics.retentionCohorts(t(s, dir, "events"))
         .orderBy("cohort_day", "offset_d")),
 
+    // funnel report rolled up to steps rows; exact int/int rate divisions
+    "events_funnel_rates" -> ((s, dir) =>
+      graft.ext.Analytics.funnelRates(t(s, dir, "events")).orderBy("step")),
+
+    // the retention triangle as day-0-normalized rates
+    "events_retention_rates" -> ((s, dir) =>
+      graft.ext.Analytics.retentionRates(t(s, dir, "events"))
+        .orderBy("cohort_day", "offset_d")),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -1857,7 +1866,9 @@ object SparkEntry {
     "text_postings" -> graft.ext.TextOps.postingsSqlDuck(),
     "text_novelty" -> graft.ext.TextOps.noveltySqlDuck(),
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
+    "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
+    "events_retention_rates" -> graft.ext.Analytics.retentionRatesSqlDuck,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
     "events_outliers_mad" -> graft.ext.Analytics.outliersMadSqlDuck(),
     "events_value_histogram" -> graft.ext.Analytics.valueHistogramSqlDuck(),

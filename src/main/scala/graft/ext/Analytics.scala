@@ -73,6 +73,48 @@ object Analytics {
        |FROM s${steps.size} GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Funnel report: users reaching each step (cumulative — reaching step k
+    * implies reaching 1..k-1), absolute conversion from step 1, and
+    * step-over-step conversion. Rolls the per-user [[funnel]] relation up
+    * to `steps` rows; all ratios are exact int/int double divisions. */
+  def funnelRates(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val perUser = funnel(events, steps)
+    val ks = steps.indices.map(_ + 1)
+    val counts = perUser.agg(
+      sum(when(col("step_reached") >= ks.head, 1L).otherwise(0L)).as(s"n${ks.head}"),
+      ks.tail.map(k =>
+        sum(when(col("step_reached") >= k, 1L).otherwise(0L)).as(s"n$k")): _*)
+    // stack() takes a FLAT argument list, grouped by output column count
+    val steprows = ks.map(k =>
+      s"$k, '${steps(k - 1)}', n$k, " +
+        s"CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE), " +
+        (if (k == 1) "CAST(1.0 AS DOUBLE)"
+         else s"CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE)")).mkString(", ")
+    counts.selectExpr(
+      s"stack(${ks.size}, $steprows) AS (step, step_name, n_users, conv_from_first, conv_from_prev)")
+      .selectExpr("CAST(step AS BIGINT) AS step", "step_name",
+        "CAST(n_users AS BIGINT) AS n_users", "conv_from_first", "conv_from_prev")
+  }
+
+  def funnelRatesSqlDuck(steps: Seq[String] = Seq("view", "click", "purchase")): String = {
+    val ks = steps.indices.map(_ + 1)
+    val counts = ks.map(k =>
+      s"CAST(sum(CASE WHEN step_reached >= $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k")
+      .mkString(", ")
+    val rows = ks.map { k =>
+      val prev = if (k == 1) "CAST(1.0 AS DOUBLE)"
+        else s"CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE)"
+      s"""SELECT CAST($k AS BIGINT) AS step, '${steps(k - 1)}' AS step_name,
+         | n$k AS n_users, CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first,
+         | $prev AS conv_from_prev FROM c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (${funnelSqlDuck(steps).replace("ORDER BY user_id", "")}),
+       | c AS (SELECT $counts FROM f)
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   /** Cohort retention: users are cohorted by their first-seen calendar day;
     * every event then lands in (cohort_day, day offset) with distinct-user
     * and event counts. The classic retention triangle.
@@ -102,6 +144,27 @@ object Analytics {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
       |  CAST(count(*) AS BIGINT) AS n_events
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The retention triangle as RATES: each (cohort, offset) cell divided by
+    * its cohort's day-0 user count (exact int/int double division). The
+    * day-0 denominator rides a whole-partition window max over the tiny
+    * (cohort, offset) rollup — days²-bounded, cost-free at any corpus
+    * size. */
+  def retentionRates(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("cohort_day")
+    retentionCohorts(events)
+      .withColumn("n0", max(when(col("offset_d") === 0L, col("n_users"))).over(w))
+      .select(col("cohort_day"), col("offset_d"), col("n_users"),
+        (col("n_users").cast("double") / col("n0").cast("double")).as("retention"))
+  }
+
+  def retentionRatesSqlDuck: String =
+    s"""WITH r AS (${retentionCohortsSqlDuck.replace("ORDER BY 1, 2", "")}),
+       | n AS (SELECT *, max(CASE WHEN offset_d = 0 THEN n_users END)
+       |   OVER (PARTITION BY cohort_day) AS n0 FROM r)
+       |SELECT cohort_day, offset_d, n_users,
+       |  CAST(n_users AS DOUBLE) / CAST(n0 AS DOUBLE) AS retention
+       |FROM n ORDER BY cohort_day, offset_d""".stripMargin
 
   /** Tukey-fence outlier detection: rows outside
     * `[q1 - 1.5·IQR, q3 + 1.5·IQR]` of the EXACT type-1 quartiles. The

@@ -83,6 +83,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == expected && out == Set((-100.0, "low"), (500.0, "high")))
   }
 
+  test("funnelRates: cumulative step counts and step-over-step conversion") {
+    val e = events(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "view", 10L), (2L, "click", 20L),
+      (3L, "view", 10L),
+      (4L, "error", 10L)) // reaches step 0; in no step count
+    val out = Analytics.funnelRates(e)
+      .select("step", "n_users", "conv_from_first", "conv_from_prev")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 1.0, 1.0),
+      (2L, 2L, 2.0 / 3.0, 2.0 / 3.0),
+      (3L, 1L, 1.0 / 3.0, 0.5)))
+  }
+
+  test("retentionRates normalizes each cohort by its day-0 users") {
+    val day = 86400000000L
+    val e = events(
+      (1L, "view", 0L), (2L, "view", 1L), // cohort day0: 2 users
+      (1L, "view", day + 1))              // user 1 returns on day 1
+    val out = Analytics.retentionRates(e)
+      .select("offset_d", "n_users", "retention")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out == Set((0L, 2L, 1.0), (1L, 1L, 0.5)))
+  }
+
   test("outliersMad flags by |v - median| > k*MAD and survives extreme contamination") {
     // median of 1..21 = 11; deviations 0..10 -> MAD = 5; k=3 -> fences [−4, 26]
     val vals = (1 to 21).map(_.toDouble) ++ Seq(-1000.0, 1000.0)
