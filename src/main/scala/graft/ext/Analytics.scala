@@ -73,6 +73,78 @@ object Analytics {
        |FROM s${steps.size} GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  /** Per-SESSION funnel: gap-based sessionization (a new session after
+    * `gapUs` of inactivity — the events_sessionize rule), then the strict
+    * stepwise funnel within each session. "Did the user convert in one
+    * sitting" — the product-analytics complement to the lifetime
+    * [[funnel]].
+    *
+    * Still ONE exchange: the session window hash-partitions on `user_id`,
+    * and the (user_id, session_id) funnel windows are satisfied by that
+    * same partitioning (same-key rows stay co-located; Spark adds only a
+    * sort), as is the final rollup. */
+  def sessionFunnel(events: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      gapUs: Long = 1800000000L): DataFrame = {
+    require(steps.nonEmpty && steps == steps.distinct, "steps must be distinct")
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(cum))
+    val w = Window.partitionBy("user_id", "session_id")
+    val withSteps = steps.zipWithIndex.foldLeft(sess) { case (d, (step, i)) =>
+      val eligible =
+        if (i == 0) col("event_type") === step
+        else col("event_type") === step && col("us") > col(s"t$i")
+      d.withColumn(s"t${i + 1}", min(when(eligible, col("us"))).over(w))
+    }
+    val ks = steps.indices.map(_ + 1)
+    val stepCase = ks.reverse.foldRight(lit(0L)) { (k, els) =>
+      when(col(s"ts${k}_us").isNotNull, k.toLong).otherwise(els)
+    }
+    withSteps.groupBy("user_id", "session_id")
+      .agg(min(s"t${ks.head}").as(s"ts${ks.head}_us"),
+        ks.tail.map(k => min(s"t$k").as(s"ts${k}_us")): _*)
+      .withColumn("step_reached", stepCase)
+  }
+
+  def sessionFunnelSqlDuck(steps: Seq[String] = Seq("view", "click", "purchase"),
+      gapUs: Long = 1800000000L): String = {
+    val ctes = steps.zipWithIndex.map { case (step, i) =>
+      val eligible =
+        if (i == 0) s"event_type = '$step'"
+        else s"event_type = '$step' AND us > t$i"
+      val from = if (i == 0) "sess" else s"s$i"
+      s"""s${i + 1} AS (SELECT *, min(CASE WHEN $eligible THEN us END)
+         |   OVER (PARTITION BY user_id, session_id) AS t${i + 1} FROM $from)""".stripMargin
+    }.mkString(",\n ")
+    val ks = steps.indices.map(_ + 1)
+    val mins = ks.map(k => s"min(t$k) AS ts${k}_us").mkString(", ")
+    val stepCase = ks.reverse.map(k =>
+      s"WHEN min(t$k) IS NOT NULL THEN $k").mkString(" ")
+    s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       | flags AS (
+       |  SELECT user_id, event_id, event_type, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       | sess AS (
+       |  SELECT user_id, event_type, us,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM flags),
+       | $ctes
+       |SELECT user_id, session_id, $mins,
+       |  CAST(CASE $stepCase ELSE 0 END AS BIGINT) AS step_reached
+       |FROM s${steps.size} GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+  }
+
   /** Funnel report: users reaching each step (cumulative — reaching step k
     * implies reaching 1..k-1), absolute conversion from step 1, and
     * step-over-step conversion. Rolls the per-user [[funnel]] relation up
