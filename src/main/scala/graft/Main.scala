@@ -18,9 +18,16 @@ import graft.etl.{Convert, EngineConfig}
   * StrategySelector ≈ physical planning), so no size-based branch exists.
   *
   * Exit codes, mirroring the reference's catch hierarchy (:93-106):
-  * 0 success · 2 usage/validation error · 1 conversion failure.
+  * 0 success · 2 flag-parse/usage error (picocli's exitCodeOnInvalidInput)
+  * · 1 config-validation failure (the reference's IllegalArgumentException
+  * catch at HighVolumeExcelConverter.java:100-103 exits 1, NOT 2 — only
+  * unparseable flags get 2) · 1 conversion failure.
   */
 object Main {
+
+  /** A CLI failure plus the exit code its class carries: 2 for flag-parse
+    * errors (usage is printed), 1 for config-validation errors. */
+  final case class CliError(message: String, exitCode: Int)
 
   val Usage: String =
     """usage: graft-convert [OPTIONS] <inputDir-or-xlsx>
@@ -40,8 +47,8 @@ object Main {
       |  --continue-on-error      tolerate malformed rows
       |  --help | --version""".stripMargin
 
-  /** Pure arg→config parse; Left = usage error message. */
-  def parseArgs(args: Seq[String]): Either[String, EngineConfig] = {
+  /** Pure arg→config parse; Left = error + exit code (2 parse, 1 validate). */
+  def parseArgs(args: Seq[String]): Either[CliError, EngineConfig] = {
     var cfg = EngineConfig(inputDir = "")
     var input: Option[String] = None
     var i = 0
@@ -75,15 +82,17 @@ object Main {
         case positional if input.isEmpty => input = Some(positional); Right(())
         case extra => Left(s"unexpected argument '$extra'")
       }
-      r match { case Left(e) => return Left(e); case Right(_) => () }
+      r match { case Left(e) => return Left(CliError(e, 2)); case Right(_) => () }
       i += 1
     }
     input match {
-      case None => Left("missing required <inputDir-or-xlsx>")
+      case None => Left(CliError("missing required <inputDir-or-xlsx>", 2))
       case Some(in) =>
         val c = cfg.copy(inputDir = in)
+        // validation failures exit 1, like the reference's
+        // IllegalArgumentException catch — not the picocli usage code 2
         try Right(c.validate())
-        catch { case e: IllegalArgumentException => Left(e.getMessage) }
+        catch { case e: IllegalArgumentException => Left(CliError(e.getMessage, 1)) }
     }
   }
 
@@ -93,7 +102,9 @@ object Main {
       org.apache.spark.SPARK_VERSION + ")"); return }
     parseArgs(args.toSeq) match {
       case Left(err) =>
-        System.err.println(s"error: $err"); System.err.println(Usage); sys.exit(2)
+        System.err.println(s"error: ${err.message}")
+        if (err.exitCode == 2) System.err.println(Usage)
+        sys.exit(err.exitCode)
       case Right(config) =>
         val t0 = System.nanoTime()
         val spark = SparkSession.builder()

@@ -900,6 +900,14 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ext.Analytics.funnel(t(s, dir, "events")).orderBy("user_id")),
 
+    // per-SESSION funnel: gap-based sessionization then the strict stepwise
+    // funnel within each sitting — still one exchange on user_id (the
+    // session window's partitioning satisfies the funnel windows and the
+    // rollup; see ext/Analytics.sessionFunnel)
+    "events_session_funnel" -> ((s, dir) =>
+      graft.ext.Analytics.sessionFunnel(t(s, dir, "events"))
+        .orderBy("user_id", "session_id")),
+
     // cohort retention triangle: users cohorted by first-seen day; the
     // (cohort, offset) rollup's key space is days², independent of corpus
     // size, so the second shuffle moves only map-combined partials
@@ -1866,6 +1874,7 @@ object SparkEntry {
     "text_postings" -> graft.ext.TextOps.postingsSqlDuck(),
     "text_novelty" -> graft.ext.TextOps.noveltySqlDuck(),
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
+    "events_session_funnel" -> graft.ext.Analytics.sessionFunnelSqlDuck(),
     "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_retention_rates" -> graft.ext.Analytics.retentionRatesSqlDuck,

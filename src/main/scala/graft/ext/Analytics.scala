@@ -157,12 +157,16 @@ object Analytics {
       sum(when(col("step_reached") >= ks.head, 1L).otherwise(0L)).as(s"n${ks.head}"),
       ks.tail.map(k =>
         sum(when(col("step_reached") >= k, 1L).otherwise(0L)).as(s"n$k")): _*)
-    // stack() takes a FLAT argument list, grouped by output column count
+    // stack() takes a FLAT argument list, grouped by output column count.
+    // Degenerate-input guard: on a corpus with zero step-1 (or step-k-1)
+    // users, Spark's non-ANSI Divide yields NULL while DuckDB's IEEE float
+    // division yields NaN/Inf — the explicit CASE pins both engines to
+    // NULL (mirrored in funnelRatesSqlDuck).
     val steprows = ks.map(k =>
       s"$k, '${steps(k - 1)}', n$k, " +
-        s"CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE), " +
-        (if (k == 1) "CAST(1.0 AS DOUBLE)"
-         else s"CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE)")).mkString(", ")
+        s"CASE WHEN n1 > 0 THEN CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE) END, " +
+        (if (k == 1) "CASE WHEN n1 > 0 THEN CAST(1.0 AS DOUBLE) END"
+         else s"CASE WHEN n${k - 1} > 0 THEN CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE) END")).mkString(", ")
     counts.selectExpr(
       s"stack(${ks.size}, $steprows) AS (step, step_name, n_users, conv_from_first, conv_from_prev)")
       .selectExpr("CAST(step AS BIGINT) AS step", "step_name",
@@ -175,10 +179,13 @@ object Analytics {
       s"CAST(sum(CASE WHEN step_reached >= $k THEN 1 ELSE 0 END) AS BIGINT) AS n$k")
       .mkString(", ")
     val rows = ks.map { k =>
-      val prev = if (k == 1) "CAST(1.0 AS DOUBLE)"
-        else s"CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE)"
+      // n1=0 / n_{k-1}=0 guard mirrored from funnelRates: NULL on both
+      // engines instead of DuckDB's IEEE NaN/Inf
+      val prev = if (k == 1) "CASE WHEN n1 > 0 THEN CAST(1.0 AS DOUBLE) END"
+        else s"CASE WHEN n${k - 1} > 0 THEN CAST(n$k AS DOUBLE) / CAST(n${k - 1} AS DOUBLE) END"
       s"""SELECT CAST($k AS BIGINT) AS step, '${steps(k - 1)}' AS step_name,
-         | n$k AS n_users, CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE) AS conv_from_first,
+         | n$k AS n_users, CASE WHEN n1 > 0
+         |   THEN CAST(n$k AS DOUBLE) / CAST(n1 AS DOUBLE) END AS conv_from_first,
          | $prev AS conv_from_prev FROM c""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH f AS (${funnelSqlDuck(steps).replace("ORDER BY user_id", "")}),

@@ -135,8 +135,13 @@ object Sketch {
       .select(lit(k.toLong).as("k"),
         size(col("m")).cast("long").as("k_merged"),
         col("hits").cast("long").as("j_hits"),
-        (col("hits").cast("double") / size(col("m")).cast("double")).as("jaccard_est"),
-        (col("exact_inter").cast("double") / col("exact_union").cast("double"))
+        // both-sketches-empty guard: k_merged=0 gives NULL on both engines
+        // instead of DuckDB's IEEE NaN (mirrored in the Duck oracle)
+        when(size(col("m")) > 0,
+          col("hits").cast("double") / size(col("m")).cast("double"))
+          .as("jaccard_est"),
+        when(col("exact_union") > 0,
+          col("exact_inter").cast("double") / col("exact_union").cast("double"))
           .as("jaccard_exact"))
   }
 
@@ -161,8 +166,10 @@ object Sketch {
        |   CAST((SELECT count(*) FROM ha WHERE h IN (SELECT h FROM hb)) AS BIGINT) AS exact_inter,
        |   CAST((SELECT count(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS BIGINT) AS exact_union)
        |SELECT CAST($k AS BIGINT) AS k, k_merged, j_hits,
-       |  CAST(j_hits AS DOUBLE) / CAST(k_merged AS DOUBLE) AS jaccard_est,
-       |  CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE) AS jaccard_exact
+       |  CASE WHEN k_merged > 0
+       |    THEN CAST(j_hits AS DOUBLE) / CAST(k_merged AS DOUBLE) END AS jaccard_est,
+       |  CASE WHEN exact_union > 0
+       |    THEN CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE) END AS jaccard_exact
        |FROM kp, hits, ex""".stripMargin
 
   /** Deterministic sample quantiles: the k rows with the smallest

@@ -121,6 +121,10 @@ object EventStreams {
       if (lo == hi) sv(lo) else (hi - pos) * sv(lo) + (pos - lo) * sv(hi)
     }
     events.selectExpr("event_type", "md5(CAST(event_id AS STRING)) AS h", "value")
+      // null contract matches the batch twins (sampleQuantilesByGroup and
+      // the Duck oracles' WHERE value IS NOT NULL): a null value or
+      // event_type is skipped, not an encoder crash
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
       .as[(String, String, Double)]
       .groupByKey(_._1)
       .mapGroupsWithState[QuantState, QuantProfile](GroupStateTimeout.NoTimeout) {
@@ -167,6 +171,10 @@ object EventStreams {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     require(steps.size == 3)
     events.selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      // same null contract as the batch funnel (whose window mins simply
+      // never match a null event_type): skip, don't crash the encoder
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {

@@ -50,6 +50,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cols.toSeq == Seq("user_id", "ts1_us", "ts2_us", "ts3_us", "ts4_us", "step_reached"))
   }
 
+  test("sessionFunnel restarts the funnel per inactivity-gap session") {
+    val gap = 1800000000L // the default 30-min gap, in micros
+    val e = Seq(
+      // user 1 session 1: full conversion in one sitting
+      (1L, 1L, "view", 10L), (1L, 2L, "click", 20L), (1L, 3L, "purchase", 30L),
+      // user 1 session 2 (after the gap): view+click only — lifetime funnel
+      // would say 3, but THIS sitting stops at 2
+      (1L, 4L, "view", gap + 100L), (1L, 5L, "click", gap + 200L),
+      // user 2: view in session 1, click only in session 2 — neither
+      // session converts past step 1 / step 0
+      (2L, 6L, "view", 10L), (2L, 7L, "click", 2 * gap + 50L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Analytics.sessionFunnel(e)
+      .select("user_id", "session_id", "step_reached")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 1L, 3L), (1L, 2L, 2L), (2L, 1L, 1L), (2L, 2L, 0L)))
+  }
+
   test("retention cohorts count distinct users per (first-day, offset)") {
     val day = 86400000000L // one day of micros
     val e = events(
