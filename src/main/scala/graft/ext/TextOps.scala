@@ -723,9 +723,12 @@ object TextOps {
     if (expected == 0L) return candidates
     val bf = benchLong.stat.bloomFilter("_hl", expected, fpp)
     val bfBc = candidates.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: Long) => bfBc.value.mightContainLong(h))
+    // native codegen'd probe (functions/BloomMightContainLong) — a closure
+    // udf here would break whole-stage fusion around the hottest filter
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val pre = candSh.withColumn("_hl", xxhash64(col("_h")))
-      .filter(mightContain(col("_hl")))
+      .filter(toColumn(graft.functions.BloomMightContainLong(
+        toExpression(col("_hl")), bfBc)))
     val bad = pre.join(benchSh, "_h").select("doc_id").distinct()
     candidates.join(bad, Seq("doc_id"), "left_anti")
   }

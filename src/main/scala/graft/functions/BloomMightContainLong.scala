@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe against a broadcast Bloom filter, as a native Catalyst
+  * expression — the codegen'd replacement for a closure `udf` (a udf forces
+  * its input through a safe-row conversion and breaks whole-stage fusion
+  * around the hottest per-shingle filter in the decontamination path; see
+  * Spark's own `BloomFilterMightContain`, which this mirrors with a
+  * broadcast payload instead of a plan-embedded literal, so the filter
+  * bits ship to each executor once — not once per task with the plan).
+  *
+  * Generated code caches `broadcast.value()` in a mutable-state field at
+  * stage init, so the per-row work is one virtual call on the filter —
+  * the expression stays inside the WholeStageCodegen span
+  * (tools/ExplainCheck verifies this for text_decontaminate_bloom).
+  */
+case class BloomMightContainLong(child: Expression, bloom: Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"requires bigint, got $t")
+  }
+
+  override def nullSafeEval(h: Any): Any =
+    bloom.value.mightContainLong(h.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("graftBloomBc", bloom, bcCls)
+    val bf = ctx.addMutableState(bfCls, "graftBloomFilter",
+      v => s"$v = ($bfCls) $ref.value();")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
