@@ -224,10 +224,26 @@ object Sketch {
     // library's standard lifecycle for operator-internal caches)
     val vals = graft.etl.CacheRegistry.persist(
       df.select(col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
-    val head = vals.agg(count(lit(1)), min("_v"), max("_v")).head()
+    // the head aggregation also carries a GK quantile sketch probed at
+    // p ± 2ε per requested probability: its rank guarantee (±εn) makes
+    // [approx(p−2ε), approx(p+2ε)] a PROVABLE bracket for the answer, so
+    // round 1 collapses the bracket from the full value range to a
+    // ~4εn-rank neighborhood at zero extra jobs (same partial-aggregating
+    // pass that computes count/min/max)
+    val head = vals.agg(count(lit(1)), min("_v"), max("_v"),
+      percentile_approx(col("_v"), lit(seedPcts(probs)), lit(SeedAccuracy))).head()
     val n = head.getLong(0)
     val out: Seq[(Double, Long, Option[Double])] =
       if (n == 0L) probs.map(p => (p, 0L, None))
+      else if (n <= SeedSampleK) {
+        // the whole column fits in the small-input cutoff: one TakeOrdered
+        // job IS the exact answer (the target-th smallest value) — no
+        // bisection rounds at all
+        val all = vals.orderBy("_v").collect().map(_.getDouble(0))
+        probs.map { p =>
+          (p, n, Some(all((math.ceil(p * n).toLong.max(1L) - 1L).toInt)))
+        }
+      }
       else {
         // all probabilities narrow in LOCKSTEP: one aggregation per round
         // carries every still-open bracket's terms, so the job count is
@@ -239,10 +255,20 @@ object Sketch {
         val target = probs.map(p => math.ceil(p * n).toLong.max(1L))
         val lo = Array.fill(probs.size)(head.getDouble(1))
         val hi = Array.fill(probs.size)(head.getDouble(2))
+        // round-1 probes from the head sketch (see above). Seeds never
+        // decide the RESULT — only which count-passes run; a degenerate
+        // seed just falls back to quaternary probing and the answer stays
+        // exact either way.
+        val seeds = head.getSeq[Double](3)
+        def seedProbes(i: Int): IndexedSeq[Double] =
+          IndexedSeq(seeds(2 * i), seeds(2 * i + 1))
+            .filter(p => p >= lo(i) && p < hi(i)).distinct.sorted
+        var round = 0
         var open = probs.indices.filter(i => lo(i) < hi(i))
         while (open.nonEmpty) {
           val probePts: Map[Int, IndexedSeq[Double]] = open.map { i =>
-            i -> quaternaryProbes(lo(i), hi(i))
+            val seeds = if (round == 0) seedProbes(i) else IndexedSeq.empty[Double]
+            i -> (if (seeds.nonEmpty) seeds else quaternaryProbes(lo(i), hi(i)))
           }.toMap
           // layout: for bracket i, probes p1<..<pk contribute 3k columns
           val offsets = open.scanLeft(0)((acc, i) => acc + 3 * probePts(i).size)
@@ -265,11 +291,33 @@ object Sketch {
             }
           }
           open = open.filter(i => lo(i) < hi(i))
+          round += 1
         }
         probs.zipWithIndex.map { case (p, i) => (p, n, Some(lo(i))) }
       }
     out.toDF("prob", "n", "value")
   }
+
+  /** Small-input cutoff for the exact-quantile family: a column (or group)
+    * with at most this many values is answered exactly from one bounded
+    * TakeOrdered job instead of bisection rounds. 4096 doubles per
+    * (group ×) collect — driver-bounded. */
+  private val SeedSampleK = 4096
+
+  /** GK-sketch accuracy for the bracket-seeding probes: relative rank
+    * error 1/SeedAccuracy, so the round-1 bracket spans ~4n/SeedAccuracy
+    * ranks instead of the full value range. */
+  private val SeedAccuracy = 10000
+
+  /** Probe percentiles for the seed sketch: p ± 2ε per requested
+    * probability (ε = 1/SeedAccuracy), clamped into (0, 1]. The ±2ε
+    * margin plus the sketch's ±εn rank guarantee makes the returned pair
+    * a provable bracket for the type-1 quantile at p. */
+  private def seedPcts(probs: Seq[Double]): Array[Double] =
+    probs.flatMap { p =>
+      val eps = 2.0 / SeedAccuracy
+      Seq((p - eps).max(1e-9), (p + eps).min(1.0))
+    }.toArray
 
   /** Up to three strictly-increasing probe points in [lo, hi) splitting the
     * bracket in quarters. Midpoint arithmetic can round onto hi when lo/hi
@@ -303,8 +351,13 @@ object Sketch {
     val vals = graft.etl.CacheRegistry.persist(
       df.select(col(group).cast("string").as("_g"),
         col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
-    val heads = vals.groupBy("_g").agg(count(lit(1)), min("_v"), max("_v"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // per-group head aggregation also carries the GK seed sketch probed at
+    // p ± 2ε — provable round-1 brackets for every (group, prob) at zero
+    // extra jobs (see [[exactQuantileDisc]])
+    val heads = vals.groupBy("_g").agg(count(lit(1)), min("_v"), max("_v"),
+        percentile_approx(col("_v"), lit(seedPcts(probs)), lit(SeedAccuracy)))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getSeq[Double](4)))
       .sortBy(_._1)
     // bracket state per (group, prob), keyed by flat index
     val gs = heads.map(_._1)
@@ -313,12 +366,20 @@ object Sketch {
       math.ceil(probs(pi) * n(gi)).toLong.max(1L))
     val lo = Array.tabulate(gs.length, probs.length)((gi, _) => heads(gi)._2._2)
     val hi = Array.tabulate(gs.length, probs.length)((gi, _) => heads(gi)._2._3)
+    def seedProbes(gi: Int, pi: Int): IndexedSeq[Double] = {
+      val s = heads(gi)._2._4
+      IndexedSeq(s(2 * pi), s(2 * pi + 1))
+        .filter(p => p >= lo(gi)(pi) && p < hi(gi)(pi)).distinct.sorted
+    }
+    var round = 0
     var open = (for (gi <- gs.indices; pi <- probs.indices
       if lo(gi)(pi) < hi(gi)(pi)) yield (gi, pi)).toSeq
     while (open.nonEmpty) {
       // quaternary probes per bracket, as in [[exactQuantileDisc]]
       val probePts = open.map { case (gi, pi) =>
-        (gi, pi) -> quaternaryProbes(lo(gi)(pi), hi(gi)(pi))
+        val seeds = if (round == 0) seedProbes(gi, pi) else IndexedSeq.empty[Double]
+        (gi, pi) -> (if (seeds.nonEmpty) seeds
+                     else quaternaryProbes(lo(gi)(pi), hi(gi)(pi)))
       }.toMap
       val offsets = open.scanLeft(0)((acc, k) => acc + 3 * probePts(k).size)
       val aggs = open.flatMap { case (gi, pi) =>
@@ -342,6 +403,7 @@ object Sketch {
         }
       }
       open = open.filter { case (gi, pi) => lo(gi)(pi) < hi(gi)(pi) }
+      round += 1
     }
     val out = for (gi <- gs.indices; pi <- probs.indices)
       yield (gs(gi), probs(pi), n(gi), lo(gi)(pi))
