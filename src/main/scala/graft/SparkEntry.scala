@@ -120,6 +120,45 @@ object SparkEntry {
         .orderBy("okey")
     }),
 
+    // K3/K4 end-to-end through Convert.run: orders → single-file JSON-ARRAY
+    // sink on disk, then the sink's ACTUAL file read back. The query itself
+    // asserts the framing on the raw bytes (single regular file, '['…']',
+    // element count == rowsWritten — a broken sink shows as a RED row, the
+    // events_range_join_sql precedent); each element re-parsed with an
+    // explicit all-string schema (no inference) must equal the oracle's
+    // independent rendering, and `file_bytes` (the file's true size) must
+    // equal the oracle's 2 + Σ|element| + (n−1) — so the framing is also
+    // byte-checked by DuckDB, not just driver-asserted.
+    "jsonarray_e2e" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonarray_e2e_" +
+        new java.io.File(dir).getName + ".json"
+      val res = graft.etl.Convert.run(s, graft.etl.EngineConfig(
+        inputDir = dir, sheetName = Some("orders"), format = "json",
+        outputPath = Some(out), overwrite = true))
+      val p = java.nio.file.Paths.get(out)
+      require(java.nio.file.Files.isRegularFile(p), s"K3 must write ONE file: $out")
+      val bytes = java.nio.file.Files.size(p)
+      val ch = java.nio.file.Files.newByteChannel(p)
+      val (first, last) = try {
+        val b0 = java.nio.ByteBuffer.allocate(1); ch.read(b0)
+        val b1 = java.nio.ByteBuffer.allocate(1)
+        ch.position(bytes - 1); ch.read(b1)
+        (b0.get(0).toChar, b1.get(0).toChar)
+      } finally ch.close()
+      require(first == '[' && last == ']', s"not a JSON array: '$first'…'$last'")
+      val orderCols = t(s, dir, "orders").columns
+      val schema = org.apache.spark.sql.types.StructType(orderCols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+      val parsed = s.read.option("multiLine", "true").schema(schema).json(out)
+      require(parsed.count() == res.rowsWritten,
+        s"element count ${parsed.count()} != rowsWritten ${res.rowsWritten}")
+      parsed
+        .select(col("o_orderkey").cast("long").as("okey"),
+          to_json(struct(orderCols.map(col).toSeq: _*)).as("line"))
+        .withColumn("file_bytes", lit(bytes))
+        .orderBy("okey")
+    }),
+
     // the full Excel container roundtrip: orders → formatted all-string →
     // distributed XlsxSink (one workbook per partition, inlineStr cells) →
     // read back through the XlsxSource DataSource V2 → must equal the
@@ -1301,6 +1340,16 @@ object SparkEntry {
     "k1_ndjson_lines" -> ordersAllStringJsonSql,
     // the written sink bytes equal the declarative rendering — same oracle
     "convert_e2e" -> ordersAllStringJsonSql,
+
+    // K3 framing arithmetic: a compact '[e1,e2,…,en]' document is exactly
+    // 2 + Σ|element| + (n−1) bytes — the oracle recomputes the sink file's
+    // true size from the element renderings alone
+    "jsonarray_e2e" ->
+      s"""WITH lines AS (${ordersAllStringJsonSql})
+         |SELECT okey, line,
+         |  CAST((SELECT 2 + sum(length(line)) + count(*) - 1 FROM lines)
+         |    AS BIGINT) AS file_bytes
+         |FROM lines ORDER BY okey""".stripMargin,
 
     "k2_csv_chunks" ->
       """SELECT chunk_id, CAST(count(*) AS BIGINT) AS n_rows,

@@ -302,6 +302,7 @@ private[sources] final case class XlsxOptions(
     sheetName: Option[String],
     sheetIndex: Int,
     header: Boolean,
+    unionSheets: Boolean,
     maxEntrySizeBytes: Long,
     minInflateRatio: Double) extends Serializable
 
@@ -315,10 +316,14 @@ private[sources] object XlsxOptions {
     options.forEach((k, v) => lower.put(k.toLowerCase(java.util.Locale.ROOT), v))
     def get(k: String): Option[String] =
       Option(lower.get(k.toLowerCase(java.util.Locale.ROOT)))
+    val union = get("unionSheets").exists(_.toBoolean)
+    require(!(union && get("sheetName").exists(_.nonEmpty)),
+      "unionSheets reads EVERY sheet; it cannot be combined with sheetName")
     XlsxOptions(
       sheetName = get("sheetName").filter(_.nonEmpty),
       sheetIndex = get("sheetIndex").map(_.toInt).getOrElse(0),
       header = get("header").forall(_.toBoolean),
+      unionSheets = union,
       maxEntrySizeBytes = get("maxEntrySizeBytes").map(_.toLong)
         .getOrElse(6L * 1024 * 1024 * 1024),
       minInflateRatio = get("minInflateRatio").map(_.toDouble).getOrElse(0.01))
@@ -332,7 +337,12 @@ private[sources] object XlsxOptions {
   * is not splittable, so within-file reads stream sequentially in constant
   * memory and parallelism comes from the file count — at scale a 100 TB
   * drop of .xlsx exports parallelizes across its thousands of workbooks,
-  * which is the only shape the container format admits. */
+  * which is the only shape the container format admits. The one finer
+  * grain that exists — each SHEET is its own deflate stream — is exposed
+  * via `unionSheets=true`: one partition per (file, sheet), all sheets
+  * unioned under the inferred schema (header row consumed per sheet;
+  * narrower sheets pad with ""), so a single many-sheet workbook spreads
+  * across cores. */
 class XlsxSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
   override def supportsExternalMetadata(): Boolean = true
@@ -417,20 +427,39 @@ private[sources] class XlsxScan(path: String, tableSchema: StructType,
     required: StructType, opts: XlsxOptions) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    XlsxParsing.listFiles(path).map(f => XlsxFilePartition(f): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = XlsxParsing.listFiles(path)
+    if (!opts.unionSheets)
+      files.map(f => XlsxFilePartition(f, None): InputPartition).toArray
+    else
+      // one partition per (file, sheet): a multi-sheet workbook's sheets
+      // decompress and parse on separate cores — the only intra-file
+      // parallelism the container admits (each sheet is its own deflate
+      // stream). Enumeration reads only each workbook's central directory
+      // + workbook.xml on the driver — KBs per file, the same metadata
+      // cost class as the file listing itself.
+      files.flatMap { f =>
+        val zip = new java.util.zip.ZipFile(f)
+        try XlsxParsing.listSheets(zip, opts.maxEntrySizeBytes)
+          .map(s => XlsxFilePartition(f, Some(s.name)): InputPartition)
+        finally zip.close()
+      }.toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map(tableSchema.fieldIndex)
     new XlsxReaderFactory(ordinals, opts)
   }
 }
 
-private[sources] final case class XlsxFilePartition(file: String) extends InputPartition
+private[sources] final case class XlsxFilePartition(file: String,
+    sheet: Option[String]) extends InputPartition
 
 private[sources] class XlsxReaderFactory(ordinals: Array[Int], opts: XlsxOptions)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new XlsxPartitionReader(partition.asInstanceOf[XlsxFilePartition].file, ordinals, opts)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[XlsxFilePartition]
+    new XlsxPartitionReader(p.file, p.sheet, ordinals, opts)
+  }
 }
 
 /** Streams one workbook's selected sheet: guard pass → sheet resolve →
@@ -438,13 +467,16 @@ private[sources] class XlsxReaderFactory(ordinals: Array[Int], opts: XlsxOptions
   * (pad with "" past the physical row end); rows whose cells are ALL blank
   * — judged on the FULL physical row, projection-independent (T2,
   * core/poi/CatmePoiSheetContentsHandler.java:122-125) — are dropped. */
-private[sources] class XlsxPartitionReader(file: String, ordinals: Array[Int],
-    opts: XlsxOptions) extends PartitionReader[InternalRow] {
+private[sources] class XlsxPartitionReader(file: String, pinned: Option[String],
+    ordinals: Array[Int], opts: XlsxOptions) extends PartitionReader[InternalRow] {
 
   private val zip = new ZipFile(file)
   XlsxParsing.checkEntries(zip, file, opts.maxEntrySizeBytes, opts.minInflateRatio)
+  // `pinned` = the one sheet this unionSheets partition owns; otherwise the
+  // usual name/index resolution
   private val sheet = XlsxParsing.resolveSheet(
-    XlsxParsing.listSheets(zip, opts.maxEntrySizeBytes), opts.sheetName, opts.sheetIndex)
+    XlsxParsing.listSheets(zip, opts.maxEntrySizeBytes),
+    pinned.orElse(opts.sheetName), if (pinned.isDefined) 0 else opts.sheetIndex)
   private val shared = XlsxParsing.sharedStrings(zip, opts.maxEntrySizeBytes)
   private val rows = {
     val entry = zip.getEntry(sheet.target)

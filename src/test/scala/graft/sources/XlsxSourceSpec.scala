@@ -127,6 +127,24 @@ class XlsxSourceSpec extends AnyFunSuite {
       Seq(("a", "b", "")))
   }
 
+  test("unionSheets: one partition per (file, sheet); headers per sheet; pad narrow") {
+    val f = tmp("union.xlsx")
+    XlsxTestFiles.writeDense(f, Seq(
+      ("Jan", Seq(Seq("id", "v"), Seq("1", "a"), Seq("2", "b"))),
+      ("Feb", Seq(Seq("id", "v"), Seq("3", "c"))),
+      ("Mar", Seq(Seq("id"), Seq("4"))))) // narrower sheet pads with ""
+    val df = spark.read.format("xlsx").option("unionSheets", "true").load(f)
+    assert(df.columns.toSeq == Seq("id", "v"))
+    assert(df.rdd.getNumPartitions == 3) // the intra-file parallelism grain
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq(("1", "a"), ("2", "b"), ("3", "c"), ("4", "")))
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("xlsx").option("unionSheets", "true")
+        .option("sheetName", "Jan").load(f).collect()
+    }
+    assert(e.getMessage.contains("cannot be combined"))
+  }
+
   test("column reference arithmetic: AA27 and friends") {
     assert(XlsxParsing.colIndex("A1") == 0)
     assert(XlsxParsing.colIndex("Z9") == 25)
