@@ -154,15 +154,41 @@ object EventStreams {
     * forced multi-batch run): t1 monotonically fixes to the global min
     * view time before any later click is folded, so the first qualifying
     * click in arrival order IS the batch semantics' earliest-after-t1, and
-    * inductively likewise for step 3. Out-of-order sources would need a
-    * watermark-bounded event buffer instead (the state stops being O(1) —
-    * that variant is deliberately not offered; feed ordered streams).
+    * inductively likewise for step 3. Out-of-order sources need the
+    * watermark-bounded event buffer of [[funnelStateBuffered]] instead
+    * (state stops being O(1) — that's the price of disorder tolerance).
     *
     * State never grows and never expires: NoTimeout like the sketch state
     * — a funnel position is a lifetime fact, not a window. */
   final case class FunnelState(t1: Long, t2: Long, t3: Long)
   final case class FunnelRow(user_id: Long, ts1_us: Option[Long],
     ts2_us: Option[Long], ts3_us: Option[Long], step_reached: Long)
+
+  /** Left-fold of (us, event_type) pairs — MUST be pre-sorted by (us, typ) —
+    * into the 3-step funnel position. Shared by both streaming funnels, so
+    * their step semantics are identical by construction to each other (and
+    * proven equal to [[graft.ext.Analytics.funnel]] in EventStreamsSpec).
+    * A left fold over a sorted sequence splits freely: fold(fold(s, a), b)
+    * == fold(s, a ++ b) whenever max(a) <= min(b) — the property the
+    * buffered variant's watermark finalization relies on (unit-tested over
+    * random permutations/split points in EventStreamsSpec). */
+  private[streaming] def foldSteps(st: FunnelState, sorted: Seq[(Long, String)],
+      steps: Seq[String]): FunnelState = {
+    var t1 = st.t1; var t2 = st.t2; var t3 = st.t3
+    sorted.foreach { case (us, typ) =>
+      if (t1 < 0) { if (typ == steps(0)) t1 = us }
+      else if (t2 < 0) { if (typ == steps(1) && us > t1) t2 = us }
+      else if (t3 < 0) { if (typ == steps(2) && us > t2) t3 = us }
+    }
+    FunnelState(t1, t2, t3)
+  }
+
+  private def funnelRow(uid: Long, st: FunnelState): FunnelRow = {
+    def opt(t: Long) = if (t >= 0) Some(t) else None
+    val step = if (st.t3 >= 0) 3L else if (st.t2 >= 0) 2L
+      else if (st.t1 >= 0) 1L else 0L
+    FunnelRow(uid, opt(st.t1), opt(st.t2), opt(st.t3), step)
+  }
 
   def funnelState(events: DataFrame,
       steps: Seq[String] = Seq("view", "click", "purchase")):
@@ -180,16 +206,74 @@ object EventStreams {
       .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
         (uid, rows, state) =>
           val st0 = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
-          var t1 = st0.t1; var t2 = st0.t2; var t3 = st0.t3
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, typ, us) =>
-            if (t1 < 0) { if (typ == steps(0)) t1 = us }
-            else if (t2 < 0) { if (typ == steps(1) && us > t1) t2 = us }
-            else if (t3 < 0) { if (typ == steps(2) && us > t2) t3 = us }
-          }
-          state.update(FunnelState(t1, t2, t3))
-          def opt(t: Long) = if (t >= 0) Some(t) else None
-          val step = if (t3 >= 0) 3L else if (t2 >= 0) 2L else if (t1 >= 0) 1L else 0L
-          FunnelRow(uid, opt(t1), opt(t2), opt(t3), step)
+          val st = foldSteps(st0,
+            rows.map(r => (r._3, r._2)).toSeq.sortBy(identity), steps)
+          state.update(st)
+          funnelRow(uid, st)
+      }
+  }
+
+  /** Out-of-order streaming funnel — the watermark-buffered variant
+    * [[funnelState]]'s scaladoc promises. Arrival may be shuffled across
+    * micro-batches as long as disorder is bounded by the watermark `delay`
+    * (an event may arrive up to `delay` of event time after a later one;
+    * rows older than the watermark may be dropped by the engine — the
+    * standard Structured Streaming lateness contract).
+    *
+    * State per user: the permanently-folded funnel position over events
+    * at-or-below the watermark, plus a buffer of events still above it.
+    * The watermark guarantees nothing older can still arrive, so folding
+    * the ripe prefix (in (ts, type) order) is final — and because the fold
+    * is a left fold over a sorted sequence, finalized-prefix + buffered-
+    * tail folds to exactly the all-data answer ([[foldSteps]] scaladoc).
+    * State is O(events within `delay`) per user — bounded by arrival rate ×
+    * delay, the price of disorder tolerance vs [[funnelState]]'s O(1).
+    *
+    * Each batch emits the user's best-known row: the finalized fold
+    * extended tentatively over the sorted buffer. `n_seen` strictly
+    * increases per emission (final row per user = max `n_seen`);
+    * `n_buffered` exposes the unfinalized tail for state-size monitoring. */
+  final case class BufFunnelState(t1: Long, t2: Long, t3: Long,
+    bufUs: List[Long], bufTyp: List[String], seen: Long)
+  final case class BufFunnelRow(user_id: Long, ts1_us: Option[Long],
+    ts2_us: Option[Long], ts3_us: Option[Long], step_reached: Long,
+    n_seen: Long, n_buffered: Long)
+
+  def funnelStateBuffered(events: DataFrame, delay: String = "1 hour",
+      steps: Seq[String] = Seq("view", "click", "purchase")):
+      org.apache.spark.sql.Dataset[BufFunnelRow] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    require(steps.size == 3)
+    events
+      .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+        col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      // the watermark-tagged ts attribute must reach the stateful operator
+      // (GroupStateImpl exposes the watermark only when its input carries
+      // one), so keep it alongside the micros projection
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "ts")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[BufFunnelState, BufFunnelRow](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val st0 = state.getOption.getOrElse(
+            BufFunnelState(-1L, -1L, -1L, Nil, Nil, 0L))
+          // watermark is in ms of event time; the buffer keys are micros
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          var buf: List[(Long, String)] = st0.bufUs.zip(st0.bufTyp)
+          var seen = st0.seen
+          rows.foreach { case (_, typ, us, _) => buf = (us, typ) :: buf; seen += 1 }
+          // ripe = can never be preceded by a future arrival → fold for good
+          val (ripe, keep) = buf.partition(_._1 <= wmUs)
+          val folded = foldSteps(FunnelState(st0.t1, st0.t2, st0.t3),
+            ripe.sortBy(identity), steps)
+          state.update(BufFunnelState(folded.t1, folded.t2, folded.t3,
+            keep.map(_._1), keep.map(_._2), seen))
+          val full = foldSteps(folded, keep.sortBy(identity), steps)
+          val r = funnelRow(uid, full)
+          BufFunnelRow(uid, r.ts1_us, r.ts2_us, r.ts3_us, r.step_reached,
+            seen, keep.size.toLong)
       }
   }
 

@@ -335,6 +335,91 @@ class EventStreamsSpec extends AnyFunSuite {
     val batchIds = batch.select("event_id").collect().map(_.getLong(0).toString).toSet
     assert(streamedIds == batchIds)
   }
+
+  test("funnel fold splits freely at any sorted boundary (buffered-variant invariant)") {
+    // fold(fold(s, prefix), suffix) == fold(s, all) for every split point of
+    // the sorted sequence — the algebraic fact that makes watermark
+    // finalization in funnelStateBuffered exact. Random event sequences,
+    // every split point, fixed seed.
+    val steps = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(42)
+    val types = Array("view", "click", "purchase", "other")
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(20)
+      val evs = Seq.fill(n)((rnd.nextInt(1000).toLong, types(rnd.nextInt(4))))
+        .sortBy(identity)
+      val whole = EventStreams.foldSteps(
+        EventStreams.FunnelState(-1L, -1L, -1L), evs, steps)
+      (0 to n).foreach { cut =>
+        val (a, b) = evs.splitAt(cut)
+        val split = EventStreams.foldSteps(EventStreams.foldSteps(
+          EventStreams.FunnelState(-1L, -1L, -1L), a, steps), b, steps)
+        assert(split == whole, s"split at $cut diverged on $evs")
+      }
+    }
+  }
+
+  test("watermark-buffered streaming funnel equals the batch funnel under out-of-order batches") {
+    import org.apache.spark.sql.functions._
+    // Feed ts-quartiles in order b1, b3, b2, b4 — batch-level disorder the
+    // O(1) funnelState contract forbids. The watermark delay is chosen from
+    // the actual bucket boundaries so that (a) no b2 event is late when it
+    // arrives after b3 (wm during batch 3 = maxB3 - delay < min b2), and
+    // (b) the watermark still rises above the earliest events by the final
+    // batch, so permanent finalization provably happens (n_buffered < n_seen).
+    val dir = java.nio.file.Files.createTempDirectory("funnel_ooo").toString
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select("user_id", "event_type", "ts")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("ts")
+    val bucketed = ev.withColumn("b", ntile(4).over(w)).cache()
+    Seq(1, 3, 2, 4).foreach { i =>
+      bucketed.filter(col("b") === i).drop("b").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/ev/b$i")
+      Thread.sleep(50) // distinct mod-times: the source orders files by them
+    }
+    val bounds = bucketed.groupBy("b")
+      .agg(min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bucketed.unpersist()
+    val gminUs = bounds(1)._1
+    val b2loUs = bounds(2)._1
+    val b3hiUs = bounds(3)._2
+    // wm floor during batches 3/4 is maxB3 - delay; aim it midway between
+    // the global min and b2's min: below every not-yet-arrived event, above
+    // the earliest ripe ones
+    val delaySec = (b3hiUs - (gminUs + b2loUs) / 2) / 1000000L
+    assert(delaySec > 0 && b3hiUs - delaySec * 1000000L < b2loUs)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev/b1").schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/ev/b*")
+    val q = EventStreams.funnelStateBuffered(stream, s"$delaySec seconds")
+      .writeStream
+      .format("memory").queryName("funnel_ooo_test").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // final row per user = the emission with the highest n_seen (strictly
+    // increasing per emission; the last one has folded every event, ripe or
+    // buffered, into its tentative answer)
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_seen").desc)
+    val finalRows = spark.table("funnel_ooo_test")
+      .withColumn("rk", row_number().over(rk)).filter(col("rk") === 1).drop("rk")
+      .cache()
+    val streamed = finalRows
+      .select("user_id", "ts1_us", "ts2_us", "ts3_us", "step_reached")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Analytics.funnel(
+        graft.etl.IngestOps.table(spark, sf0001, "events"))
+      .select("user_id", "ts1_us", "ts2_us", "ts3_us", "step_reached")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && streamed == batch)
+    // the watermark actually finalized something: at least one user ended
+    // with a partially-flushed buffer, and the global buffered tail is a
+    // strict subset of everything seen
+    val flushed = finalRows.filter(col("n_buffered") < col("n_seen")).count()
+    assert(flushed > 0, "no user had any event finalized — watermark never bit")
+    finalRows.unpersist()
+  }
 }
 
 /** Batch twin of the streaming aggregation, via the engine's query registry. */
