@@ -963,6 +963,32 @@ object SparkEntry {
       graft.ext.Analytics.retentionRates(t(s, dir, "events"))
         .orderBy("cohort_day", "offset_d")),
 
+    // STREAMING driver-oracle row: the Structured Streaming tumbling
+    // aggregation (streaming/EventStreams.tumblingCounts) run to completion
+    // under Trigger.AvailableNow into a complete-mode memory sink, then
+    // returned batch-shaped. Oracle = the SAME DuckDB SQL as the batch twin
+    // events_tumbling_agg, so a streaming-path regression (schema drift,
+    // watermark misconfig, window misalignment) turns THIS row red instead
+    // of only failing ScalaTest. Memory sink is driver-resident but the
+    // result space is (hours × event_types) — bounded by time span, not
+    // corpus size; the production sink is foreachBatch→ndjson
+    // (EventStreams.writeNdjsonStream).
+    "events_stream_tumbling" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_tumbling_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.tumblingCounts(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_tumbling_verify")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("stream_tumbling_verify")
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
+        .orderBy("hr", "event_type")
+    }),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -1927,6 +1953,15 @@ object SparkEntry {
     "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_retention_rates" -> graft.ext.Analytics.retentionRatesSqlDuck,
+
+    // streaming row: tumblingCounts ≡ the batch hourly aggregation, so the
+    // oracle is the identical SQL as events_tumbling_agg
+    "events_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hr, event_type""".stripMargin,
     "events_outliers_iqr" -> graft.ext.Analytics.outliersIqrSqlDuck(),
     "events_outliers_mad" -> graft.ext.Analytics.outliersMadSqlDuck(),
     "events_value_histogram" -> graft.ext.Analytics.valueHistogramSqlDuck(),

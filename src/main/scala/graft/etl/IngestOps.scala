@@ -30,21 +30,33 @@ object IngestOps {
     "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    // rejects; read nanos as long and convert to a µs timestamp (the DuckDB
-    // oracle reads the same column µs-truncated, and fixture ns remainders
-    // are zero).
+    // events.ts has shipped under multiple physical encodings (TIMESTAMP(NANOS),
+    // TIMESTAMP_NTZ(µs), TIMESTAMP(µs,UTC)); normalize them all to session-tz
+    // TimestampType so downstream event-time operators see one type.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$dir/$name.parquet")
-      df.schema("ts").dataType match {
-        // fixture file: TIMESTAMP(NANOS) surfaced as long via nanosAsLong
-        case org.apache.spark.sql.types.LongType =>
-          df.withColumn("ts", nanosToTimestamp)
-        case _ => df // already a timestamp (e.g. engine-written copies)
-      }
+      normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  /** Normalize the event-time column `ts` to TimestampType regardless of the
+    * physical parquet encoding it arrived in:
+    *  - LongType — epoch-nanos surfaced by `spark.sql.legacy.parquet.nanosAsLong`
+    *    (parquet TIMESTAMP(NANOS), which the vectorized reader otherwise rejects);
+    *    integral `DIV 1000` to µs avoids double-precision loss.
+    *  - TimestampNTZType — parquet `Timestamp(isAdjustedToUTC=false, µs)`. The
+    *    session timezone is pinned to UTC (build.sbt / Bench / Verify), so the
+    *    NTZ→LTZ cast is value-preserving and matches DuckDB's naive read of the
+    *    same column.
+    *  - TimestampType — already session-tz; pass through.
+    * Shared by the batch loader, the streaming reader, and any engine-written
+    * copies of the events table, so all entry points agree by construction. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", nanosToTimestamp)
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already TimestampType, or no ts column
+    }
 
   /** Generic format reader — the engine's source surface beyond the parquet
     * fixtures (csv with header semantics, ndjson, orc). CSV/JSON mode maps

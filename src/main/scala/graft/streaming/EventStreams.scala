@@ -19,26 +19,22 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events.parquet physical schema (ts stored as TIMESTAMP(NANOS), read as
-    * long via nanosAsLong — see etl.IngestOps.table). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // ns since epoch
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over the events fixture. */
+  /** Streaming source over the events fixture. FileStreamSource needs an
+    * explicit schema, so take the file's OWN schema from a cheap batch
+    * footer read (fixtures have shipped ts as TIMESTAMP(NANOS)-as-long,
+    * TIMESTAMP_NTZ(µs), and TIMESTAMP(µs,UTC) across regenerations), then
+    * normalize through the same helper as the batch path so both entry
+    * points agree by construction. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .option("basePath", dir)
-      // glob form: FileStreamSource accepts patterns but rejects a bare
-      // file path ("'basePath' must be a directory")
-      .parquet(s"$dir/events.parque[t]")
-      .withColumn("ts", graft.etl.IngestOps.nanosToTimestamp)
+    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    graft.etl.IngestOps.normalizeEventTs(
+      spark.readStream
+        .schema(fileSchema)
+        .option("basePath", dir)
+        // glob form: FileStreamSource accepts patterns but rejects a bare
+        // file path ("'basePath' must be a directory")
+        .parquet(s"$dir/events.parque[t]"))
   }
 
   /** Tumbling 1-hour windowed counts + value sums per event type, 1-hour

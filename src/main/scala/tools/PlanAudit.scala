@@ -13,7 +13,7 @@ object PlanAudit {
       "all-pairs by design; fixture-scale oracle twin of the bucketed form, excluded from bench"),
     "sim_topk_bruteforce" -> ("BroadcastNestedLoopJoin",
       "broadcast QUERY side (8 rows) vs streamed candidates — the intended brute-force baseline"),
-    "q22_acctbal_filter" -> ("BroadcastNestedLoopJoin",
+    "q22_idle_customers" -> ("BroadcastNestedLoopJoin",
       "crossJoin of a 1-row global-average aggregate (the TPC-H Q22 shape)"),
     "q_scalar_subquery" -> ("BroadcastNestedLoopJoin",
       "crossJoin of a 1-row aggregate"),
@@ -48,6 +48,14 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     var unexplained = 0
+    // a stale adjudication key silently stops explaining anything — the
+    // exact failure mode that masked the r10 dedup_lsh_pairs plan drift;
+    // fail loudly on any key that no longer names a live query
+    val stale = adjudicated.keySet -- graft.SparkEntry.queries.keySet
+    stale.toSeq.sorted.foreach { k =>
+      unexplained += 1
+      println(f"AUDIT $k%-36s STALE_ADJUDICATION_KEY (no such query)")
+    }
     for (name <- graft.SparkEntry.queries.keys.toSeq.sorted) {
       try {
         val df = graft.SparkEntry.queries(name)(spark, dir)
