@@ -896,10 +896,28 @@ object SparkEntry {
       val left = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
-      graft.ext.AsOf.asofJoin(left, clicks, "user_id", "us",
+      val q = graft.ext.AsOf.asofJoin(left, clicks, "user_id", "us",
           Map("value" -> "ref_value"))
         .select("event_id", "user_id", "us", "ref_value")
         .orderBy("event_id")
+      // self-asserting plan (same pattern as events_range_join_sql): the
+      // as-of composition's whole point is ONE keyed shuffle — if it ever
+      // degrades to a theta-join fallback (nested loop / cartesian) or a
+      // partition-less window (single reducer, the 100 TB job-killer),
+      // turn THIS correctness row red instead of a bench number slow.
+      var bad: Option[String] = None
+      graft.etl.PlanWalk.visit(q.queryExecution.executedPlan) { p =>
+        val n = p.getClass.getSimpleName
+        if (n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct"))
+          bad = Some(n)
+        if (n.contains("WindowExec") && p.requiredChildDistribution.forall(
+            _.getClass.getSimpleName.contains("AllTuples")))
+          bad = Some("SinglePartitionWindow")
+      }
+      bad.foreach(b => throw new IllegalStateException(
+        s"as-of join plan degraded: $b in the physical plan — the tag-union + " +
+          "running-last composition must partition by key and never theta-join"))
+      q
     }),
 
     // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a
