@@ -981,6 +981,26 @@ object SparkEntry {
       graft.ext.Analytics.retentionRates(t(s, dir, "events"))
         .orderBy("cohort_day", "offset_d")),
 
+    // second streaming row: the sliding-window aggregation (1 h window,
+    // 30 min slide — every event in exactly 2 overlapping windows) through
+    // the same AvailableNow + complete-mode memory-sink harness; oracle =
+    // the batch events_sliding_agg SQL (two offset tumbling grids)
+    "events_stream_sliding" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_sliding_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.slidingCounts(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_sliding_verify")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("stream_sliding_verify")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // STREAMING driver-oracle row: the Structured Streaming tumbling
     // aggregation (streaming/EventStreams.tumblingCounts) run to completion
     // under Trigger.AvailableNow into a complete-mode memory sink, then
@@ -1972,8 +1992,19 @@ object SparkEntry {
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_retention_rates" -> graft.ext.Analytics.retentionRatesSqlDuck,
 
-    // streaming row: tumblingCounts ≡ the batch hourly aggregation, so the
-    // oracle is the identical SQL as events_tumbling_agg
+    // streaming rows: tumblingCounts/slidingCounts ≡ the batch window
+    // aggregations, so the oracles are identical SQL to their batch twins
+    "events_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        | w AS (
+        |  SELECT (us // 1800000000) * 1800000000 AS ws, event_type, value FROM e
+        |  UNION ALL
+        |  SELECT (us // 1800000000) * 1800000000 - 1800000000 AS ws, event_type, value FROM e)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+
     "events_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
