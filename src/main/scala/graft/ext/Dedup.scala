@@ -451,26 +451,35 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var prevRound: Option[DataFrame] = None
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
         .select(col("src").as("doc_id"), col("cluster_id"))
-      val merged = labels.unionByName(viaNeighbors)
-        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+      // min_by keeps the round's input label (`_prev`: the tag-0 row is the
+      // old label) in the SAME aggregation, so the convergence test is a
+      // scan-side filter over the round's result — no doc-sized
+      // join-per-round just to count changes
+      val merged = labels.select(col("doc_id"), col("cluster_id"), lit(0).as("_tag"))
+        .unionByName(viaNeighbors.withColumn("_tag", lit(1)))
+        .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"),
+          expr("min_by(cluster_id, _tag)").as("_prev"))
       // localCheckpoint every few rounds truncates the otherwise
       // exponentially-deepening lineage; persist covers the rounds between.
       val next =
         if ((i + 1) % 3 == 0) merged.localCheckpoint()
         else merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
-      // unpersist frees the persisted rounds; checkpoint rounds are freed by
-      // the ContextCleaner once this reference drops (Dataset.unpersist is a
-      // no-op for localCheckpoint blocks — do not hold refs to them)
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("cluster_id") =!= col("_prev")).count()
+      // unpersist frees the persisted rounds once the following round has
+      // materialized past them (labels is a projection of `next`, so the
+      // persisted handle itself is what must be released); checkpoint rounds
+      // are freed by the ContextCleaner once the reference drops
+      // (Dataset.unpersist is a no-op for localCheckpoint blocks)
+      prevRound.foreach(_.unpersist())
+      prevRound = Some(next)
+      labels = next.select("doc_id", "cluster_id")
       i += 1
     }
     edges.unpersist()
@@ -493,13 +502,16 @@ object Dedup {
       memberships.select(col("doc_id"),
         concat_ws(":", col("bi"), col("band")).as("bucket")))
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // prop carries the round's INPUT label alongside the output (`_prev`), so
+    // the convergence test below is a scan-side aggregate over the round's
+    // own result — not the extra doc-sized join-per-round this used to cost.
     def prop(l: DataFrame): DataFrame = {
       val bucketMin = m.join(l, "doc_id")
         .groupBy("bucket").agg(min("cluster_id").as("_bmin"))
       val docMin = m.join(bucketMin, "bucket")
         .groupBy("doc_id").agg(min("_bmin").as("_nmin"))
       val stepped = l.join(docMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("_prev"),
           least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id")))
             .as("cluster_id"))
       // pointer jumping (path halving): follow cluster_id one hop through the
@@ -509,27 +521,25 @@ object Dedup {
       stepped.as("l")
         .join(stepped.select(col("doc_id").as("cluster_id"),
           col("cluster_id").as("_root")).as("r"), Seq("cluster_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("l._prev").as("_prev"),
           least(col("cluster_id"), coalesce(col("_root"), col("cluster_id")))
             .as("cluster_id"))
     }
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val merged = prop(labels)
       // lazy localCheckpoint EVERY round: prop references its step result
       // twice (the pointer-jump self-join), so un-truncated logical plans
       // would double per round and Catalyst re-analysis — not execution —
       // becomes the cost (measured: 41s for round 7 without truncation).
       // Lazy = the convergence count below is the one action materializing it.
-      val next = merged.localCheckpoint(eager = false)
-      changed = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.cluster_id") =!= col("o.cluster_id")).count()
+      val next = prop(labels).localCheckpoint(eager = false)
+      changed = next.filter(col("cluster_id") =!= col("_prev")).count()
       // rounds are localCheckpoints: Dataset.unpersist cannot free their
       // blocks; dropping the reference each round hands them to the
       // ContextCleaner (the registry deliberately does NOT hold them — a
       // strong ref would only delay that GC-driven cleanup)
-      labels = next
+      labels = next.select("doc_id", "cluster_id")
       i += 1
     }
     labels
