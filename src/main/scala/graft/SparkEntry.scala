@@ -981,6 +981,29 @@ object SparkEntry {
       graft.ext.Analytics.retentionRates(t(s, dir, "events"))
         .orderBy("cohort_day", "offset_d")),
 
+    // third streaming row: gap-based sessionization via session_window
+    // (30 min inactivity gap) under the same harness. session_window's
+    // session start = the session's first event, so the oracle is the SAME
+    // lag/gap SQL as the batch events_sessionize, projected to
+    // (user_id, start_us, n_events) — proven equal by construction here and
+    // by StreamProbe at fixture scale. Streaming state: one open session
+    // row per (user, gap window), expired by the watermark.
+    "events_stream_sessionize" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_sessionize_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.sessionWindows(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_sessionize_verify")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("stream_sessionize_verify")
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // second streaming row: the sliding-window aggregation (1 h window,
     // 30 min slide — every event in exactly 2 overlapping windows) through
     // the same AvailableNow + complete-mode memory-sink harness; oracle =
@@ -1992,8 +2015,25 @@ object SparkEntry {
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
     "events_retention_rates" -> graft.ext.Analytics.retentionRatesSqlDuck,
 
-    // streaming rows: tumblingCounts/slidingCounts ≡ the batch window
-    // aggregations, so the oracles are identical SQL to their batch twins
+    // streaming rows: tumblingCounts/slidingCounts/sessionWindows ≡ the
+    // batch window aggregations, so the oracles are the batch twins' SQL
+
+    // session_window(start) = the session's first event, so the oracle is
+    // the batch lag/gap sessionization projected to (user_id, start_us, n)
+    "events_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | flags AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, min(us) AS start_us, CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, session_id ORDER BY user_id, start_us""".stripMargin,
     "events_stream_sliding" ->
       """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
         | w AS (
