@@ -75,8 +75,25 @@ object Bench {
     // below (125 digests would blow the bounded stdout line).
     def fingerprint(name: String): String =
       try {
+        // Pristine cache state first: CacheManager substitutes any live
+        // cached subplan into new queries, so a digest taken with another
+        // query's cache resident embeds that query's InMemoryRelation state
+        // — r11 observed unrelated queries' digests flipping when the query
+        // SET changed. Fingerprints run in a separate pass after all timing,
+        // so clearing here costs nothing and makes the digest a function of
+        // (code, fixture) only.
+        spark.catalog.clearCache()
+        // canonicalized normalizes MOST exprIds, but leaf nodes wrapping a
+        // physical payload (InMemoryRelation's cache builder, scan RDDs)
+        // keep raw ids from the global counter — whose value depends on what
+        // was constructed earlier in the session. Strip id-like tokens from
+        // the text so the digest hashes plan STRUCTURE only.
         val plan = SparkEntry.queries(name)(spark, sfDir)
           .queryExecution.executedPlan.canonicalized.toString
+          .replaceAll("#\\d+", "#x")
+          .replaceAll("plan_id=\\d+", "plan_id=x")
+          .replaceAll("@[0-9a-fA-F]+", "@x")
+          .replaceAll("\\[id=\\d+\\]", "[id=x]")
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
