@@ -59,12 +59,13 @@ class EventTsEncodingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming readEvents normalizes µs-NTZ and µs-LTZ ts identically") {
+  test("streaming readEvents normalizes ns-long, µs-NTZ, and µs-LTZ ts identically") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-tsenc-st").toString
+    writeEvents(s"$tmp/ns/events.parquet", (col("us") * 1000L).cast(LongType))
     writeEvents(s"$tmp/ntz/events.parquet",
       timestamp_micros(col("us")).cast(TimestampNTZType))
     writeEvents(s"$tmp/ltz/events.parquet", timestamp_micros(col("us")))
-    for (enc <- Seq("ntz", "ltz")) {
+    for (enc <- Seq("ns", "ntz", "ltz")) {
       val stream = graft.streaming.EventStreams.readEvents(spark, s"$tmp/$enc")
       assert(stream.isStreaming)
       assert(stream.schema("ts").dataType === TimestampType,
