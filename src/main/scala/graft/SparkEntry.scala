@@ -920,6 +920,60 @@ object SparkEntry {
       q
     }),
 
+    // FORWARD as-of join (ext/AsOf.asofJoin forward=true): each event joined
+    // to the EARLIEST purchase at-or-after it per user — the "time to next
+    // conversion" primitive. Same tag-union + running-last composition as
+    // the backward form, traversed descending: still ONE keyed shuffle.
+    // Right side pre-aggregated per (user, us) so coincident-timestamp
+    // payload choice is deterministic on both engines. Oracle = DuckDB
+    // native ASOF JOIN with the inequality flipped (l.us <= r.us).
+    "events_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val left = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        .groupBy("user_id", "us").agg(max("value").as("value"))
+      graft.ext.AsOf.asofJoin(left, purchases, "user_id", "us",
+          Map("value" -> "next_value"), forward = true)
+        .select("event_id", "user_id", "us", "next_value")
+        .orderBy("event_id")
+    }),
+
+    // SCD2-style state history (ext/Temporal.stateIntervals): runs of equal
+    // event_type per user collapsed to validity intervals — gaps-and-islands
+    // via lag + running flag-sum + one aggregate, all inside ONE hash
+    // partitioning on user_id
+    "events_state_intervals" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      graft.ext.Temporal.stateIntervals(ev, "user_id", "event_type", "us", "event_id")
+        .orderBy("user_id", "valid_from_us")
+    }),
+
+    // exponentially-decayed trailing sum (ext/Temporal.decayedTrailingSum):
+    // finite-window EWMA numerator per user, decimal-quantized fold so the
+    // oracle's row-number self-join recomputation hash-matches exactly; the
+    // Spark plan is one window collect_list + codegen'd higher-order fold —
+    // no self-join, no second shuffle
+    "events_decayed_sum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+      graft.ext.Temporal.decayedTrailingSum(ev, "user_id", "us", "event_id", "value")
+        .select("event_id", "user_id", "decayed_sum")
+        .orderBy("event_id")
+    }),
+
+    // time-windowed telemetry dedup (ext/Temporal.windowedDedup): same-hour
+    // (user, type) reports collapsed to one keeper + dup count; built on
+    // window() so the streaming twin (events_stream_windowed_dedup) runs
+    // the IDENTICAL aggregation and shares this oracle
+    "events_dedup_windowed" -> ((s, dir) =>
+      graft.ext.Temporal.windowedDedup(t(s, dir, "events"), "ts", "event_id",
+          Seq("user_id", "event_type"))
+        .orderBy("w_us", "user_id", "event_type")),
+
     // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a
     // 1-day grid per user, each point carrying the latest value at or
     // before it — grid from a tiny bounds agg, ONE keyed shuffle, never a
@@ -1022,6 +1076,26 @@ object SparkEntry {
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
         .orderBy("w_start", "event_type")
+    }),
+
+    // fourth streaming row: time-windowed telemetry dedup through the same
+    // AvailableNow + complete-mode memory-sink harness. The streaming agg
+    // (EventStreams.windowedDedup) is the IDENTICAL expression as the batch
+    // events_dedup_windowed, so both share one oracle SQL.
+    "events_stream_windowed_dedup" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_windedup_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.windowedDedup(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_windedup_verify")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("stream_windedup_verify")
+        .select(unix_micros(col("w_start")).as("w_us"), col("user_id"),
+          col("event_type"), col("keep_id"), col("n_dups"))
+        .orderBy("w_us", "user_id", "event_type")
     }),
 
     // STREAMING driver-oracle row: the Structured Streaming tumbling
@@ -1898,6 +1972,58 @@ object SparkEntry {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "events_asof_forward" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, r.value AS next_value
+        |FROM events e ASOF JOIN (
+        |  SELECT user_id, epoch_us(ts) AS us, max(value) AS value FROM events
+        |  WHERE event_type = 'purchase' GROUP BY user_id, epoch_us(ts)) r
+        |  ON e.user_id = r.user_id AND epoch_us(e.ts) <= r.us
+        |ORDER BY e.event_id""".stripMargin,
+
+    "events_state_intervals" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        | f AS (SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f)
+        |SELECT user_id, event_type, min(us) AS valid_from_us,
+        |  max(us) AS valid_to_us, CAST(count(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, event_type, grp
+        |ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // independent recomputation by a different plan (row-number self-join vs
+    // Spark's window collect_list + fold); hash-equality holds because both
+    // engines quantize each weighted term to DECIMAL(28,12) — exact for
+    // these products, see Temporal.decayedTrailingSum — before the
+    // order-independent exact decimal sum
+    "events_decayed_sum" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(value AS DOUBLE) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |SELECT a.event_id, a.user_id,
+        |  CAST(sum(CAST(b.v * pow(0.5, a.rn - b.rn) AS DECIMAL(28,12)))
+        |    AS VARCHAR) AS decayed_sum
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+        |GROUP BY a.event_id, a.user_id
+        |ORDER BY a.event_id""".stripMargin,
+
+    "events_dedup_windowed" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_us, user_id,
+        |  event_type, min(event_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY w_us, user_id, event_type""".stripMargin,
+
+    // the streaming twin runs the identical aggregation — same oracle
+    "events_stream_windowed_dedup" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_us, user_id,
+        |  event_type, min(event_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY w_us, user_id, event_type""".stripMargin,
 
     "events_resample_ffill" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us,

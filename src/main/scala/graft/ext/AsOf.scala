@@ -30,7 +30,8 @@ object AsOf {
     * "a right row exists", not payload nullity. One running last regardless
     * of payload arity. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-      rightPayload: Map[String, String], inner: Boolean = true): DataFrame = {
+      rightPayload: Map[String, String], inner: Boolean = true,
+      forward: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.filterNot(c => c == key || c == time)
     val payloadSrc = rightPayload.keys.toSeq
@@ -49,7 +50,15 @@ object AsOf {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)).toSeq: _*)
 
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(key).orderBy(col("_t"), col("_tag"))
+    // Backward (default): ascending time traversal — the running last is the
+    // latest right row at-or-before each left row. Forward: DESCENDING time
+    // traversal — every already-seen row has time >= current, so the running
+    // last is the EARLIEST right row at-or-after the left row. Either way the
+    // right tag (0) sorts before the left (1) at equal time, so an exactly
+    // coincident right row is visible to its left row — equality is included
+    // in both directions, matching DuckDB ASOF JOIN's >= / <= semantics.
+    val tOrd = if (forward) col("_t").desc else col("_t").asc
+    val w = Window.partitionBy(key).orderBy(tOrd, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filledCols = Seq(col(key), col("_t"), col("_tag")) ++
       leftCols.map(col) :+ last(col("_m"), ignoreNulls = true).over(w).as("_m")

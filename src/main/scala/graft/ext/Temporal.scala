@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal state operators over the `events` table: SCD2-style state
+  * intervals, exponentially-decayed trailing sums, and time-windowed
+  * telemetry deduplication — the change-tracking / smoothing / dedup steps a
+  * large event-ingest pipeline runs between raw landing and feature tables.
+  *
+  * All three are single-exchange designs: the only shuffle is the hash
+  * partitioning on the entity key (window partition and the follow-on
+  * groupBy share it), so at 100 TB the data moves once. No driver-side
+  * state anywhere.
+  */
+object Temporal {
+
+  /** Collapse each run of consecutive equal `state` values per `key` into
+    * one validity interval — the classic gaps-and-islands compression that
+    * turns an append-only event log into SCD2-style (key, state,
+    * valid_from, valid_to) history rows. Standard two-window formulation:
+    * a change flag via `lag`, a running sum of flags as the island id, then
+    * one aggregate per island. Both windows and the groupBy hash on `key`
+    * alone, so the whole operator is ONE exchange; (timeUs, ord) is a total
+    * order within key, making the island assignment deterministic.
+    */
+  def stateIntervals(events: DataFrame, key: String, state: String,
+      timeUs: String, ord: String): DataFrame = {
+    val byKey = Window.partitionBy(key).orderBy(col(timeUs), col(ord))
+    val cum = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_prev", lag(col(state), 1).over(byKey))
+      .withColumn("_chg",
+        when(col("_prev").isNull || col("_prev") =!= col(state), 1L).otherwise(0L))
+      .withColumn("_grp", sum(col("_chg")).over(cum))
+      .groupBy(col(key), col("_grp"), col(state))
+      .agg(min(col(timeUs)).as("valid_from_us"), max(col(timeUs)).as("valid_to_us"),
+        count(lit(1)).as("n_events"))
+      .select(col(key), col(state), col("valid_from_us"), col("valid_to_us"),
+        col("n_events"))
+  }
+
+  /** Exponentially-decayed trailing sum (finite-window EWMA numerator):
+    * per key, sum of the last `lookback` values weighted decay^distance,
+    * newest value at weight 1. The fold quantizes each weighted term to
+    * DECIMAL(28,12) and accumulates in decimal, so the result is
+    * bit-deterministic and order-independent past the (identical on both
+    * engines) per-term double multiply — the oracle can recompute it with a
+    * completely different plan (row-number self-join) and still hash-match.
+    * Scale 12 matters: with decay 0.5 and lookback 10, a 2-decimal input
+    * value times 2^-9 has an 11-digit decimal expansion, so a scale-10
+    * quantization lands EXACTLY on the rounding midpoint and the engines'
+    * tie rules diverge (Spark HALF_UP on the double's shortest repr, DuckDB
+    * nearest on the exact binary value); at scale 12 the cast is exact and
+    * no tie can occur. Spark side: one window `collect_list` of ≤
+    * `lookback` elements, folded by codegen'd higher-order functions — no
+    * self-join, no second shuffle.
+    */
+  def decayedTrailingSum(events: DataFrame, key: String, timeUs: String,
+      ord: String, valueCol: String, lookback: Int = 10,
+      decay: Double = 0.5): DataFrame = {
+    require(lookback >= 1, "lookback must be at least 1")
+    val w = Window.partitionBy(key).orderBy(col(timeUs), col(ord))
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    events
+      .withColumn("_vals", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("decayed_sum", expr(
+        s"""CAST(aggregate(
+           |  zip_with(_vals, sequence(size(_vals) - 1, 0, -1),
+           |    (v, k) -> CAST(v * pow(CAST($decay AS DOUBLE), k) AS DECIMAL(28,12))),
+           |  CAST(0 AS DECIMAL(28,12)),
+           |  (acc, x) -> CAST(acc + x AS DECIMAL(28,12))) AS STRING)""".stripMargin))
+      .drop("_vals")
+  }
+
+  /** Time-windowed telemetry dedup: within each tumbling window, collapse
+    * rows sharing the identity `keys` to one keeper (min id) plus the
+    * duplicate count — the "same logical event reported twice inside the
+    * retry horizon" cleanup every event pipeline runs on landing. Built on
+    * Spark's `window()` so the batch form is the EXACT aggregation the
+    * streaming twin runs with a watermark (EventStreams.windowedDedup);
+    * one shuffle on (window, keys), map-side combined.
+    */
+  def windowedDedup(events: DataFrame, tsCol: String, idCol: String,
+      keys: Seq[String], windowDur: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col(tsCol), windowDur) +: keys.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(unix_micros(col("window.start")).as("w_us") +: keys.map(col) :+
+        col("keep_id") :+ col("n_dups"): _*)
+}

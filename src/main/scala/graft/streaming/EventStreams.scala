@@ -60,6 +60,20 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming time-windowed telemetry dedup — the streaming twin of
+    * ext/Temporal.windowedDedup: within each tumbling window, collapse rows
+    * sharing the identity keys to one keeper (min id) + duplicate count.
+    * Same aggregation expression as the batch form, so batch output is the
+    * oracle; state is one row per open (window, user, type), expired by the
+    * watermark. */
+  def windowedDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .select(col("window.start").as("w_start"), col("user_id"),
+        col("event_type"), col("keep_id"), col("n_dups"))
+
   /** Streaming exact deduplication by event id with a watermark bounding the
     * dedup state — the streaming half of the dedup suite (ext/Dedup covers
     * batch). State holds only ids newer than the watermark. */

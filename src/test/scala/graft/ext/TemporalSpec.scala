@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession.spark
+
+class TemporalSpec extends AnyFunSuite {
+  import spark.implicits._
+
+  test("forward as-of join picks the earliest right row at or after each left time") {
+    val quotes = Seq(
+      (1L, 10L, 100.0), (1L, 20L, 200.0), (1L, 30L, 300.0),
+      (2L, 15L, 150.0)).toDF("k", "t", "px")
+    val trades = Seq(
+      (1L, "a", 5L), (1L, "b", 10L), (1L, "c", 25L), (1L, "d", 99L),
+      (2L, "e", 14L), (2L, "f", 16L)).toDF("k", "id", "t")
+    val out = AsOf.asofJoin(trades, quotes, "k", "t", Map("px" -> "ref"),
+        forward = true)
+      .select("id", "ref").as[(String, Double)].collect().toMap
+    // "a" (t=5) → quote t=10; "b" (t=10) → same-instant quote (equality
+    // included); "c" (t=25) → t=30; "d" (t=99, after last quote) dropped;
+    // "e" (t=14) → t=15; "f" (t=16, after key 2's only quote) dropped
+    assert(out == Map("a" -> 100.0, "b" -> 100.0, "c" -> 300.0, "e" -> 150.0))
+  }
+
+  test("state intervals collapse runs of equal state into validity ranges") {
+    val ev = Seq(
+      (1L, "view", 10L, 1L), (1L, "view", 20L, 2L), (1L, "click", 30L, 3L),
+      (1L, "view", 40L, 4L), (2L, "view", 5L, 5L))
+      .toDF("user_id", "event_type", "us", "event_id")
+    val out = Temporal.stateIntervals(ev, "user_id", "event_type", "us", "event_id")
+      .orderBy("user_id", "valid_from_us")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    // the second "view" run at t=40 is a NEW island, not merged with 10-20
+    assert(out == Seq(
+      (1L, "view", 10L, 20L, 2L), (1L, "click", 30L, 30L, 1L),
+      (1L, "view", 40L, 40L, 1L), (2L, "view", 5L, 5L, 1L)))
+  }
+
+  test("decayed trailing sum: exact decimal fold, newest term at weight 1") {
+    val ev = Seq((1L, 10L, 1L, 4.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val out = Temporal.decayedTrailingSum(ev, "user_id", "us", "event_id",
+        "value", lookback = 10, decay = 0.5)
+      .orderBy("us").select("decayed_sum").as[String].collect().toSeq
+    // t1: 4; t2: 2 + 4*0.5 = 4; t3: 1 + 2*0.5 + 4*0.25 = 3 — scale-12 strings
+    assert(out == Seq("4.000000000000", "4.000000000000", "3.000000000000"))
+  }
+
+  test("decayed trailing sum honors the lookback horizon") {
+    val ev = (1 to 5).map(i => (1L, i.toLong * 10, i.toLong, 1.0))
+      .toDF("user_id", "us", "event_id", "value")
+    val out = Temporal.decayedTrailingSum(ev, "user_id", "us", "event_id",
+        "value", lookback = 2, decay = 0.5)
+      .orderBy("us").select("decayed_sum").as[String].collect().toSeq
+    // window of 2: first row 1.0, every later row 1 + 0.5
+    assert(out == Seq("1.000000000000") ++ Seq.fill(4)("1.500000000000"))
+  }
+
+  test("windowed dedup collapses same-window duplicates to min id + count") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+    def ts(mins: Int) = new java.sql.Timestamp(base.getTime + mins * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "click"), (1L, ts(10), 9L, "click"), // same hour → dup
+      (1L, ts(50), 3L, "click"), // 11:05 → next hour bucket
+      (2L, ts(0), 4L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Temporal.windowedDedup(ev, "ts", "event_id",
+        Seq("user_id", "event_type"))
+      .orderBy("w_us", "user_id")
+      .select("user_id", "keep_id", "n_dups").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq((1L, 7L, 2L), (2L, 4L, 1L), (1L, 3L, 1L)))
+  }
+
+  test("streaming windowed dedup equals the batch form on the fixture") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.streams.active.filter(q => Option(q.name).contains("temporal_windedup"))
+      .foreach(_.stop())
+    val q = graft.streaming.EventStreams.windowedDedup(
+        graft.streaming.EventStreams.readEvents(spark, graft.SparkTestSession.sf0001))
+      .writeStream.format("memory").queryName("temporal_windedup")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("temporal_windedup")
+      .select(unix_micros(col("w_start")).as("w_us"), col("user_id"),
+        col("event_type"), col("keep_id"), col("n_dups"))
+      .collect().map(_.toSeq).toSet
+    val batch = Temporal.windowedDedup(
+        graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001, "events"),
+        "ts", "event_id", Seq("user_id", "event_type"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("forward as-of plan: one keyed shuffle, no theta-join fallback") {
+    val ev = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001, "events")
+    val left = ev.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val right = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .groupBy("user_id", "us").agg(max("value").as("value"))
+    val plan = AsOf.asofJoin(left, right, "user_id", "us",
+      Map("value" -> "next_value"), forward = true).queryExecution.executedPlan
+    var bad: Option[String] = None
+    graft.etl.PlanWalk.visit(plan) { p =>
+      val n = p.getClass.getSimpleName
+      if (n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct"))
+        bad = Some(n)
+    }
+    assert(bad.isEmpty, s"forward as-of degraded to $bad")
+  }
+}
