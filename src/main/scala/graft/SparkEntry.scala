@@ -974,6 +974,21 @@ object SparkEntry {
           Seq("user_id", "event_type"))
         .orderBy("w_us", "user_id", "event_type")),
 
+    // z-order (Morton) layout key (etl/Layout.zOrderKey over
+    // functions/MortonInterleave, a codegen'd Catalyst expression): both
+    // dims range-bucketized by exact BIGINT arithmetic from one broadcast
+    // stats agg, then bit-interleaved — the clustering key that makes
+    // per-file min/max stats selective on BOTH columns at 100 TB
+    // (Layout.writeZOrdered sorts by it; LayoutSpec measures the skipping).
+    // Oracle recomputes the interleave as an unrolled bit-shift sum.
+    "events_zorder_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      graft.etl.Layout.zOrderKey(ev, "user_id", "us", bits = 10)
+        .select("event_id", "user_id", "us", "zkey")
+        .orderBy("event_id")
+    }),
+
     // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a
     // 1-day grid per user, each point carrying the latest value at or
     // before it — grid from a tiny bounds agg, ONE keyed shuffle, never a
@@ -2011,6 +2026,17 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
         |GROUP BY a.event_id, a.user_id
         |ORDER BY a.event_id""".stripMargin,
+
+    "events_zorder_key" ->
+      s"""WITH s AS (SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+         |    min(epoch_us(ts)) AS ymin, max(epoch_us(ts)) AS ymax FROM events),
+         | b AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |    ((user_id - xmin) * 1024) // (xmax - xmin + 1) AS bx,
+         |    ((epoch_us(ts) - ymin) * 1024) // (ymax - ymin + 1) AS by
+         |  FROM events, s)
+         |SELECT event_id, user_id, us,
+         |  ${graft.functions.MortonInterleave.sqlDuck("bx", "by", 10)} AS zkey
+         |FROM b ORDER BY event_id""".stripMargin,
 
     "events_dedup_windowed" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_us, user_id,

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical data layout for scale (SURVEY.md §7 / build brief): bucketing
   * for co-located joins and partitioned directories for partition pruning.
@@ -28,6 +29,52 @@ object Layout {
     * columns prune at planning time. */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Z-order key over two long columns: each column range-bucketized into
+    * `1 << bits` equal-width buckets from a global min/max (one tiny agg,
+    * broadcast back onto the stream — same shape as Analytics.minmaxScale),
+    * then Morton-interleaved (functions/MortonInterleave, codegen'd). All
+    * bucket arithmetic is exact BIGINT ((v-min)*nb / (range+1)), so an
+    * engine recomputing it (the DuckDB oracle) lands on identical keys.
+    * Output: the input columns plus `zkey`. */
+  def zOrderKey(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 10): DataFrame = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    val nb = 1L << bits
+    val stats = df.agg(
+      min(col(xCol)).as("_xmin"), max(col(xCol)).as("_xmax"),
+      min(col(yCol)).as("_ymin"), max(col(yCol)).as("_ymax"))
+    // BIGINT `div`, not `/` (Divide is floating-point — (v-min)*nb can pass
+    // 2^53 on a µs-timestamp range and a double round would shift buckets)
+    def idiv(a: Column, b: Column): Column = {
+      import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+      toColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpression(a), toExpression(b)))
+    }
+    def bucket(v: Column, lo: Column, hi: Column): Column =
+      idiv((v - lo) * nb, hi - lo + lit(1L))
+    df.crossJoin(broadcast(stats))
+      .withColumn("zkey", graft.functions.MortonInterleave(
+        bucket(col(xCol), col("_xmin"), col("_xmax")),
+        bucket(col(yCol), col("_ymin"), col("_ymax"))))
+      .drop("_xmin", "_xmax", "_ymin", "_ymax")
+  }
+
+  /** Write `df` globally sorted by the z-order key of (xCol, yCol): rows
+    * close in BOTH dimensions land in the same files, so per-file min/max
+    * statistics prune scans filtered on EITHER column — the multi-dim
+    * clustering a single-column sort can't give (it makes the second
+    * column's per-file ranges span everything). The sort is one range
+    * exchange; the key is dropped before write. */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+      bits: Int = 10, numFiles: Int = 0): Unit = {
+    val keyed = zOrderKey(df, xCol, yCol, bits)
+    val sorted =
+      if (numFiles > 0) keyed.repartitionByRange(numFiles, col("zkey"))
+        .sortWithinPartitions("zkey")
+      else keyed.orderBy("zkey")
+    sorted.drop("zkey").write.mode("overwrite").parquet(path)
+  }
 
   /** Final executed plan node names (descends AQE wrappers) for plan tests. */
   def finalPlanString(df: DataFrame): String = {

@@ -34,7 +34,9 @@ object PlanAudit {
     "text_top_ngrams" -> ("SinglePartitionWindow",
       "rank window runs AFTER limit(k) — k=100 rows through one partition; the distributed part is TakeOrderedAndProject"),
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
-      "crossJoin of the 1-row quartile-edges aggregate"))
+      "crossJoin of the 1-row quartile-edges aggregate"),
+    "events_zorder_key" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row min/max bucketization-stats aggregate"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
