@@ -83,17 +83,7 @@ object Bench {
         // so clearing here costs nothing and makes the digest a function of
         // (code, fixture) only.
         spark.catalog.clearCache()
-        // canonicalized normalizes MOST exprIds, but leaf nodes wrapping a
-        // physical payload (InMemoryRelation's cache builder, scan RDDs)
-        // keep raw ids from the global counter — whose value depends on what
-        // was constructed earlier in the session. Strip id-like tokens from
-        // the text so the digest hashes plan STRUCTURE only.
-        val plan = SparkEntry.queries(name)(spark, sfDir)
-          .queryExecution.executedPlan.canonicalized.toString
-          .replaceAll("#\\d+", "#x")
-          .replaceAll("plan_id=\\d+", "plan_id=x")
-          .replaceAll("@[0-9a-fA-F]+", "@x")
-          .replaceAll("\\[id=\\d+\\]", "[id=x]")
+        val plan = canonicalPlanText(SparkEntry.queries(name)(spark, sfDir))
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
@@ -180,6 +170,31 @@ object Bench {
     )
     spark.stop()
   }
+
+  /** The text the plan fingerprint hashes: executedPlan canonicalized, then
+    * every session-order-dependent token stripped. canonicalized normalizes
+    * MOST exprIds, but several leak the session-global counters or JVM
+    * allocation state into the text:
+    *  - leaf nodes wrapping a physical payload (InMemoryRelation's cache
+    *    builder, scan RDDs) keep raw #N ids / [id=N] tags;
+    *  - broadcast variables print their session-sequential id
+    *    (`Broadcast(12)`);
+    *  - closures in object plans (mapPartitions) print JVM lambda class
+    *    names (`...$$Lambda$3050/0x00000008...`), numbered by
+    *    lambda-creation order;
+    *  - default @hex identity hashes on any object without toString.
+    * Custom expressions must ALSO have value-based (not identity)
+    * hashCode — canonicalization sorts commutative operands by hashCode, so
+    * an identity hash reorders them per-session (see FloatVectorDotConst /
+    * BloomMightContainLong). */
+  def canonicalPlanText(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.canonicalized.toString
+      .replaceAll("#\\d+", "#x")
+      .replaceAll("plan_id=\\d+", "plan_id=x")
+      .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda\\$x")
+      .replaceAll("@[0-9a-fA-F]+", "@x")
+      .replaceAll("\\[id=\\d+\\]", "[id=x]")
+      .replaceAll("Broadcast\\((\\d+)\\)", "Broadcast(x)")
 
   /** 1/5/15-minute load averages from /proc/loadavg — recorded at bench
     * start and end so a reader of the JSON can adjudicate noise (a loaded

@@ -43,6 +43,19 @@ case class BloomMightContainLong(child: Expression, bloom: Broadcast[BloomFilter
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $bf.mightContainLong($c);")
   }
 
+  // Deterministic identity: the default case-class hashCode reaches the
+  // Broadcast wrapper's IDENTITY hash, which varies with allocation history —
+  // Catalyst sorts commutative operands by hashCode during canonicalization,
+  // so an identity hash destabilizes plan fingerprints across sessions.
+  // Equality keys on the broadcast id (same broadcast ⇔ same filter within a
+  // session); the hash keys on the child only — stable, and still consistent
+  // with equals.
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainLong => child == o.child && bloom.id == o.bloom.id
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * child.hashCode() + 41
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

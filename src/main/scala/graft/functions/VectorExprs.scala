@@ -119,6 +119,20 @@ case class FloatVectorDotConst(child: Expression, weights: Array[Double])
     })
   }
 
+  // Value-based identity: the default case-class equals/hashCode on an
+  // Array member is REFERENCE identity, which (a) blocks common-subexpression
+  // elimination and exchange reuse between structurally identical plans and
+  // (b) makes plan canonicalization order-unstable — Catalyst sorts
+  // commutative operands by hashCode, so an identity hash varies with
+  // allocation history and flips plan fingerprints across sessions.
+  override def equals(other: Any): Boolean = other match {
+    case o: FloatVectorDotConst =>
+      child == o.child && java.util.Arrays.equals(weights, o.weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
