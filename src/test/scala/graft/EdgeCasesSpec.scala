@@ -117,6 +117,37 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Similarity.annTopK(none).count() == 0)
   }
 
+  test("temporal ops on empty and single-row frames") {
+    import graft.ext.Temporal
+    val empty = Seq.empty[(Long, String, Long, Long)]
+      .toDF("user_id", "event_type", "us", "event_id")
+    assert(Temporal.stateIntervals(empty, "user_id", "event_type", "us", "event_id")
+      .count() == 0)
+    val emptyV = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("user_id", "us", "event_id", "value")
+    assert(Temporal.decayedTrailingSum(emptyV, "user_id", "us", "event_id", "value")
+      .count() == 0)
+    val one = Seq((1L, "view", 10L, 1L)).toDF("user_id", "event_type", "us", "event_id")
+    val iv = Temporal.stateIntervals(one, "user_id", "event_type", "us", "event_id")
+      .collect()
+    assert(iv.length == 1 && iv.head.getAs[Long]("valid_from_us") == 10L &&
+      iv.head.getAs[Long]("valid_to_us") == 10L)
+    // empty frame through windowedDedup (needs a real timestamp column)
+    val emptyTs = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    assert(Temporal.windowedDedup(emptyTs, "ts", "event_id",
+      Seq("user_id", "event_type")).count() == 0)
+  }
+
+  test("z-order key on degenerate ranges: single value buckets to 0") {
+    import graft.etl.Layout
+    val one = Seq((5L, 7L)).toDF("x", "y")
+    val z = Layout.zOrderKey(one, "x", "y").select("zkey").as[Long].head()
+    assert(z == 0L) // min==max on both dims → bucket 0 interleaved with 0
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    assert(Layout.zOrderKey(empty, "x", "y").count() == 0)
+  }
+
   test("as-of join with an empty right side: inner empty, left all-null") {
     val l = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
     val r = Seq.empty[(Long, Long, Double)].toDF("k", "t", "px")
