@@ -1113,6 +1113,31 @@ object SparkEntry {
         .orderBy("w_us", "user_id", "event_type")
     }),
 
+    // fifth streaming row — the APPEND-mode arbitrary-stateful shape:
+    // flatMapGroupsWithState closed-session emitter (EventStreams
+    // .closedSessions). Sessions close by gap (a later event arrives past
+    // the 30-min gap) or by event-time TIMEOUT (the watermark passes
+    // last + gap); each is emitted exactly once and state is dropped.
+    // Oracle = the batch lag/gap sessionization restricted to closed
+    // sessions, with the timeout ripeness test in Spark's own ms-floor
+    // arithmetic. Single data batch here (one fixture file), so gap
+    // closures are in-batch and timeouts fire in the final no-data batch.
+    "events_stream_closed_sessions" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_closed_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.closedSessions(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_closed_verify")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      s.table("stream_closed_verify")
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("closed_by"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // STREAMING driver-oracle row: the Structured Streaming tumbling
     // aggregation (streaming/EventStreams.tumblingCounts) run to completion
     // under Trigger.AvailableNow into a complete-mode memory sink, then
@@ -1987,6 +2012,28 @@ object SparkEntry {
         |  SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
         |  ON e.user_id = r.user_id AND e.ts >= r.ts
         |ORDER BY e.event_id""".stripMargin,
+
+    // closed sessions: lag/gap islands; a session is closed iff a later
+    // event exists for the user (gap) or the final watermark passed
+    // last + gap — `< wm_ms` after integer ms floor is EXACTLY Spark's
+    // `timeoutTimestamp < eventTimeWatermark` test
+    "events_stream_closed_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | f AS (SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |         OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f),
+        | s AS (SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |        CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, sid),
+        | t AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid FROM s),
+        | wm AS (SELECT (max(epoch_us(ts)) // 1000) - 3600000 AS wm_ms FROM events)
+        |SELECT user_id, start_us, end_us, n_events,
+        |  CASE WHEN sid < last_sid THEN 'gap' ELSE 'timeout' END AS closed_by
+        |FROM t, wm
+        |WHERE sid < last_sid OR (end_us + 1800000000) // 1000 < wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "events_asof_forward" ->
       """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, r.value AS next_value

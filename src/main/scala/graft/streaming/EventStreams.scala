@@ -287,6 +287,74 @@ object EventStreams {
       }
   }
 
+  /** CLOSED-session emitter via flatMapGroupsWithState — the append-mode
+    * arbitrary-stateful shape (0..n output rows per group per batch, which
+    * mapGroupsWithState's exactly-one-row contract cannot express): per
+    * user, an open session (start, last, n) is folded forward; an event
+    * more than `gapUs` after the last CLOSES the session and EMITS it, and
+    * a user going quiet is flushed by an event-time timeout once the
+    * watermark passes last + gap — so every session is emitted exactly
+    * once, with `closed_by` saying which path fired. State is O(1) per
+    * ACTIVE user only (closed state is removed by the timeout), the
+    * streaming-scale contrast to session_window's complete-mode rows.
+    *
+    * Ordered-stream contract as [[funnelState]]: batches arrive in
+    * event-time order; within a batch the fold sorts its group iterator.
+    * Emitted sessions match the batch lag/gap sessionization restricted to
+    * closed sessions (every non-final session per user, plus final
+    * sessions whose last + gap the final watermark passed) —
+    * EventStreamsSpec and the events_stream_closed_sessions oracle row
+    * prove it on the fixture. */
+  final case class SessState(startUs: Long, lastUs: Long, n: Long)
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, closed_by: String)
+
+  def closedSessions(events: DataFrame, gapUs: Long = 1800000000L,
+      delay: String = "1 hour"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", delay)
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "ts")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            // quiet user: the watermark passed last + gap — flush and drop
+            val out = state.getOption.map(s =>
+              ClosedSession(uid, s.startUs, s.lastUs, s.n, "timeout")).toList
+            state.remove()
+            out.iterator
+          } else {
+            val evs = rows.map(r => (r._2, r._3)).toList.sorted
+            var cur = state.getOption
+            val closed = List.newBuilder[ClosedSession]
+            evs.foreach { case (us, _) =>
+              cur match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += ClosedSession(uid, s.startUs, s.lastUs, s.n, "gap")
+                  cur = Some(SessState(us, us, 1L))
+                case Some(s) =>
+                  cur = Some(SessState(s.startUs, math.max(s.lastUs, us), s.n + 1))
+                case None => cur = Some(SessState(us, us, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // event-time ms; must stay ahead of the current watermark or
+              // Spark rejects it (a just-ripe session times out next batch)
+              val wmMs = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(
+                math.max((s.lastUs + gapUs) / 1000L, wmMs + 1L))
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Windowed stream-stream inner join — the hardest Structured Streaming
     * shape: each purchase joined to the same user's clicks in the preceding
     * hour. Both sides carry watermarks and the join condition includes an

@@ -420,6 +420,47 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(flushed > 0, "no user had any event finalized — watermark never bit")
     finalRows.unpersist()
   }
+
+  test("flatMapGroupsWithState closed-session emitter equals batch closed sessions") {
+    import org.apache.spark.sql.functions._
+    val q = EventStreams.closedSessions(EventStreams.readEvents(spark, sf0001))
+      .writeStream.format("memory").queryName("closed_sess_test")
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("closed_sess_test").collect()
+    // exactly-once: no session (user, start) emitted twice
+    assert(emitted.map(r => (r.getLong(0), r.getLong(1))).distinct.length
+      == emitted.length)
+    assert(emitted.exists(_.getString(4) == "gap") &&
+      emitted.exists(_.getString(4) == "timeout"))
+    val streamed = emitted.map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // batch twin: lag/gap sessions, closed = non-last per user OR ripe
+    // against the final watermark in Spark's ms-floor arithmetic
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val wmMs = ev.agg(max("us")).head().getLong(0) / 1000L - 3600000L
+    val batch = ev
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev").isNull ||
+        col("us") - col("prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(cum))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), max("us").as("end_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("last_sid", max("sid").over(Window.partitionBy("user_id")))
+      .filter(col("sid") < col("last_sid") ||
+        expr("(end_us + 1800000000) div 1000") < lit(wmMs))
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
 
 /** Batch twin of the streaming aggregation, via the engine's query registry. */
