@@ -809,6 +809,17 @@ object SparkEntry {
           |FROM fn_emb ORDER BY vec_id""".stripMargin)
     }),
 
+    // the z-order expression through its SQL surface (GraftExtensions
+    // injectFunction), over raw ids — the oracle re-derives the interleave
+    // bit by bit, so both the function registration and the bit math are
+    // independently checked
+    "sql_fn_zorder" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("fn_ev")
+      s.sql(
+        """SELECT event_id, graft_zorder(user_id, event_id) AS zkey
+          |FROM fn_ev ORDER BY event_id""".stripMargin)
+    }),
+
     // KMV distinct-count sketch (see ext/Sketch.scala): deterministic given
     // md5, so — unlike HLL — the ESTIMATE itself is oracle-checked, not just
     // row counts. est_distinct is a double computed from identical hashes on
@@ -2285,6 +2296,11 @@ object SparkEntry {
     "sql_fn_vec_dot" ->
       s"""SELECT vec_id, ${Similarity.dotSqlDuck("embedding", "embedding")} AS dot
          |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "sql_fn_zorder" ->
+      s"""SELECT event_id,
+         |  ${graft.functions.MortonInterleave.sqlDuck(
+               "(user_id & 2147483647)", "(event_id & 2147483647)", 31)} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin,
     "pipeline_corpus" -> graft.ext.Pipelines.curateCorpusSqlDuck(),
     "pipeline_corpus_lsh" -> graft.ext.Pipelines.curateCorpusLshSqlDuck(),
     "text_chunks" -> graft.ext.Chunking.chunkDocsSqlDuck(),

@@ -111,7 +111,7 @@ case class RangeJoinBucketing() extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Lower}
-  import graft.functions.{AsciiRunTokens, FloatVectorDot, SortedIntersectCount}
+  import graft.functions.{AsciiRunTokens, FloatVectorDot, MortonInterleave, SortedIntersectCount}
 
   private def info(name: String, clazz: String, usage: String) =
     new ExpressionInfo(clazz, name) // (usage is Scaladoc-only: the richer
@@ -133,6 +133,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_vec_dot expects 2 arguments")
         FloatVectorDot(children(0), children(1))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_zorder"),
+      info("graft_zorder", classOf[MortonInterleave].getCanonicalName,
+        "graft_zorder(x, y) - Morton bit-interleave of two bigint bucket ordinals (low 31 bits each)"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_zorder expects 2 arguments")
+        MortonInterleave(children(0), children(1))
       }))
     ext.injectFunction((FunctionIdentifier("graft_sorted_intersect"),
       info("graft_sorted_intersect", classOf[SortedIntersectCount].getCanonicalName,
