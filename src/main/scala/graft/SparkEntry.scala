@@ -1371,6 +1371,16 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("doc_id")),
 
+    // leakage-safe split (ext/Pipelines.splitLeakageSafe): near-dup
+    // CLUSTERS are the split unit, so a near-copy of a training doc can
+    // never land in eval — doc-independent hashing (sample_split_hash)
+    // cannot give this guarantee; oracle recomputes the components as a
+    // recursive CTE and applies the identical md5 CASE over cluster_id
+    "sample_split_leakage_safe" -> ((s, dir) =>
+      graft.ext.Pipelines.splitLeakageSafe(t(s, dir, "documents"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")),
+
     // Gopher-style duplicate-3-gram repetition signal per doc
     "text_repetition" -> ((s, dir) =>
       graft.ext.TextOps.repetition(t(s, dir, "documents")).orderBy("doc_id")),
@@ -2210,6 +2220,8 @@ object SparkEntry {
     "sample_split_hash" -> graft.ext.Pipelines.splitByHashSqlDuck(
       "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
       "documents", "doc_id, source"),
+    "sample_split_leakage_safe" -> graft.ext.Pipelines.splitLeakageSafeSqlDuck(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
     "text_repetition" -> graft.ext.TextOps.repetitionSqlDuck(),
     "text_decontaminate" -> graft.ext.TextOps.decontaminateSqlDuck("src0"),
     // IDENTICAL oracle to text_decontaminate: the Bloom prefilter is pure

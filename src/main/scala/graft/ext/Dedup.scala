@@ -552,7 +552,14 @@ object Dedup {
     * cluster id is the minimum reachable doc id. Independent formulation
     * (fixpoint set-semantics recursion vs the engine's iterative min-label
     * propagation), same result — which is what makes it a real oracle. */
-  def clustersSqlDuck: String = {
+  def clustersSqlDuck: String =
+    s"""$clustersCteDuck
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+
+  /** The same component computation as a reusable CTE chain ending in
+    * `cl(doc_id, cluster_id)` — shared with oracles that build ON the
+    * clusters (e.g. the leakage-safe split). */
+  def clustersCteDuck: String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
       .mkString(" UNION ALL ")
@@ -568,9 +575,9 @@ object Dedup {
        |  SELECT doc_id, doc_id AS r FROM documents
        |  UNION
        |  SELECT e.src AS doc_id, reach.r FROM edges e
-       |  JOIN reach ON e.dst = reach.doc_id)
-       |SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
-       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |  JOIN reach ON e.dst = reach.doc_id),
+       | cl AS (SELECT doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY doc_id)""".stripMargin
   }
 
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------

@@ -345,6 +345,42 @@ object Pipelines {
     df.withColumn("split", assign)
   }
 
+  /** Leakage-safe split: near-duplicate documents MUST land in the same
+    * split — hashing each doc independently leaks near-copies of training
+    * rows into eval, the classic train/test contamination. Assign by the
+    * near-dup CLUSTER id (connected components over the LSH band buckets,
+    * [[Dedup.clusterByBuckets]] — every doc gets a label, singletons label
+    * themselves) and hash THAT through the same deterministic md5
+    * assignment as [[splitByHash]]. Cost on top of clustering: one keyed
+    * join; the split itself stays a narrow projection. */
+  def splitLeakageSafe(docs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame = {
+    val clusters = Dedup.clusterByBuckets(docs,
+      Dedup.bandBuckets(Dedup.minhashSignatures(docs)))
+    val labeled = docs.select("doc_id", "source").join(clusters, "doc_id")
+    splitByHash(labeled, "cluster_id", splits)
+      .select("doc_id", "source", "cluster_id", "split")
+  }
+
+  /** DuckDB oracle for [[splitLeakageSafe]]: the recursive-CTE component
+    * computation ([[Dedup.clustersCteDuck]]) joined to the same md5 CASE
+    * assignment over cluster_id. */
+  def splitLeakageSafeSqlDuck(splits: Seq[(String, Double)]): String = {
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail
+    val arms = splits.init.zip(bounds.init).map { case ((name, _), upper) =>
+      s"WHEN frac < $upper THEN '$name'"
+    }.mkString(" ")
+    s"""${Dedup.clustersCteDuck}
+       |SELECT d.doc_id, d.source, c2.cluster_id,
+       |  CASE $arms ELSE '${splits.last._1}' END AS split
+       |FROM (SELECT doc_id, source FROM documents) d
+       |JOIN (SELECT doc_id, cluster_id,
+       |    ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::UBIGINT
+       |      / 4294967296.0 AS frac
+       |  FROM cl) c2 ON d.doc_id = c2.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for [[splitByHash]] — the cumulative bounds are computed
     * by the SAME double scanLeft and embedded at full round-trip precision
     * (0.8 + 0.1 is not 0.9 in binary; a hand-written 0.9 literal would be a

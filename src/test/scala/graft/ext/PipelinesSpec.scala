@@ -201,4 +201,31 @@ class PipelinesSpec extends AnyFunSuite {
       assert(simple == scalable, s"budget=$b")
     }
   }
+
+  test("leakage-safe split: every LSH candidate pair lands in one split") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val out = Pipelines.splitLeakageSafe(docs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val split = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(split.size == docs.count())
+    assert(split.values.toSet.size >= 2, "fixture should populate several splits")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty, "fixture should contain near-dup candidates")
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(split(a) == split(b),
+        s"near-dup pair ($a, $b) split across ${split(a)}/${split(b)} — leakage")
+    }
+    // and the doc-independent split DOES leak on this fixture, proving the
+    // guarantee is not vacuous
+    val naive = Pipelines.splitByHash(docs.select("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairs.exists(r => naive(r.getLong(0)) != naive(r.getLong(1))),
+      "expected at least one naive-split leak on the fixture")
+  }
 }
