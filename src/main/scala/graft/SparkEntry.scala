@@ -976,6 +976,30 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // COMPOSITION row: point-in-time state lookup — the SCD2 intervals
+    // (Temporal.stateIntervals) consumed by the backward as-of join
+    // (AsOf.asofJoin): each purchase annotated with the state run that was
+    // CURRENT just before it (interval starts strictly before the
+    // purchase, latest such start wins). Two engine operators chained with
+    // one oracle; the state before a purchase is NOT trivially 'purchase'
+    // (a purchase opens a new run only when the previous run was a
+    // different type), so the result is informative.
+    "events_state_at_purchase" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+          col("event_id"))
+      val intervals = graft.ext.Temporal.stateIntervals(
+          ev, "user_id", "event_type", "us", "event_id")
+        .select(col("user_id"), col("valid_from_us").as("us"),
+          col("event_type").as("state"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), (col("us") - 1L).as("us"))
+      graft.ext.AsOf.asofJoin(purchases, intervals, "user_id", "us",
+          Map("state" -> "state_before"))
+        .select(col("event_id"), (col("us") + 1L).as("us"), col("state_before"))
+        .orderBy("event_id")
+    }),
+
     // time-windowed telemetry dedup (ext/Temporal.windowedDedup): same-hour
     // (user, type) reports collapsed to one keeper + dup count; built on
     // window() so the streaming twin (events_stream_windowed_dedup) runs
@@ -2105,6 +2129,23 @@ object SparkEntry {
          |SELECT event_id, user_id, us,
          |  ${graft.functions.MortonInterleave.sqlDuck("bx", "by", 10)} AS zkey
          |FROM b ORDER BY event_id""".stripMargin,
+
+    "events_state_at_purchase" ->
+      """WITH o AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        |           FROM events),
+        | f AS (SELECT user_id, event_type, us, event_id,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |         OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+        |   FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | g AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM f),
+        | iv AS (SELECT user_id, min(us) AS ivs, event_type AS state
+        |   FROM g GROUP BY user_id, event_type, grp),
+        | p AS (SELECT event_id, user_id, epoch_us(ts) - 1 AS us FROM events
+        |   WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.us + 1 AS us, iv.state AS state_before
+        |FROM p ASOF JOIN iv ON p.user_id = iv.user_id AND p.us >= iv.ivs
+        |ORDER BY p.event_id""".stripMargin,
 
     "events_dedup_windowed" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w_us, user_id,
