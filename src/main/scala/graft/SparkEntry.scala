@@ -1496,7 +1496,44 @@ object SparkEntry {
     // every-2nd stub frame's byte slice — the container→frames→sample shape
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents"))).toDF
-        .orderBy("doc_id", "frame_idx")))
+        .orderBy("doc_id", "frame_idx")),
+
+    // exact-moment Pearson correlation + OLS slope of value vs hour-of-day
+    // per event_type (ext/Stats.pearsonByHour): decimal/bigint moments in
+    // ONE map-side-combined aggregate, textbook formula in double over them
+    // — partitioning-invariant where the builtin corr() is not
+    "events_corr_hour" -> ((s, dir) =>
+      graft.ext.Stats.pearsonByHour(t(s, dir, "events")).orderBy("event_type")),
+
+    // trailing-window z-score anomalies (ext/Stats.anomalyZscore): each
+    // event vs its user's previous 20 events — one user_id shuffle, one
+    // sorted window pass carrying three exact trailing sums
+    "events_anomaly_zscore" -> ((s, dir) =>
+      graft.ext.Stats.anomalyZscore(t(s, dir, "events")).orderBy("event_id")),
+
+    // one-row-per-column dataset profile (ext/Stats.profileColumns):
+    // count / nulls / exact distinct / stringified min-max per column,
+    // each from its own column-pruned scan
+    "profile_documents" -> ((s, dir) =>
+      graft.ext.Stats.profileColumns(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars", "text")).orderBy("col_name")),
+
+    // count-min sketch over the corpus token stream (ext/Sketch
+    // .countMinTokens): depth×width exact counters via one map-side-combined
+    // aggregation; estimates (min over rows) for the top-50 tokens with the
+    // exact counts riding along as the differential — fixed md5 hash rows
+    // make the sketch itself oracle-checkable, like KMV vs HLL
+    "sketch_countmin" -> ((s, dir) =>
+      graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
+        .orderBy(col("exact").desc, col("token"))),
+
+    // Levenshtein near-dup pairs on 8-token prefixes (ext/Dedup
+    // .editDistancePairs): (lang, first-token) blocking + salted slim
+    // self-join + exact DP verify — the entity-resolution string-similarity
+    // complement to the Jaccard/MinHash/SimHash set family
+    "dedup_edit_distance" -> ((s, dir) =>
+      graft.ext.Dedup.editDistancePairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")))
 
   // =====================================================================
   // Oracle SQL (DuckDB dialect, same parquet tables)
@@ -2363,5 +2400,11 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck,
     "multimodal_resize" -> Multimodal.resizeSqlDuck(),
-    "multimodal_frame_sample" -> Multimodal.frameSampleSqlDuck())
+    "multimodal_frame_sample" -> Multimodal.frameSampleSqlDuck(),
+    "events_corr_hour" -> graft.ext.Stats.pearsonByHourSqlDuck,
+    "events_anomaly_zscore" -> graft.ext.Stats.anomalyZscoreSqlDuck(),
+    "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
+      Seq("doc_id", "lang", "source", "n_chars", "text")),
+    "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck())
 }

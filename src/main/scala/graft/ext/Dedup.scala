@@ -742,6 +742,58 @@ object Dedup {
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Edit-distance (Levenshtein) near-dup candidate pairs over the docs'
+    * normalized 8-token prefixes — the string-similarity complement to the
+    * set-based (Jaccard/MinHash) and bit-based (SimHash) families: it
+    * catches single-character edits and reorder-free typos that token-set
+    * measures under-weigh, and it's the standard blocking+verify shape of
+    * entity-resolution pipelines.
+    *
+    * Blocking: (lang, first token) — only docs agreeing on both are
+    * compared, so candidate volume tracks block sizes, never n². The
+    * enumeration self-join is salted exactly like [[jaccardPairs]] (left
+    * salt from doc_id, right side replicated, salt in the join key) so a
+    * hot first-token block spreads over `salts` reducers. Unlike the token
+    * arrays there, the ≤8-token prefix is a bounded ~50-byte payload, so it
+    * rides through the salted join directly instead of joining back by id
+    * (one shuffle instead of three).
+    *
+    * The verify step is the exact quadratic-DP `levenshtein` on the two
+    * prefixes (identical classic definition in Spark and DuckDB — pinned by
+    * a differential in DedupSpec); cost per pair is bounded by the prefix
+    * cap, not document length. Docs with no tokens have no prefix and join
+    * nowhere (NULL first token on both engines). */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 10,
+      prefixTokens: Int = 8, salts: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"), col("lang"),
+        TextOps.fastTokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), col("lang"), element_at(col("_toks"), 1).as("tok1"),
+        array_join(slice(col("_toks"), 1, prefixTokens), " ").as("pfx"))
+      .filter(col("tok1").isNotNull)
+    val x = t.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val y = t.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    x.as("a").join(y.as("b"),
+        col("a.lang") === col("b.lang") && col("a.tok1") === col("b.tok1") &&
+        col("a._salt") === col("b._salt") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
+  }
+
+  def editDistancePairsSqlDuck(maxDist: Int = 10, prefixTokens: Int = 8): String =
+    s"""WITH t AS (SELECT doc_id, lang, toks[1] AS tok1,
+       |    array_to_string(list_slice(toks, 1, $prefixTokens), ' ') AS pfx
+       |  FROM (SELECT doc_id, lang, ${TextOps.tokensSqlDuck("text")} AS toks
+       |        FROM documents)
+       |  WHERE toks[1] IS NOT NULL)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+       |FROM t a JOIN t b ON a.lang = b.lang AND a.tok1 = b.tok1
+       |  AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.pfx, b.pfx) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   def jaccardSqlDuck: String =
     s"""WITH t AS (SELECT doc_id, lang, CAST(n_chars // 100 AS BIGINT) AS bkt,
        |    list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks FROM documents)

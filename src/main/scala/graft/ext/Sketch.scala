@@ -432,4 +432,80 @@ object Sketch {
       .agg(count(lit(1)).cast("long").as("sample_n"), qs: _*)
       .orderBy(group)
   }
+
+  /** The depth-row bucket columns for one item key: row i hashes
+    * `"cm<i>:" || item` and takes the first `hexDigits` hex chars of the
+    * md5 — the same derivation both when BUILDING the sketch and when
+    * QUERYING it, and mirrored character-for-character in the oracle SQL
+    * (md5 renders lowercase hex on both engines). */
+  private def cmBuckets(item: Column, depth: Int, hexDigits: Int): Column =
+    array((0 until depth).map(i =>
+      substring(md5(concat(lit(s"cm$i:"), item)), 1, hexDigits)): _*)
+
+  /** Count-min sketch (Cormode & Muthukrishnan '05) over the corpus token
+    * stream: `depth` hash rows × `16^hexDigits` buckets of exact BIGINT
+    * counters; a token's frequency estimate is the MIN of its `depth` bucket
+    * sums — always ≥ the true count, within εN with high probability. The
+    * streaming-scale point is the STATE BOUND: the sketch is `depth·width`
+    * counters regardless of corpus size, built by one map-side-combined
+    * aggregation over (row, bucket) — at 100 TB the shuffle carries at most
+    * `depth·width` rows per map task, not the vocabulary.
+    *
+    * Unlike the usual randomly-seeded sketch, the hash rows here are fixed
+    * md5 derivations, so the estimate itself is deterministic and
+    * oracle-checkable bit-for-bit (same trick as [[kmvDistinct]] — KMV vs
+    * HLL). The query emits the top-`topK` tokens by TRUE count with exact
+    * count and estimate side by side, so the sketch's overcount is itself
+    * under test ((est − exact) ≥ 0 is asserted in SketchSpec; the exact
+    * counts double as the differential).
+    *
+    * The estimate lookup joins the ≤ depth·width-row cell table back to the
+    * candidate tokens — a broadcast join by construction. */
+  def countMinTokens(docs: DataFrame, depth: Int = 4, hexDigits: Int = 2,
+      topK: Int = 50, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(hexDigits >= 1 && hexDigits <= 4,
+      s"hexDigits must be in [1,4], got $hexDigits")
+    val toks = docs.select(explode(TextOps.tokensArr(textCol)).as("token"))
+    // build: token occurrences → (row, bucket) cells. Map-side combine
+    // collapses each task to ≤ depth·width partial rows before the shuffle.
+    val cells = toks
+      .select(posexplode(cmBuckets(col("token"), depth, hexDigits))
+        .as(Seq("d", "bucket")))
+      .groupBy("d", "bucket").agg(count(lit(1)).as("cell"))
+    // query: estimate = min over rows of the cell sums; candidates are the
+    // distinct tokens (their exact counts ride along as the differential)
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+    exact
+      .select(col("token"), col("exact"),
+        posexplode(cmBuckets(col("token"), depth, hexDigits)).as(Seq("d", "bucket")))
+      .join(broadcast(cells), Seq("d", "bucket"))
+      .groupBy("token", "exact").agg(min(col("cell")).as("est"))
+      .select(col("token"), col("exact"), col("est"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy(col("exact").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Oracle twin of [[countMinTokens]] — the same md5 bucket derivation and
+    * min-of-sums arithmetic as plain SQL. */
+  def countMinTokensSqlDuck(depth: Int = 4, hexDigits: Int = 2,
+      topK: Int = 50): String = {
+    val ds = (0 until depth).mkString(", ")
+    s"""WITH toks AS (SELECT unnest(${TextOps.tokensSqlDuck("text")}) AS token
+       |    FROM documents),
+       | dd AS (SELECT unnest([$ds]) AS d),
+       | cells AS (SELECT d, substr(md5('cm' || d || ':' || token), 1, $hexDigits) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS cell
+       |  FROM toks CROSS JOIN dd GROUP BY 1, 2),
+       | ex AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+       |  FROM toks GROUP BY token),
+       | est AS (SELECT ex.token, ex.exact, min(c.cell) AS est
+       |  FROM ex CROSS JOIN dd
+       |  JOIN cells c ON c.d = dd.d
+       |    AND c.bucket = substr(md5('cm' || dd.d || ':' || ex.token), 1, $hexDigits)
+       |  GROUP BY ex.token, ex.exact)
+       |SELECT token, exact, est, est - exact AS overcount FROM est
+       |ORDER BY exact DESC, token LIMIT $topK""".stripMargin
+  }
 }

@@ -1,0 +1,199 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical profiling operators over event streams and corpora — the
+  * feature-engineering / data-quality layer of a training-data pipeline.
+  *
+  * Cross-engine determinism discipline (NOTES.md rules): floating-point SUMS
+  * are partitioning-dependent, so every accumulated moment here is an EXACT
+  * DECIMAL or BIGINT sum (events.value round-trips DECIMAL(18,2) losslessly —
+  * asserted by StatsSpec against the live fixture); the final formula then
+  * runs in DOUBLE over those exact moments in ONE fixed textual order,
+  * mirrored token-for-token in the DuckDB oracles. Casts of exact decimals
+  * to double, double mul/div/sub, and sqrt are all IEEE-correctly-rounded,
+  * so the result is bit-identical regardless of partitioning or engine.
+  *
+  * Scale: every operator is a single map-side-combined aggregation (or one
+  * keyed window) — no self-joins, no driver-side iteration, no collect.
+  */
+object Stats {
+
+  /** value quantized to its exact 2-dp decimal form (the fixture generates
+    * money-like 2-dp doubles; the cast is lossless — round-trip asserted in
+    * StatsSpec so a fixture drift fails legibly). */
+  private def xDec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Pearson correlation + OLS slope of `value` against hour-of-day, per
+    * event_type — the classic "is this metric diurnal?" profile.
+    *
+    * Why not `corr()`: Spark's builtin accumulates co-moments in doubles
+    * with a partition-merge formula, so the result depends on partitioning
+    * and cannot hash-match an oracle. Here the five moments (Σx, Σy, Σx²,
+    * Σy², Σxy) are exact (decimal/bigint) and associative — ONE map-side-
+    * combined aggregate over any partitioning — and the textbook formula
+    *   corr = (nΣxy − ΣxΣy) / (√(nΣx² − (Σx)²) · √(nΣy² − (Σy)²))
+    * runs in double over the exact moments. Degenerate groups (zero
+    * variance on either side) yield null, not NaN.
+    *
+    * Output stays O(|groups|); the corpus is touched exactly once. */
+  def pearsonByHour(events: DataFrame, keyCol: String = "event_type",
+      valueCol: String = "value", tsCol: String = "ts"): DataFrame = {
+    val e = events
+      .filter(col(valueCol).isNotNull && col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol), xDec(col(valueCol)).as("x"),
+        hour(col(tsCol)).cast("long").as("y"))
+    val m = e.groupBy(keyCol).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y").cast(DecimalType(18, 0))).as("sxy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val sxxD = col("sxx").cast("double"); val syyD = col("syy").cast("double")
+    val sxyD = col("sxy").cast("double")
+    val varX = nD * sxxD - sxD * sxD
+    val varY = nD * syyD - syD * syD
+    m.select(col(keyCol), col("n"),
+      when(varX > 0.0 && varY > 0.0,
+        (nD * sxyD - sxD * syD) / (sqrt(varX) * sqrt(varY)))
+        .as("corr_value_hour"),
+      when(varY > 0.0, (nD * sxyD - sxD * syD) / varY).as("slope_per_hour"))
+  }
+
+  /** Oracle twin of [[pearsonByHour]] — the same exact moments and the same
+    * double formula in the same textual order. */
+  def pearsonByHourSqlDuck: String =
+    """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(18,2)) AS x,
+      |    CAST(hour(ts) AS BIGINT) AS y
+      |  FROM events
+      |  WHERE value IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      | m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    sum(x * CAST(y AS DECIMAL(18,0))) AS sxy
+      |  FROM e GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0E0
+      |        AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0E0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |       * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    ELSE NULL END AS corr_value_hour,
+      |  CASE WHEN CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0E0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    ELSE NULL END AS slope_per_hour
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** Trailing-window z-score anomaly detection: each event scored against
+    * the sample mean/std of the SAME user's previous `lookback` events
+    * (strictly preceding — the event never scores against itself, so a
+    * genuine spike can't suppress its own anomaly). Emits events with
+    * |z| > `zThresh` that have at least `minN` trailing observations.
+    *
+    * The window sums are exact decimals (order-independent), the z formula
+    * is double over them:  var = (nΣx² − (Σx)²) / (n(n−1)),
+    * z = (v − Σx/n) / √var.  Near-constant trailing windows whose rounded
+    * variance is ≤ 0 are skipped (no finite z exists).
+    *
+    * Shape: ONE shuffle on user_id, then a single sorted window pass
+    * computing all three trailing sums in one frame — the same plan at any
+    * scale; per-partition memory is O(lookback). */
+  def anomalyZscore(events: DataFrame, lookback: Int = 20, minN: Int = 10,
+      zThresh: Double = 2.0): DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull && col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value"), xDec(col("value")).as("x"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(-lookback, -1)
+    val nD = col("nw").cast("double")
+    val sxD = col("sx").cast("double")
+    val sxxD = col("sxx").cast("double")
+    val varr = (nD * sxxD - sxD * sxD) / (nD * (nD - 1.0))
+    e.withColumn("nw", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w))
+      .filter(col("nw") >= minN)
+      .withColumn("z",
+        when(lit(varr).isNotNull && varr > 0.0,
+          (col("value") - sxD / nD) / sqrt(varr)))
+      .filter(col("z").isNotNull && abs(col("z")) > zThresh)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("nw").as("n_trailing"), col("z"))
+  }
+
+  def anomalyZscoreSqlDuck(lookback: Int = 20, minN: Int = 10,
+      zThresh: Double = 2.0): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    CAST(value AS DOUBLE) AS value, CAST(value AS DECIMAL(18,2)) AS x
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+       | t AS (SELECT event_id, user_id, value,
+       |    CAST(count(*) OVER w AS BIGINT) AS nw,
+       |    sum(x) OVER w AS sx, sum(x * x) OVER w AS sxx
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN $lookback PRECEDING AND 1 PRECEDING)),
+       | z AS (SELECT event_id, user_id, value, nw,
+       |    CASE WHEN (CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |         / (CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) - 1.0E0)) > 0.0E0
+       |      THEN (value - CAST(sx AS DOUBLE) / CAST(nw AS DOUBLE))
+       |        / sqrt((CAST(nw AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |          / (CAST(nw AS DOUBLE) * (CAST(nw AS DOUBLE) - 1.0E0)))
+       |      ELSE NULL END AS z
+       |  FROM t WHERE nw >= $minN)
+       |SELECT event_id, user_id, value, nw AS n_trailing, z
+       |FROM z WHERE z IS NOT NULL AND abs(z) > CAST($zThresh AS DOUBLE)
+       |ORDER BY event_id""".stripMargin
+
+  /** One-row-per-column dataset profile — count, null count, exact distinct
+    * count, lexicographic/numeric min and max (stringified so heterogeneous
+    * column types share one output schema). The "what's in this table"
+    * first-contact operator of any ingestion pipeline.
+    *
+    * Shape: one aggregate PER COLUMN, unioned — each scans exactly its own
+    * column (column-pruned parquet read, asserted in StatsSpec), and each
+    * exact-distinct is Spark's standard two-stage partial aggregation. The
+    * alternative — one pass with N count(distinct)s — plans as an N-way
+    * Expand that multiplies the shuffle by the column count; per-column
+    * pruned scans move strictly fewer bytes for wide tables. String
+    * rendering stays BIGINT/VARCHAR-only here (doc columns), dodging the
+    * cross-engine float-repr trap (NOTES.md rule 5). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("vmin"),
+        max(col(c)).cast("string").as("vmax"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("vmin"), col("vmax"))
+    }.reduce(_.union(_))
+
+  def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS vmin, CAST(max($c) AS VARCHAR) AS vmax
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+}

@@ -1,0 +1,209 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+/** ext/Stats (exact-moment correlation, trailing z-score, column profiler)
+  * + the new Sketch.countMinTokens / Dedup.editDistancePairs operators. */
+class StatsSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(us: Long) = timestamp_micros(lit(us))
+  private val HourUs = 3600000000L
+
+  // ---- pearsonByHour -------------------------------------------------
+
+  test("pearsonByHour: hand-computed correlation on a known frame") {
+    // type A: value = 10*hour + 1 exactly → corr 1.0, slope 10.0
+    // type B: hours 0,1,2 with values 3,1,2 → hand-computed moments
+    val rows = Seq.tabulate(4)(h => (100L + h, h.toLong, "A", 10.0 * h + 1.0)) ++
+      Seq((200L, 0L, "B", 3.0), (201L, 1L, "B", 1.0), (202L, 2L, "B", 2.0))
+    val ev = rows.toDF("event_id", "h", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("h") * HourUs))
+      .withColumn("user_id", lit(1L))
+    val got = Stats.pearsonByHour(ev).orderBy("event_type")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    assert(got.length === 2)
+    // A: n=4 sx=64 sy=6 sxx=1524 syy=14 sxy=146 → num = 4*146-64*6 = 200,
+    // varX = 2000, varY = 20 → corr = 200/(√2000·√20) (1 ulp below the
+    // ideal 1.0 — the formula's own double rounding, same on both engines),
+    // slope = 200/20 = 10
+    val (_, na, ca, sa) = got(0)
+    assert(na === 4L && sa.get === 10.0)
+    assert(ca.get === 200.0 / (math.sqrt(2000.0) * math.sqrt(20.0)))
+    // B: n=3 sx=6 sy=3 sxx=14 syy=5 sxy=0·3+1·1+2·2=5 → num = 3*5-6*3 = -3,
+    // varX = 3*14-36 = 6, varY = 3*5-9 = 6 → corr = -3/6 = -0.5, slope = -3/6
+    val (_, nb, cb, sb) = got(1)
+    assert(nb === 3L && sb.get === -0.5)
+    assert(cb.get === -3.0 / (math.sqrt(6.0) * math.sqrt(6.0)))
+  }
+
+  test("pearsonByHour: zero-variance group yields null, not NaN") {
+    val ev = Seq((1L, "C", 5.0), (2L, "C", 7.0))
+      .toDF("event_id", "event_type", "value")
+      .withColumn("ts", ts(0L)) // same hour → varY = 0
+      .withColumn("user_id", lit(1L))
+    val got = Stats.pearsonByHour(ev)
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+    assert(got.head._3.isEmpty && got.head._4.isEmpty)
+  }
+
+  test("pearsonByHour: partitioning-invariant (exact moments)") {
+    val ev = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "events")
+    val a = Stats.pearsonByHour(ev).orderBy("event_type").collect().toSeq
+    val b = Stats.pearsonByHour(ev.repartition(7)).orderBy("event_type").collect().toSeq
+    assert(a === b)
+  }
+
+  test("fixture guard: events.value round-trips DECIMAL(18,2) losslessly") {
+    val ev = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "events")
+    val bad = ev.filter(col("value").isNotNull &&
+      col("value") =!= col("value").cast("decimal(18,2)").cast("double")).count()
+    assert(bad === 0L,
+      "events.value no longer 2-dp — Stats' decimal-exact moments are unsound")
+  }
+
+  // ---- anomalyZscore -------------------------------------------------
+
+  test("anomalyZscore: detects a spike against its trailing window only") {
+    // user 1: values 1.0/2.0 alternating for 12 events, then a 50.0 spike.
+    // The spike's trailing window excludes the spike itself.
+    val base = Seq.tabulate(12)(i =>
+      (i.toLong, 1L, i.toLong * HourUs, if (i % 2 == 0) 1.0 else 2.0))
+    val all = base :+ (99L, 1L, 12L * HourUs, 50.0)
+    val ev = all.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("x"))
+    val got = Stats.anomalyZscore(ev, lookback = 20, minN = 10, zThresh = 2.0)
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(99L))
+    val (_, _, v, n, z) = got.head
+    assert(v === 50.0 && n === 12L)
+    // trailing: six 1.0s + six 2.0s → mean 1.5, sample var = 12*27-18² over
+    // 12*11 = (324-324)... compute: sx=18, sxx=30, var=(12*30-324)/132=36/132
+    val varr = (12.0 * 30.0 - 18.0 * 18.0) / (12.0 * 11.0)
+    val expected = (50.0 - 1.5) / math.sqrt(varr)
+    assert(z === expected)
+  }
+
+  test("anomalyZscore: constant trailing window (zero variance) never emits") {
+    val rows = Seq.tabulate(15)(i => (i.toLong, 1L, i.toLong * HourUs, 5.0)) :+
+      (99L, 1L, 15L * HourUs, 500.0)
+    val ev = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Stats.anomalyZscore(ev).count() === 0L)
+  }
+
+  test("anomalyZscore: minN gate — young users never score") {
+    val rows = Seq.tabulate(5)(i => (i.toLong, 1L, i.toLong * HourUs, i.toDouble)) :+
+      (99L, 1L, 5L * HourUs, 1000.0)
+    val ev = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Stats.anomalyZscore(ev, minN = 10).count() === 0L)
+  }
+
+  // ---- profileColumns ------------------------------------------------
+
+  test("profileColumns: counts, nulls, distinct, min/max per column") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, Some("a")), (4L, None))
+      .toDF("id", "s")
+    val got = Stats.profileColumns(df, Seq("id", "s"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("id", 4L, 4L, 4L, Some("1"), Some("4")),
+      ("s", 4L, 3L, 2L, Some("a"), Some("b"))))
+  }
+
+  test("profileColumns: each branch scans ONLY its own column (pruned)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "documents")
+      .write.mode("overwrite").parquet(tmp)
+    val prof = Stats.profileColumns(spark.read.parquet(tmp), Seq("doc_id", "lang"))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
+    assert(plan.contains("ReadSchema: struct<lang:string>"))
+    assert(!plan.contains("text")) // the wide column is never read
+  }
+
+  // ---- countMinTokens ------------------------------------------------
+
+  test("countMinTokens: estimate ≥ exact always; equals min of bucket sums") {
+    val docs = Seq(
+      (1L, "aa bb aa cc"), (2L, "bb bb dd"), (3L, "aa ee"))
+      .toDF("doc_id", "text")
+    val got = Sketch.countMinTokens(docs, depth = 2, hexDigits = 1, topK = 100)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val exact = Map("aa" -> 3L, "bb" -> 3L, "cc" -> 1L, "dd" -> 1L, "ee" -> 1L)
+    assert(got.map(r => r._1 -> r._2).toMap === exact)
+    got.foreach { case (tok, ex, est, over) =>
+      assert(est >= ex, s"$tok: est $est < exact $ex")
+      assert(over === est - ex)
+    }
+    // manual recomputation of the sketch with the same md5 derivation
+    def bucket(d: Int, tok: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"cm$d:$tok".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 1)
+    }
+    val cells = (for ((tok, n) <- exact.toSeq; d <- 0 until 2)
+      yield ((d, bucket(d, tok)), n))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    got.foreach { case (tok, _, est, _) =>
+      val manual = (0 until 2).map(d => cells((d, bucket(d, tok)))).min
+      assert(est === manual, s"$tok sketch estimate mismatch")
+    }
+  }
+
+  test("countMinTokens: partitioning-invariant") {
+    val docs = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "documents")
+    val a = Sketch.countMinTokens(docs).collect().toSeq
+    val b = Sketch.countMinTokens(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+
+  // ---- editDistancePairs ---------------------------------------------
+
+  test("editDistancePairs: knowns — blocked pair found, cross-block not compared") {
+    val docs = Seq(
+      (1L, "en", "the quick brown fox jumps over the dog"),
+      (2L, "en", "the quick brown fax jumps over the dog"), // 1 edit in prefix
+      (3L, "en", "a completely different start entirely here now"), // other block
+      (4L, "de", "the quick brown fox jumps over the dog"), // other lang
+      (5L, "en", "")) // no tokens → no prefix
+      .toDF("doc_id", "lang", "text")
+    val got = Dedup.editDistancePairs(docs, maxDist = 10)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 2L, 1L)))
+  }
+
+  test("editDistancePairs: salted join ≡ unsalted (1-salt) enumeration") {
+    val docs = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "documents")
+    val a = Dedup.editDistancePairs(docs, salts = 8).orderBy("doc_a", "doc_b")
+      .collect().toSeq
+    val b = Dedup.editDistancePairs(docs, salts = 1).orderBy("doc_a", "doc_b")
+      .collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("levenshtein: Spark matches the classic DP on random strings") {
+    // pins the cross-engine assumption the oracle relies on
+    def dp(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(42)
+    def randStr() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val pairs = Seq.fill(60)((randStr(), randStr()))
+    val got = pairs.toDF("a", "b")
+      .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
+    assert(got === pairs.map { case (a, b) => dp(a, b) })
+  }
+}
