@@ -1527,6 +1527,14 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // TF-IDF-weighted shingle cosine pairs (ext/TextOps.tfidfCosinePairs):
+    // pruned-inverted-index similarity join — integer tf·(idfScale DIV df)
+    // weights, top-10 shingles per doc, exact BIGINT dots/norms, double
+    // cosine over them; hot shingles self-prune (low idf → never top-M)
+    "sim_tfidf_pairs" -> ((s, dir) =>
+      graft.ext.TextOps.tfidfCosinePairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
+
     // Levenshtein near-dup pairs on 8-token prefixes (ext/Dedup
     // .editDistancePairs): (lang, first-token) blocking + salted slim
     // self-join + exact DP verify — the entity-resolution string-similarity
@@ -2406,5 +2414,6 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "sim_tfidf_pairs" -> graft.ext.TextOps.tfidfCosinePairsSqlDuck(),
     "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck())
 }

@@ -400,6 +400,91 @@ object TextOps {
        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Weighted sparse document similarity: cosine over TF-IDF-weighted
+    * `w`-token shingles, each doc represented by its `topM` highest-weight
+    * shingles (standard sparse-vector truncation — the pruned inverted
+    * index). Complements the set-based family: Jaccard treats all shared
+    * shingles equally, while this weighs RARE shared phrasing far higher —
+    * boilerplate overlap scores low even when it dominates the token count.
+    *
+    * Cross-engine exactness: the weight is the integer
+    * `tf · (idfScale DIV df)` — idf as a quantized rational, no log, no
+    * division by N (cosine is invariant to any all-docs constant factor, so
+    * the N in N/df cancels; NOTES.md rule on libm). Dots and norms are then
+    * exact BIGINT sums (bounded: iw ≤ maxTf·idfScale, products ≤ ~1e14 —
+    * far inside int64 even summed over topM terms), and the final
+    * dot/(√·√) runs in double over the exact integers — bit-identical on
+    * any partitioning and both engines.
+    *
+    * Scale shape: tf/df are map-side-combined aggregations; top-M is a
+    * WindowGroupLimit-capped rank per doc; the pair join is an equi-join on
+    * the PRUNED posting lists, whose length is self-regularizing — a hot
+    * (ubiquitous) shingle has low idf and drops out of every doc's top-M,
+    * so candidate volume tracks rare-shingle co-occurrence, not corpus².
+    * (An adversarial corpus of identical docs concentrates one posting
+    * list; the salted-join treatment of [[Dedup.jaccardPairs]] applies —
+    * here the fixture's max posting length is ~25 at sf0.1.) */
+  def tfidfCosinePairs(docs: DataFrame, w: Int = 3, topM: Int = 10,
+      idfScale: Long = 1000000L, threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Dedup.shingles(docs, w, textCol)
+      .groupBy(col("doc_id"), col("tok").as("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id").orderBy(col("iw").desc, col("term"))
+    val topm = graft.etl.CacheRegistry.persist(
+      tf.join(dfq, "term")
+        .select(col("doc_id"), col("term"),
+          (col("tf") * expr(s"$idfScale DIV df")).as("iw"))
+        .withColumn("_rn", row_number().over(win)).filter(col("_rn") <= topM)
+        .drop("_rn"))
+    val norms = topm.groupBy("doc_id").agg(sum(col("iw") * col("iw")).as("n2"))
+    topm.as("a").join(topm.as("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.iw") * col("b.iw")).as("dot"))
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na2")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), "doc_b")
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+
+  /** Oracle twin of [[tfidfCosinePairs]] — shingles via the same
+    * unnest+lead construction as [[Dedup.minhashShinglesSqlDuck]], then the
+    * identical integer weighting and double cosine. */
+  def tfidfCosinePairsSqlDuck(w: Int = 3, topM: Int = 10,
+      idfScale: Long = 1000000L, threshold: Double = 0.5): String = {
+    val parts = ("tok" +: (1 until w).map(j =>
+      s"lead(tok, $j) OVER (PARTITION BY doc_id ORDER BY i)")).mkString(" || ' ' || ")
+    s"""WITH tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks FROM documents),
+       | pos AS (SELECT doc_id, unnest(tks) AS tok, generate_subscripts(tks, 1) AS i FROM tk),
+       | sh AS (SELECT doc_id, $parts AS term FROM pos),
+       | tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |   FROM sh WHERE term IS NOT NULL GROUP BY doc_id, term),
+       | dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       | wt AS (SELECT doc_id, tf.term, tf * ($idfScale // df) AS iw
+       |   FROM tf JOIN dfq ON tf.term = dfq.term),
+       | topm AS (SELECT doc_id, term, iw FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY iw DESC, term) AS rn FROM wt)
+       |   WHERE rn <= $topM),
+       | norms AS (SELECT doc_id, CAST(sum(iw * iw) AS BIGINT) AS n2
+       |   FROM topm GROUP BY doc_id),
+       | dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(a.iw * b.iw) AS BIGINT) AS dot
+       |   FROM topm a JOIN topm b ON a.term = b.term AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |FROM dots JOIN norms na ON na.doc_id = doc_a
+       |  JOIN norms nb ON nb.doc_id = doc_b
+       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+       |  >= CAST($threshold AS DOUBLE)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def tokensSqlDuck(textCol: String): String =
     s"regexp_extract_all(lower($textCol), '$TokenPattern', 0)"
 

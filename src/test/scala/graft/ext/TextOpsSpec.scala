@@ -144,6 +144,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(two == Map(1L -> 2L, 2L -> 2L))
   }
 
+  test("tfidfCosinePairs: rare shared phrasing outscores boilerplate overlap") {
+    // docs 1/2 share a RARE 5-token phrase; docs 3/4 share only the
+    // boilerplate that every doc carries (low idf → low weight, and
+    // ubiquitous shingles fall out of every doc's top-M)
+    val common = "standard footer text appears everywhere always"
+    val d = docs(
+      (1L, s"unique alpha beta gamma delta phrase one $common"),
+      (2L, s"unique alpha beta gamma delta phrase two $common"),
+      (3L, s"totally different body number three it has $common"),
+      (4L, s"another unrelated document body four entirely so $common"))
+    val pairs = TextOps.tfidfCosinePairs(d, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    graft.etl.CacheRegistry.releaseAll()
+    // each doc's OWN df=1 shingles outweigh the shared df=2 phrase, so the
+    // absolute cosine is modest — the property under test is the ORDERING
+    val rarePair = pairs((1L, 2L))
+    assert(rarePair > 0.2, s"rare-phrase pair scored $rarePair")
+    // every other pair shares at most boilerplate → strictly lower
+    (pairs - ((1L, 2L))).foreach { case (k, c) =>
+      assert(c < rarePair, s"pair $k ($c) not below rare pair ($rarePair)")
+    }
+  }
+
+  test("tfidfCosinePairs: partitioning-invariant (exact integer sums)") {
+    val d = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001, "documents")
+    val a = TextOps.tfidfCosinePairs(d).orderBy("doc_a", "doc_b").collect().toSeq
+    graft.etl.CacheRegistry.releaseAll()
+    val b = TextOps.tfidfCosinePairs(d.repartition(7)).orderBy("doc_a", "doc_b")
+      .collect().toSeq
+    graft.etl.CacheRegistry.releaseAll()
+    assert(a === b && a.nonEmpty)
+  }
+
   test("decontaminate: drops exactly the candidates sharing a 5-shingle with the benchmark") {
     val bench = docs((100L, "alpha beta gamma delta epsilon zeta"))
     val cand = docs(
