@@ -1527,6 +1527,29 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // 6th streaming oracle row: stream-stream LEFT OUTER windowed join
+    // (streaming/EventStreams.clickPurchaseLeftOuter) under AvailableNow —
+    // inner matches plus null-click rows for purchases the final watermark
+    // finalized (strictly older than min(side maxima, ms-floored) − delay);
+    // the oracle mirrors that exact rule in SQL
+    "events_stream_join_outer" -> ((s, dir) => {
+      s.streams.active.filter(q => Option(q.name).contains("stream_joinouter_verify"))
+        .foreach(_.stop())
+      val q = graft.streaming.EventStreams.clickPurchaseLeftOuter(
+          graft.streaming.EventStreams.readEvents(s, dir))
+        .writeStream.format("memory").queryName("stream_joinouter_verify")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      // no-click sentinel −1: the driver/oracle hash path is only exercised
+      // on null-free columns (mixed null ordering is canon-undefined there)
+      s.table("stream_joinouter_verify")
+        .select(col("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"), col("user_id"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // TF-IDF-weighted shingle cosine pairs (ext/TextOps.tfidfCosinePairs):
     // pruned-inverted-index similarity join — integer tf·(idfScale DIV df)
     // weights, top-10 shingles per doc, exact BIGINT dots/norms, double
@@ -2414,6 +2437,24 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    // streaming left-outer finalization: null rows appear exactly for
+    // purchases strictly below the final global watermark = (least of the
+    // two sides' ms-floored max event time − 1 h); matched rows always
+    "events_stream_join_outer" ->
+      """WITH c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |   FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+        |   FROM events WHERE event_type = 'purchase'),
+        | wm AS (SELECT (least(
+        |     (SELECT max(epoch_us(c_ts)) // 1000 FROM c),
+        |     (SELECT max(epoch_us(p_ts)) // 1000 FROM p)) - 3600000) * 1000 AS wm_us)
+        |SELECT p.purchase_id, coalesce(c.click_id, -1) AS click_id,
+        |  p.p_user AS user_id
+        |FROM p LEFT JOIN c ON p.p_user = c.c_user
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |CROSS JOIN wm
+        |WHERE c.click_id IS NOT NULL OR epoch_us(p.p_ts) < wm.wm_us
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "sim_tfidf_pairs" -> graft.ext.TextOps.tfidfCosinePairsSqlDuck(),
     "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck())
 }

@@ -377,6 +377,38 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-stream LEFT OUTER windowed join — the delayed-null shape
+    * [[clickPurchaseJoin]] can't express: purchases WITH a same-user click
+    * in the preceding hour join immediately (inner semantics), purchases
+    * WITHOUT one are emitted with a null click once the watermark proves no
+    * qualifying click can still arrive (the click side can lag the purchase
+    * by up to the join range + watermark delay — only then is absence a
+    * fact, which is why outer results are inherently late in a stream).
+    * State on both sides is bounded by watermark + range, exactly as in the
+    * inner form.
+    *
+    * Finalization contract (proven against the batch twin in
+    * EventStreamsSpec and the events_stream_join_outer oracle row): at any
+    * stop point the emitted rows are all inner matches plus null rows for
+    * exactly the purchases strictly older than the final global watermark
+    * (min of the two sides' max event time, ms-floored, minus the delay). */
+  def clickPurchaseLeftOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+  }
+
   /** Interval range join CHAINED into a windowed aggregation in ONE
     * streaming query — multiple stateful operators (Spark 3.5+): each
     * purchase anchor joins the same user's events in the following 10
