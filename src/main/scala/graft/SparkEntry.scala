@@ -1527,6 +1527,54 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // first-order Markov transition matrix between event types (ext/
+    // Analytics.transitionMatrix): one user_id exchange for the lag pairs,
+    // |types|²-bounded rollup, broadcast per-from totals
+    "events_transition_matrix" -> ((s, dir) =>
+      graft.ext.Analytics.transitionMatrix(t(s, dir, "events"))
+        .orderBy("from_type", "to_type")),
+
+    // session-basket type affinity with lift (ext/Analytics.typeAffinity):
+    // gap-session baskets, within-basket pair enumeration bounded by
+    // |types|² per session, exact counts, double lift
+    "events_type_affinity" -> ((s, dir) =>
+      graft.ext.Analytics.typeAffinity(t(s, dir, "events"))
+        .orderBy("type_a", "type_b")),
+
+    // referential-integrity audit across the star schema (ext/Analytics
+    // .refIntegrity): per declared FK relationship, key-pruned LEFT ANTI
+    // orphan counts — the warehouse-load data-quality gate
+    "quality_ref_integrity" -> ((s, dir) => {
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders", t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("orders.o_custkey->customer", t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("customer.c_nationkey->nation", t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("supplier.s_nationkey->nation", t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("nation.n_regionkey->region", t(s, dir, "nation"), "n_regionkey",
+          t(s, dir, "region"), "r_regionkey"),
+        ("events.user_id->customer", t(s, dir, "events"), "user_id",
+          t(s, dir, "customer"), "c_custkey"))
+      graft.ext.Analytics.refIntegrity(rels).orderBy("relationship")
+    }),
+
+    // session concurrency curve (ext/Temporal.intervalConcurrency over
+    // ext/Temporal.sessionIntervals): sweep-line actives count at every
+    // boundary instant — NO pair enumeration (overlap self-joins are
+    // quadratic in busy periods); the running sum is the deterministic
+    // bucketed prefix sum (IngestOps.withGlobalRunningSum), never a
+    // single-reducer global window. Sessions are closed [start,end] in µs,
+    // so the exclusive sweep end is end_us + 1.
+    "events_session_concurrency" -> ((s, dir) => {
+      val sess = graft.ext.Temporal.sessionIntervals(t(s, dir, "events"))
+        .withColumn("end_excl_us", col("end_us") + 1L)
+      graft.ext.Temporal.intervalConcurrency(sess, "start_us", "end_excl_us")
+        .orderBy("us")
+    }),
+
     // 6th streaming oracle row: stream-stream LEFT OUTER windowed join
     // (streaming/EventStreams.clickPurchaseLeftOuter) under AvailableNow —
     // inner matches plus null-click rows for purchases the final watermark
@@ -2437,6 +2485,44 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "events_transition_matrix" -> graft.ext.Analytics.transitionMatrixSqlDuck,
+    "events_type_affinity" -> graft.ext.Analytics.typeAffinitySqlDuck(),
+    "quality_ref_integrity" -> graft.ext.Analytics.refIntegritySqlDuck(Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"))),
+
+    // same sessionization CTEs as events_sessionize, then the sweep:
+    // net delta per distinct boundary instant, running sum in us order
+    "events_session_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        | flags AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        | sess AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags),
+        | iv AS (SELECT user_id, session_id, min(us) AS start_us,
+        |    max(us) + 1 AS end_excl_us
+        |  FROM sess GROUP BY user_id, session_id),
+        | d AS (SELECT us, CAST(sum(dd) AS BIGINT) AS delta,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |    CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+        |  FROM (SELECT start_us AS us, 1 AS dd FROM iv
+        |        UNION ALL SELECT end_excl_us AS us, -1 AS dd FROM iv)
+        |  GROUP BY us)
+        |SELECT us, n_starts, n_ends, delta,
+        |  CAST(sum(delta) OVER (ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_active
+        |FROM d ORDER BY us""".stripMargin,
+
     // streaming left-outer finalization: null rows appear exactly for
     // purchases strictly below the final global watermark = (least of the
     // two sides' ms-floored max event time − 1 h); matched rows always

@@ -181,6 +181,30 @@ object IngestOps {
   def withGlobalPos(df: DataFrame, key: org.apache.spark.sql.Column,
       posCol: String = "_pos", numParts: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val bucket = rangeBuckets(df, key, numParts)
+    val counts = df.select(bucket.as("_b")).groupBy("_b")
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (counts.isEmpty) return df.withColumn(posCol, lit(1L)) // empty input
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
+      .init.zip(counts).map { case ((_, off), (b, _)) => b -> off }
+    val offsetMap = map(offsets.flatMap { case (b, off) => Seq(lit(b), lit(off)) }.toSeq: _*)
+    val w = Window.partitionBy("_bkt").orderBy(key)
+    df.withColumn("_bkt", bucket)
+      .withColumn(posCol,
+        element_at(offsetMap, col("_bkt")) + row_number().over(w).cast("long"))
+      .drop("_bkt")
+  }
+
+  /** The deterministic range-bucket expression steps 1–3 of the
+    * [[withGlobalPos]] recipe: one key-pruned count, one fixed-seed
+    * hash-sample collected as LITERAL boundaries (bounded ~100·numParts
+    * values), bucket id = Σ (key > boundary_i). Partition membership is a
+    * pure function of the key value, so every pass over the data agrees —
+    * the property Spark's own range exchange does NOT have (its sampler
+    * reseeds per evaluation). Shared by position and prefix-sum variants. */
+  private def rangeBuckets(df: DataFrame, key: org.apache.spark.sql.Column,
+      numParts: Int): org.apache.spark.sql.Column = {
     val n = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val keyed = df.select(key.as("_k")).filter(col("_k").isNotNull)
@@ -203,20 +227,37 @@ object IngestOps {
         (1 until n).map(i => s(((i.toLong * s.length) / n).toInt.min(s.length - 1)))
           .distinct.toArray
       }
-    val bucket = boundaries.foldLeft(lit(0)) { (acc, b) =>
+    boundaries.foldLeft(lit(0)) { (acc, b) =>
       acc + when(key > lit(b), 1).otherwise(0)
     }
-    val counts = df.select(bucket.as("_b")).groupBy("_b")
-      .agg(count(lit(1)).as("_n"))
+  }
+
+  /** Global running sum of `weight` in `key` order — the distributed
+    * prefix-sum primitive (sweep-line accumulations, cumulative inventories,
+    * concurrency curves). Same deterministic-bucket recipe as
+    * [[withGlobalPos]], with per-bucket SUMS in place of counts: bucket
+    * totals collect to the driver (≤ numParts scalars), their exclusive
+    * prefix becomes a literal offset map, and the only full-data shuffle is
+    * the within-bucket running-sum window. `key` values must be UNIQUE per
+    * row (group first if not) — a rows-frame running sum over tied keys
+    * would be order-dependent within the tie. */
+  def withGlobalRunningSum(df: DataFrame, key: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, outCol: String = "_rsum",
+      numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = rangeBuckets(df, key, numParts)
+    val sums = df.select(bucket.as("_b"), weight.as("_w")).groupBy("_b")
+      .agg(sum(col("_w")).as("_s"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    if (counts.isEmpty) return df.withColumn(posCol, lit(1L)) // empty input
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
-      .init.zip(counts).map { case ((_, off), (b, _)) => b -> off }
+    if (sums.isEmpty) return df.withColumn(outCol, lit(0L)) // empty input
+    val offsets = sums.scanLeft((0, 0L)) { case ((_, acc), (b, s)) => (b, acc + s) }
+      .init.zip(sums).map { case ((_, off), (b, _)) => b -> off }
     val offsetMap = map(offsets.flatMap { case (b, off) => Seq(lit(b), lit(off)) }.toSeq: _*)
     val w = Window.partitionBy("_bkt").orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("_bkt", bucket)
-      .withColumn(posCol,
-        element_at(offsetMap, col("_bkt")) + row_number().over(w).cast("long"))
+      .withColumn(outCol,
+        element_at(offsetMap, col("_bkt")) + sum(weight).over(w).cast("long"))
       .drop("_bkt")
   }
 

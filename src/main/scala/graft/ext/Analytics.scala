@@ -375,6 +375,155 @@ object Analytics {
           .otherwise(lit(0.0)).as("scaled"))
   }
 
+  /** Event-type transition matrix (first-order Markov estimate): per user,
+    * consecutive event pairs in (time, id) order; output one row per
+    * (from_type, to_type) with the transition count and row-normalized
+    * probability. ONE exchange on user_id for the lag window; the
+    * (from, to) rollup is |types|²-bounded, and the per-from totals join is
+    * a broadcast over that tiny relation. The probability is a single
+    * BIGINT/BIGINT double division — bit-identical cross-engine. */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
+  def transitionMatrixSqlDuck: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+      | seq AS (SELECT event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      AS from_type
+      |  FROM e),
+      | c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+      | t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+      |FROM c JOIN t ON c.from_type = t.from_type
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  /** Market-basket affinity between event types at SESSION granularity:
+    * which activities co-occur in the same sitting, with
+    * lift = P(a,b)/(P(a)·P(b)) — the signal behind "users who X in a
+    * session also Y". The basket is the gap-session
+    * ([[Temporal.sessionIntervals]] semantics inlined on the already-keyed
+    * rows); baskets hold ≤ |types| DISTINCT types, so the within-basket
+    * pair enumeration is |types|²-bounded per session — never corpus-
+    * quadratic. Counts are exact BIGINTs; lift is computed double over
+    * them in one fixed expression. Session keying shares the user_id
+    * exchange; the type totals and session count ride in as broadcasts. */
+  def typeAffinity(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val typed = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("_prev", lag(col("us"), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("us") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(cum))
+      .select(col("user_id"), col("session_id"), col("event_type")).distinct()
+    val cached = graft.etl.CacheRegistry.persist(typed)
+    val nSess = cached.select("user_id", "session_id").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val perType = cached.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val both = cached.as("a").join(cached.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_id") === col("b.session_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_type").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_type").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        (col("n_both").cast("double") * col("n_sessions").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("lift"))
+  }
+
+  def typeAffinitySqlDuck(gapUs: Long = 1800000000L): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       | flags AS (SELECT user_id, event_id, us, event_type,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |         THEN 1 ELSE 0 END AS is_new
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       | sess AS (SELECT DISTINCT user_id, event_type,
+       |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flags),
+       | ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions
+       |  FROM (SELECT DISTINCT user_id, session_id FROM sess)),
+       | pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+       |  FROM sess GROUP BY event_type),
+       | bo AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+       |    CAST(count(*) AS BIGINT) AS n_both
+       |  FROM sess a JOIN sess b ON a.user_id = b.user_id
+       |    AND a.session_id = b.session_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2)
+       |SELECT type_a, type_b, n_both, pa.n_type AS n_a, pb.n_type AS n_b,
+       |  CAST(n_both AS DOUBLE) * CAST(ns.n_sessions AS DOUBLE) /
+       |    (CAST(pa.n_type AS DOUBLE) * CAST(pb.n_type AS DOUBLE)) AS lift
+       |FROM bo JOIN pt pa ON pa.event_type = type_a
+       |  JOIN pt pb ON pb.event_type = type_b
+       |  CROSS JOIN ns
+       |ORDER BY type_a, type_b""".stripMargin
+
+  /** Referential-integrity audit over a star schema: one row per declared
+    * child→parent relationship with the child row count and the count of
+    * ORPHANS (non-null child keys with no parent). Each relationship is a
+    * key-pruned LEFT ANTI join — dimension keys broadcast when small, and
+    * only the two key columns are ever read. The first data-quality gate
+    * any warehouse load runs. */
+  def refIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      val orphans = child.select(col(childKey).as("_k"))
+        .filter(col("_k").isNotNull)
+        .join(parent.select(col(parentKey).as("_k")), Seq("_k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val totals = child.agg(
+        count(lit(1)).as("n_rows"), count(col(childKey)).as("n_keyed"))
+      totals.crossJoin(orphans)
+        .select(lit(name).as("relationship"), col("n_rows"), col("n_keyed"),
+          col("n_orphans"))
+    }.reduce(_.union(_))
+
+  def refIntegritySqlDuck(rels: Seq[(String, String, String, String, String)]): String =
+    rels.map { case (name, child, childKey, parent, parentKey) =>
+      s"""SELECT '$name' AS relationship,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_rows,
+         |  (SELECT CAST(count($childKey) AS BIGINT) FROM $child) AS n_keyed,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+         |    WHERE c.$childKey IS NOT NULL
+         |      AND NOT EXISTS (SELECT 1 FROM $parent p
+         |                      WHERE p.$parentKey = c.$childKey)) AS n_orphans""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+
   def minmaxScaleSqlDuck: String =
     """WITH st AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
       |            FROM events GROUP BY event_type)

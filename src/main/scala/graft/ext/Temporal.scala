@@ -74,6 +74,53 @@ object Temporal {
       .drop("_vals")
   }
 
+  /** Gap-based session intervals per user — the library form of the
+    * lag/gap sessionization the events_sessionize query runs inline: a new
+    * session opens when the inter-event gap exceeds `gapUs`. One exchange
+    * on user_id (both windows and the rollup share it). */
+  def sessionIntervals(events: DataFrame, gapUs: Long = 1800000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("_prev", lag(col("us"), 1).over(byUser))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("us") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+  }
+
+  /** Concurrency curve over a set of time intervals: at every distinct
+    * boundary instant, how many intervals are active — the sweep-line
+    * answer to "peak concurrent sessions", with NO pair enumeration (an
+    * interval-overlap self-join is quadratic in busy periods; the sweep is
+    * linear). Convention is half-open [start, end): an interval ending at
+    * `t` is inactive at `t`, one starting at `t` is active — i.e. deltas at
+    * an instant apply ends-before-starts, which falls out of summing the
+    * net delta per distinct instant.
+    *
+    * Shape: boundaries (2 rows per interval) → one map-side-combined
+    * groupBy on the instant (making the sweep key UNIQUE — required by the
+    * running sum, and what makes the output deterministic under ties) →
+    * [[graft.etl.IngestOps.withGlobalRunningSum]], the deterministic
+    * bucketed prefix sum (no single-reducer global window at any scale).
+    */
+  def intervalConcurrency(intervals: DataFrame, startUs: String,
+      endUs: String): DataFrame = {
+    val deltas = intervals.select(col(startUs).as("us"), lit(1L).as("_d"))
+      .union(intervals.select(col(endUs).as("us"), lit(-1L).as("_d")))
+      .groupBy("us").agg(
+        sum(col("_d")).as("delta"),
+        sum(when(col("_d") > 0, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("_d") < 0, 1L).otherwise(0L)).as("n_ends"))
+    graft.etl.IngestOps
+      .withGlobalRunningSum(deltas, col("us"), col("delta"), "n_active")
+      .select("us", "n_starts", "n_ends", "delta", "n_active")
+  }
+
   /** Time-windowed telemetry dedup: within each tumbling window, collapse
     * rows sharing the identity `keys` to one keeper (min id) plus the
     * duplicate count — the "same logical event reported twice inside the

@@ -36,7 +36,11 @@ object PlanAudit {
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quartile-edges aggregate"),
     "events_zorder_key" -> ("BroadcastNestedLoopJoin",
-      "crossJoin of the 1-row min/max bucketization-stats aggregate"))
+      "crossJoin of the 1-row min/max bucketization-stats aggregate"),
+    "events_type_affinity" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row session-count aggregate onto the |types|²-bounded pair rollup"),
+    "quality_ref_integrity" -> ("BroadcastNestedLoopJoin",
+      "per-relationship crossJoin of two 1-row aggregates (totals × orphan count)"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

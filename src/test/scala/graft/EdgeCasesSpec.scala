@@ -212,4 +212,34 @@ class EdgeCasesSpec extends AnyFunSuite {
       .toDF("doc_id", "text", "lang", "n_chars", "source")
     assert(TextOps.decontaminate(cand, emptyDocs).count() == 1)
   }
+
+  test("round-11 stats/affinity/sweep operators on empty and degenerate inputs") {
+    import graft.ext.{Analytics, Dedup, Sketch, Stats, Temporal}
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp, String, Option[Double])]
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Stats.pearsonByHour(emptyEv).count() == 0)
+    assert(Stats.anomalyZscore(emptyEv).count() == 0)
+    assert(Analytics.transitionMatrix(emptyEv).count() == 0)
+    assert(Analytics.typeAffinity(emptyEv).count() == 0)
+    graft.etl.CacheRegistry.releaseAll()
+    assert(Temporal.sessionIntervals(emptyEv).count() == 0)
+    assert(Temporal.intervalConcurrency(
+      Seq.empty[(Long, Long)].toDF("s", "e"), "s", "e").count() == 0)
+    // single interval: curve is 1 then 0
+    assert(Temporal.intervalConcurrency(Seq((1L, 5L)).toDF("s", "e"), "s", "e")
+      .orderBy("us").select("n_active").as[Long].collect().toSeq == Seq(1L, 0L))
+    assert(Stats.profileColumns(emptyDocs, Seq("doc_id", "text"))
+      .select("n_rows", "n_distinct").as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 0L), (0L, 0L)))
+    assert(Sketch.countMinTokens(emptyDocs).count() == 0)
+    assert(Dedup.editDistancePairs(emptyDocs).count() == 0)
+    assert(TextOps.tfidfCosinePairs(emptyDocs).count() == 0)
+    graft.etl.CacheRegistry.releaseAll()
+    // single-user single-event: no transitions, no anomalies, one session
+    val one = Seq((1L, 7L, java.sql.Timestamp.from(java.time.Instant.EPOCH),
+      "view", Some(1.0))).toDF("event_id", "user_id", "ts", "event_type", "value")
+    assert(Analytics.transitionMatrix(one).count() == 0)
+    assert(Stats.anomalyZscore(one).count() == 0)
+    assert(Temporal.sessionIntervals(one).count() == 1)
+  }
 }

@@ -170,6 +170,44 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.5, 4L -> 0.0, 5L -> 0.0))
   }
 
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val HourUs = 3600000000L
+    val e = Seq( // user 1: A→B→A ; user 2: A→A
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 1L), (3L, 1L, "A", 2L),
+      (4L, 2L, "A", 0L), (5L, 2L, "A", 1L))
+      .toDF("event_id", "user_id", "event_type", "h")
+      .withColumn("ts", timestamp_micros(col("h") * HourUs))
+    val got = Analytics.transitionMatrix(e)
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got === Seq(("A", "A", 1L, 0.5), ("A", "B", 1L, 0.5),
+      ("B", "A", 1L, 1.0)))
+  }
+
+  test("typeAffinity: session baskets, pair counts, lift") {
+    val HourUs = 3600000000L
+    val e = Seq( // user 1: session {A,B}, then (2h gap) session {A}; user 2: {B}
+      (1L, 1L, "A", 0L), (2L, 1L, "B", 0L), (3L, 1L, "A", 2L * HourUs),
+      (4L, 2L, "B", 0L))
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.typeAffinity(e)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    graft.etl.CacheRegistry.releaseAll()
+    // 3 sessions; A in 2, B in 2, {A,B} together in 1 → lift = 1·3/(2·2)
+    assert(got === Seq(("B", "A", 1L, 2L, 2L, 0.75)) ||
+      got === Seq(("A", "B", 1L, 2L, 2L, 0.75)))
+  }
+
+  test("refIntegrity: orphan and null-key accounting") {
+    val parent = Seq(10L, 11L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(99L), None).toDF("fk")
+    val got = Analytics.refIntegrity(Seq(("c->p", child, "fk", parent, "pk")))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // 4 rows, 3 non-null keys, 1 orphan (99); the null key is NOT an orphan
+    assert(got === Seq(("c->p", 4L, 3L, 1L)))
+  }
+
   test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
     val e = events((1L, "view", 10L), (2L, "click", 20L))
     val plan = Analytics.funnel(e).queryExecution.executedPlan

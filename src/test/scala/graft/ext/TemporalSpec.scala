@@ -110,4 +110,65 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"forward as-of degraded to $bad")
   }
+
+  test("intervalConcurrency: knowns on hand-built intervals") {
+    // [0,10) [5,15) [20,25): active counts 1,2,1,0,1,0 at the boundaries
+    val iv = Seq((0L, 10L), (5L, 15L), (20L, 25L)).toDF("s", "e")
+    val got = Temporal.intervalConcurrency(iv, "s", "e")
+      .orderBy("us")
+      .select("us", "n_active").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L), (5L, 2L), (10L, 1L), (15L, 0L),
+      (20L, 1L), (25L, 0L)))
+  }
+
+  test("intervalConcurrency: random differential vs naive per-boundary count") {
+    val rnd = new scala.util.Random(7)
+    val iv = Seq.fill(300) { val s = rnd.nextInt(500).toLong; (s, s + 1 + rnd.nextInt(80)) }
+    val got = Temporal.intervalConcurrency(iv.toDF("s", "e"), "s", "e")
+      .select("us", "n_active").as[(Long, Long)].collect().toMap
+    // naive: active at t = #{[s,e) : s <= t < e}
+    got.foreach { case (t, n) =>
+      val naive = iv.count { case (s, e) => s <= t && t < e }.toLong
+      assert(n === naive, s"at t=$t")
+    }
+    // every boundary instant appears exactly once
+    assert(got.size === (iv.map(_._1) ++ iv.map(_._2)).distinct.size)
+  }
+
+  test("withGlobalRunningSum: equals local prefix sum; partitioning-invariant") {
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((0 until 500).toList)
+      .map(k => (k.toLong, (rnd.nextInt(21) - 10).toLong))
+    val df = rows.toDF("k", "w")
+    val got = graft.etl.IngestOps
+      .withGlobalRunningSum(df.repartition(7), col("k"), col("w"), "rs")
+      .select("k", "rs").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, w) =>
+      acc += w
+      assert(got(k) === acc, s"at k=$k")
+    }
+    val again = graft.etl.IngestOps
+      .withGlobalRunningSum(df.repartition(3), col("k"), col("w"), "rs")
+      .select("k", "rs").as[(Long, Long)].collect().toMap
+    assert(again === got)
+  }
+
+  test("sessionIntervals: gap splits, bounds, and event counts") {
+    val HourUs = 3600000000L
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 600L * 1000000), // session 1: 2 events
+      (3L, 1L, 3L * HourUs),                  // session 2 after 2.8h gap
+      (4L, 2L, 0L))                           // other user
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Temporal.sessionIntervals(ev)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 1L, 2L, 0L, 600000000L),
+      (1L, 2L, 1L, 3L * HourUs, 3L * HourUs),
+      (2L, 1L, 1L, 0L, 0L)))
+  }
 }
