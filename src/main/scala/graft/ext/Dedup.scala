@@ -776,8 +776,14 @@ object Dedup {
     x.as("a").join(y.as("b"),
         col("a.lang") === col("b.lang") && col("a.tok1") === col("b.tok1") &&
         col("a._salt") === col("b._salt") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("dist", levenshtein(col("a.pfx"), col("b.pfx")).cast("long"))
-      .filter(col("dist") <= maxDist)
+      // bounded 3-arg levenshtein: O(maxDist·len) banded DP with early
+      // exit, returning −1 above the threshold — for surviving pairs the
+      // value equals the exact distance, so the oracle's unbounded form
+      // matches while the engine skips most of each rejected pair's DP
+      // table (bench: 3.8 s → 3-arg on the same 107k sf0.1 candidates)
+      .withColumn("dist",
+        levenshtein(col("a.pfx"), col("b.pfx"), maxDist).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("dist"))
   }
 

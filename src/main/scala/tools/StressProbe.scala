@@ -116,7 +116,12 @@ object StressProbe {
       "sample_length_quartiles" -> (d => graft.ext.Pipelines.lengthQuartiles(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
       "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(
-        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()))
+        d.filter(col("source") =!= "src0"), d.filter(col("source") === "src0")).count()),
+      "sketch_countmin" -> (d => graft.ext.Sketch.countMinTokens(d).count()),
+      "sim_tfidf_pairs" -> (d => graft.ext.TextOps.tfidfCosinePairs(d).count()),
+      "dedup_edit_distance" -> (d => graft.ext.Dedup.editDistancePairs(d).count()),
+      "profile_documents" -> (d => graft.ext.Stats.profileColumns(d,
+        Seq("doc_id", "lang", "source", "n_chars", "text")).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -137,7 +142,16 @@ object StressProbe {
       "events_value_histogram" -> (e => graft.ext.Analytics.valueHistogram(e).count()),
       "events_quantile_selection_grouped" -> (e =>
         graft.ext.Sketch.exactQuantileDiscByGroup(e, "event_type", "value").count()),
-      "events_minmax_scale" -> (e => graft.ext.Analytics.minmaxScale(e).count()))
+      "events_minmax_scale" -> (e => graft.ext.Analytics.minmaxScale(e).count()),
+      "events_transition_matrix" -> (e =>
+        graft.ext.Analytics.transitionMatrix(e).count()),
+      "events_type_affinity" -> (e => graft.ext.Analytics.typeAffinity(e).count()),
+      "events_corr_hour" -> (e => graft.ext.Stats.pearsonByHour(e).count()),
+      "events_anomaly_zscore" -> (e => graft.ext.Stats.anomalyZscore(e).count()),
+      "events_session_concurrency" -> (e => graft.ext.Temporal.intervalConcurrency(
+        graft.ext.Temporal.sessionIntervals(e)
+          .withColumn("end_excl_us", col("end_us") + 1L),
+        "start_us", "end_excl_us").count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
