@@ -1527,6 +1527,27 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // SQ8 scalar quantization of the embedding corpus (ext/Similarity
+    // .quantizeSq8): per-dim min/max stats (Dim×2 driver scalars, the
+    // adjudicated bounded pull) → literal arrays → one narrow quantize
+    // pass; per-vector midpoint-reconstruction error left-folds in
+    // dimension order, so even the double accumulation hash-matches
+    "sim_quantize_sq8" -> ((s, dir) =>
+      Similarity.quantizeSq8(t(s, dir, "embeddings")).orderBy("vec_id")),
+
+    // SCD1 key-based upsert (ext/Pipelines.upsertLatest): the incoming
+    // batch re-crawls every third doc (text + ' v2'); latest batch wins
+    // per key, content-hash tie-break, provenance in from_batch
+    "pipeline_upsert_latest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val incoming = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .withColumn("n_chars", col("n_chars") + 3L)
+      graft.ext.Pipelines.upsertLatest(docs, incoming)
+        .select("doc_id", "text", "lang", "source", "n_chars", "from_batch")
+        .orderBy("doc_id")
+    }),
+
     // first-order Markov transition matrix between event types (ext/
     // Analytics.transitionMatrix): one user_id exchange for the lag pairs,
     // |types|²-bounded rollup, broadcast per-from totals
@@ -2485,6 +2506,9 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "sim_quantize_sq8" -> Similarity.quantizeSq8SqlDuck,
+    "pipeline_upsert_latest" -> graft.ext.Pipelines.upsertLatestSqlDuck(
+      "doc_id, text, lang, source, n_chars"),
     "events_transition_matrix" -> graft.ext.Analytics.transitionMatrixSqlDuck,
     "events_type_affinity" -> graft.ext.Analytics.typeAffinitySqlDuck(),
     "quality_ref_integrity" -> graft.ext.Analytics.refIntegritySqlDuck(Seq(

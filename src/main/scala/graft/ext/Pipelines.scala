@@ -185,6 +185,46 @@ object Pipelines {
     incoming.join(firsts, "doc_id")
   }
 
+  /** SCD1 key-based upsert: merge a re-crawl/refresh batch into the
+    * standing corpus, LATEST version of each key wins — the complement of
+    * [[incrementalIngest]] (which is content-keyed, append-only, and never
+    * replaces). Each side is tagged with its batch number; the keeper per
+    * key is the row from the highest batch, tie-broken by a content hash so
+    * the operator stays deterministic even if a side carries duplicate
+    * keys. One shuffle on the key (WindowGroupLimit caps map output at one
+    * row per key per task); provenance rides along as `from_batch`.
+    */
+  def upsertLatest(existing: DataFrame, incoming: DataFrame,
+      keyCol: String = "doc_id", hashCols: Seq[String] = Seq("text"))
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = existing.withColumn("from_batch", lit(0L))
+      .unionByName(incoming.withColumn("from_batch", lit(1L)))
+    val tie = md5(concat_ws("", hashCols.map(col): _*))
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("from_batch").desc, tie.asc)
+    tagged.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Oracle twin of [[upsertLatest]] on the driver fixture: `incoming` =
+    * the docs with doc_id ≡ 0 (mod 3) re-crawled with `' v2'` appended —
+    * every third doc must surface as its v2 row, batch 1. */
+  def upsertLatestSqlDuck(cols: String): String =
+    s"""WITH tagged AS (
+       |  SELECT doc_id, text, lang, source, n_chars, CAST(0 AS BIGINT) AS from_batch
+       |    FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, text || ' v2' AS text, lang, source,
+       |    n_chars + 3 AS n_chars, CAST(1 AS BIGINT) AS from_batch
+       |    FROM documents WHERE doc_id % 3 = 0),
+       | ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY from_batch DESC, md5(text) ASC) AS rn
+       |  FROM tagged)
+       |SELECT $cols, from_batch FROM ranked WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle twin: `existing` = documents with source `exSource`, `incoming`
     * = the rest, projected to `cols`. */
   def incrementalIngestSqlDuck(exSource: String, cols: String): String =

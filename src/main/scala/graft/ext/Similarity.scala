@@ -473,4 +473,79 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Scalar (SQ8) embedding quantization: per-DIMENSION min/max over the
+    * corpus define 256 uniform levels; each float compresses to one byte
+    * (4× smaller than fp32 — the standard storage/serving trade for
+    * billion-vector stores), and the per-vector midpoint-reconstruction
+    * squared error is reported alongside so quantization quality is itself
+    * a monitored column.
+    *
+    * Shape: one posexplode + (dim)-keyed map-side-combined aggregate for
+    * the stats; the Dim×2 scalars collect to the driver (bounded — the
+    * same adjudicated pull as the IVF centroids) and come back as LITERAL
+    * arrays, so the quantize pass is a single narrow projection — the
+    * corpus streams through once, nothing shuffles.
+    *
+    * Determinism: min/max are comparisons; the code is
+    * floor((v−mn)·255/(mx−mn)) clamped to [0,255] — float-exact identical
+    * IEEE ops in identical order on both engines; the error fold is a LEFT
+    * fold in dimension order (Spark `aggregate`, DuckDB `list_reduce`), so
+    * even the double accumulation is bit-identical. Degenerate dimensions
+    * (mx == mn) code to 0. */
+  def quantizeSq8(emb: DataFrame): DataFrame = {
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .orderBy("d").collect()
+    val mns = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val mxs = array(stats.map(r => lit(r.getDouble(2))).toSeq: _*)
+    val dim = stats.length
+    val dq = s"""(element_at(_mn, i) +
+      (CAST(element_at(codes, i) AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      * (element_at(_mx, i) - element_at(_mn, i)) / CAST(255.0 AS DOUBLE))"""
+    val err = s"(CAST(element_at(embedding, i) AS DOUBLE) - $dq)"
+    emb.withColumn("_mn", mns).withColumn("_mx", mxs)
+      .withColumn("codes", expr(
+        s"""transform(sequence(1, $dim), i ->
+           |  CASE WHEN element_at(_mx, i) > element_at(_mn, i) THEN
+           |    least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+           |      floor((CAST(element_at(embedding, i) AS DOUBLE) - element_at(_mn, i))
+           |            * CAST(255.0 AS DOUBLE)
+           |            / (element_at(_mx, i) - element_at(_mn, i)))))
+           |  ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("mse_sum", expr(
+        s"""aggregate(
+           |  transform(sequence(1, $dim), i -> $err * $err),
+           |  CAST(0.0 AS DOUBLE), (a, x) -> a + x)""".stripMargin))
+      .select(col("vec_id"),
+        array_join(expr("transform(codes, c -> CAST(c AS STRING))"), ",").as("codes"),
+        col("mse_sum"))
+  }
+
+  /** Oracle twin of [[quantizeSq8]] — identical stats, code arithmetic,
+    * midpoint reconstruction, and LEFT-fold error accumulation in
+    * dimension order (`list_reduce` over a 0.0-prepended ordered list). */
+  def quantizeSq8SqlDuck: String =
+    """WITH x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      |    generate_subscripts(embedding, 1) AS d FROM embeddings),
+      | st AS (SELECT d, min(v) AS mn, max(v) AS mx FROM x GROUP BY d),
+      | q AS (SELECT vec_id, x.d, v, mn, mx,
+      |    CASE WHEN mx > mn THEN
+      |      least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |        CAST(floor((v - mn) * CAST(255.0 AS DOUBLE) / (mx - mn)) AS BIGINT)))
+      |    ELSE CAST(0 AS BIGINT) END AS code
+      |  FROM x JOIN st ON x.d = st.d),
+      | e AS (SELECT vec_id, d, code,
+      |    (v - (mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       * (mx - mn) / CAST(255.0 AS DOUBLE)))
+      |    * (v - (mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+      |       * (mx - mn) / CAST(255.0 AS DOUBLE))) AS err2
+      |  FROM q)
+      |SELECT vec_id,
+      |  array_to_string(list(code ORDER BY d), ',') AS codes,
+      |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(err2 ORDER BY d)),
+      |    (a, b) -> a + b) AS DOUBLE) AS mse_sum
+      |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
 }

@@ -228,4 +228,30 @@ class PipelinesSpec extends AnyFunSuite {
     assert(pairs.exists(r => naive(r.getLong(0)) != naive(r.getLong(1))),
       "expected at least one naive-split leak on the fixture")
   }
+
+  test("upsertLatest: latest batch wins per key; non-overlapping keys kept") {
+    import spark.implicits._
+    val existing = Seq((1L, "old one"), (2L, "old two"), (3L, "old three"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((2L, "new two"), (9L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = Pipelines.upsertLatest(existing, incoming)
+      .select("doc_id", "text", "from_batch")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "old one", 0L), (2L, "new two", 1L),
+      (3L, "old three", 0L), (9L, "brand new", 1L)))
+  }
+
+  test("upsertLatest: duplicate keys inside a batch resolve deterministically") {
+    import spark.implicits._
+    val existing = Seq((1L, "a")).toDF("doc_id", "text")
+    val incoming = Seq((1L, "x"), (1L, "y")).toDF("doc_id", "text")
+    val winner = Pipelines.upsertLatest(existing, incoming)
+      .select("text").as[String].collect().toSeq
+    // md5("y") = 4152… < md5("x") = 9dd4… → "y" wins, and repeatedly so
+    assert(winner === Seq("y"))
+    val again = Pipelines.upsertLatest(existing, incoming.repartition(5))
+      .select("text").as[String].collect().toSeq
+    assert(again === Seq("y"))
+  }
 }

@@ -135,4 +135,30 @@ class SimilaritySpec extends AnyFunSuite {
         s"query $qid: planted near-dup not retrieved as top neighbor")
     }
   }
+
+  test("quantizeSq8: known codes, bounded reconstruction error, constant dim → 0") {
+    import spark.implicits._
+    // dim 1 spans [0,1]; dim 2 is constant (degenerate)
+    val emb = Seq(
+      (1L, Array(0.0f, 5.0f)), (2L, Array(0.5f, 5.0f)), (3L, Array(1.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeSq8(emb)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val codes = got.map(_._2.split(",").map(_.toInt).toSeq)
+    assert(codes(0) === Seq(0, 0))     // v = min → 0
+    assert(codes(2) === Seq(255, 0))   // v = max → clamped 255; constant dim 0
+    assert(codes(1).head === 127)      // 0.5*255 = 127.5 → floor 127
+    // midpoint reconstruction: |err| per non-degenerate dim ≤ span/510 + ulp;
+    // the constant dim contributes (5 - (5 + 0.5·0/255))² = 0
+    got.foreach { case (id, _, mse) =>
+      assert(mse >= 0.0 && mse <= 2 * math.pow(1.0 / 510 + 1e-9, 2), s"vec $id mse=$mse")
+    }
+  }
+
+  test("quantizeSq8: partitioning-invariant on the fixture corpus") {
+    val emb = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001, "embeddings")
+    val a = Similarity.quantizeSq8(emb).orderBy("vec_id").collect().toSeq
+    val b = Similarity.quantizeSq8(emb.repartition(7)).orderBy("vec_id").collect().toSeq
+    assert(a === b && a.nonEmpty)
+  }
 }
