@@ -1527,6 +1527,24 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // corpus-slice distribution drift as TOTAL-VARIATION distance (ext/
+    // Stats.driftTotalVariation): TV, not PSI/KL — no ln, the per-bucket
+    // |p_a − p_b| cross-multiplies to exact BIGINT numerators and TV is
+    // one final double division; two histograms + tiny bucket outer join
+    "quality_drift_tv" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Stats.driftTotalVariation(
+          docs.filter(col("source") === "src0"),
+          docs.filter(col("source") === "src1"), "n_chars")
+        .orderBy("bucket")
+    }),
+
+    // DAU/WAU engagement + stickiness (ext/Analytics.dauWau): exact
+    // sliding distinct via the bounded ×7 window-end expansion of
+    // (user, day) facts — never a per-day history scan
+    "events_dau_wau" -> ((s, dir) =>
+      graft.ext.Analytics.dauWau(t(s, dir, "events")).orderBy("day")),
+
     // SQ8 scalar quantization of the embedding corpus (ext/Similarity
     // .quantizeSq8): per-dim min/max stats (Dim×2 driver scalars, the
     // adjudicated bounded pull) → literal arrays → one narrow quantize
@@ -2506,6 +2524,8 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
+    "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "sim_quantize_sq8" -> Similarity.quantizeSq8SqlDuck,
     "pipeline_upsert_latest" -> graft.ext.Pipelines.upsertLatestSqlDuck(
       "doc_id, text, lang, source, n_chars"),

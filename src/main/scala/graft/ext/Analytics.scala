@@ -494,6 +494,42 @@ object Analytics {
        |  CROSS JOIN ns
        |ORDER BY type_a, type_b""".stripMargin
 
+  /** DAU / WAU engagement curve with stickiness: per active day, the count
+    * of distinct users that day and over the trailing `windowDays` window,
+    * ratio = stickiness. EXACT sliding distinct without quadratic state:
+    * each (user, day) activity fact expands to the `windowDays` window-END
+    * days it supports (bounded ×windowDays row growth — never a per-day
+    * scan of history), a second distinct collapses multi-day users, and
+    * the counts are plain map-side-combined aggregates. Reported for days
+    * with actual activity (inner join to DAU). */
+  def dauWau(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, date_add(day, ${windowDays - 1}))")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  def dauWauSqlDuck(windowDays: Int = 7): String =
+    s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       | dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+       |  FROM ud GROUP BY day),
+       | ex AS (SELECT DISTINCT user_id, day + CAST(i AS INTEGER) AS day
+       |  FROM ud CROSS JOIN range(0, $windowDays) r(i)),
+       | wau AS (SELECT day, CAST(count(*) AS BIGINT) AS wau
+       |  FROM ex GROUP BY day)
+       |SELECT dau.day, dau, wau,
+       |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+       |FROM dau JOIN wau USING (day) ORDER BY dau.day""".stripMargin
+
   /** Referential-integrity audit over a star schema: one row per declared
     * child→parent relationship with the child row count and the count of
     * ORPHANS (non-null child keys with no parent). Each relationship is a

@@ -188,6 +188,68 @@ object Stats {
           col("n_distinct"), col("vmin"), col("vmax"))
     }.reduce(_.union(_))
 
+  /** Distribution drift between two corpus slices (e.g. yesterday's crawl
+    * vs today's): per-bucket histogram comparison with TOTAL-VARIATION
+    * distance — deliberately TV, not PSI/KL: those need `ln`, whose last
+    * ulp differs across libm implementations, while TV over counts stays
+    * in EXACT integers until one final division. Per bucket the
+    * contribution |p_a − p_b| cross-multiplies to |n_a·tot_b − n_b·tot_a|
+    * (exact BIGINT — no per-bucket division, no double sum), and
+    * TV = Σ|…| / (2·tot_a·tot_b) is a single double division at the end.
+    * Output: one row per bucket with both counts and the bucket's share of
+    * the distance, plus the scalar TV on every row (broadcast 1-row
+    * aggregate). Shape: two map-side-combined histograms + a tiny
+    * bucket-keyed full outer join — the corpus is read once per side. */
+  def driftTotalVariation(a: DataFrame, b: DataFrame, valueCol: String,
+      bucketWidth: Long = 25L): DataFrame = {
+    def hist(df: DataFrame, n: String) = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(expr(s"CAST(CAST($valueCol AS BIGINT) DIV $bucketWidth AS BIGINT)")
+        .as("bucket"))
+      .agg(count(lit(1)).as(n))
+    val ha = hist(a, "n_a"); val hb = hist(b, "n_b")
+    val joined = ha.join(hb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = joined.agg(sum(col("n_a")).as("tot_a"), sum(col("n_b")).as("tot_b"))
+    val withTot = joined.crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a")))
+    val numSum = withTot.agg(sum(col("contrib")).as("num_sum"))
+    withTot.crossJoin(broadcast(numSum))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("contrib"),
+        (col("num_sum").cast("double") /
+          (lit(2.0) * col("tot_a").cast("double") * col("tot_b").cast("double")))
+          .as("tv_distance"))
+  }
+
+  /** Oracle twin of [[driftTotalVariation]] for documents split by source:
+    * `a` = docs with source `srcA`, `b` = docs with source `srcB`, value =
+    * n_chars. */
+  def driftTvSqlDuck(srcA: String, srcB: String, bucketWidth: Long = 25L): String =
+    s"""WITH ha AS (SELECT CAST(n_chars // $bucketWidth AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_a
+       |  FROM documents WHERE source = '$srcA' AND n_chars IS NOT NULL
+       |  GROUP BY 1),
+       | hb AS (SELECT CAST(n_chars // $bucketWidth AS BIGINT) AS bucket,
+       |    CAST(count(*) AS BIGINT) AS n_b
+       |  FROM documents WHERE source = '$srcB' AND n_chars IS NOT NULL
+       |  GROUP BY 1),
+       | j AS (SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+       |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+       |  FROM ha FULL OUTER JOIN hb ON ha.bucket = hb.bucket),
+       | t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+       |    CAST(sum(n_b) AS BIGINT) AS tot_b FROM j),
+       | s AS (SELECT CAST(sum(abs(n_a * tot_b - n_b * tot_a)) AS BIGINT)
+       |    AS num_sum FROM j CROSS JOIN t)
+       |SELECT bucket, n_a, n_b,
+       |  CAST(abs(n_a * tot_b - n_b * tot_a) AS BIGINT) AS contrib,
+       |  CAST(num_sum AS DOUBLE) /
+       |    (CAST(2.0 AS DOUBLE) * CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+       |    AS tv_distance
+       |FROM j CROSS JOIN t CROSS JOIN s
+       |ORDER BY bucket""".stripMargin
+
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

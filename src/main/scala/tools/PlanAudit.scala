@@ -40,7 +40,9 @@ object PlanAudit {
     "events_type_affinity" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row session-count aggregate onto the |types|²-bounded pair rollup"),
     "quality_ref_integrity" -> ("BroadcastNestedLoopJoin",
-      "per-relationship crossJoin of two 1-row aggregates (totals × orphan count)"))
+      "per-relationship crossJoin of two 1-row aggregates (totals × orphan count)"),
+    "quality_drift_tv" -> ("BroadcastNestedLoopJoin",
+      "crossJoins of the 1-row totals and 1-row numerator-sum aggregates onto the bucket-count histogram"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")

@@ -199,6 +199,19 @@ class AnalyticsSpec extends AnyFunSuite {
       got === Seq(("A", "B", 1L, 2L, 2L, 0.75)))
   }
 
+  test("dauWau: sliding distinct by hand on a 3-user toy timeline") {
+    val DayUs = 86400000000L
+    val e = Seq( // day 0: u1,u2 ; day 1: u1 ; day 10: u3 (outside any window of day 0/1)
+      (1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 1L * DayUs), (4L, 3L, 10L * DayUs))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.dauWau(e).orderBy("day")
+      .select("dau", "wau", "stickiness")
+      .as[(Long, Long, Double)].collect().toSeq
+    // day0: dau 2, wau 2; day1: dau 1, wau(days −5..1)={u1,u2}=2; day10: 1/1
+    assert(got === Seq((2L, 2L, 1.0), (1L, 2L, 0.5), (1L, 1L, 1.0)))
+  }
+
   test("refIntegrity: orphan and null-key accounting") {
     val parent = Seq(10L, 11L).toDF("pk")
     val child = Seq(Some(10L), Some(10L), Some(99L), None).toDF("fk")

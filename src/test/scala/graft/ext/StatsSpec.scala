@@ -129,6 +129,38 @@ class StatsSpec extends AnyFunSuite {
     assert(!plan.contains("text")) // the wide column is never read
   }
 
+  // ---- driftTotalVariation -------------------------------------------
+
+  test("driftTotalVariation: knowns — identical slices → 0, disjoint → 1") {
+    val a = Seq(10L, 10L, 30L).toDF("v")
+    val same = Stats.driftTotalVariation(a, a, "v", 25L)
+      .select("tv_distance").as[Double].collect().toSeq
+    assert(same.nonEmpty && same.forall(_ === 0.0))
+    val b = Seq(100L, 130L).toDF("v")
+    val disj = Stats.driftTotalVariation(a, b, "v", 25L)
+      .select("tv_distance").as[Double].collect().toSeq
+    assert(disj.forall(_ === 1.0))
+    // hand-check a partial overlap: a = {bucket0:2, bucket1:1},
+    // b = {bucket0:1, bucket1:1} → TV = ½(|2/3−1/2| + |1/3−1/2|) = 1/6
+    val c = Seq(10L, 30L).toDF("v")
+    val part = Stats.driftTotalVariation(a, c, "v", 25L)
+      .select("tv_distance").as[Double].collect().toSeq
+    // exact integer form: |2·2−1·3| + |1·2−1·3| = 2 → 2/(2·3·2) = 1/6
+    assert(part.forall(_ === 2.0 / 12.0))
+  }
+
+  test("driftTotalVariation: contribs sum to the cross-multiplied numerator") {
+    val docs = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001, "documents")
+    val out = Stats.driftTotalVariation(
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("source") === "src1"), "n_chars")
+      .select("contrib", "tv_distance").as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    val tv = out.head._2
+    assert(out.forall(_._2 === tv), "tv_distance must be one scalar")
+    assert(tv >= 0.0 && tv <= 1.0)
+  }
+
   // ---- countMinTokens ------------------------------------------------
 
   test("countMinTokens: estimate ≥ exact always; equals min of bucket sums") {
