@@ -1622,13 +1622,23 @@ object SparkEntry {
     "events_stream_join_outer" -> ((s, dir) => {
       s.streams.active.filter(q => Option(q.name).contains("stream_joinouter_verify"))
         .foreach(_.stop())
-      val q = graft.streaming.EventStreams.clickPurchaseLeftOuter(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_joinouter_verify")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      // the symmetric join keeps 4 state stores per partition; at this
+      // state volume the per-partition store open/commit overhead
+      // dominates, so run the stateful query narrow (fresh checkpoint each
+      // run → the setting binds) and restore the session default after
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.EventStreams.clickPurchaseLeftOuter(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_joinouter_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // every micro-batch plans against the live conf — restore only
+        // after the run is fully drained
+        q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // no-click sentinel −1: the driver/oracle hash path is only exercised
       // on null-free columns (mixed null ordering is canon-undefined there)
       s.table("stream_joinouter_verify")
