@@ -43,6 +43,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     IngestOps.table(s, dir, name)
 
+  /** Harness for the streaming oracle rows: stop any prior run of `name`,
+    * run the query to completion with NARROW state (8 shuffle/state
+    * partitions — at fixture state volumes the per-partition state-store
+    * open/commit overhead dominates the actual work: the outer join
+    * measured 7.8 s at 32 partitions vs 2.7 s at 8; fresh checkpoint each
+    * run, so the setting binds), and restore the session default only
+    * after the run drains (every micro-batch plans against the live conf). */
+  private def runNarrowStream(s: SparkSession, name: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try start.awaitTermination(300000)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -1093,15 +1109,13 @@ object SparkEntry {
     // by StreamProbe at fixture scale. Streaming state: one open session
     // row per (user, gap window), expired by the watermark.
     "events_stream_sessionize" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_sessionize_verify"))
-        .foreach(_.stop())
-      val q = graft.streaming.EventStreams.sessionWindows(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_sessionize_verify")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      runNarrowStream(s, "stream_sessionize_verify")(
+        graft.streaming.EventStreams.sessionWindows(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_sessionize_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       s.table("stream_sessionize_verify")
         .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
           col("n_events"))
@@ -1113,15 +1127,13 @@ object SparkEntry {
     // the same AvailableNow + complete-mode memory-sink harness; oracle =
     // the batch events_sliding_agg SQL (two offset tumbling grids)
     "events_stream_sliding" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_sliding_verify"))
-        .foreach(_.stop())
-      val q = graft.streaming.EventStreams.slidingCounts(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_sliding_verify")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      runNarrowStream(s, "stream_sliding_verify")(
+        graft.streaming.EventStreams.slidingCounts(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_sliding_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       s.table("stream_sliding_verify")
         .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
           col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
@@ -1133,15 +1145,13 @@ object SparkEntry {
     // (EventStreams.windowedDedup) is the IDENTICAL expression as the batch
     // events_dedup_windowed, so both share one oracle SQL.
     "events_stream_windowed_dedup" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_windedup_verify"))
-        .foreach(_.stop())
-      val q = graft.streaming.EventStreams.windowedDedup(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_windedup_verify")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      runNarrowStream(s, "stream_windedup_verify")(
+        graft.streaming.EventStreams.windowedDedup(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_windedup_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       s.table("stream_windedup_verify")
         .select(unix_micros(col("w_start")).as("w_us"), col("user_id"),
           col("event_type"), col("keep_id"), col("n_dups"))
@@ -1158,15 +1168,13 @@ object SparkEntry {
     // arithmetic. Single data batch here (one fixture file), so gap
     // closures are in-batch and timeouts fire in the final no-data batch.
     "events_stream_closed_sessions" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_closed_verify"))
-        .foreach(_.stop())
-      val q = graft.streaming.EventStreams.closedSessions(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_closed_verify")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      runNarrowStream(s, "stream_closed_verify")(
+        graft.streaming.EventStreams.closedSessions(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_closed_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       s.table("stream_closed_verify")
         .select(col("user_id"), col("start_us"), col("end_us"),
           col("n_events"), col("closed_by"))
@@ -1184,15 +1192,13 @@ object SparkEntry {
     // corpus size; the production sink is foreachBatch→ndjson
     // (EventStreams.writeNdjsonStream).
     "events_stream_tumbling" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_tumbling_verify"))
-        .foreach(_.stop())
-      val q = graft.streaming.EventStreams.tumblingCounts(
-          graft.streaming.EventStreams.readEvents(s, dir))
-        .writeStream.format("memory").queryName("stream_tumbling_verify")
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination(300000)
+      runNarrowStream(s, "stream_tumbling_verify")(
+        graft.streaming.EventStreams.tumblingCounts(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_tumbling_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       s.table("stream_tumbling_verify")
         .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
@@ -1620,25 +1626,13 @@ object SparkEntry {
     // finalized (strictly older than min(side maxima, ms-floored) − delay);
     // the oracle mirrors that exact rule in SQL
     "events_stream_join_outer" -> ((s, dir) => {
-      s.streams.active.filter(q => Option(q.name).contains("stream_joinouter_verify"))
-        .foreach(_.stop())
-      // the symmetric join keeps 4 state stores per partition; at this
-      // state volume the per-partition store open/commit overhead
-      // dominates, so run the stateful query narrow (fresh checkpoint each
-      // run → the setting binds) and restore the session default after
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = graft.streaming.EventStreams.clickPurchaseLeftOuter(
+      runNarrowStream(s, "stream_joinouter_verify")(
+        graft.streaming.EventStreams.clickPurchaseLeftOuter(
             graft.streaming.EventStreams.readEvents(s, dir))
           .writeStream.format("memory").queryName("stream_joinouter_verify")
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        // every micro-batch plans against the live conf — restore only
-        // after the run is fully drained
-        q.awaitTermination(300000)
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          .start())
       // no-click sentinel −1: the driver/oracle hash path is only exercised
       // on null-free columns (mixed null ordering is canon-undefined there)
       s.table("stream_joinouter_verify")
