@@ -57,7 +57,25 @@ final case class EngineConfig(
     postingsK: Int = 3,
     postingsMinDf: Long = 2L,
     // novelty shingle width, tokens (ext/TextOps.novelty)
-    noveltyShingle: Int = 5) {
+    noveltyShingle: Int = 5,
+    // count-min sketch shape (ext/Sketch.countMinTokens): depth hash rows ×
+    // 16^hexDigits buckets; overcount ≈ N·e/width w.h.p. per row
+    countMinDepth: Int = 4,
+    countMinHexDigits: Int = 2,
+    // edit-distance near-dup verify threshold + prefix cap
+    // (ext/Dedup.editDistancePairs); DP cost per pair ∝ maxDist·prefix
+    editDistMax: Int = 10,
+    editDistPrefixTokens: Int = 8,
+    // pruned-tfidf similarity (ext/TextOps.tfidfCosinePairs): terms kept
+    // per doc (candidate volume ∝ posting lengths of the kept terms)
+    tfidfTopM: Int = 10,
+    // trailing z-score anomaly shape (ext/Stats.anomalyZscore)
+    anomalyLookback: Int = 20,
+    anomalyMinN: Int = 10,
+    anomalyZThresh: Double = 2.0,
+    // histogram bucket width for drift comparison (ext/Stats
+    // .driftTotalVariation), value units
+    driftBucketWidth: Long = 25L) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -90,6 +108,19 @@ final case class EngineConfig(
     require(postingsK > 0, s"postingsK must be > 0, got $postingsK")
     require(postingsMinDf >= 1, s"postingsMinDf must be >= 1, got $postingsMinDf")
     require(noveltyShingle > 0, s"noveltyShingle must be > 0, got $noveltyShingle")
+    require(countMinDepth >= 1 && countMinDepth <= 8,
+      s"countMinDepth must be in [1, 8], got $countMinDepth")
+    require(countMinHexDigits >= 1 && countMinHexDigits <= 4,
+      s"countMinHexDigits must be in [1, 4], got $countMinHexDigits")
+    require(editDistMax >= 0, s"editDistMax must be >= 0, got $editDistMax")
+    require(editDistPrefixTokens > 0,
+      s"editDistPrefixTokens must be > 0, got $editDistPrefixTokens")
+    require(tfidfTopM > 0, s"tfidfTopM must be > 0, got $tfidfTopM")
+    require(anomalyLookback >= 2 && anomalyMinN >= 2 &&
+      anomalyMinN <= anomalyLookback,
+      s"anomaly window needs 2 <= minN <= lookback, got minN=$anomalyMinN lookback=$anomalyLookback")
+    require(anomalyZThresh > 0, s"anomalyZThresh must be > 0, got $anomalyZThresh")
+    require(driftBucketWidth > 0, s"driftBucketWidth must be > 0, got $driftBucketWidth")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

@@ -763,6 +763,10 @@ object Dedup {
     * a differential in DedupSpec); cost per pair is bounded by the prefix
     * cap, not document length. Docs with no tokens have no prefix and join
     * nowhere (NULL first token on both engines). */
+  def editDistancePairs(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    editDistancePairs(docs, cfg.editDistMax, cfg.editDistPrefixTokens,
+      if (cfg.dedupSalts > 0) cfg.dedupSalts else 8)
+
   def editDistancePairs(docs: DataFrame, maxDist: Int = 10,
       prefixTokens: Int = 8, salts: Int = 8,
       textCol: String = "text"): DataFrame = {

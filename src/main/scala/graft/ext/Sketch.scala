@@ -461,6 +461,9 @@ object Sketch {
     *
     * The estimate lookup joins the ≤ depth·width-row cell table back to the
     * candidate tokens — a broadcast join by construction. */
+  def countMinTokens(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    countMinTokens(docs, cfg.countMinDepth, cfg.countMinHexDigits)
+
   def countMinTokens(docs: DataFrame, depth: Int = 4, hexDigits: Int = 2,
       topK: Int = 50, textCol: String = "text"): DataFrame = {
     require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")

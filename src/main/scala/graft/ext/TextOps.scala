@@ -424,6 +424,9 @@ object TextOps {
     * (An adversarial corpus of identical docs concentrates one posting
     * list; the salted-join treatment of [[Dedup.jaccardPairs]] applies —
     * here the fixture's max posting length is ~25 at sf0.1.) */
+  def tfidfCosinePairs(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    tfidfCosinePairs(docs, topM = cfg.tfidfTopM)
+
   def tfidfCosinePairs(docs: DataFrame, w: Int = 3, topM: Int = 10,
       idfScale: Long = 1000000L, threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
