@@ -1551,6 +1551,72 @@ object SparkEntry {
     "events_dau_wau" -> ((s, dir) =>
       graft.ext.Analytics.dauWau(t(s, dir, "events")).orderBy("day")),
 
+    // out-of-order event-time rate per type (ext/Analytics.outOfOrderRate):
+    // the audit that sizes streaming watermark delays — one user_id
+    // exchange for the lag, one |types|-row rollup
+    "quality_out_of_order" -> ((s, dir) =>
+      graft.ext.Analytics.outOfOrderRate(t(s, dir, "events"))
+        .orderBy("event_type")),
+
+    // equi-depth histogram (ext/Analytics.equidepthHistogram): boundaries
+    // from the exact-quantile value-domain bisection (O(log range) narrow
+    // scans), never an ntile over one global window; k boundary scalars →
+    // literal bucketing chain → k-row aggregate
+    "events_equidepth_hist" -> ((s, dir) =>
+      graft.ext.Analytics.equidepthHistogram(t(s, dir, "events"), "value", 8)
+        .orderBy("bucket")),
+
+    // 2-D Pareto frontier (ext/Analytics.paretoFront): skyline of orders
+    // maximizing price / minimizing order time — distinct-pair reduce +
+    // range-bucketed prefix-min instead of the quadratic NOT-EXISTS or a
+    // single-reducer global window
+    "orders_pareto_front" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      // o_orderdate ships as TIMESTAMP_NTZ — same UTC-pinned cast as events.ts
+      graft.ext.Analytics.paretoFront(o, col("o_totalprice"),
+          unix_micros(col("o_orderdate").cast("timestamp")))
+        .orderBy(col("p").desc, col("d_us"))
+    }),
+
+    // weight-proportional k-sample by PRIORITY SAMPLING (ext/Pipelines
+    // .prioritySample, Duffield–Lund–Thorup): q = w/u from md5 — no
+    // transcendentals, so the draw is engine-portable; top-k is a
+    // TakeOrdered partial top-k, never a global sort
+    "sample_priority_weighted" -> ((s, dir) =>
+      graft.ext.Pipelines.prioritySample(t(s, dir, "documents"),
+          "n_chars", "doc_id", 100)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          col("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))),
+
+    // regular-grid resampling with LINEAR interpolation (ext/AsOf
+    // .resampleInterp): the gap-fill twin of events_resample_ffill — same
+    // one-shuffle tagged-union shape, one extra opposite-frame window pass
+    "events_resample_interp" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ext.AsOf.resampleInterp(ev, "user_id", "us", "value", 86400000000L)
+        .orderBy("user_id", "grid_us")
+    }),
+
+    // seventh streaming oracle row — stream-STATIC dimension enrichment:
+    // every event joins the broadcast customer dim (no join state), rolls
+    // up per market segment in complete mode (state = |segments|+1 rows);
+    // oracle = the identical batch LEFT JOIN + GROUP BY in DuckDB
+    "events_stream_enrich" -> ((s, dir) => {
+      val dim = t(s, dir, "customer")
+      runNarrowStream(s, "stream_enrich_verify")(
+        graft.streaming.EventStreams.enrichSegmentCounts(
+            graft.streaming.EventStreams.readEvents(s, dir), dim)
+          .writeStream.format("memory").queryName("stream_enrich_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_enrich_verify")
+        .select(col("segment"), col("n"), dstr(col("sum_value")).as("sum_value"))
+        .orderBy("segment")
+    }),
+
     // SQ8 scalar quantization of the embedding corpus (ext/Similarity
     // .quantizeSq8): per-dim min/max stats (Dim×2 driver scalars, the
     // adjudicated bounded pull) → literal arrays → one narrow quantize
@@ -2530,6 +2596,40 @@ object SparkEntry {
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
+    "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
+    "events_equidepth_hist" ->
+      graft.ext.Analytics.equidepthHistogramSqlDuck("events", "value", 8),
+    "orders_pareto_front" -> graft.ext.Analytics.paretoFrontSqlDuck,
+    "sample_priority_weighted" -> graft.ext.Pipelines.prioritySampleSqlDuck(100),
+    "events_resample_interp" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, max(CAST(value AS DOUBLE)) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        | b AS (SELECT user_id, min(us) AS lo, max(us) AS hi FROM p GROUP BY user_id),
+        | g AS (SELECT user_id, unnest(generate_series(lo, hi, 86400000000)) AS us FROM b),
+        | u AS (SELECT user_id, us, 0 AS tag, us AS ot, v FROM p
+        |   UNION ALL
+        |   SELECT user_id, us, 1 AS tag, NULL AS ot, NULL AS v FROM g),
+        | w AS (SELECT user_id, us, tag,
+        |   last_value(ot IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, tag
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        |   last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, tag
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        |   first_value(ot IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, tag
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+        |   first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY us, tag
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+        |  FROM u)
+        |SELECT user_id, us AS grid_us,
+        |  CASE WHEN t1 IS NULL THEN v0
+        |       ELSE v0 + (v1 - v0) * (CAST(us - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END
+        |    AS value_interp
+        |FROM w WHERE tag = 1 ORDER BY user_id, grid_us""".stripMargin,
+    "events_stream_enrich" ->
+      """SELECT coalesce(c_mktsegment, 'unmatched') AS segment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_quantize_sq8" -> Similarity.quantizeSq8SqlDuck,
     "pipeline_upsert_latest" -> graft.ext.Pipelines.upsertLatestSqlDuck(
       "doc_id, text, lang, source, n_chars"),

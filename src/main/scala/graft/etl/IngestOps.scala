@@ -203,7 +203,7 @@ object IngestOps {
     * pure function of the key value, so every pass over the data agrees —
     * the property Spark's own range exchange does NOT have (its sampler
     * reseeds per evaluation). Shared by position and prefix-sum variants. */
-  private def rangeBuckets(df: DataFrame, key: org.apache.spark.sql.Column,
+  private[graft] def rangeBuckets(df: DataFrame, key: org.apache.spark.sql.Column,
       numParts: Int): org.apache.spark.sql.Column = {
     val n = if (numParts > 0) numParts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -560,6 +560,145 @@ object Analytics {
          |                      WHERE p.$parentKey = c.$childKey)) AS n_orphans""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
 
+  /** Event-time delivery-order audit: per event type, how many events
+    * arrived with an event time EARLIER than the previous event of the same
+    * user in arrival order (event_id) — the out-of-order rate that sizes
+    * watermark delays and late-data budgets for the streaming suite. The
+    * lag runs inside one hash partitioning on user_id; the rollup keyed by
+    * event_type is a second, |types|-sized exchange (unavoidable — the two
+    * keys differ). The flag is attributed to the LATER event's type: that
+    * is the event that would be dropped or re-bucketed by a watermark. */
+  def outOfOrderRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("_prev", lag(col("us"), 1).over(w))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("us") < col("_prev"), 1L).otherwise(0L)), lit(0L))
+          .as("n_ooo"))
+      .withColumn("ooo_rate",
+        col("n_ooo").cast("double") / col("n_events").cast("double"))
+  }
+
+  def outOfOrderRateSqlDuck: String =
+    """WITH f AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+      |  FROM events WHERE user_id IS NOT NULL)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(coalesce(sum(CASE WHEN us < prev THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ooo,
+      |  CAST(coalesce(sum(CASE WHEN us < prev THEN 1 ELSE 0 END), 0) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS ooo_rate
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** EQUI-DEPTH histogram (each bucket holds ≈ n/k values) WITHOUT a global
+    * sort: the k bucket boundaries are exact type-1 quantiles from
+    * [[Sketch.exactQuantileDisc]]'s value-domain bisection (O(log range)
+    * narrow scans, O(1) driver state — never an `ntile` over one global
+    * window, which funnels the corpus through a single reducer). The k
+    * boundary scalars then drive one narrow bucketing pass + a k-row
+    * aggregation. Bucket i holds values v with b_{i-1} < v ≤ b_i (b_0 =
+    * −∞); massive ties can legitimately leave later buckets empty — those
+    * rows are kept with n = 0 so the histogram always has exactly k rows. */
+  def equidepthHistogram(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val probs = (1 to k).map(i => i / k.toDouble)
+    val qs = Sketch.exactQuantileDisc(df, valueCol, probs).orderBy("prob")
+      .collect() // bounded driver pull: exactly k (prob, n, value) scalars
+    val total = qs.head.getLong(1)
+    val bounds = qs.zipWithIndex.map { case (r, i) =>
+      ((i + 1).toLong, if (r.isNullAt(2)) Double.NaN else r.getDouble(2))
+    }.toSeq
+    val spec = bounds.toDF("bucket", "hi")
+    if (total == 0L)
+      return spec.select(col("bucket"), col("hi"), lit(0L).as("n_rows"),
+        lit(null).cast("double").as("share")).limit(0)
+    val v = col(valueCol).cast("double")
+    // 1 + count of interior boundaries strictly below v — a literal
+    // comparison chain, fully codegen'd, pushed through the scan
+    val bucketOf = bounds.init // k-1 interior bounds
+      .foldLeft(lit(1L)) { case (acc, (_, b)) =>
+        acc + when(v > lit(b), 1L).otherwise(0L) }
+    val counts = df.filter(v.isNotNull)
+      .groupBy(bucketOf.as("bucket")).agg(count(lit(1)).as("n_rows"))
+    spec.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_rows"))
+      .select(col("bucket"), col("hi"), col("n_rows"),
+        (col("n_rows").cast("double") / lit(total.toDouble)).as("share"))
+  }
+
+  def equidepthHistogramSqlDuck(table: String, valueCol: String, k: Int = 8): String =
+    s"""WITH v AS (SELECT CAST($valueCol AS DOUBLE) AS v FROM $table
+       |           WHERE $valueCol IS NOT NULL),
+       | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+       | s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+       | bounds AS (SELECT r.i AS i, s.v AS b
+       |   FROM range(1, ${k + 1}) r(i) CROSS JOIN nn
+       |   JOIN s ON s.rn = CAST(ceil((r.i / CAST($k AS DOUBLE)) * nn.n) AS BIGINT)),
+       | assigned AS (SELECT s.rn, 1 + count(b.i) AS bucket
+       |   FROM s LEFT JOIN bounds b ON b.i < $k AND b.b < s.v GROUP BY s.rn),
+       | counts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows
+       |   FROM assigned GROUP BY bucket)
+       |SELECT CAST(bounds.i AS BIGINT) AS bucket, bounds.b AS hi,
+       |  coalesce(counts.n_rows, 0) AS n_rows,
+       |  CAST(coalesce(counts.n_rows, 0) AS DOUBLE)
+       |    / CAST((SELECT n FROM nn) AS DOUBLE) AS share
+       |FROM bounds LEFT JOIN counts ON counts.bucket = bounds.i
+       |ORDER BY bucket""".stripMargin
+
+  /** 2-D Pareto frontier (skyline): the distinct (p, d) pairs not dominated
+    * by any other pair with p' ≥ p AND d' ≤ d (maximize p, minimize d) —
+    * e.g. "orders no other order beats on both price and recency". The
+    * textbook formulation is a quadratic NOT-EXISTS self-join; this is the
+    * sort-free distributed form: dedupe to distinct pairs, RANGE-bucket on
+    * descending p (IngestOps.rangeBuckets — sampled, deterministic), then
+    * a pair is dominated iff the minimum d among pairs sorting strictly
+    * before it (within-bucket prefix window + a broadcast prefix-min over
+    * earlier buckets, ≤ numParts scalars on the driver) is ≤ its own d.
+    * Rows in earlier buckets have strictly greater p (equal p always lands
+    * in one bucket), and same-bucket predecessors with equal p carry
+    * smaller d — both genuine dominators, so the single running minimum
+    * decides dominance exactly. One shuffle, no global window. */
+  def paretoFront(df: DataFrame, pCol: Column, dCol: Column,
+      numParts: Int = 0): DataFrame = {
+    val pairs = df.select(pCol.cast("double").as("p"), dCol.cast("long").as("d"))
+      .filter(col("p").isNotNull && col("d").isNotNull)
+      .groupBy("p", "d").agg(count(lit(1)).as("n"))
+    val withB = pairs.withColumn("_bkt",
+      graft.etl.IngestOps.rangeBuckets(pairs, negate(col("p")), numParts))
+    val mins = withB.groupBy("_bkt").agg(min(col("d")).as("_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    if (mins.isEmpty) return pairs.select(col("p"), col("d").as("d_us"), col("n"))
+    // prefix-min of per-bucket minima = "best d among all strictly-greater-p
+    // buckets"; Long.MaxValue is the identity for the first bucket
+    val offsets = mins.scanLeft((0, Long.MaxValue)) {
+      case ((_, acc), (b, m)) => (b, math.min(acc, m))
+    }.init.zip(mins).map { case ((_, pre), (b, _)) => b -> pre }
+    val offsetMap = map(offsets.flatMap { case (b, o) =>
+      Seq(lit(b), lit(o)) }.toSeq: _*)
+    val w = Window.partitionBy("_bkt").orderBy(col("p").desc, col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB
+      .withColumn("_lm", min(col("d")).over(w))
+      .withColumn("_pm", element_at(offsetMap, col("_bkt")))
+      .withColumn("_m", least(coalesce(col("_lm"), lit(Long.MaxValue)), col("_pm")))
+      .filter(col("_m") > col("d"))
+      .select(col("p"), col("d").as("d_us"), col("n"))
+  }
+
+  def paretoFrontSqlDuck: String =
+    """WITH pairs AS (SELECT CAST(o_totalprice AS DOUBLE) AS p,
+      |        epoch_us(o_orderdate) AS d, CAST(count(*) AS BIGINT) AS n
+      |  FROM orders WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+      |  GROUP BY 1, 2),
+      | s AS (SELECT p, d, n, min(d) OVER (ORDER BY p DESC, d ASC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM pairs)
+      |SELECT p, d AS d_us, n FROM s WHERE m IS NULL OR m > d
+      |ORDER BY p DESC, d_us""".stripMargin
+
   def minmaxScaleSqlDuck: String =
     """WITH st AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
       |            FROM events GROUP BY event_type)

@@ -103,4 +103,47 @@ object AsOf {
       .filter(col("_tag") === 1)
       .select(col(key), col("_us").as("grid_us"), col("_ff").as("value_ffill"))
   }
+
+  /** Regular-grid resampling with LINEAR interpolation — the gap-fill twin
+    * of [[resampleFfill]] for continuous signals: each grid instant takes
+    * v0 + (v1 − v0)·(t − t0)/(t1 − t0) between its neighboring observations
+    * (t0,v0) at-or-before and (t1,v1) strictly after; grid points at an
+    * observation reproduce it exactly ((t − t0) = 0), and the tail past the
+    * last observation falls back to forward fill. Same single-shuffle
+    * tagged-union shape as [[resampleFfill]] plus ONE extra window pass in
+    * the opposite frame direction (both reuse the same key partitioning —
+    * no second exchange). Null observations are dropped up front: linear
+    * interpolation is only defined over numeric points, and dropping them
+    * keeps the forward and backward passes picking the same rows. The
+    * (t,v) pair rides in one STRUCT per pass so time and value always come
+    * from the same observation row. */
+  def resampleInterp(events: DataFrame, key: String, timeUs: String,
+      valueCol: String, stepUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(stepUs > 0, "stepUs must be positive")
+    val pts = events.select(col(key), col(timeUs).as("_us"),
+        col(valueCol).cast("double").as("_v"))
+      .filter(col("_v").isNotNull)
+      .groupBy(col(key), col("_us")).agg(max("_v").as("_v"))
+    val grid = pts.groupBy(key).agg(min("_us").as("_lo"), max("_us").as("_hi"))
+      .select(col(key), explode(expr(s"sequence(_lo, _hi, ${stepUs}L)")).as("_us"))
+    val obs = struct(col("_us").as("t"), col("_v").as("v"))
+    val tagged = pts.select(col(key), col("_us"), lit(0).as("_tag"), obs.as("_o"))
+      .unionByName(grid.select(col(key), col("_us"), lit(1).as("_tag"),
+        lit(null).cast("struct<t:bigint,v:double>").as("_o")))
+    val fwd = Window.partitionBy(key).orderBy(col("_us"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(key).orderBy(col("_us"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t0 = col("_p.t"); val v0 = col("_p.v")
+    val t1 = col("_n.t"); val v1 = col("_n.v")
+    tagged
+      .withColumn("_p", last(col("_o"), ignoreNulls = true).over(fwd))
+      .withColumn("_n", first(col("_o"), ignoreNulls = true).over(bwd))
+      .filter(col("_tag") === 1)
+      .select(col(key), col("_us").as("grid_us"),
+        when(col("_n").isNull, v0).otherwise(
+          v0 + (v1 - v0) * ((col("_us") - t0).cast("double") /
+            (t1 - t0).cast("double"))).as("value_interp"))
+  }
 }

@@ -641,4 +641,37 @@ object Pipelines {
        |FROM gated g
        |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = g.doc_id)
        |ORDER BY g.doc_id""".stripMargin
+
+  /** Weight-proportional sample of k rows WITHOUT replacement via PRIORITY
+    * SAMPLING (Duffield, Lund, Thorup, JACM 2007): each row draws priority
+    * q = w/u with u uniform in (0,1], and the k highest priorities win —
+    * inclusion probability ∝ weight, with unbiased subset-sum estimators.
+    * Chosen over the classic A-ES key u^(1/w) (Efraimidis–Spirakis) because
+    * q = w/u needs NO transcendental: ln/pow are not correctly-rounded and
+    * diverge between libm implementations, while one double multiply +
+    * divide is IEEE-exact on every engine — the same determinism rule as
+    * the TV-distance drift op. u is derived from md5(key), so the sample is
+    * reproducible and oracle-checkable; the top-k is a TakeOrdered
+    * (per-partition partial top-k + k-row driver merge), never a global
+    * sort. w·2^32 stays exact while w < 2^20, far above any fixture weight. */
+  def prioritySample(df: DataFrame, weightCol: String, keyCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val priority = col(weightCol).cast("double") * lit(4294967296.0) /
+      (h + lit(1L)).cast("double")
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("priority", priority)
+      .orderBy(col("priority").desc, col(keyCol))
+      .limit(k)
+  }
+
+  def prioritySampleSqlDuck(k: Int): String =
+    s"""SELECT doc_id, lang, source, n_chars,
+       |  CAST(n_chars AS DOUBLE) * 4294967296.0 /
+       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |         + 1 AS DOUBLE) AS priority
+       |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+       |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
 }

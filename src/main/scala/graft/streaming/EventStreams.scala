@@ -454,6 +454,22 @@ object EventStreams {
   def filterBlocklisted(events: DataFrame, blocklist: DataFrame): DataFrame =
     events.join(blocklist, events("user_id") === blocklist("blocked_user"), "left_anti")
 
+  /** Stream-static LEFT enrichment join + rollup: each event picks up its
+    * user's market segment from a static dimension (broadcast to every
+    * micro-batch — no streaming state for the join itself, the canonical
+    * at-ingest dimension-enrichment shape), unmatched users fold into an
+    * 'unmatched' segment, and a complete-mode aggregation keeps one state
+    * row per segment (|segments|+1 rows total — bounded by the dimension,
+    * not the stream). Oracle = the identical batch LEFT JOIN + GROUP BY. */
+  def enrichSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+        broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("unmatched")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
+
   /** Stream → reference NDJSON sink (K1): every micro-batch appends through
     * `etl.Sinks.ndjson` via foreachBatch, closing the loop from the
     * streaming extension back to the reference's sink surface (all-string

@@ -221,6 +221,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got === Seq(("c->p", 4L, 3L, 1L)))
   }
 
+  test("outOfOrderRate: flags attributed to the later event's type") {
+    val e = Seq(
+      // user 1: b arrives (event_id 2) with an EARLIER ts than a → 1 ooo on b
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 50L),
+      // user 1: c in order
+      (1L, 3L, "c", 200L),
+      // user 2: equal ts is NOT out of order (strict <)
+      (2L, 4L, "a", 100L), (2L, 5L, "a", 100L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.outOfOrderRate(e)
+      .select("event_type", "n_events", "n_ooo").as[(String, Long, Long)]
+      .collect().map { case (t, n, o) => t -> ((n, o)) }.toMap
+    assert(got == Map("a" -> (3L, 0L), "b" -> (1L, 1L), "c" -> (1L, 0L)))
+  }
+
+  test("equidepthHistogram: uniform values split evenly; ties allowed") {
+    val df = (1 to 80).map(_.toDouble).toDF("value")
+    val got = Analytics.equidepthHistogram(df, "value", 4)
+      .orderBy("bucket").as[(Long, Double, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.map(_._3).toSeq == Seq(20L, 20L, 20L, 20L))
+    assert(got.map(_._2).toSeq == Seq(20.0, 40.0, 60.0, 80.0))
+    assert(got.forall(_._4 == 0.25))
+  }
+
+  test("equidepthHistogram: heavy tie leaves later buckets empty, k rows kept") {
+    val df = (Seq.fill(30)(5.0) ++ Seq(9.0, 10.0)).toDF("value")
+    val got = Analytics.equidepthHistogram(df, "value", 4)
+      .orderBy("bucket").as[(Long, Double, Long, Double)].collect()
+    assert(got.length == 4)
+    assert(got.map(_._3).sum == 32L)
+    // all 30 fives land in bucket 1 (5 ≤ b1 = 5); buckets whose bound
+    // repeats hold zero
+    assert(got.head._3 == 30L)
+  }
+
+  test("paretoFront: dominance semantics incl. ties, vs naive quadratic") {
+    val rows = Seq(
+      (10.0, 100L), (10.0, 90L),  // same p: only the smaller d survives
+      (9.0, 80L),                  // smaller p but better d → survives
+      (9.0, 95L),                  // dominated by (10, 90)? p'>p, d'<d yes
+      (8.0, 80L),                  // dominated by (9, 80): p'>p, d'==d
+      (11.0, 120L),                // best p, worst d → survives
+      (10.0, 90L))                 // duplicate pair: collapses, n=2
+    val df = rows.toDF("p", "d")
+    val got = Analytics.paretoFront(df, col("p"), col("d"))
+      .as[(Double, Long, Long)].collect().toSet
+    // naive check: pair survives iff no other distinct pair has p'>=p, d'<=d
+    val pairs = rows.groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+    val expect = pairs.filter { case (p, d, _) =>
+      !pairs.exists { case (p2, d2, _) => (p2, d2) != (p, d) && p2 >= p && d2 <= d }
+    }.toSet
+    assert(got == expect)
+    assert(got == Set((10.0, 90L, 2L), (9.0, 80L, 1L), (11.0, 120L, 1L)))
+  }
+
+  test("paretoFront: bucketed result equals single-bucket result") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(50).toDouble, rnd.nextInt(50).toLong))
+    val df = rows.toDF("p", "d")
+    val many = Analytics.paretoFront(df, col("p"), col("d"), numParts = 13)
+      .as[(Double, Long, Long)].collect().toSet
+    val one = Analytics.paretoFront(df, col("p"), col("d"), numParts = 1)
+      .as[(Double, Long, Long)].collect().toSet
+    assert(many == one)
+    assert(many.nonEmpty)
+  }
+
   test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
     val e = events((1L, "view", 10L), (2L, "click", 20L))
     val plan = Analytics.funnel(e).queryExecution.executedPlan

@@ -67,4 +67,24 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
     assert(d == Map(0L -> 5.0, 10L -> 2.0))
   }
+
+  test("resampleInterp: linear between neighbors, exact at observations, ffill tail") {
+    val obs = Seq(("u", 0L, 10.0), ("u", 40L, 50.0), ("u", 45L, 100.0),
+      ("w", 7L, 9.0)).toDF("k", "us", "v")
+    val out = AsOf.resampleInterp(obs, "k", "us", "v", 10L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map(
+      ("u", 0L) -> 10.0,            // grid instant = observation: exact
+      ("u", 10L) -> 20.0,           // 10 + 40*(10/40)
+      ("u", 20L) -> 30.0,
+      ("u", 30L) -> 40.0,
+      ("u", 40L) -> 50.0,           // exact again (t-t0 = 0 ratio path)
+      ("w", 7L) -> 9.0))            // single obs: no next → ffill itself
+    // null observations are dropped before interpolation, not carried
+    val withNull = Seq(("u", 0L, Some(10.0)), ("u", 10L, None),
+      ("u", 20L, Some(30.0))).toDF("k", "us", "v")
+    val n = AsOf.resampleInterp(withNull, "k", "us", "v", 10L)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(n == Map(0L -> 10.0, 10L -> 20.0, 20L -> 30.0))
+  }
 }

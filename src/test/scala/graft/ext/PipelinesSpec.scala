@@ -254,4 +254,27 @@ class PipelinesSpec extends AnyFunSuite {
       .select("text").as[String].collect().toSeq
     assert(again === Seq("y"))
   }
+
+  test("prioritySample: deterministic, weight-monotone given equal draws, partition-invariant") {
+    import org.apache.spark.sql.functions._
+    // many docs with tiny weight + a few with huge weight: the huge ones
+    // must dominate the top-k with overwhelming probability (w/u with
+    // u ≤ 1 means priority ≥ w, and priority ≤ w·2^32)
+    val docs = ((1 to 200).map(i => (i.toLong, 1L)) ++
+      Seq((900L, 5000000000L), (901L, 5000000000L)))
+      .toDF("doc_id", "w")
+    val top = Pipelines.prioritySample(docs, "w", "doc_id", 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top == Set(900L, 901L))
+    // zero / null weights are excluded, not sampled
+    val zw = Seq((1L, 0L), (2L, 3L)).toDF("doc_id", "w")
+    assert(Pipelines.prioritySample(zw, "w", "doc_id", 5)
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    // identical result regardless of physical partitioning
+    val a = Pipelines.prioritySample(docs, "w", "doc_id", 10)
+      .select("doc_id", "priority").as[(Long, Double)].collect().toSeq
+    val b = Pipelines.prioritySample(docs.repartition(7), "w", "doc_id", 10)
+      .select("doc_id", "priority").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
 }

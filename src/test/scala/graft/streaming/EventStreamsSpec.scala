@@ -497,6 +497,35 @@ class EventStreamsSpec extends AnyFunSuite {
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("stream-static enrichment join equals the batch LEFT JOIN rollup") {
+    import org.apache.spark.sql.functions._
+    val dim = graft.etl.IngestOps.table(spark, sf0001, "customer")
+    val q = EventStreams.enrichSegmentCounts(
+        EventStreams.readEvents(spark, sf0001), dim)
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_test")
+      .selectExpr("segment", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    val batch = ev.join(dim.select(col("c_custkey"), col("c_mktsegment")),
+        ev("user_id") === col("c_custkey"), "left")
+      .withColumn("segment", coalesce(col("c_mktsegment"), lit("unmatched")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("sum_value"))
+      .selectExpr("segment", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    // (whether an 'unmatched' bucket appears depends on the fixture's
+    // user_id↔custkey overlap — sf0.01 has orphans, sf0.001 may not —
+    // so only the batch equivalence is asserted here; the LEFT semantics
+    // themselves are pinned by the driver oracle at sf0.01)
+  }
 }
 
 /** Batch twin of the streaming aggregation, via the engine's query registry. */
