@@ -1302,6 +1302,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // EXACT all-pairs Jaccard ≥ θ by prefix filtering (ext/Dedup
+    // .jaccardPrefixJoin, SSJoin/AllPairs): rarity-ordered prefixes +
+    // length filter give a complete candidate set with no LSH false
+    // negatives — every join an equi-join; oracle = the quadratic form
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(t(s, dir, "documents"), theta = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.dropNearDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1550,6 +1558,16 @@ object SparkEntry {
     // (user, day) facts — never a per-day history scan
     "events_dau_wau" -> ((s, dir) =>
       graft.ext.Analytics.dauWau(t(s, dir, "events")).orderBy("day")),
+
+    // TIME-WEIGHTED average per user (ext/Temporal.timeWeightedAvg): the
+    // irregular-sampling mean — exact BIGINT cents·µs accumulation, one
+    // final double division; one user_id exchange
+    "events_twa" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ext.Temporal.timeWeightedAvg(ev, "user_id", "us", "value")
+        .orderBy("user_id")
+    }),
 
     // out-of-order event-time rate per type (ext/Analytics.outOfOrderRate):
     // the audit that sizes streaming watermark delays — one user_id
@@ -2597,6 +2615,8 @@ object SparkEntry {
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
+    "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
+    "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
     "events_equidepth_hist" ->
       graft.ext.Analytics.equidepthHistogramSqlDuck("events", "value", 8),
     "orders_pareto_front" -> graft.ext.Analytics.paretoFrontSqlDuck,

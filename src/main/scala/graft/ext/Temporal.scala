@@ -121,6 +121,60 @@ object Temporal {
       .select("us", "n_starts", "n_ends", "delta", "n_active")
   }
 
+  /** TIME-WEIGHTED average per key — the irregular-sampling mean that a
+    * plain avg() gets wrong: each observation's value is weighted by how
+    * long it was current (t_{i+1} − t_i, last observation weight 0), i.e.
+    * the left-Riemann integral of the step signal divided by the observed
+    * span; a single-observation key degenerates to its own value. The
+    * weighted sum accumulates as exact BIGINT cents·µs (2-dp value → cents
+    * through DECIMAL, gap in µs — integer addition is associative, so
+    * partitioning can never change the hash; decimal→double conversion,
+    * which libm-rounds differently across engines, never happens), with
+    * ONE int64→double conversion + division at the end. Magnitude bound:
+    * |cents|·span_µs must stay under 2^63 ≈ 9.2e18 — with 2-dp values
+    * ≤ 10^6 that allows a ~3-century per-key span. Duplicate (key, time)
+    * observations collapse to max(value) first, making the lead() order
+    * total. One exchange on the key (lead window + rollup co-partitioned). */
+  def timeWeightedAvg(events: DataFrame, key: String, timeUs: String,
+      valueCol: String): DataFrame = {
+    val cents = (col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      * lit(100)).cast("long")
+    val pts = events
+      .filter(col(key).isNotNull && col(valueCol).isNotNull)
+      .select(col(key), col(timeUs).as("_us"), cents.as("_c"))
+      .groupBy(col(key), col("_us")).agg(max("_c").as("_c"))
+    val w = Window.partitionBy(key).orderBy("_us")
+    pts
+      .withColumn("_next", lead(col("_us"), 1).over(w))
+      .groupBy(key)
+      .agg(min("_us").as("_lo"), max("_us").as("_hi"),
+        sum(when(col("_next").isNotNull,
+          col("_c") * (col("_next") - col("_us"))).otherwise(lit(0L)))
+          .as("_wsum"),
+        max(when(col("_next").isNull, col("_c"))).as("_lastc"))
+      .select(col(key), (col("_hi") - col("_lo")).as("span_us"),
+        when(col("_hi") > col("_lo"),
+          col("_wsum").cast("double") /
+            ((col("_hi") - col("_lo")).cast("double") * lit(100.0)))
+          .otherwise(col("_lastc").cast("double") / lit(100.0)).as("twa"))
+  }
+
+  def timeWeightedAvgSqlDuck: String =
+    """WITH p AS (SELECT user_id, epoch_us(ts) AS us,
+      |    max(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS c
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      | l AS (SELECT user_id, us, c,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us) AS nxt FROM p),
+      | a AS (SELECT user_id, min(us) AS lo, max(us) AS hi,
+      |    CAST(sum(CASE WHEN nxt IS NOT NULL THEN c * (nxt - us) ELSE 0 END) AS BIGINT) AS wsum,
+      |    max(CASE WHEN nxt IS NULL THEN c END) AS lastc
+      |  FROM l GROUP BY user_id)
+      |SELECT user_id, hi - lo AS span_us,
+      |  CASE WHEN hi > lo THEN CAST(wsum AS DOUBLE) / (CAST(hi - lo AS DOUBLE) * 100.0)
+      |       ELSE CAST(lastc AS DOUBLE) / 100.0 END AS twa
+      |FROM a ORDER BY user_id""".stripMargin
+
   /** Time-windowed telemetry dedup: within each tumbling window, collapse
     * rows sharing the identity `keys` to one keeper (min id) plus the
     * duplicate count — the "same logical event reported twice inside the

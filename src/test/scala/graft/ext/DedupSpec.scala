@@ -301,6 +301,50 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(1L) != sigs(2L))
   }
 
+  test("jaccardPrefixJoin: equals the quadratic exact join at the threshold") {
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),     // J(1,2) = 4/6 ≈ 0.667 ≥ 0.6
+      (3L, "alpha beta gamma delta epsilon"),  // J(1,3) = 1.0
+      (4L, "omega psi chi phi"),               // disjoint from 1-3
+      (5L, "omega psi chi phi upsilon tau"),   // J(4,5) = 4/6 ≥ 0.6
+      (6L, ""))                                // empty set: never paired
+    val got = Dedup.jaccardPrefixJoin(d, theta = 0.6, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // naive quadratic reference over token sets
+    val sets = Map(1L -> "alpha beta gamma delta epsilon", 2L -> "alpha beta gamma delta zeta",
+      3L -> "alpha beta gamma delta epsilon", 4L -> "omega psi chi phi",
+      5L -> "omega psi chi phi upsilon tau", 6L -> "")
+      .map { case (k, v) => k -> v.split("\\s+").filter(_.nonEmpty).toSet }
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      if sets(a).nonEmpty && sets(b).nonEmpty
+      i = (sets(a) & sets(b)).size
+      u = (sets(a) | sets(b)).size
+      j = i.toDouble / u if j >= 0.6
+    } yield (a, b) -> j).toMap
+    assert(got == expect)
+    assert(got.contains((1L, 2L)) && got((1L, 3L)) == 1.0 && got.contains((4L, 5L)))
+  }
+
+  test("jaccardPrefixJoin: partition-invariant and no sub-threshold leakage") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val d = docs((1L to 60L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(6))(vocab(rnd.nextInt(30))).mkString(" ")): _*)
+    val a = Dedup.jaccardPrefixJoin(d, theta = 0.5, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.jaccardPrefixJoin(d.repartition(7), theta = 0.5, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.forall(_._3 >= 0.5))
+    // completeness vs the existing blocked-pairs op restricted to θ
+    val blocked = Dedup.jaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 >= 0.5).toSet
+    assert(blocked.subsetOf(a))
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()

@@ -171,4 +171,25 @@ class TemporalSpec extends AnyFunSuite {
       (1L, 2L, 1L, 3L * HourUs, 3L * HourUs),
       (2L, 1L, 1L, 0L, 0L)))
   }
+
+  test("timeWeightedAvg: step-signal integral, single point, duplicate collapse") {
+    // user 1: v=10 held for 30us, v=20 held for 10us → (300+200)/40 = 12.5
+    // user 2: single observation → its own value
+    // user 3: duplicate instant collapses to max(2, 8) = 8 before weighting
+    val ev = Seq(
+      (1L, 0L, 10.0), (1L, 30L, 20.0), (1L, 40L, 0.0),
+      (2L, 5L, 7.25),
+      (3L, 0L, 2.0), (3L, 0L, 8.0), (3L, 10L, 8.0))
+      .toDF("user_id", "us", "value")
+    val got = Temporal.timeWeightedAvg(ev, "user_id", "us", "value")
+      .orderBy("user_id")
+      .select("user_id", "span_us", "twa").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(got === Seq((1L, 40L, 12.5), (2L, 0L, 7.25), (3L, 10L, 8.0)))
+    // partition invariance: exact integer accumulation can't drift
+    val again = Temporal.timeWeightedAvg(ev.repartition(5), "user_id", "us", "value")
+      .orderBy("user_id").select("user_id", "span_us", "twa")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(again === got)
+  }
 }
