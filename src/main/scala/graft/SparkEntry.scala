@@ -1302,6 +1302,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // PageRank centrality over the LSH near-dup graph (ext/Graph.pageRank):
+    // which docs sit at the CENTER of a duplication neighborhood — fixed
+    // 3-iteration damped walk in exact scaled-BIGINT arithmetic (bit-stable
+    // under any partitioning; oracle unrolls the identical integer rounds)
+    "graph_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Graph.pageRank(docs,
+          Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        .orderBy("doc_id")
+    }),
+
     // EXACT all-pairs Jaccard ≥ θ by prefix filtering (ext/Dedup
     // .jaccardPrefixJoin, SSJoin/AllPairs): rarity-ordered prefixes +
     // length filter give a complete candidate set with no LSH false
@@ -2617,6 +2628,7 @@ object SparkEntry {
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
+    "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
     "events_equidepth_hist" ->
       graft.ext.Analytics.equidepthHistogramSqlDuck("events", "value", 8),
     "orders_pareto_front" -> graft.ext.Analytics.paretoFrontSqlDuck,

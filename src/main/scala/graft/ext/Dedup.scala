@@ -725,18 +725,24 @@ object Dedup {
        |SELECT doc_id, $sigCols, $bandsExprDuck FROM sigs ORDER BY doc_id""".stripMargin
   }
 
-  def lshPairsSqlDuck: String = {
+  def lshPairsSqlDuck: String =
+    s"""WITH $lshPairsCteDuck
+       |SELECT a AS doc_a, b AS doc_b FROM prs
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** The LSH candidate-pair computation as a reusable CTE chain ending in
+    * `prs(a, b)` with a < b — shared by [[lshPairsSqlDuck]] and oracles
+    * that build ON the pair graph (e.g. the PageRank oracle). */
+  def lshPairsCteDuck: String = {
     val bandUnion = (0 until NumBands)
       .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
       .mkString(" UNION ALL ")
-    val bands = bandsExprDuck
-    s"""WITH $toksCteDuck, $sigsCteDuck,
-       | bands AS (SELECT doc_id, $bands FROM sigs),
-       | buckets AS ($bandUnion)
-       |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |FROM buckets x JOIN buckets y
-       |  ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+    s"""$toksCteDuck, $sigsCteDuck,
+       | bands AS (SELECT doc_id, $bandsExprDuck FROM sigs),
+       | buckets AS ($bandUnion),
+       | prs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |   FROM buckets x JOIN buckets y
+       |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id)""".stripMargin
   }
 
   def simhashSqlDuck: String =
