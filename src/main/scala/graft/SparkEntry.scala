@@ -1313,6 +1313,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-node triangle count + clustering coefficient (ext/Graph
+    // .triangles, Suri–Vassilvitskii node-iterator): oriented wedge join
+    // bounded by Σ outdeg² — which docs sit inside near-cliques of mutual
+    // near-dups (template material) vs hub positions
+    "graph_triangles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Graph.triangles(docs,
+          Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        .orderBy("doc_id")
+    }),
+
     // EXACT all-pairs Jaccard ≥ θ by prefix filtering (ext/Dedup
     // .jaccardPrefixJoin, SSJoin/AllPairs): rarity-ordered prefixes +
     // length filter give a complete candidate set with no LSH false
@@ -2629,6 +2640,7 @@ object SparkEntry {
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
     "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
+    "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
     "events_equidepth_hist" ->
       graft.ext.Analytics.equidepthHistogramSqlDuck("events", "value", 8),
     "orders_pareto_front" -> graft.ext.Analytics.paretoFrontSqlDuck,

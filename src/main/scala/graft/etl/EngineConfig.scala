@@ -75,7 +75,18 @@ final case class EngineConfig(
     anomalyZThresh: Double = 2.0,
     // histogram bucket width for drift comparison (ext/Stats
     // .driftTotalVariation), value units
-    driftBucketWidth: Long = 25L) {
+    driftBucketWidth: Long = 25L,
+    // exact prefix-filter similarity join (ext/Dedup.jaccardPrefixJoin):
+    // Jaccard threshold + shingle width (1 = unigram sets)
+    prefixJoinTheta: Double = 0.8,
+    prefixJoinShingleW: Int = 3,
+    // priority sampling size (ext/Pipelines.prioritySample)
+    prioritySampleK: Int = 100,
+    // equi-depth histogram bucket count (ext/Analytics.equidepthHistogram)
+    equidepthBuckets: Int = 8,
+    // PageRank shape (ext/Graph.pageRank): fixed rounds + damping percent
+    pagerankIters: Int = 3,
+    pagerankDampPct: Long = 85L) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -121,6 +132,16 @@ final case class EngineConfig(
       s"anomaly window needs 2 <= minN <= lookback, got minN=$anomalyMinN lookback=$anomalyLookback")
     require(anomalyZThresh > 0, s"anomalyZThresh must be > 0, got $anomalyZThresh")
     require(driftBucketWidth > 0, s"driftBucketWidth must be > 0, got $driftBucketWidth")
+    require(prefixJoinTheta > 0 && prefixJoinTheta <= 1.0,
+      s"prefixJoinTheta must be in (0, 1], got $prefixJoinTheta")
+    require(prefixJoinShingleW >= 1,
+      s"prefixJoinShingleW must be >= 1, got $prefixJoinShingleW")
+    require(prioritySampleK > 0, s"prioritySampleK must be > 0, got $prioritySampleK")
+    require(equidepthBuckets >= 2,
+      s"equidepthBuckets must be >= 2, got $equidepthBuckets")
+    require(pagerankIters >= 1, s"pagerankIters must be >= 1, got $pagerankIters")
+    require(pagerankDampPct >= 0 && pagerankDampPct <= 100,
+      s"pagerankDampPct must be in [0, 100], got $pagerankDampPct")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

@@ -601,6 +601,10 @@ object Analytics {
     * aggregation. Bucket i holds values v with b_{i-1} < v ≤ b_i (b_0 =
     * −∞); massive ties can legitimately leave later buckets empty — those
     * rows are kept with n = 0 so the histogram always has exactly k rows. */
+  def equidepthHistogram(df: DataFrame, valueCol: String,
+      cfg: graft.etl.EngineConfig): DataFrame =
+    equidepthHistogram(df, valueCol, cfg.equidepthBuckets)
+
   def equidepthHistogram(df: DataFrame, valueCol: String, k: Int = 8): DataFrame = {
     require(k >= 2, "k must be at least 2")
     val spark = df.sparkSession

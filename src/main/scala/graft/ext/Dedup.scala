@@ -226,6 +226,9 @@ object Dedup {
     * Plan: two token-keyed shuffles (df + prefix join) and two id-keyed
     * array join-backs — every join an equi-join, nothing quadratic in the
     * corpus. */
+  def jaccardPrefixJoin(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    jaccardPrefixJoin(docs, "text", cfg.prefixJoinTheta, cfg.prefixJoinShingleW)
+
   def jaccardPrefixJoin(docs: DataFrame, textCol: String = "text",
       theta: Double = 0.8, shingleW: Int = 3): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, "theta must be in (0, 1]")

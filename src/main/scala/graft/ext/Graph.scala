@@ -35,6 +35,10 @@ object Graph {
     * quadratic, no driver state beyond the node count. Rank mass totals
     * ≤ `scale`, so per-node sums never approach Long range at any corpus
     * size. */
+  def pageRank(nodes: DataFrame, pairs: DataFrame,
+      cfg: graft.etl.EngineConfig): DataFrame =
+    pageRank(nodes, pairs, "doc_id", cfg.pagerankIters, cfg.pagerankDampPct)
+
   def pageRank(nodes: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
       iters: Int = 3, dampPct: Long = 85L,
       scale: Long = 1000000000000L): DataFrame = {
@@ -62,6 +66,69 @@ object Graph {
     r.select(col("id").as(idCol), col("r").as("pr_scaled"),
       (col("r").cast("double") / lit(scale.toDouble)).as("pr"))
   }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected pair graph — the density fingerprint of a duplication
+    * neighborhood (a high-coefficient node sits inside a near-clique of
+    * mutual near-dups: template/boilerplate material; a high-degree,
+    * low-coefficient node is a hub joining otherwise-unrelated docs).
+    *
+    * Node-iterator formulation (Suri & Vassilvitskii, WWW'11): with every
+    * edge ORIENTED low→high id, a triangle a<b<c is found exactly once as
+    * wedge (a,b)+(b,c) closed by (a,c) — two equi-joins on the oriented
+    * edge list, wedge volume bounded by Σ outdeg², never an unordered
+    * deg² enumeration per endpoint. Each triangle then credits its three
+    * corners (one explode + count). Isolated nodes keep (deg 0, tri 0,
+    * coeff 0). The coefficient 2·tri/(deg·(deg−1)) divides two exact
+    * integers once — identical doubles on any engine. */
+  def triangles(nodes: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val e = graft.etl.CacheRegistry.persist(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"),
+        "left_semi")
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val triN = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    val deg = e.select(col("a").as("id"))
+      .unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    nodes.select(col(idCol).as("id"))
+      .join(deg, Seq("id"), "left").join(triN, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+  }
+
+  /** Oracle for [[triangles]] over the LSH candidate-pair graph: the same
+    * oriented triple join on DuckDB's side of the shared `prs` chain. */
+  def trianglesLshSqlDuck: String =
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |   FROM prs e1 JOIN prs e2 ON e1.b = e2.a
+       |   WHERE EXISTS (SELECT 1 FROM prs e3
+       |                 WHERE e3.a = e1.a AND e3.b = e2.b)),
+       | tn AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+       |     SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |     UNION ALL SELECT z FROM tri) GROUP BY id),
+       | dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+       |     SELECT a AS id FROM prs UNION ALL SELECT b AS id FROM prs)
+       |   GROUP BY id)
+       |SELECT d.doc_id, coalesce(dg.deg, 0) AS deg,
+       |  coalesce(tn.n_tri, 0) AS n_tri,
+       |  CASE WHEN coalesce(dg.deg, 0) >= 2
+       |    THEN 2.0 * coalesce(tn.n_tri, 0) / (dg.deg * (dg.deg - 1))
+       |    ELSE 0.0 END AS clustering
+       |FROM documents d LEFT JOIN dg ON d.doc_id = dg.id
+       |LEFT JOIN tn ON d.doc_id = tn.id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Oracle for [[pageRank]] over the LSH candidate-pair graph: the same
     * integer iteration unrolled as one CTE per round on DuckDB's side of

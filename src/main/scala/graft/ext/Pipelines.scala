@@ -655,6 +655,10 @@ object Pipelines {
     * (per-partition partial top-k + k-row driver merge), never a global
     * sort. w·2^32 stays exact while w < 2^20, far above any fixture weight. */
   def prioritySample(df: DataFrame, weightCol: String, keyCol: String,
+      cfg: graft.etl.EngineConfig): DataFrame =
+    prioritySample(df, weightCol, keyCol, cfg.prioritySampleK)
+
+  def prioritySample(df: DataFrame, weightCol: String, keyCol: String,
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)

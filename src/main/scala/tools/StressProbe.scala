@@ -121,7 +121,13 @@ object StressProbe {
       "sim_tfidf_pairs" -> (d => graft.ext.TextOps.tfidfCosinePairs(d).count()),
       "dedup_edit_distance" -> (d => graft.ext.Dedup.editDistancePairs(d).count()),
       "profile_documents" -> (d => graft.ext.Stats.profileColumns(d,
-        Seq("doc_id", "lang", "source", "n_chars", "text")).count()))
+        Seq("doc_id", "lang", "source", "n_chars", "text")).count()),
+      "dedup_jaccard_prefix" -> (d => graft.ext.Dedup.jaccardPrefixJoin(d).count()),
+      "sample_priority_weighted" -> (d =>
+        graft.ext.Pipelines.prioritySample(d, "n_chars", "doc_id", 100).count()),
+      "graph_pagerank" -> (d => graft.ext.Graph.pageRank(d,
+        graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.minhashSignatures(d))).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -151,7 +157,17 @@ object StressProbe {
       "events_session_concurrency" -> (e => graft.ext.Temporal.intervalConcurrency(
         graft.ext.Temporal.sessionIntervals(e)
           .withColumn("end_excl_us", col("end_us") + 1L),
-        "start_us", "end_excl_us").count()))
+        "start_us", "end_excl_us").count()),
+      "events_twa" -> (e => graft.ext.Temporal.timeWeightedAvg(
+        e.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")),
+        "user_id", "us", "value").count()),
+      "events_resample_interp" -> (e => graft.ext.AsOf.resampleInterp(
+        e.select(col("user_id"), unix_micros(col("ts")).as("us"), col("value")),
+        "user_id", "us", "value", 86400000000L).count()),
+      "quality_out_of_order" -> (e =>
+        graft.ext.Analytics.outOfOrderRate(e).count()),
+      "events_equidepth_hist" -> (e =>
+        graft.ext.Analytics.equidepthHistogram(e, "value", 8).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
@@ -181,7 +197,8 @@ object StressProbe {
     }
     val relQueries = Seq("q4_order_priority", "q8_market_share",
       "q12_priority_class", "q17_small_qty", "q21_waiting_supplier",
-      "sketch_sample_quantiles", "sketch_sample_quantiles_grouped")
+      "sketch_sample_quantiles", "sketch_sample_quantiles_grouped",
+      "orders_pareto_front")
 
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on

@@ -31,6 +31,53 @@ class GraphSpec extends AnyFunSuite {
     assert(got(2L) > got(1L) && got(1L) == got(3L))
   }
 
+  test("triangles: known graph — one triangle plus a pendant and an isolate") {
+    // triangle 1-2-3, pendant 3-4, isolate 5
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.triangles(nodes, pairs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1.0),            // deg 2, in 1 triangle → coeff 1
+      (2L, 2L, 1L, 1.0),
+      (3L, 3L, 1L, 2.0 * 1 / 6),    // deg 3: 2·1/(3·2)
+      (4L, 1L, 0L, 0.0),            // pendant: deg < 2
+      (5L, 0L, 0L, 0.0)))           // isolate
+  }
+
+  test("triangles: K4 counts C(3,2) per node; partition invariant") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b))
+      .toDF("doc_a", "doc_b")
+    val a = Graph.triangles(nodes, pairs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // every node of K4: deg 3, sits in C(3,2) = 3 triangles, coeff 1
+    assert(a == (1L to 4L).map(i => (i, 3L, 3L, 1.0)).toSet)
+    val b = Graph.triangles(nodes.repartition(3), pairs.repartition(5))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
+
+  test("EngineConfig tunables thread into the round-11 operators") {
+    val cfg = graft.etl.EngineConfig(inputDir = "/in", outputPath = Some("/o"),
+      pagerankIters = 1, pagerankDampPct = 0L, prioritySampleK = 1,
+      equidepthBuckets = 2, prefixJoinTheta = 1.0, prefixJoinShingleW = 1)
+      .validate()
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    // dampPct 0 → every rank is exactly the teleport base after 1 round
+    val pr = Graph.pageRank(nodes, pairs, cfg)
+      .select("pr_scaled").as[Long].collect().toSet
+    assert(pr == Set((100L * 1000000000000L / 100L) / 2L))
+    val docs = Seq((1L, "a", 5L), (2L, "b", 9L)).toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+    assert(Pipelines.prioritySample(docs, "n_chars", "doc_id", cfg).count() == 1L)
+    assert(Analytics.equidepthHistogram(docs, "n_chars", cfg).count() == 2L)
+    // theta 1.0 over unigram sets: only exact-set matches would pair
+    assert(Dedup.jaccardPrefixJoin(docs, cfg).count() == 0L)
+  }
+
   test("pageRank: isolated nodes hold base; partition invariance bit-for-bit") {
     val rnd = new scala.util.Random(3)
     val nodes = (1L to 40L).toDF("doc_id")
