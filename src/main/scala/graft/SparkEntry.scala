@@ -1591,6 +1591,19 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // top-20 session path trigrams (ext/Analytics.pathTrigrams): order-3
+    // clickstream mining within gap-sessions — one user_id exchange,
+    // |types|³-bounded rollup, TakeOrdered top-k
+    "events_path_trigrams" -> ((s, dir) =>
+      graft.ext.Analytics.pathTrigrams(t(s, dir, "events"))
+        .orderBy(col("n").desc, col("path"))),
+
+    // key-concentration audit with exact Gini (ext/Stats.keySkew): the
+    // shuffle-planning skew input — rank-weighted sum via the bucketed
+    // global-position machinery, never a single-reducer sort
+    "quality_key_skew" -> ((s, dir) =>
+      graft.ext.Stats.keySkew(t(s, dir, "events"), "user_id")),
+
     // out-of-order event-time rate per type (ext/Analytics.outOfOrderRate):
     // the audit that sizes streaming watermark delays — one user_id
     // exchange for the lag, one |types|-row rollup
@@ -2641,6 +2654,8 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
     "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
     "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
+    "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
+    "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->
       graft.ext.Analytics.equidepthHistogramSqlDuck("events", "value", 8),
     "orders_pareto_front" -> graft.ext.Analytics.paretoFrontSqlDuck,

@@ -703,6 +703,58 @@ object Analytics {
       |SELECT p, d AS d_us, n FROM s WHERE m IS NULL OR m > d
       |ORDER BY p DESC, d_us""".stripMargin
 
+  /** Top-k session path trigrams: the most common 3-step event-type
+    * sequences WITHIN a gap-session — the clickstream-mining view the
+    * transition matrix (order-1) can't show. One window pass per user
+    * computes both the session id (gap > gapUs starts a new one) and the
+    * two look-aheads; a trigram is kept only when all three events share
+    * the session. ONE exchange on user_id (both windows and the lag use
+    * the same partitioning); the rollup is |types|³-bounded and the top-k
+    * is a TakeOrdered partial top-k with a deterministic (count desc,
+    * path asc) tie-break — never a global sort. */
+  def pathTrigrams(events: DataFrame, k: Int = 20,
+      gapUs: Long = 1800000000L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("_prev", lag(col("us"), 1).over(w))
+      .withColumn("_new",
+        when(col("_prev").isNull || col("us") - col("_prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("_sid", sum(col("_new")).over(cum))
+      .withColumn("_t2", lead(col("event_type"), 1).over(w))
+      .withColumn("_t3", lead(col("event_type"), 2).over(w))
+      .withColumn("_s2", lead(col("_sid"), 1).over(w))
+      .withColumn("_s3", lead(col("_sid"), 2).over(w))
+      .filter(col("_s2") === col("_sid") && col("_s3") === col("_sid"))
+      .select(concat_ws(" > ", col("event_type"), col("_t2"), col("_t3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  def pathTrigramsSqlDuck(k: Int = 20, gapUs: Long = 1800000000L): String =
+    s"""WITH o AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+       |  FROM events WHERE user_id IS NOT NULL),
+       | l AS (SELECT *, lag(us) OVER w AS prev FROM o
+       |   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       | s AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR us - prev > $gapUs
+       |     THEN 1 ELSE 0 END) OVER w2 AS BIGINT) AS sid FROM l
+       |   WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | g AS (SELECT event_type, sid,
+       |     lead(event_type, 1) OVER w3 AS t2, lead(event_type, 2) OVER w3 AS t3,
+       |     lead(sid, 1) OVER w3 AS s2, lead(sid, 2) OVER w3 AS s3 FROM s
+       |   WINDOW w3 AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT event_type || ' > ' || t2 || ' > ' || t3 AS path,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM g WHERE s2 = sid AND s3 = sid
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $k""".stripMargin
+
   def minmaxScaleSqlDuck: String =
     """WITH st AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
       |            FROM events GROUP BY event_type)

@@ -257,6 +257,52 @@ object Stats {
        |FROM j CROSS JOIN t CROSS JOIN s
        |ORDER BY bucket""".stripMargin
 
+  /** Key-concentration audit: how skewed is the distribution of rows over
+    * a key — the shuffle-planning input (a high Gini / top-share key column
+    * needs salting before it becomes a reducer hot spot). Output is ONE
+    * row: total rows, distinct keys, the heaviest key's count and share,
+    * and the GINI COEFFICIENT computed exactly from the ascending-ordered
+    * count vector: G = 2·Σ(i·cᵢ)/(K·T) − (K+1)/K.
+    *
+    * The rank-weighted sum needs every count's global position in sorted
+    * order — produced by the bucketed [[graft.etl.IngestOps.withGlobalPos]]
+    * prefix machinery (range-bucket on count, per-bucket offsets, ONE
+    * within-bucket window — never a single-reducer global sort). Ties in
+    * the count leave Σ(i·cᵢ) invariant under any tie order (equal c:
+    * c·(i+j) is permutation-stable), so the nondeterministic tie placement
+    * inside a bucket cannot change the result. All accumulation is exact
+    * BIGINT; the two final divisions are mirrored in the oracle. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val ranked = graft.etl.IngestOps.withGlobalPos(counts, col("cnt"), "_pos")
+    ranked.agg(
+        sum(col("_pos") * col("cnt")).as("s"),
+        count(lit(1)).as("k"),
+        sum(col("cnt")).as("t"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("t").as("n_rows"), col("k").as("n_keys"), col("top_cnt"),
+        (col("top_cnt").cast("double") / col("t").cast("double")).as("top_share"),
+        ((lit(2.0) * col("s").cast("double")) /
+          (col("k").cast("double") * col("t").cast("double")) -
+          (col("k").cast("double") + lit(1.0)) / col("k").cast("double"))
+          .as("gini"))
+  }
+
+  def keySkewSqlDuck(table: String, keyCol: String): String =
+    s"""WITH c AS (SELECT $keyCol, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM $table WHERE $keyCol IS NOT NULL GROUP BY $keyCol),
+       | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, $keyCol) AS pos
+       |   FROM c),
+       | a AS (SELECT CAST(sum(pos * cnt) AS BIGINT) AS s,
+       |   CAST(count(*) AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS t,
+       |   max(cnt) AS top_cnt FROM r)
+       |SELECT t AS n_rows, k AS n_keys, top_cnt,
+       |  CAST(top_cnt AS DOUBLE) / CAST(t AS DOUBLE) AS top_share,
+       |  (2.0 * CAST(s AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+       |    - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE) AS gini
+       |FROM a""".stripMargin
+
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -290,6 +290,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(many.nonEmpty)
   }
 
+  test("pathTrigrams: trigrams never cross a session boundary; tie-break deterministic") {
+    val HourUs = 3600000000L
+    val e = Seq(
+      // user 1, session 1: a b c d → trigrams "a>b>c", "b>c>d"
+      (1L, 1L, "a", 0L), (1L, 2L, "b", 1L), (1L, 3L, "c", 2L), (1L, 4L, "d", 3L),
+      // user 1, session 2 (after 2h gap): a b c → "a>b>c" again
+      (1L, 5L, "a", 2 * HourUs), (1L, 6L, "b", 2 * HourUs + 1),
+      (1L, 7L, "c", 2 * HourUs + 2),
+      // user 2: only two events in-session — no trigram
+      (2L, 8L, "x", 0L), (2L, 9L, "y", 1L))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.pathTrigrams(e, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a > b > c", 2L), ("b > c > d", 1L)))
+  }
+
   test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
     val e = events((1L, "view", 10L), (2L, "click", 20L))
     val plan = Analytics.funnel(e).queryExecution.executedPlan

@@ -238,4 +238,26 @@ class StatsSpec extends AnyFunSuite {
       .select(levenshtein(col("a"), col("b"))).as[Int].collect().toSeq
     assert(got === pairs.map { case (a, b) => dp(a, b) })
   }
+
+  test("keySkew: uniform keys give Gini 0; known skew matches the formula") {
+    def df(keys: Long*) = keys.map(k => (k, "x")).toDF("k", "v")
+    // two keys with 2 rows each: perfectly uniform → gini exactly 0
+    val uni = Stats.keySkew(df(1L, 1L, 2L, 2L), "k")
+      .select("n_rows", "n_keys", "top_cnt", "gini")
+      .as[(Long, Long, Long, Double)].head()
+    assert(uni == ((4L, 2L, 2L, 0.0)))
+    // counts {1,1,2}: S = 1+2+6 = 9, G = 2·9/(3·4) − 4/3 = 1/6
+    val skew = Stats.keySkew(df(1L, 2L, 3L, 3L), "k")
+      .select("n_keys", "top_cnt", "top_share", "gini")
+      .as[(Long, Long, Double, Double)].head()
+    assert(skew._1 == 3L && skew._2 == 2L && skew._3 == 0.5)
+    assert(math.abs(skew._4 - 1.0 / 6.0) < 1e-15)
+    // partition invariance: exact integer accumulation + tie-stable sum
+    val big = (1L to 200L).flatMap(k => Seq.fill((k % 7).toInt + 1)(k))
+    val a = Stats.keySkew(big.map((_, "x")).toDF("k", "v"), "k")
+      .select("gini").as[Double].head()
+    val b = Stats.keySkew(big.map((_, "x")).toDF("k", "v").repartition(13), "k")
+      .select("gini").as[Double].head()
+    assert(a == b)
+  }
 }
