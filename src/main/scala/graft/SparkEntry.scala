@@ -1324,12 +1324,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // common-neighbor link prediction (ext/Graph.linkPrediction): non-edge
+    // pairs ranked by shared near-dup neighbors — the pairs an LSH pass
+    // likely MISSED and a curation sweep should re-check at lower θ; wedge
+    // join bounded by Σ deg², global TakeOrdered top-k
+    "graph_link_prediction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Graph.linkPrediction(
+        Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+    }),
+
     // EXACT all-pairs Jaccard ≥ θ by prefix filtering (ext/Dedup
     // .jaccardPrefixJoin, SSJoin/AllPairs): rarity-ordered prefixes +
     // length filter give a complete candidate set with no LSH false
     // negatives — every join an equi-join; oracle = the quadratic form
     "dedup_jaccard_prefix" -> ((s, dir) =>
       Dedup.jaccardPrefixJoin(t(s, dir, "documents"), theta = 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // directed containment |A∩B|/|A| ≥ θ (ext/Dedup.containmentPrefixJoin):
+    // quote/excerpt detection the Jaccard length filter structurally hides;
+    // A-prefixes against B's full shingle index, no |B| upper bound
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPrefixJoin(t(s, dir, "documents"), theta = 0.8)
         .orderBy("doc_a", "doc_b")),
 
     "dedup_keep_first" -> ((s, dir) =>
@@ -1354,6 +1371,12 @@ object SparkEntry {
 
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
+    // dimension-truncation recall audit (ext/Similarity.matryoshkaRecall):
+    // exact top-10 at 64 dims vs at the first 16 — measures whether a 4×
+    // narrower index would hold recall, per query, before anyone ships it
+    "sim_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(t(s, dir, "embeddings"))),
 
     // approximate by DESIGN (LSH recall < 1), exact by CHECK: the oracle
     // replicates the seeded bucket arithmetic, so results hash-match
@@ -1546,6 +1569,13 @@ object SparkEntry {
     // sorted window pass carrying three exact trailing sums
     "events_anomaly_zscore" -> ((s, dir) =>
       graft.ext.Stats.anomalyZscore(t(s, dir, "events")).orderBy("event_id")),
+
+    // two-sided CUSUM change points (ext/Stats.cusumChangepoints): level
+    // shifts z-scores miss — the max(0, ·) recurrence as closed-form
+    // running-sum-minus-running-min, exact BIGINT cents, ONE user_id
+    // exchange shared by all frames
+    "events_changepoint_cusum" -> ((s, dir) =>
+      graft.ext.Stats.cusumChangepoints(t(s, dir, "events")).orderBy("event_id")),
 
     // one-row-per-column dataset profile (ext/Stats.profileColumns):
     // count / nulls / exact distinct / stringified min-max per column,
@@ -2652,8 +2682,12 @@ object SparkEntry {
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
+    "dedup_containment" -> Dedup.containmentPrefixJoinSqlDuck(0.8),
     "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
     "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
+    "graph_link_prediction" -> graft.ext.Graph.linkPredictionLshSqlDuck(),
+    "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
+    "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

@@ -86,7 +86,15 @@ final case class EngineConfig(
     equidepthBuckets: Int = 8,
     // PageRank shape (ext/Graph.pageRank): fixed rounds + damping percent
     pagerankIters: Int = 3,
-    pagerankDampPct: Long = 85L) {
+    pagerankDampPct: Long = 85L,
+    // CUSUM change-point detection (ext/Stats.cusumChangepoints): slack and
+    // decision threshold as percent of the per-user reference level
+    cusumSlackPct: Long = 50L,
+    cusumThreshPct: Long = 400L,
+    // containment join (ext/Dedup.containmentPrefixJoin): |A∩B|/|A| threshold
+    containmentTheta: Double = 0.8,
+    // link prediction (ext/Graph.linkPrediction): emitted top-k pairs
+    linkPredTopK: Int = 100) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -142,6 +150,11 @@ final case class EngineConfig(
     require(pagerankIters >= 1, s"pagerankIters must be >= 1, got $pagerankIters")
     require(pagerankDampPct >= 0 && pagerankDampPct <= 100,
       s"pagerankDampPct must be in [0, 100], got $pagerankDampPct")
+    require(cusumSlackPct >= 0, s"cusumSlackPct must be >= 0, got $cusumSlackPct")
+    require(cusumThreshPct > 0, s"cusumThreshPct must be > 0, got $cusumThreshPct")
+    require(containmentTheta > 0 && containmentTheta <= 1.0,
+      s"containmentTheta must be in (0, 1], got $containmentTheta")
+    require(linkPredTopK > 0, s"linkPredTopK must be > 0, got $linkPredTopK")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

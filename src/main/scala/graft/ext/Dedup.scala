@@ -301,6 +301,78 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= $theta
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** EXACT directed CONTAINMENT join |A∩B|/|A| ≥ θ via prefix filtering —
+    * the asymmetric sibling of [[jaccardPrefixJoin]] and the right measure
+    * for QUOTE/SUBSET duplication: a short doc wholly embedded in a long
+    * one has high containment but low Jaccard (the length filter that makes
+    * the Jaccard join cheap is exactly what hides these pairs). Training
+    * pipelines run this to catch boilerplate wrappers and excerpt reposts.
+    *
+    * Prefix soundness (Chaudhuri et al. SSJoin ICDE'06): the required
+    * overlap is o = ⌈θ·|A|⌉, so if A∩B avoided A's first |A|−o+1
+    * rarity-ordered shingles entirely, at most o−1 shared shingles would
+    * remain — the equi-join of A-prefixes against B's FULL shingle index is
+    * a complete candidate set. There is deliberately no |B| upper bound
+    * (containment has none — that asymmetry is the point); the only B-side
+    * predicate is |B| ≥ o. Join-key volume stays rare-token-bounded on the
+    * prefix side, and each distinct candidate verifies once via the
+    * codegen'd sorted-merge intersect.
+    *
+    * Emits DIRECTED pairs (doc_a contained-in doc_b, doc_a ≠ doc_b) — a
+    * near-dup pair at θ appears in both directions, a strict excerpt in
+    * one. Plan: two token-keyed equi-join shuffles + two id-keyed
+    * join-backs, nothing quadratic in the corpus. */
+  def containmentPrefixJoin(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    containmentPrefixJoin(docs, "text", cfg.containmentTheta, cfg.prefixJoinShingleW)
+
+  def containmentPrefixJoin(docs: DataFrame, textCol: String = "text",
+      theta: Double = 0.8, shingleW: Int = 3): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, "theta must be in (0, 1]")
+    val tok =
+      if (shingleW <= 1)
+        docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.fastTokens(col(textCol)))).as("tok"))
+      else shingles(docs, shingleW, textCol).distinct()
+    val t = graft.etl.CacheRegistry.persist(
+      tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks")))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "tok")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
+      .select(col("doc_id"), expr("transform(_ord, x -> x.tok)").as("rtoks"))
+    // A exposes its prefix (|A| − ⌈θ|A|⌉ + 1 rarest shingles); B exposes all
+    val pre = ranked.select(col("doc_id"), size(col("rtoks")).as("n"),
+      explode(expr(
+        s"slice(rtoks, 1, size(rtoks) - CAST(ceil($theta * size(rtoks)) AS INT) + 1)"))
+        .as("tok"))
+    val idx = tok.join(t.select(col("doc_id"), size(col("toks")).as("nb")), "doc_id")
+    val cand = pre.as("a").join(idx.as("b"),
+        col("a.tok") === col("b.tok") &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.nb") >= lit(theta) * col("a.n"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("_i", intersectCount(col("ta"), col("tb")))
+      .withColumn("containment", col("_i").cast("double") / size(col("ta")))
+      .filter(col("containment") >= theta)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
+  /** Oracle for [[containmentPrefixJoin]]: the quadratic directed form. */
+  def containmentPrefixJoinSqlDuck(theta: Double, w: Int = 3): String =
+    s"""WITH sh AS (${TextOps.shingleCtesDuck(w, "")}),
+       | t AS (SELECT doc_id, list_distinct(list(s)) AS toks
+       |   FROM sh WHERE s IS NOT NULL GROUP BY doc_id),
+       | p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      len(a.toks) AS containment
+       |  FROM t a JOIN t b ON a.doc_id <> b.doc_id)
+       |SELECT doc_a, doc_b, containment FROM p WHERE containment >= $theta
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** |A∩B| of sorted distinct string arrays via the codegen'd linear merge
     * ([[graft.functions.SortedIntersectCount]]) — callers sort once per doc
     * with array_sort before pair enumeration. */

@@ -107,6 +107,60 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM'03)
+    * over an undirected pair graph: for every NON-edge pair sharing at
+    * least one neighbor, the common-neighbor count and the neighborhood
+    * Jaccard cn/(deg_a + deg_b − cn). On the near-dup graph this predicts
+    * MISSED near-dup pairs — two docs that each near-duplicate the same
+    * third documents but fell just under the LSH band threshold themselves:
+    * exactly the pairs a curation pass should re-check at a lower θ.
+    *
+    * Shape: one wedge self-join on the shared middle node (volume bounded
+    * by Σ deg², the same bound as [[triangles]] — never all-pairs), an
+    * anti-join that removes existing edges, one groupBy on the (a,c) pair,
+    * then a global TakeOrdered top-k (a k-row driver result, not a sort of
+    * the corpus). Scores are exact integers plus ONE double division, so
+    * ranking and values are engine-independent; ties break on (a,c). */
+  def linkPrediction(pairs: DataFrame, topK: Int = 100): DataFrame = {
+    require(topK > 0, s"topK must be > 0, got $topK")
+    val e = graft.etl.CacheRegistry.persist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"))))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val cand = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
+      .filter(col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+      .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
+        Seq("a", "c"), "left_anti")
+      .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+    cand
+      .join(deg.select(col("src").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("src").as("c"), col("d").as("dc")), "c")
+      .select(col("a").as("doc_a"), col("c").as("doc_b"), col("cn"),
+        (col("cn").cast("double") /
+          (col("da") + col("dc") - col("cn")).cast("double")).as("nbr_jaccard"))
+      .orderBy(col("cn").desc, col("doc_a"), col("doc_b"))
+      .limit(topK)
+  }
+
+  /** Oracle for [[linkPrediction]] over the LSH candidate-pair graph. */
+  def linkPredictionLshSqlDuck(topK: Int = 100): String =
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | e AS (SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
+       | dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       | cand AS (SELECT e1.src AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS cn
+       |   FROM e e1 JOIN e e2 ON e1.dst = e2.src
+       |   WHERE e1.src < e2.dst
+       |     AND NOT EXISTS (SELECT 1 FROM prs
+       |                     WHERE prs.a = e1.src AND prs.b = e2.dst)
+       |   GROUP BY e1.src, e2.dst)
+       |SELECT cand.a AS doc_a, cand.c AS doc_b, cn,
+       |  CAST(cn AS DOUBLE) / CAST(da.d + dc.d - cn AS DOUBLE) AS nbr_jaccard
+       |FROM cand JOIN dg da ON da.src = cand.a JOIN dg dc ON dc.src = cand.c
+       |ORDER BY cn DESC, doc_a, doc_b LIMIT $topK""".stripMargin
+
   /** Oracle for [[triangles]] over the LSH candidate-pair graph: the same
     * oriented triple join on DuckDB's side of the shared `prs` chain. */
   def trianglesLshSqlDuck: String =

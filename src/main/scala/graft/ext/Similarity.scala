@@ -74,6 +74,71 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB: prefix dot product over the first `dim` list elements. */
+  def dotSqlDuckDim(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($a[$i] AS DOUBLE)*CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  /** Dimension-truncation recall audit (the Matryoshka-embedding question,
+    * Kusupati et al. NeurIPS'22): how much of the exact top-k survives when
+    * cosine runs over only the first `dPrime` of [[Dim]] dimensions? The
+    * answer decides whether a corpus can be indexed at a fraction of the
+    * vector width — at 100 TB, shrinking 64 floats to 16 is a 4× cut in
+    * index I/O and memory, IF recall holds. This operator measures it
+    * per query instead of assuming it.
+    *
+    * Both rankings are exact brute-force over broadcast query sets (the
+    * audit must not confound truncation loss with ANN loss); the truncated
+    * side slices vectors BEFORE the dot, and [[graft.functions.FloatVectorDot]]
+    * accumulates over the slice in the same left-to-right order as the
+    * `dPrime`-term oracle chain — bit-identical doubles, so rank sets match
+    * exactly. Output is one row per query: overlap count and recall@k.
+    * Queries with zero surviving neighbors still emit (recall 0). */
+  def matryoshkaRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      dPrime: Int = 16): DataFrame = {
+    require(dPrime >= 1 && dPrime <= Dim, s"dPrime must be in [1,$Dim], got $dPrime")
+    val full = bruteForceTopK(emb, nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = bruteForceTopK(
+        emb.withColumn("embedding", slice(col("embedding"), 1, dPrime)),
+        nQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle twin of [[matryoshkaRecall]]: both rankings as window SQL. */
+  def matryoshkaRecallSqlDuck(nQueries: Int = 8, k: Int = 10,
+      dPrime: Int = 16): String = {
+    def ranking(dot: (String, String) => String, alias: String) =
+      s"""$alias AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (${dot("q.embedding", "c.embedding")}) /
+         |        (sqrt(${dot("q.embedding", "q.embedding")}) *
+         |         sqrt(${dot("c.embedding", "c.embedding")})) DESC, c.vec_id) AS rnk
+         |    FROM embeddings q JOIN embeddings c
+         |      ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+         |  WHERE rnk <= $k)""".stripMargin
+    s"""WITH ${ranking(dotSqlDuck, "fullr")},
+       | ${ranking((a, b) => dotSqlDuckDim(a, b, dPrime), "truncr")},
+       | hits AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |   FROM fullr f JOIN truncr t
+       |     ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |   GROUP BY f.query_id)
+       |SELECT e.vec_id AS query_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / ${k.toDouble} AS recall
+       |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.query_id
+       |WHERE e.vec_id < $nQueries ORDER BY query_id""".stripMargin
+  }
+
   // ---- IVF (inverted-file) ANN — the coarse-quantizer scale path ---------
 
   /** Assign each vector to its nearest centroid (argmax of v·c - |c|²/2,

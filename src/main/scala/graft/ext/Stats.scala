@@ -303,6 +303,94 @@ object Stats {
        |    - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE) AS gini
        |FROM a""".stripMargin
 
+  /** Two-sided CUSUM change-point detection (Page 1954) per user over the
+    * event value stream — the sequential drift detector a feed-quality
+    * pipeline runs to catch a metric whose LEVEL shifted (a price change, a
+    * broken sensor, a source gone stale), which trailing z-scores miss when
+    * the shift is gradual: CUSUM accumulates small persistent deviations
+    * until they cross a decision threshold.
+    *
+    * Arithmetic is EXACT BIGINT cents end-to-end. Per user: reference
+    * `ref = Σcents DIV n` (integer division of non-negative cents — the
+    * fixture's values are positive, asserted in StatsSpec), slack
+    * `k = (ref·slackPct) DIV 100`, threshold `h = (ref·hPct) DIV 100`.
+    * The textbook recurrence S⁺_t = max(0, S⁺_{t-1} + x_t − ref − k) is not
+    * a window aggregate, but its closed form is: with cs_t the running sum
+    * of (x_t − ref − k), S⁺_t = cs_t − min(0, min_{j≤t} cs_j) — a running
+    * sum and a running min over the SAME ordered frame (and symmetrically
+    * S⁻ over (ref − k − x_t)). Exactness makes the result independent of
+    * partitioning and bit-reproducible by the oracle.
+    *
+    * Shape: ONE exchange — the unbounded per-user frame (ref) and both
+    * ordered frames hash on user_id alone; per-partition state is O(1).
+    * Emits only the alarm rows (S⁺ or S⁻ above h), each labeled with its
+    * direction, so output tracks true change points, not the corpus. */
+  def cusumChangepoints(events: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    cusumChangepoints(events, cfg.cusumSlackPct, cfg.cusumThreshPct)
+
+  def cusumChangepoints(events: DataFrame, slackPct: Long = 50L,
+      hPct: Long = 400L): DataFrame = {
+    require(slackPct >= 0L, s"slackPct must be >= 0, got $slackPct")
+    require(hPct > 0L, s"hPct must be > 0, got $hPct")
+    val e = events
+      .filter(col("value").isNotNull && col("ts").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        (xDec(col("value")) * 100).cast("long").as("cents"))
+    val all = Window.partitionBy("user_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("sc", sum(col("cents")).over(all))
+      .withColumn("nn", count(lit(1)).over(all))
+      .withColumn("ref", expr("sc DIV nn"))
+      .withColumn("k", expr(s"(ref * $slackPct) DIV 100"))
+      .withColumn("h", expr(s"(ref * $hPct) DIV 100"))
+      .withColumn("dp", col("cents") - col("ref") - col("k"))
+      .withColumn("dn", col("ref") - col("k") - col("cents"))
+      .withColumn("csp", sum(col("dp")).over(run))
+      .withColumn("csn", sum(col("dn")).over(run))
+      .withColumn("s_pos", col("csp") - least(lit(0L), min(col("csp")).over(run)))
+      .withColumn("s_neg", col("csn") - least(lit(0L), min(col("csn")).over(run)))
+      .filter(col("s_pos") > col("h") || col("s_neg") > col("h"))
+      .select(col("event_id"), col("user_id"),
+        col("s_pos").as("s_pos_cents"), col("s_neg").as("s_neg_cents"),
+        when(col("s_pos") > col("h") && col("s_neg") > col("h"), "both")
+          .when(col("s_pos") > col("h"), "up").otherwise("down").as("direction"))
+  }
+
+  def cusumChangepointsSqlDuck(slackPct: Long = 50L, hPct: Long = 400L): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL),
+       | r AS (SELECT *,
+       |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT)
+       |      // CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS ref
+       |   FROM e),
+       | d AS (SELECT *, (ref * $slackPct) // 100 AS k, (ref * $hPct) // 100 AS h,
+       |    cents - ref - (ref * $slackPct) // 100 AS dp,
+       |    ref - (ref * $slackPct) // 100 - cents AS dn
+       |   FROM r),
+       | c AS (SELECT *,
+       |    CAST(sum(dp) OVER w AS BIGINT) AS csp,
+       |    CAST(sum(dn) OVER w AS BIGINT) AS csn
+       |   FROM d
+       |   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | m AS (SELECT *,
+       |    CAST(min(csp) OVER w AS BIGINT) AS mnp,
+       |    CAST(min(csn) OVER w AS BIGINT) AS mnn
+       |   FROM c
+       |   WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       | s AS (SELECT *, csp - least(0, mnp) AS s_pos, csn - least(0, mnn) AS s_neg
+       |   FROM m)
+       |SELECT event_id, user_id, s_pos AS s_pos_cents, s_neg AS s_neg_cents,
+       |  CASE WHEN s_pos > h AND s_neg > h THEN 'both'
+       |       WHEN s_pos > h THEN 'up' ELSE 'down' END AS direction
+       |FROM s WHERE s_pos > h OR s_neg > h
+       |ORDER BY event_id""".stripMargin
+
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -345,6 +345,45 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(a))
   }
 
+  test("containmentPrefixJoin: directed excerpt pairs the Jaccard join hides") {
+    val d = docs(
+      (1L, "alpha beta gamma"),                              // A ⊂ B below
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // superset of 1
+      (3L, "alpha beta gamma"),                              // duplicate of 1
+      (4L, "omega psi chi"))                                 // disjoint
+    val got = Dedup.containmentPrefixJoin(d, theta = 0.8, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // 1→2 full containment (J(1,2)=3/8 — invisible to the Jaccard join);
+    // 2→1 only 3/8; duplicates 1↔3 contain both ways
+    assert(got == Map((1L, 2L) -> 1.0, (3L, 2L) -> 1.0,
+      (1L, 3L) -> 1.0, (3L, 1L) -> 1.0))
+    // the symmetric join at the same θ must NOT see the excerpt pair
+    val jac = Dedup.jaccardPrefixJoin(d, theta = 0.8, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && jac.contains((1L, 3L)))
+  }
+
+  test("containmentPrefixJoin: equals the quadratic form; partition-invariant") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector.tabulate(25)(i => s"w$i")
+    val d = docs((1L to 50L).map(i =>
+      i -> Seq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(25))).mkString(" ")): _*)
+    val a = Dedup.containmentPrefixJoin(d, theta = 0.7, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Dedup.containmentPrefixJoin(d.repartition(9), theta = 0.7, shingleW = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    // quadratic reference over distinct token sets
+    val sets = d.collect().map(r => r.getLong(0) ->
+      r.getString(1).split("\\s+").filter(_.nonEmpty).toSet).toMap
+    val expect = (for {
+      x <- sets.keys; y <- sets.keys if x != y
+      if sets(x).nonEmpty
+      c = (sets(x) & sets(y)).size.toDouble / sets(x).size if c >= 0.7
+    } yield (x, y, c)).toSet
+    assert(a == expect && a.nonEmpty)
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()

@@ -94,4 +94,26 @@ class GraphSpec extends AnyFunSuite {
     // total mass is conserved up to truncation (never exceeds scale)
     assert(a.values.sum <= 1000000000000L)
   }
+
+  test("linkPrediction: path graph predicts the endpoints, excludes edges") {
+    // 1 - 2 - 3 - 4: non-edges sharing a neighbor are (1,3), (2,4)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.linkPrediction(pairs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // (1,3): cn=1 via node 2, deg(1)=1, deg(3)=2 → jaccard 1/(1+2-1)=0.5
+    assert(got == Seq((1L, 3L, 1L, 0.5), (2L, 4L, 1L, 0.5)))
+  }
+
+  test("linkPrediction: square closes both diagonals, never an edge; topK caps") {
+    // cycle 1-2-3-4-1: diagonals (1,3) and (2,4) each share TWO neighbors
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val got = Graph.linkPrediction(pairs)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // cn=2, deg 2+2, union = 2 → jaccard 1.0: they have identical neighborhoods
+    assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)))
+    assert(Graph.linkPrediction(pairs, topK = 1).count() == 1L)
+    // no existing edge ever appears as a prediction
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    got.foreach { case (a, b, _, _) => assert(!edges.contains((a, b))) }
+  }
 }

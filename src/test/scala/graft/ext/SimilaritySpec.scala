@@ -161,4 +161,29 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.quantizeSq8(emb.repartition(7)).orderBy("vec_id").collect().toSeq
     assert(a === b && a.nonEmpty)
   }
+
+  test("matryoshkaRecall: recall@k bounds, full-width self-recall is 1.0") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val got = Similarity.matryoshkaRecall(emb, nQueries = 5, k = 8, dPrime = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 5 && got.map(_._1).toSeq == (0L to 4L))
+    got.foreach { case (_, n, rec) =>
+      assert(n >= 0L && n <= 8L && rec == n.toDouble / 8.0)
+    }
+    // dPrime = Dim: the truncated ranking IS the full ranking
+    val self = Similarity.matryoshkaRecall(emb, nQueries = 3, k = 5,
+        dPrime = Similarity.Dim)
+      .collect().map(_.getDouble(2))
+    assert(self.forall(_ == 1.0))
+    // cross-check one query's overlap against two explicit rankings
+    val full = Similarity.bruteForceTopK(emb, nQueries = 1, k = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    val trunc = Similarity.bruteForceTopK(
+        emb.withColumn("embedding",
+          org.apache.spark.sql.functions.slice($"embedding", 1, 16)),
+        nQueries = 1, k = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    val n0 = got.find(_._1 == 0L).get._2
+    assert(n0 == (full & trunc).size.toLong)
+  }
 }

@@ -104,6 +104,67 @@ class StatsSpec extends AnyFunSuite {
     assert(Stats.anomalyZscore(ev, minN = 10).count() === 0L)
   }
 
+  // ---- cusumChangepoints ---------------------------------------------
+
+  test("cusumChangepoints: level shift alarms, matching the max(0,·) recurrence") {
+    // user 1: 10 events at 1.00, then 10 at 100.00 — a sustained shift.
+    // ref = mean cents = (10·100 + 10·10000)/20 = 5050, k = 2525 (50%),
+    // h = 20200 (400%). Both sides alarm: the low half drifts S⁻ up, the
+    // high half S⁺ — the textbook recurrence decides which rows emit.
+    val rows = Seq.tabulate(20)(i =>
+      (i.toLong, 1L, i.toLong * HourUs, if (i < 10) 1.0 else 100.0))
+    val ev = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Stats.cusumChangepoints(ev, slackPct = 50L, hPct = 400L)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // textbook recurrence, cents: S+_t = max(0, S+ + x - ref - k)
+    var sp = 0L; var sn = 0L
+    val expect = rows.flatMap { case (id, _, _, v) =>
+      val cents = math.round(v * 100)
+      sp = math.max(0L, sp + cents - 5050L - 2525L)
+      sn = math.max(0L, sn + 5050L - 2525L - cents)
+      val dir = if (sp > 20200L && sn > 20200L) "both"
+        else if (sp > 20200L) "up" else "down"
+      if (sp > 20200L || sn > 20200L) Some(id -> ((sp, sn, dir))) else None
+    }.toMap
+    assert(got.keySet == expect.keySet && expect.nonEmpty)
+    // the upward half must be represented — the shift is the signal
+    assert(expect.values.exists(_._3 == "up"))
+    expect.foreach { case (id, (p, n, dir)) =>
+      assert(got(id)._3 == p && got(id)._4 == n && got(id)._5 == dir)
+    }
+  }
+
+  test("cusumChangepoints: steady stream never alarms; downward shift flags 'down'") {
+    val steady = Seq.tabulate(30)(i => (i.toLong, 1L, i.toLong * HourUs, 12.5))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Stats.cusumChangepoints(steady).count() === 0L)
+    // 15 events at 10.00 then 5 at 2.00: ref = 800 cents, k = 400, h = 800.
+    // The high half sits BELOW ref+k (no S⁺ drift); only the tail's
+    // sustained 200-cent S⁻ drift crosses h — a one-sided alarm.
+    val drop = Seq.tabulate(20)(i =>
+        (i.toLong, 7L, i.toLong * HourUs, if (i < 15) 10.0 else 2.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val dirs = Stats.cusumChangepoints(drop, slackPct = 50L, hPct = 100L)
+      .select("direction").as[String].collect().toSet
+    assert(dirs == Set("down"))
+  }
+
+  test("cusumChangepoints: partitioning-invariant (exact integer arithmetic)") {
+    val rows = Seq.tabulate(60)(i =>
+      (i.toLong, (i % 3).toLong, i.toLong * HourUs, (i % 13).toDouble + 0.07))
+    val ev = rows.toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val a = Stats.cusumChangepoints(ev, slackPct = 10L, hPct = 50L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val b = Stats.cusumChangepoints(ev.repartition(11), slackPct = 10L, hPct = 50L)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   // ---- profileColumns ------------------------------------------------
 
   test("profileColumns: counts, nulls, distinct, min/max per column") {
