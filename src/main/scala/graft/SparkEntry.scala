@@ -1334,6 +1334,17 @@ object SparkEntry {
         Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
     }),
 
+    // k-core peeling (ext/Graph.kCore): dense near-dup neighborhoods that
+    // survive iterative degree-< k deletion — near-cliques stay, hubs
+    // don't; fixed rounds, each one degree agg + survivor semi-join, with
+    // a per-node `converged` bit so insufficient rounds are VISIBLE
+    "graph_kcore" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Graph.kCore(docs,
+          Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        .orderBy("doc_id")
+    }),
+
     // EXACT all-pairs Jaccard ≥ θ by prefix filtering (ext/Dedup
     // .jaccardPrefixJoin, SSJoin/AllPairs): rarity-ordered prefixes +
     // length filter give a complete candidate set with no LSH false
@@ -1498,6 +1509,14 @@ object SparkEntry {
 
     // BM25 retrieval scoring against a fixed query — rational idf (same
     // monotone-transform argument as text_tfidf), bit-stable double math
+    // multi-query BM25 retrieval through the inverted index (ext/TextOps
+    // .searchTopK): query terms equi-join the postings — each query touches
+    // only docs sharing a term, partial scores combine map-side, top-k
+    // plans as WindowGroupLimit; per-term doubles quantize to DECIMAL(28,12)
+    // before the (query, doc) sum so ranking is partitioning-independent
+    "search_bm25_topk" -> ((s, dir) =>
+      TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
+
     "text_bm25" -> ((s, dir) =>
       graft.ext.TextOps.bm25(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -1576,6 +1595,15 @@ object SparkEntry {
     // exchange shared by all frames
     "events_changepoint_cusum" -> ((s, dir) =>
       graft.ext.Stats.cusumChangepoints(t(s, dir, "events")).orderBy("event_id")),
+
+    // chi-square lang × source independence audit (ext/Stats
+    // .chiSquareBalance): does language mix depend on source? The full
+    // contingency table incl. zero-observed cells, χ² total from exact
+    // decimal-quantized contributions; margins broadcast, the corpus is
+    // touched once
+    "quality_chi2_balance" -> ((s, dir) =>
+      graft.ext.Stats.chiSquareBalance(t(s, dir, "documents"), "lang", "source")
+        .orderBy("lang", "source")),
 
     // one-row-per-column dataset profile (ext/Stats.profileColumns):
     // count / nulls / exact distinct / stringified min-max per column,
@@ -2686,8 +2714,12 @@ object SparkEntry {
     "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
     "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
     "graph_link_prediction" -> graft.ext.Graph.linkPredictionLshSqlDuck(),
+    "graph_kcore" -> graft.ext.Graph.kCoreLshSqlDuck(),
     "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
+    "quality_chi2_balance" ->
+      graft.ext.Stats.chiSquareBalanceSqlDuck("documents", "lang", "source"),
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
+    "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

@@ -107,6 +107,79 @@ object Graph {
           .otherwise(lit(0.0)))
   }
 
+  /** k-core peeling (Seidman 1983; distributed rounds per Montresor et al.)
+    * over an undirected pair graph: iteratively delete nodes of degree < k
+    * until none remain — the surviving subgraph is the k-core, the standard
+    * "dense duplication neighborhood" extractor (a near-clique of mutual
+    * near-dups survives peeling; hub-and-spoke structure does not, however
+    * high the hub's raw degree — the failure mode of degree thresholds).
+    *
+    * Runs a FIXED `rounds` count, so the iteration is deterministic and
+    * oracle-unrollable (same contract as [[pageRank]]); each round is one
+    * degree aggregation + one semi-join against the survivor set — shuffles
+    * keyed on node id, nothing quadratic, no driver state. Peeling is
+    * monotone (survivor sets only shrink), so if a round removes nothing
+    * the answer is the true k-core; `converged` reports exactly that bit
+    * per node so a caller (and the spec) can SEE whether `rounds` sufficed
+    * rather than trust it. */
+  def kCore(nodes: DataFrame, pairs: DataFrame, k: Int = 2, rounds: Int = 3,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k rounds=$rounds")
+    val e = graft.etl.CacheRegistry.persist(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"))))
+    var alive = graft.etl.CacheRegistry.persist(
+      e.select(col("src").as("id")).distinct())
+    for (_ <- 1 to rounds) {
+      val deg = e
+        .join(alive.select(col("id").as("src")), "src")
+        .join(alive.select(col("id").as("dst")), "dst")
+        .groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"))
+      alive = graft.etl.CacheRegistry.persist(
+        deg.filter(col("deg") >= k).select("id"))
+    }
+    // converged = one more half-round removes nothing: every survivor still
+    // has degree >= k within the final survivor set
+    val finalDeg = e
+      .join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    nodes.select(col(idCol).as("id"))
+      .join(finalDeg, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("deg").isNotNull.as("in_core"),
+        coalesce(col("deg"), lit(0L)).as("core_deg"),
+        (col("deg").isNull || col("deg") >= k).as("converged"))
+  }
+
+  /** Oracle for [[kCore]] over the LSH candidate-pair graph: the peeling
+    * rounds unrolled as one CTE pair per round. */
+  def kCoreLshSqlDuck(k: Int = 2, rounds: Int = 3): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"a${i - 1}"
+      s""" d$i AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS deg
+         |   FROM e JOIN $prev x ON e.src = x.id JOIN $prev y ON e.dst = y.id
+         |   GROUP BY e.src),
+         | a$i AS (SELECT id FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | e AS (SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
+       | a0 AS (SELECT DISTINCT src AS id FROM e),
+       |$roundCtes,
+       | fd AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS deg
+       |   FROM e JOIN a$rounds x ON e.src = x.id JOIN a$rounds y ON e.dst = y.id
+       |   GROUP BY e.src)
+       |SELECT d.doc_id, fd.deg IS NOT NULL AS in_core,
+       |  coalesce(fd.deg, 0) AS core_deg,
+       |  (fd.deg IS NULL OR fd.deg >= $k) AS converged
+       |FROM documents d LEFT JOIN fd ON d.doc_id = fd.id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Common-neighbor link prediction (Liben-Nowell & Kleinberg, CIKM'03)
     * over an undirected pair graph: for every NON-edge pair sharing at
     * least one neighbor, the common-neighbor count and the neighborhood

@@ -391,6 +391,68 @@ object Stats {
        |FROM s WHERE s_pos > h OR s_neg > h
        |ORDER BY event_id""".stripMargin
 
+  /** Chi-square independence audit of two categorical columns (Pearson
+    * 1900) — "is language mix independent of source?" is the first
+    * stratification question a corpus curator asks before mixing sources:
+    * a large χ² flags sources whose language (or topic, or quality-bucket)
+    * distribution diverges, i.e. where naive source-weighted sampling
+    * shifts the corpus composition.
+    *
+    * Emits the full contingency table — one row per (a, b) cell of the
+    * margin cross product, INCLUDING zero-observed cells (their expected
+    * count still contributes to χ²) — with observed, expected = r·c/n,
+    * the cell's (o−e)²/e contribution, and the total χ² replicated per
+    * row. Counts are exact BIGINTs; expected/contrib are one fixed-order
+    * double expression over them; the total sums DECIMAL(28,12)-quantized
+    * contributions, so it is exact and partitioning-independent (no
+    * scale-12 midpoint is dyadic — see searchTopK's argument).
+    *
+    * Shape: one map-side-combined count per margin + cells, then all joins
+    * are on the tiny margin relations (broadcast by size); the unpartitioned
+    * total window runs over |A|·|B| rows — already an aggregate, never the
+    * corpus. */
+  def chiSquareBalance(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+    val cells = base.groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = base.groupBy("a").agg(count(lit(1)).as("ra"))
+    val cb = base.groupBy("b").agg(count(lit(1)).as("cb"))
+    val n = base.agg(count(lit(1)).as("n"))
+    val eCol = (col("ra") * col("cb")).cast("double") / col("n").cast("double")
+    val full = ra.crossJoin(cb).crossJoin(broadcast(n))
+      .join(cells, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("o"), lit(0L)).as("observed"),
+        eCol.as("expected"),
+        ((coalesce(col("o"), lit(0L)).cast("double") - eCol) *
+         (coalesce(col("o"), lit(0L)).cast("double") - eCol) / eCol).as("contrib"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    full.withColumn("chi2",
+        sum(col("contrib").cast(DecimalType(28, 12))).over(all).cast("double"))
+      .select(col("a").as(aCol), col("b").as(bCol), col("observed"),
+        col("expected"), col("contrib"), col("chi2"))
+  }
+
+  def chiSquareBalanceSqlDuck(table: String, aCol: String, bCol: String): String =
+    s"""WITH base AS (SELECT $aCol AS a, $bCol AS b FROM $table
+       |   WHERE $aCol IS NOT NULL AND $bCol IS NOT NULL),
+       | cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+       |   FROM base GROUP BY a, b),
+       | ra AS (SELECT a, CAST(count(*) AS BIGINT) AS ra FROM base GROUP BY a),
+       | cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM base GROUP BY b),
+       | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       | full0 AS (SELECT ra.a, cb.b, coalesce(cells.o, 0) AS observed,
+       |    CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n.n AS DOUBLE) AS expected,
+       |    (CAST(coalesce(cells.o, 0) AS DOUBLE)
+       |       - CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n.n AS DOUBLE)) *
+       |    (CAST(coalesce(cells.o, 0) AS DOUBLE)
+       |       - CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n.n AS DOUBLE)) /
+       |    (CAST(ra.ra * cb.cb AS DOUBLE) / CAST(n.n AS DOUBLE)) AS contrib
+       |   FROM ra CROSS JOIN cb CROSS JOIN n
+       |   LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+       |SELECT a AS $aCol, b AS $bCol, observed, expected, contrib,
+       |  CAST(sum(CAST(contrib AS DECIMAL(28,12))) OVER () AS DOUBLE) AS chi2
+       |FROM full0 ORDER BY $aCol, $bCol""".stripMargin
+
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -673,6 +673,117 @@ object TextOps {
        |FROM d CROSS JOIN st ORDER BY doc_id""".stripMargin
   }
 
+  /** Multi-query BM25 retrieval: rank the corpus against a SET of queries
+    * through the inverted index — the serving-path complement to [[bm25]]
+    * (which scores every doc against one fixed term list). The plan is the
+    * canonical sharded-retrieval shape: query terms equi-join the (term,
+    * doc, tf) postings relation, so each query touches only docs
+    * containing at least one of its terms, and per-(query, doc) partial
+    * scores combine map-side — never a queries × corpus cross product.
+    *
+    * Determinism: each per-term contribution is one fixed-order double
+    * expression (identical text in the oracle), quantized to
+    * DECIMAL(28,12) BEFORE the (query, doc) sum — the sum is then exact
+    * and associative, so partitioning cannot perturb ranking, and the
+    * final score is the decimal's exact double image. (A scale-12 decimal
+    * midpoint is (2k+1)/(2·10¹²), whose denominator carries 5¹² — no
+    * 53-bit dyadic double can land on one, so both engines' nearest
+    * roundings agree; same argument as Temporal.decayedTrailingSum.)
+    * IDF is the same ln-free rational form as [[bm25]].
+    *
+    * Top-k per query plans as a WindowGroupLimit (partial top-k before the
+    * rank window), so only k candidates per query survive each partition. */
+  def searchTopK(docs: DataFrame,
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty && queries.map(_._1).distinct.size == queries.size)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+    val toks = docs.select(col("doc_id"), explode(tokensArr(textCol)).as("term"))
+    val tf = graft.etl.CacheRegistry.persist(
+      toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val contrib =
+      col("tf").cast("double") * lit(k1p1) /
+        (col("tf").cast("double") + lit(k1) * (lit(oneMinusB) + lit(b) *
+          ((col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double")))) *
+        (((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+    val scored = tf
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        contrib.cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("c"))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score_dec"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_dec").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_dec").cast("double").as("score"))
+  }
+
+  /** Oracle twin of [[searchTopK]]: postings join + quantized sum as SQL. */
+  def searchTopKSqlDuck(
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+    val qRows = queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term
+       |    FROM documents),
+       | tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |   FROM toks GROUP BY term, doc_id),
+       | dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |   FROM toks GROUP BY doc_id),
+       | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |   FROM tf GROUP BY term),
+       | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       | q(query_id, term) AS (VALUES $qRows),
+       | sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(sum(CAST(
+       |      CAST(tf.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE) /
+       |      (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) *
+       |        (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.sum_dl AS DOUBLE)))) *
+       |      ((CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |       (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS score_dec
+       |   FROM tf JOIN q ON tf.term = q.term
+       |   JOIN df ON df.term = tf.term
+       |   JOIN dl ON dl.doc_id = tf.doc_id
+       |   CROSS JOIN st
+       |   GROUP BY q.query_id, tf.doc_id)
+       |SELECT query_id, rank, doc_id, CAST(score_dec AS DOUBLE) AS score FROM (
+       |  SELECT query_id, doc_id, score_dec,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   // =====================================================================
   // Inverted-index posting lists
   // =====================================================================

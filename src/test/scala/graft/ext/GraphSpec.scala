@@ -95,6 +95,35 @@ class GraphSpec extends AnyFunSuite {
     assert(a.values.sum <= 1000000000000L)
   }
 
+  test("kCore: triangle survives 2-core peeling, pendant chain does not") {
+    // triangle 1-2-3 with a chain 3-4-5 hanging off it
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.kCore(nodes, pairs, k = 2, rounds = 3)
+      .as[(Long, Boolean, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // the 2-core is exactly the triangle, each with in-core degree 2
+    Seq(1L, 2L, 3L).foreach(i => assert(got(i) == (i, true, 2L, true)))
+    Seq(4L, 5L, 6L).foreach(i => assert(got(i) == (i, false, 0L, true)))
+  }
+
+  test("kCore: insufficient rounds surface as converged=false, never a wrong 'true'") {
+    // path 1-2-3-4-5-6: the 2-core is empty, but peeling eats 2 endpoints
+    // per round — 1 round leaves 2..5 with the new endpoints at degree 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val one = Graph.kCore(nodes, pairs, k = 2, rounds = 1)
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    assert(one.filter(_._2).map(_._1).toSet == Set(2L, 3L, 4L, 5L))
+    assert(one.filter(r => r._1 == 2L || r._1 == 5L).forall(!_._4))
+    // enough rounds: empty core, everything converged
+    val full = Graph.kCore(nodes, pairs, k = 2, rounds = 3)
+      .as[(Long, Boolean, Long, Boolean)].collect()
+    assert(full.forall(r => !r._2 && r._4))
+  }
+
   test("linkPrediction: path graph predicts the endpoints, excludes edges") {
     // 1 - 2 - 3 - 4: non-edges sharing a neighbor are (1,3), (2,4)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")

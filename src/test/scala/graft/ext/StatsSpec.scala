@@ -165,6 +165,38 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- chiSquareBalance ----------------------------------------------
+
+  test("chiSquareBalance: independent table → chi2 0; zero cells included") {
+    // perfectly independent 2×2: counts proportional to margins
+    val rows = Seq.fill(8)(("en", "s0")) ++ Seq.fill(2)(("fr", "s0")) ++
+      Seq.fill(4)(("en", "s1")) ++ Seq.fill(1)(("fr", "s1"))
+    val r = Stats.chiSquareBalance(rows.toDF("lang", "source"), "lang", "source")
+      .collect()
+    assert(r.length == 4)
+    assert(r.forall(_.getAs[Double]("chi2") == 0.0))
+    // a value seen only in one margin combination still yields a full cross
+    val sparse = Seq(("en", "s0"), ("fr", "s1"))
+      .toDF("lang", "source")
+    val s = Stats.chiSquareBalance(sparse, "lang", "source").collect()
+    assert(s.length == 4 && s.count(_.getAs[Long]("observed") == 0L) == 2)
+  }
+
+  test("chiSquareBalance: hand-computed 2×2 and partitioning invariance") {
+    // o = [[30, 10], [10, 50]]: n=100, margins r=(40,60), c=(40,60)
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val df = rows.toDF("lang", "source")
+    val got = Stats.chiSquareBalance(df, "lang", "source").collect()
+    // e = [[16,24],[24,36]]; chi2 = 196/16+196/24+196/24+196/36
+    val expect = 196.0 / 16 + 196.0 / 24 + 196.0 / 24 + 196.0 / 36
+    val chi2 = got.head.getAs[Double]("chi2")
+    assert(math.abs(chi2 - expect) < 1e-9)
+    val again = Stats.chiSquareBalance(df.repartition(13), "lang", "source")
+      .collect().head.getAs[Double]("chi2")
+    assert(chi2 == again)
+  }
+
   // ---- profileColumns ------------------------------------------------
 
   test("profileColumns: counts, nulls, distinct, min/max per column") {

@@ -187,4 +187,42 @@ class TextOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(kept == Seq(2L, 3L))
   }
+
+  test("searchTopK: single-term query matches the hand-computed BM25 score") {
+    // 3 docs, dl 2/2/4; 'cat' appears in doc 1 (tf 1) and doc 3 (tf 2)
+    val d = docs(
+      (1L, "cat dog"),
+      (2L, "fish bird"),
+      (3L, "cat cat dog dog"))
+    val got = TextOps.searchTopK(d, queries = Seq("q" -> "cat"), k = 5)
+      .collect().map(r => (r.getLong(2), r.getLong(1), r.getDouble(3)))
+    assert(got.map(_._1).toSet == Set(1L, 3L)) // doc 2 never touched
+    def score(tf: Long, dl: Long): Double = {
+      val n = 3.0; val sumDl = 8.0; val df = 2.0
+      val t = tf.toDouble * 2.2 / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl * n / sumDl)))
+      val s = t * ((n - df + 0.5) / (df + 0.5))
+      // the operator quantizes each contribution to DECIMAL(28,12)
+      BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byDoc = got.map(g => g._1 -> g).toMap
+    assert(byDoc(3L)._3 == score(2L, 4L) && byDoc(1L)._3 == score(1L, 2L))
+    // doc 3's higher tf outweighs its longer length here → rank 1
+    assert(byDoc(3L)._2 == 1L && byDoc(1L)._2 == 2L)
+  }
+
+  test("searchTopK: k caps per query; ranks are dense from 1; partition-invariant") {
+    val d = docs((1L to 40L).map(i =>
+      i -> Seq.fill(5)(s"w${i % 7} common").mkString(" ")): _*)
+    val q = Seq("a" -> "common w1", "b" -> "w2 w3")
+    val got = TextOps.searchTopK(d, queries = q, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == Set("a", "b"))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 4 && rows.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    }
+    val again = TextOps.searchTopK(d.repartition(7), queries = q, k = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet == again.toSet)
+  }
 }
