@@ -1040,6 +1040,48 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // bucketing end-to-end (etl/Layout.writeBucketed): both fact tables
+    // written bucketed+sorted on the join key, then joined WITHOUT any
+    // Exchange on that key — the row itself asserts the plan (broadcast
+    // disabled so the shuffle-free SortMergeJoin is what's under test; a
+    // silently degraded layout turns this row RED, the
+    // events_range_join_sql precedent). At 100 TB this is the write-once /
+    // join-many contract: the pre-shuffle is paid at ingest, every
+    // downstream equi-join on the key plans exchange-free.
+    "layout_bucketed_join" -> ((s, dir) => {
+      val sfx = new java.io.File(dir).getName.replace('.', '_')
+      graft.etl.Layout.writeBucketed(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+          col("l_extendedprice"), col("l_discount")),
+        s"li_bkt_$sfx", "okey")
+      graft.etl.Layout.writeBucketed(
+        t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+          col("o_orderpriority")),
+        s"o_bkt_$sfx", "okey")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val j = s.table(s"li_bkt_$sfx").join(s.table(s"o_bkt_$sfx"), "okey")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+                col("l_discount").cast("decimal(18,2)"))).cast("string")
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+        var merge = false
+        var keyShuffle = false
+        graft.etl.PlanWalk.visit(j.queryExecution.executedPlan) { p =>
+          if (p.getClass.getSimpleName.contains("SortMergeJoin")) merge = true
+          if (p.getClass.getSimpleName.contains("ShuffleExchange") &&
+              p.outputPartitioning.toString.contains("okey")) keyShuffle = true
+        }
+        require(merge, "bucketed join did not plan as SortMergeJoin")
+        require(!keyShuffle, "bucketed join still shuffles on the bucket key")
+        j
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }),
+
     // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a
     // 1-day grid per user, each point carrying the latest value at or
     // before it — grid from a tiny bounds agg, ONE keyed shuffle, never a
@@ -1582,6 +1624,15 @@ object SparkEntry {
     // — partitioning-invariant where the builtin corr() is not
     "events_corr_hour" -> ((s, dir) =>
       graft.ext.Stats.pearsonByHour(t(s, dir, "events")).orderBy("event_type")),
+
+    // weekly-diurnal seasonal profile + R² (ext/Stats.seasonality): the
+    // (dow × hour) mean grid per event type with variance-explained —
+    // "is this metric seasonal or noisy"; calendar math is pure integer
+    // epoch-µs (no locale dayofweek), moments exact, SS_between summed as
+    // quantized decimals
+    "events_seasonality" -> ((s, dir) =>
+      graft.ext.Stats.seasonality(t(s, dir, "events"))
+        .orderBy("event_type", "dow", "hour")),
 
     // trailing-window z-score anomalies (ext/Stats.anomalyZscore): each
     // event vs its user's previous 20 events — one user_id shuffle, one
@@ -2716,6 +2767,18 @@ object SparkEntry {
     "graph_link_prediction" -> graft.ext.Graph.linkPredictionLshSqlDuck(),
     "graph_kcore" -> graft.ext.Graph.kCoreLshSqlDuck(),
     "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
+    "events_seasonality" -> graft.ext.Stats.seasonalitySqlDuck(),
+
+    // independent recomputation of the bucketed-layout join: DuckDB joins
+    // the raw parquet tables directly — the layout is Spark-side physics,
+    // the RESULT must be layout-invariant
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS VARCHAR) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "quality_chi2_balance" ->
       graft.ext.Stats.chiSquareBalanceSqlDuck("documents", "lang", "source"),
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),

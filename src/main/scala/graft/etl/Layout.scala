@@ -16,14 +16,29 @@ object Layout {
 
   /** Write a bucketed + sorted table registered in the session catalog.
     * Joins between tables bucketed on the same key with the same bucket
-    * count need no shuffle (verified by plan assertion in LayoutSpec). */
+    * count need no shuffle (verified by plan assertion in LayoutSpec).
+    *
+    * Idempotent across JVMs: a FRESH session doesn't know about a previous
+    * run's table, so `mode(overwrite)` alone dies on the orphaned warehouse
+    * directory (LOCATION_ALREADY_EXISTS) — drop the catalog entry AND clear
+    * the leftover location first. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int = 8): Unit =
+      nBuckets: Int = 8): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    val loc = new java.io.File(new java.net.URI(wh).getPath, table)
+    if (loc.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     df.write.mode("overwrite")
       .format("parquet")
       .bucketBy(nBuckets, key)
       .sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Write a directory-partitioned dataset; filters on the partition
     * columns prune at planning time. */

@@ -403,9 +403,9 @@ object Stats {
     * count still contributes to χ²) — with observed, expected = r·c/n,
     * the cell's (o−e)²/e contribution, and the total χ² replicated per
     * row. Counts are exact BIGINTs; expected/contrib are one fixed-order
-    * double expression over them; the total sums DECIMAL(28,12)-quantized
-    * contributions, so it is exact and partitioning-independent (no
-    * scale-12 midpoint is dyadic — see searchTopK's argument).
+    * double expression over them; the total sums FLOOR-quantized (1e-9
+    * unit) contributions as exact BIGINTs, so it is exact and
+    * partitioning-independent with no rounding-mode sensitivity.
     *
     * Shape: one map-side-combined count per margin + cells, then all joins
     * are on the tiny margin relations (broadcast by size); the unpartitioned
@@ -425,9 +425,13 @@ object Stats {
         eCol.as("expected"),
         ((coalesce(col("o"), lit(0L)).cast("double") - eCol) *
          (coalesce(col("o"), lit(0L)).cast("double") - eCol) / eCol).as("contrib"))
+    // per-cell contributions floor-quantized to 1e-9 units before the
+    // exact BIGINT total — floor is representation-insensitive where a
+    // decimal CAST is not (see seasonality); bias ≤ |cells|·1e-9, pinned
     val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     full.withColumn("chi2",
-        sum(col("contrib").cast(DecimalType(28, 12))).over(all).cast("double"))
+        (sum(floor(col("contrib") * lit(1000000000.0)).cast("long")).over(all)
+          .cast("double") / lit(1000000000.0)))
       .select(col("a").as(aCol), col("b").as(bCol), col("observed"),
         col("expected"), col("contrib"), col("chi2"))
   }
@@ -450,8 +454,95 @@ object Stats {
        |   FROM ra CROSS JOIN cb CROSS JOIN n
        |   LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
        |SELECT a AS $aCol, b AS $bCol, observed, expected, contrib,
-       |  CAST(sum(CAST(contrib AS DECIMAL(28,12))) OVER () AS DOUBLE) AS chi2
+       |  CAST(sum(CAST(floor(contrib * 1000000000.0E0) AS BIGINT)) OVER ()
+       |    AS DOUBLE) / 1000000000.0E0 AS chi2
        |FROM full0 ORDER BY $aCol, $bCol""".stripMargin
+
+  /** Seasonal profile + variance-explained decomposition per event type:
+    * the (day-of-week × hour) mean value grid, with R² = SS_between/SS_total
+    * — how much of the metric's variance the weekly-diurnal profile alone
+    * explains. The triage number behind "is this metric seasonal or noisy":
+    * R² near 1 says a seasonal-naive baseline suffices; near 0 says the
+    * profile is flat relative to within-cell spread.
+    *
+    * Calendar arithmetic is engine-independent INTEGER math on epoch-µs
+    * (day 0 = Thursday, so dow = (days+4) mod 7 with Sunday=0; hour =
+    * (us div 3600s) mod 24) — never an engine's locale-dependent
+    * dayofweek(). Cell and total moments are exact decimal/BIGINT sums;
+    * means and SS_total = Σx² − (Σx)²/n are fixed-order doubles over them;
+    * SS_between quantizes each cell's n·(mean_c − mean)² term to
+    * DECIMAL(28,12) before the exact per-type sum (the usual midpoint-free
+    * argument), so R² is partitioning-independent.
+    *
+    * Shape: one map-side-combined cell aggregation over the corpus, then
+    * everything downstream operates on ≤ |types|·168 cell rows with the
+    * per-type totals broadcast. */
+  def seasonality(events: DataFrame, keyCol: String = "event_type"): DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull && col("ts").isNotNull && col(keyCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col("ts")).as("us"),
+        xDec(col("value")).as("x"))
+      .withColumn("dow", expr("((us DIV 86400000000) + 4) % 7"))
+      .withColumn("hour", expr("(us DIV 3600000000) % 24"))
+    val cells = e.groupBy("key", "dow", "hour")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val tot = e.groupBy("key").agg(count(lit(1)).as("nt"),
+      sum(col("x")).as("sxt"), sum(col("x") * col("x")).as("sxxt"))
+    val meanC = col("sx").cast("double") / col("n").cast("double")
+    val meanT = col("sxt").cast("double") / col("nt").cast("double")
+    val withTot = cells.join(broadcast(tot), "key")
+    // each cell's n·(meanC − meanT)² term FLOOR-quantized to 1e-6 units
+    // before the exact BIGINT sum: floor has no rounding-mode or
+    // representation sensitivity (a decimal CAST rounds Spark's
+    // shortest-repr string but DuckDB's exact binary — at term magnitudes
+    // ~1e5 the scale-12 grid outresolves the double and the two roundings
+    // diverge by an ulp; measured, not hypothetical). The ≤ 1e-6-per-cell
+    // floor bias is pinned into the operator's semantics on both engines.
+    val ssb = withTot
+      .select(col("key"),
+        floor(col("n").cast("double") * (meanC - meanT) * (meanC - meanT) *
+          lit(1000000.0)).cast("long").as("term"))
+      .groupBy("key").agg(sum(col("term")).as("ssb_micro"))
+    val ssTot = col("sxxt").cast("double") -
+      col("sxt").cast("double") * col("sxt").cast("double") / col("nt").cast("double")
+    withTot
+      .join(broadcast(ssb), "key")
+      .select(col("key").as(keyCol), col("dow"), col("hour"), col("n"),
+        meanC.as("cell_mean"),
+        when(ssTot > 0.0,
+          col("ssb_micro").cast("double") / lit(1000000.0) / ssTot)
+          .as("r2_seasonal"))
+  }
+
+  def seasonalitySqlDuck(keyCol: String = "event_type"): String =
+    s"""WITH e AS (SELECT $keyCol AS key, epoch_us(ts) AS us,
+       |    CAST(value AS DECIMAL(18,2)) AS x
+       |  FROM events
+       |  WHERE value IS NOT NULL AND ts IS NOT NULL AND $keyCol IS NOT NULL),
+       | d AS (SELECT key, ((us // 86400000000) + 4) % 7 AS dow,
+       |    (us // 3600000000) % 24 AS hour, x FROM e),
+       | cells AS (SELECT key, dow, hour, CAST(count(*) AS BIGINT) AS n,
+       |    sum(x) AS sx FROM d GROUP BY key, dow, hour),
+       | tot AS (SELECT key, CAST(count(*) AS BIGINT) AS nt, sum(x) AS sxt,
+       |    sum(x * x) AS sxxt FROM d GROUP BY key),
+       | ssb AS (SELECT cells.key,
+       |    CAST(sum(CAST(floor(CAST(n AS DOUBLE) *
+       |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) *
+       |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE)) * 1000000.0E0)
+       |      AS BIGINT)) AS BIGINT) AS ssb_micro
+       |   FROM cells JOIN tot ON cells.key = tot.key GROUP BY cells.key)
+       |SELECT cells.key AS $keyCol, dow, hour, n,
+       |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS cell_mean,
+       |  CASE WHEN CAST(sxxt AS DOUBLE)
+       |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE) > 0.0E0
+       |    THEN CAST(ssb_micro AS DOUBLE) / 1000000.0E0 / (CAST(sxxt AS DOUBLE)
+       |      - CAST(sxt AS DOUBLE) * CAST(sxt AS DOUBLE) / CAST(nt AS DOUBLE))
+       |    ELSE NULL END AS r2_seasonal
+       |FROM cells JOIN tot ON cells.key = tot.key
+       |JOIN ssb ON ssb.key = cells.key
+       |ORDER BY $keyCol, dow, hour""".stripMargin
 
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>

@@ -682,14 +682,13 @@ object TextOps {
     * scores combine map-side — never a queries × corpus cross product.
     *
     * Determinism: each per-term contribution is one fixed-order double
-    * expression (identical text in the oracle), quantized to
-    * DECIMAL(28,12) BEFORE the (query, doc) sum — the sum is then exact
-    * and associative, so partitioning cannot perturb ranking, and the
-    * final score is the decimal's exact double image. (A scale-12 decimal
-    * midpoint is (2k+1)/(2·10¹²), whose denominator carries 5¹² — no
-    * 53-bit dyadic double can land on one, so both engines' nearest
-    * roundings agree; same argument as Temporal.decayedTrailingSum.)
-    * IDF is the same ln-free rational form as [[bm25]].
+    * expression (identical text in the oracle), FLOOR-quantized to 1e-9
+    * score units BEFORE the (query, doc) sum — the sum is then exact
+    * BIGINT arithmetic, so partitioning cannot perturb ranking, and floor
+    * (unlike a decimal CAST, which rounds Spark's shortest-repr string but
+    * DuckDB's exact binary value) is representation-insensitive. The ≤
+    * 1e-9-per-term bias is pinned into the score's semantics on both
+    * engines. IDF is the same ln-free rational form as [[bm25]].
     *
     * Top-k per query plans as a WindowGroupLimit (partial top-k before the
     * rank window), so only k candidates per query survive each partition. */
@@ -729,14 +728,14 @@ object TextOps {
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),
-        contrib.cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("c"))
-      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score_dec"))
+        floor(contrib * lit(1000000000.0)).cast("long").as("c"))
+      .groupBy("query_id", "doc_id").agg(sum(col("c")).as("score_nano"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("score_dec").desc, col("doc_id"))
+      .orderBy(col("score_nano").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
-        col("score_dec").cast("double").as("score"))
+        (col("score_nano").cast("double") / lit(1000000000.0)).as("score"))
   }
 
   /** Oracle twin of [[searchTopK]]: postings join + quantized sum as SQL. */
@@ -764,22 +763,23 @@ object TextOps {
        |     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
        | q(query_id, term) AS (VALUES $qRows),
        | sc AS (SELECT q.query_id, tf.doc_id,
-       |    CAST(sum(CAST(
+       |    CAST(sum(CAST(floor((
        |      CAST(tf.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE) /
        |      (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) *
        |        (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.sum_dl AS DOUBLE)))) *
        |      ((CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
        |       (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
-       |      AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS score_dec
+       |      ) * 1000000000.0E0) AS BIGINT)) AS BIGINT) AS score_nano
        |   FROM tf JOIN q ON tf.term = q.term
        |   JOIN df ON df.term = tf.term
        |   JOIN dl ON dl.doc_id = tf.doc_id
        |   CROSS JOIN st
        |   GROUP BY q.query_id, tf.doc_id)
-       |SELECT query_id, rank, doc_id, CAST(score_dec AS DOUBLE) AS score FROM (
-       |  SELECT query_id, doc_id, score_dec,
+       |SELECT query_id, rank, doc_id,
+       |  CAST(score_nano AS DOUBLE) / 1000000000.0E0 AS score FROM (
+       |  SELECT query_id, doc_id, score_nano,
        |    CAST(row_number() OVER (PARTITION BY query_id
-       |      ORDER BY score_dec DESC, doc_id) AS BIGINT) AS rank
+       |      ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rank
        |  FROM sc)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }

@@ -165,6 +165,35 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- seasonality ---------------------------------------------------
+
+  test("seasonality: hand-computed two-cell decomposition, R² = SSb/SStot") {
+    // one type, one day (epoch day 0 = Thursday → dow 4): hour 0 holds
+    // values 10,20 (mean 15), hour 1 holds 30,40 (mean 35); grand mean 25,
+    // SS_tot = 3000 − 100²/4 = 500, SS_b = 2·10² + 2·10² = 400 → R² = 0.8
+    val rows = Seq((1L, 0L, 10.0), (2L, 1000L, 20.0),
+      (3L, 3600000000L, 30.0), (4L, 3600001000L, 40.0))
+    val ev = rows.toDF("event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("x"))
+    val got = Stats.seasonality(ev).orderBy("hour")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("x", 4L, 0L, 2L, 15.0, 0.8), ("x", 4L, 1L, 2L, 35.0, 0.8)))
+    // partitioning cannot move a bit (exact moments + floored SSb terms)
+    val again = Stats.seasonality(ev.repartition(5)).orderBy("hour")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == again)
+  }
+
+  test("seasonality: constant metric → SStot 0 → null R², cells still emitted") {
+    val ev = Seq.tabulate(10)(i => (i.toLong, i.toLong * HourUs, 7.0))
+      .toDF("event_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_type", lit("c"))
+    val got = Stats.seasonality(ev).collect()
+    assert(got.length == 10 && got.forall(_.isNullAt(5)))
+  }
+
   // ---- chiSquareBalance ----------------------------------------------
 
   test("chiSquareBalance: independent table → chi2 0; zero cells included") {
@@ -191,7 +220,8 @@ class StatsSpec extends AnyFunSuite {
     // e = [[16,24],[24,36]]; chi2 = 196/16+196/24+196/24+196/36
     val expect = 196.0 / 16 + 196.0 / 24 + 196.0 / 24 + 196.0 / 36
     val chi2 = got.head.getAs[Double]("chi2")
-    assert(math.abs(chi2 - expect) < 1e-9)
+    // 1e-9-unit floor quantization biases each of the 4 cells down by < 1e-9
+    assert(chi2 <= expect && expect - chi2 < 1e-6)
     val again = Stats.chiSquareBalance(df.repartition(13), "lang", "source")
       .collect().head.getAs[Double]("chi2")
     assert(chi2 == again)

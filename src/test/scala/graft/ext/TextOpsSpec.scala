@@ -201,8 +201,8 @@ class TextOpsSpec extends AnyFunSuite {
       val n = 3.0; val sumDl = 8.0; val df = 2.0
       val t = tf.toDouble * 2.2 / (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl * n / sumDl)))
       val s = t * ((n - df + 0.5) / (df + 0.5))
-      // the operator quantizes each contribution to DECIMAL(28,12)
-      BigDecimal(s).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the operator floor-quantizes each contribution to 1e-9 score units
+      math.floor(s * 1000000000.0) / 1000000000.0
     }
     val byDoc = got.map(g => g._1 -> g).toMap
     assert(byDoc(3L)._3 == score(2L, 4L) && byDoc(1L)._3 == score(1L, 2L))
