@@ -1625,6 +1625,21 @@ object SparkEntry {
     "events_corr_hour" -> ((s, dir) =>
       graft.ext.Stats.pearsonByHour(t(s, dir, "events")).orderBy("event_type")),
 
+    // single-touch attribution (ext/Analytics.attribution): per purchase,
+    // trailing-window touch count + FIRST- and LAST-touch types side by
+    // side — three window functions over one RANGE frame in one user_id
+    // exchange, never a purchases × touches join
+    "events_attribution" -> ((s, dir) =>
+      graft.ext.Analytics.attribution(t(s, dir, "events")).orderBy("event_id")),
+
+    // directed brand association rules (ext/Analytics.brandRules):
+    // support/confidence/lift over DISTINCT (order, brand) baskets —
+    // broadcast dim join + order-keyed pair expansion bounded by |brands|²
+    // per order
+    "orders_brand_rules" -> ((s, dir) =>
+      graft.ext.Analytics.brandRules(t(s, dir, "lineitem"), t(s, dir, "part"))
+        .orderBy("brand_a", "brand_b")),
+
     // weekly-diurnal seasonal profile + R² (ext/Stats.seasonality): the
     // (dow × hour) mean grid per event type with variance-explained —
     // "is this metric seasonal or noisy"; calendar math is pure integer
@@ -2768,6 +2783,8 @@ object SparkEntry {
     "graph_kcore" -> graft.ext.Graph.kCoreLshSqlDuck(),
     "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
     "events_seasonality" -> graft.ext.Stats.seasonalitySqlDuck(),
+    "events_attribution" -> graft.ext.Analytics.attributionSqlDuck(),
+    "orders_brand_rules" -> graft.ext.Analytics.brandRulesSqlDuck(),
 
     // independent recomputation of the bucketed-layout join: DuckDB joins
     // the raw parquet tables directly — the layout is Spark-side physics,

@@ -763,4 +763,121 @@ object Analytics {
       |       ELSE 0.0E0 END AS scaled
       |FROM events e JOIN st USING (event_type)
       |ORDER BY event_id""".stripMargin
+
+  /** Per-conversion touch attribution: for every `convType` event, the
+    * count of non-conversion touches its user made in the trailing
+    * `lookbackUs` window, plus the FIRST- and LAST-touch event types — the
+    * two industry-standard single-touch attribution models, computed
+    * side by side (their disagreement rate is itself the usual argument
+    * for multi-touch).
+    *
+    * Everything happens in ONE hash partitioning on user_id: the trailing
+    * count and both boundary touches are three window functions over the
+    * same RANGE frame (range, not rows — the lookback is wall-clock), so
+    * there is no purchases × touches join anywhere. Conversions with an
+    * empty window emit with n_touches 0 and null types (they're the
+    * "dark conversions" an attribution report must not drop). */
+  def attribution(events: DataFrame, convType: String = "purchase",
+      lookbackUs: Long = 604800000000L): DataFrame = {
+    require(lookbackUs > 0, s"lookbackUs must be > 0, got $lookbackUs")
+    val e = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val touch = when(col("event_type") =!= convType, col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-lookbackUs, -1L)
+    e.withColumn("n_touches",
+        count(touch).over(w))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("n_touches"), col("first_touch"), col("last_touch"))
+  }
+
+  def attributionSqlDuck(convType: String = "purchase",
+      lookbackUs: Long = 604800000000L): String =
+    s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       | t AS (SELECT event_id, user_id, us, event_type,
+       |    CAST(count(CASE WHEN event_type <> '$convType' THEN 1 END)
+       |      OVER w AS BIGINT) AS n_touches,
+       |    first_value(CASE WHEN event_type <> '$convType' THEN event_type END
+       |      IGNORE NULLS) OVER w AS first_touch,
+       |    last_value(CASE WHEN event_type <> '$convType' THEN event_type END
+       |      IGNORE NULLS) OVER w AS last_touch
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |    RANGE BETWEEN $lookbackUs PRECEDING AND 1 PRECEDING))
+       |SELECT event_id, user_id, us, n_touches, first_touch, last_touch
+       |FROM t WHERE event_type = '$convType'
+       |ORDER BY event_id""".stripMargin
+
+  /** Directed association rules between part brands at ORDER granularity
+    * (Agrawal & Srikant's support/confidence frame, VLDB'94): for brand
+    * pairs co-purchased in at least `minSupport` orders, the rule a→b with
+    * confidence = supp(a,b)/supp(a) and lift = n·supp(a,b)/(supp(a)·supp(b)).
+    * The curation use: brand-bundle structure in the transaction log — and
+    * the same shape mines "docs from source A co-cited with source B".
+    *
+    * Counts are exact BIGINTs over DISTINCT (order, brand) baskets;
+    * confidence/lift are one fixed-order double expression each. Shape:
+    * one broadcast dim join (part), one distinct + self-join keyed on the
+    * order (pair volume bounded by |brands|² per order, never corpus-
+    * quadratic), then brand-keyed rollups that broadcast back. */
+  def brandRules(lineitem: DataFrame, part: DataFrame,
+      minSupport: Long = 10L): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val baskets = graft.etl.CacheRegistry.persist(
+      lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
+        .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
+          col("p_brand"))), "l_partkey")
+        .select(col("okey"), col("p_brand").as("brand")).distinct())
+    val nOrders = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
+    val supp = baskets.groupBy("brand").agg(count(lit(1)).as("supp"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.okey") === col("b.okey") && col("a.brand") =!= col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("supp_ab"))
+      .filter(col("supp_ab") >= minSupport)
+    pairs
+      .join(broadcast(supp.select(col("brand").as("brand_a"), col("supp").as("supp_a"))),
+        "brand_a")
+      .join(broadcast(supp.select(col("brand").as("brand_b"), col("supp").as("supp_b"))),
+        "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("brand_a"), col("brand_b"), col("supp_ab"), col("supp_a"),
+        col("supp_b"),
+        (col("supp_ab").cast("double") / col("supp_a").cast("double"))
+          .as("confidence"),
+        (col("supp_ab").cast("double") * col("n").cast("double") /
+          (col("supp_a").cast("double") * col("supp_b").cast("double")))
+          .as("lift"))
+  }
+
+  def brandRulesSqlDuck(minSupport: Long = 10L): String =
+    s"""WITH baskets AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       | n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n FROM baskets),
+       | supp AS (SELECT brand, CAST(count(*) AS BIGINT) AS supp
+       |   FROM baskets GROUP BY brand),
+       | pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b,
+       |    CAST(count(*) AS BIGINT) AS supp_ab
+       |  FROM baskets a JOIN baskets b
+       |    ON a.okey = b.okey AND a.brand <> b.brand
+       |  GROUP BY a.brand, b.brand
+       |  HAVING count(*) >= $minSupport)
+       |SELECT brand_a, brand_b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+       |  CAST(supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE) AS confidence,
+       |  CAST(supp_ab AS DOUBLE) * CAST(n.n AS DOUBLE) /
+       |    (CAST(sa.supp AS DOUBLE) * CAST(sb.supp AS DOUBLE)) AS lift
+       |FROM pairs
+       |JOIN supp sa ON sa.brand = pairs.brand_a
+       |JOIN supp sb ON sb.brand = pairs.brand_b
+       |CROSS JOIN n
+       |ORDER BY brand_a, brand_b""".stripMargin
 }

@@ -316,4 +316,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  test("attribution: trailing count, first/last touch, dark conversions kept") {
+    val H = 3600000000L
+    val rows = Seq(
+      // user 1: view → click → purchase within the window, then a purchase
+      // whose window holds only the click (view aged out of a 3h lookback)
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 2 * H), (3L, 1L, "purchase", 3 * H),
+      (4L, 1L, "purchase", 5 * H),
+      // user 2: purchase with no preceding touch at all
+      (5L, 2L, "purchase", 10 * H),
+      // a preceding PURCHASE is never a touch
+      (6L, 3L, "purchase", 0L), (7L, 3L, "purchase", H))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.attribution(ev, lookbackUs = 3 * H)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), Option(r.getString(4)), Option(r.getString(5))))).toMap
+    assert(got(3L) == ((2L, Some("view"), Some("click"))))
+    assert(got(4L) == ((1L, Some("click"), Some("click"))))
+    assert(got(5L) == ((0L, None, None)))
+    assert(got(6L) == ((0L, None, None)) && got(7L) == ((0L, None, None)))
+  }
+
+  test("brandRules: hand-computed support/confidence/lift on 4 baskets") {
+    // orders: {A,B}, {A,B}, {A,C}, {C}; n=4, supp A=3 B=2 C=2, AB=2, AC=1
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 21L), (3L, 11L),
+        (3L, 30L), (4L, 31L))
+      .toDF("l_orderkey", "l_partkey")
+    val part = Seq((10L, "A"), (11L, "A"), (20L, "B"), (21L, "B"),
+        (30L, "C"), (31L, "C"))
+      .toDF("p_partkey", "p_brand")
+    val got = Analytics.brandRules(li, part, minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(got(("A", "B")) == ((2L, 2.0 / 3.0, 2.0 * 4 / (3 * 2))))
+    assert(got(("B", "A")) == ((2L, 1.0, 2.0 * 4 / (2 * 3))))
+    assert(got(("A", "C")) == ((1L, 1.0 / 3.0, 1.0 * 4 / (3 * 2))))
+    assert(!got.contains(("B", "C")))
+    // minSupport prunes
+    assert(Analytics.brandRules(li, part, minSupport = 2L).count() == 2L)
+  }
 }
