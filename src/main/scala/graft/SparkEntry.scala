@@ -1119,6 +1119,22 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) =>
       graft.ext.Analytics.funnel(t(s, dir, "events")).orderBy("user_id")),
 
+    // COMPOSITION row: funnel step latencies → exact grouped quantile
+    // selection (Sketch.exactQuantileDiscByGroup bisection, O(1) driver
+    // state) — "how long does step n → n+1 take at p50/p90", the metric
+    // behind funnel-stage SLAs; the oracle recomputes via rank selection
+    "events_funnel_latency" -> ((s, dir) => {
+      val f = graft.ext.Analytics.funnel(t(s, dir, "events"))
+      val lat = f.filter(col("ts2_us").isNotNull)
+        .select(lit("step1_step2").as("transition"),
+          (col("ts2_us") - col("ts1_us")).cast("double").as("lat"))
+        .unionByName(f.filter(col("ts3_us").isNotNull)
+          .select(lit("step2_step3").as("transition"),
+            (col("ts3_us") - col("ts2_us")).cast("double").as("lat")))
+      graft.ext.Sketch.exactQuantileDiscByGroup(lat, "transition", "lat")
+        .orderBy("transition", "prob")
+    }),
+
     // per-SESSION funnel: gap-based sessionization then the strict stepwise
     // funnel within each sitting — still one exchange on user_id (the
     // session window's partitioning satisfies the funnel windows and the
@@ -1343,6 +1359,14 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
+
+    // EXACT simhash pairs at Hamming ≤ 3 by pigeonhole banding (ext/Dedup
+    // .simhashHammingPairs, Manku et al. WWW'07): 4 bands of 4 bits — a
+    // ≤3-bit difference must leave one band intact, so the (band, value)
+    // equi-join is complete; XOR+popcount verifies, all integer-exact
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashHammingPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
 
     // PageRank centrality over the LSH near-dup graph (ext/Graph.pageRank):
     // which docs sit at the CENTER of a duplication neighborhood — fixed
@@ -2675,6 +2699,25 @@ object SparkEntry {
     "text_postings" -> graft.ext.TextOps.postingsSqlDuck(),
     "text_novelty" -> graft.ext.TextOps.noveltySqlDuck(),
     "events_funnel" -> graft.ext.Analytics.funnelSqlDuck(),
+    "events_funnel_latency" ->
+      s"""WITH f AS (SELECT * FROM (${graft.ext.Analytics.funnelSqlDuck()})),
+        | lat AS (
+        |  SELECT 'step1_step2' AS transition,
+        |    CAST(ts2_us - ts1_us AS DOUBLE) AS v FROM f WHERE ts2_us IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'step2_step3', CAST(ts3_us - ts2_us AS DOUBLE)
+        |  FROM f WHERE ts3_us IS NOT NULL),
+        | s AS (SELECT transition, v,
+        |    row_number() OVER (PARTITION BY transition ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY transition) AS n FROM lat)
+        |SELECT transition, CAST(0.5 AS DOUBLE) AS prob, CAST(n AS BIGINT) AS n,
+        |  v AS value
+        |FROM s WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
+        |UNION ALL
+        |SELECT transition, CAST(0.9 AS DOUBLE), CAST(n AS BIGINT), v
+        |FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+        |ORDER BY transition, prob""".stripMargin,
+    "dedup_simhash_pairs" -> Dedup.simhashHammingPairsSqlDuck(),
     "events_session_funnel" -> graft.ext.Analytics.sessionFunnelSqlDuck(),
     "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,

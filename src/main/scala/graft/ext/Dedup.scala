@@ -172,6 +172,60 @@ object Dedup {
       .groupBy("doc_id")
       .agg(expr(simhash16Expr("h")).as("simhash16"))
 
+  /** EXACT SimHash near-dup pairs at Hamming distance ≤ `maxHamming` via
+    * PIGEONHOLE banding (Manku, Jain & Das Sarma, WWW'07 — the web-scale
+    * simhash dedup recipe): split the 16-bit signature into `maxHamming+1`
+    * bands; two signatures within distance h must agree on at least one
+    * whole band (h differing bits cannot touch all h+1 bands), so the
+    * equi-join on (band, band value) is a COMPLETE candidate set — LSH's
+    * shape with a deterministic no-false-negative guarantee, the same
+    * relationship [[jaccardPrefixJoin]] has to [[lshCandidatePairs]].
+    * Each candidate then verifies with one XOR + popcount.
+    *
+    * Shape: one band-keyed equi-join shuffle over 4 rows per doc; the
+    * verify is integer bit arithmetic (engine-exact), so the oracle's
+    * quadratic form hash-matches bit for bit. */
+  def simhashHammingPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0,15], got $maxHamming")
+    val bands = maxHamming + 1
+    val bits = 16
+    val bandBitsList = {
+      // band b covers bit range [lo, lo+len): split 16 bits as evenly as
+      // the band count allows, low bits first
+      val base = bits / bands; val extra = bits % bands
+      val lens = Seq.tabulate(bands)(b => base + (if (b < extra) 1 else 0))
+      lens.scanLeft(0)(_ + _).zip(lens).take(bands)
+    }
+    val sigs = graft.etl.CacheRegistry.persist(simhash(docs, textCol))
+    val banded = bandBitsList.zipWithIndex.map { case ((lo, len), b) =>
+      sigs.select(col("doc_id"), col("simhash16"), lit(b).as("band"),
+        (shiftright(col("simhash16"), lo) % (1L << len)).as("bval"))
+    }.reduce(_ unionByName _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash16 ^ b.simhash16)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle for [[simhashHammingPairs]]: the quadratic exact form over the
+    * shared simhash derivation. */
+  def simhashHammingPairsSqlDuck(maxHamming: Int = 3): String =
+    s"""WITH $toksCteDuck,
+       | sigs AS (SELECT doc_id, ${simhash16Expr("h")} AS simhash16
+       |   FROM (SELECT doc_id, md5(tok) AS h FROM toks)
+       |   GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** n-gram (token-set) Jaccard similarity over blocked candidate pairs.
     * Blocking key: (lang, n_chars div 100) — cheap deterministic buckets that
     * bound the pair count; at scale, replace blocking with

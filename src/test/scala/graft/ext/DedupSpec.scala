@@ -345,6 +345,29 @@ class DedupSpec extends AnyFunSuite {
     assert(blocked.subsetOf(a))
   }
 
+  test("simhashHammingPairs: equals the quadratic form; identical docs at distance 0") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val d = docs(((1L to 60L).map(i =>
+        i -> Seq.fill(8 + rnd.nextInt(8))(vocab(rnd.nextInt(40))).mkString(" ")) :+
+      (61L -> "alpha beta gamma delta") :+ (62L -> "alpha beta gamma delta")): _*)
+    val got = Dedup.simhashHammingPairs(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // quadratic reference over the operator's own signatures
+    val sigs = Dedup.simhash(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(got == expect)
+    assert(got.contains((61L, 62L, 0L))) // identical docs: distance 0
+    // partition-invariant
+    val again = Dedup.simhashHammingPairs(d.repartition(9), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == again)
+  }
+
   test("containmentPrefixJoin: directed excerpt pairs the Jaccard join hides") {
     val d = docs(
       (1L, "alpha beta gamma"),                              // A ⊂ B below
