@@ -1649,6 +1649,12 @@ object SparkEntry {
     "events_corr_hour" -> ((s, dir) =>
       graft.ext.Stats.pearsonByHour(t(s, dir, "events")).orderBy("event_type")),
 
+    // stationary distribution of the session transition chain (ext/
+    // Analytics.markovStationary): fixed-round integer power iteration
+    // over the |states|²-row count relation — the corpus is touched once
+    "events_markov_stationary" -> ((s, dir) =>
+      graft.ext.Analytics.markovStationary(t(s, dir, "events")).orderBy("state")),
+
     // single-touch attribution (ext/Analytics.attribution): per purchase,
     // trailing-window touch count + FIRST- and LAST-touch types side by
     // side — three window functions over one RANGE frame in one user_id
@@ -1778,6 +1784,13 @@ object SparkEntry {
           unix_micros(col("o_orderdate").cast("timestamp")))
         .orderBy(col("p").desc, col("d_us"))
     }),
+
+    // duplicate-aware sampling weights (ext/Pipelines.dedupWeights): every
+    // doc carries 1e6 DIV |near-dup cluster| µ-weight — each cluster
+    // contributes one unit of sampling mass however many copies it has;
+    // the soft alternative to keep-first dropping
+    "sample_dedup_weights" -> ((s, dir) =>
+      graft.ext.Pipelines.dedupWeights(t(s, dir, "documents")).orderBy("doc_id")),
 
     // weight-proportional k-sample by PRIORITY SAMPLING (ext/Pipelines
     // .prioritySample, Duffield–Lund–Thorup): q = w/u from md5 — no
@@ -2827,6 +2840,8 @@ object SparkEntry {
     "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
     "events_seasonality" -> graft.ext.Stats.seasonalitySqlDuck(),
     "events_attribution" -> graft.ext.Analytics.attributionSqlDuck(),
+    "events_markov_stationary" -> graft.ext.Analytics.markovStationarySqlDuck(),
+    "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "orders_brand_rules" -> graft.ext.Analytics.brandRulesSqlDuck(),
 
     // independent recomputation of the bucketed-layout join: DuckDB joins

@@ -764,6 +764,88 @@ object Analytics {
       |FROM events e JOIN st USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** Stationary distribution of the order-1 session transition chain by
+    * FIXED-round power iteration — "where do user journeys spend their
+    * time in the limit", the summary number the full transition matrix
+    * ([[transitionMatrix]]) only implies. Same integer-arithmetic contract
+    * as [[Graph.pageRank]]: mass is `scale`-scaled BIGINT, each round
+    * sends `(π_i · n_ij) DIV n_i` along every observed transition, so all
+    * sums are exact and associative and the oracle unrolls the identical
+    * rounds bit-for-bit. States with no outgoing transitions drop their
+    * mass (pinned, as in pageRank); truncation loses ≤ |states| units per
+    * round at the default scale.
+    *
+    * Shape: the transition-count relation is |states|² rows at most — the
+    * corpus is touched ONCE (the same lag + groupBy exchange as
+    * transitionMatrix); every iteration is arithmetic on that tiny
+    * relation. */
+  def markovStationary(events: DataFrame, iters: Int = 4,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && scale > 0, s"need iters >= 1, scale > 0")
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("from_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    val counts = graft.etl.CacheRegistry.persist(
+      pairs.join(broadcast(totals), "from_type"))
+    val states = graft.etl.CacheRegistry.persist(
+      counts.select(col("from_type").as("state"))
+        .unionByName(counts.select(col("to_type").as("state"))).distinct())
+    val nStates = states.count()
+    require(nStates > 0, "no transitions observed")
+    var pi = states.withColumn("pi", lit(scale / nStates))
+    for (_ <- 1 to iters) {
+      val in = counts.join(pi, counts("from_type") === pi("state"))
+        .select(col("to_type").as("state"),
+          expr("(pi * n) DIV n_from").as("m"))
+        .groupBy("state").agg(sum("m").as("mm"))
+      pi = states.join(in, Seq("state"), "left")
+        .select(col("state"), coalesce(col("mm"), lit(0L)).as("pi"))
+    }
+    pi.select(col("state"), col("pi").as("pi_scaled"),
+      (col("pi").cast("double") / lit(scale.toDouble)).as("pi"))
+  }
+
+  /** Oracle for [[markovStationary]]: the integer rounds unrolled. */
+  def markovStationarySqlDuck(iters: Int = 4,
+      scale: Long = 1000000000000L): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s""" m$i AS (SELECT c.to_type AS state,
+         |    CAST(sum(($prev.pi * c.n) // c.n_from) AS BIGINT) AS mm
+         |   FROM c JOIN $prev ON c.from_type = $prev.state GROUP BY c.to_type),
+         | p$i AS (SELECT st.state, coalesce(m$i.mm, 0) AS pi
+         |   FROM st LEFT JOIN m$i ON st.state = m$i.state)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL),
+       | seq AS (SELECT event_type AS to_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+       |      AS from_type
+       |  FROM e),
+       | cc AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, to_type),
+       | c AS (SELECT cc.*, t.n_from FROM cc JOIN
+       |   (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM cc
+       |    GROUP BY from_type) t ON cc.from_type = t.from_type),
+       | st AS (SELECT DISTINCT state FROM (
+       |   SELECT from_type AS state FROM c
+       |   UNION ALL SELECT to_type FROM c)),
+       | ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+       | p0 AS (SELECT state, $scale // (SELECT n FROM ns) AS pi FROM st),
+       |$rounds
+       |SELECT state, pi AS pi_scaled, CAST(pi AS DOUBLE) / $scale AS pi
+       |FROM p$iters ORDER BY state""".stripMargin
+  }
+
   /** Per-conversion touch attribution: for every `convType` event, the
     * count of non-conversion touches its user made in the trailing
     * `lookbackUs` window, plus the FIRST- and LAST-touch event types — the

@@ -678,4 +678,36 @@ object Pipelines {
        |         + 1 AS DOUBLE) AS priority
        |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Duplicate-aware sampling weights: every document weighted 1/|its
+    * near-dup cluster| in exact integer micro-units (`10⁶ DIV size`) — the
+    * soft alternative to keep-first dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": downweighting instead of
+    * dropping preserves rare in-cluster variation while a template
+    * duplicated 10⁴ times stops dominating the mixture). Every cluster
+    * contributes ≈ 1e6 µ-units of total mass regardless of its size, so a
+    * weighted sampler sees clusters, not copies.
+    *
+    * Shape: the label-propagation clusters ([[Dedup.clusterByBuckets]])
+    * plus ONE cluster-keyed count and a map-side join-back; weights are
+    * BIGINT integer division — engine-exact. */
+  def dedupWeights(docs: DataFrame): DataFrame = {
+    val cl = graft.etl.CacheRegistry.persist(
+      Dedup.clusterByBuckets(docs,
+        Dedup.bandBuckets(Dedup.minhashSignatures(docs))))
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("1000000L DIV cluster_size").as("weight_micro"))
+  }
+
+  /** Oracle for [[dedupWeights]] over the shared recursive-CC chain. */
+  def dedupWeightsSqlDuck: String =
+    s"""${Dedup.clustersCteDuck},
+       | sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |   FROM cl GROUP BY cluster_id)
+       |SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+       |  1000000 // sz.cluster_size AS weight_micro
+       |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
+       |ORDER BY cl.doc_id""".stripMargin
 }

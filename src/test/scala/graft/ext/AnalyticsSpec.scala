@@ -317,6 +317,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
 
+  test("markovStationary: two-state chain matches the hand-run integer rounds") {
+    // user journey a→b→a→b→a→a: transitions a→b ×2, b→a ×2, a→a ×1
+    val rows = Seq("a", "b", "a", "b", "a", "a").zipWithIndex.map { case (t, i) =>
+      (i.toLong, 1L, t, i.toLong * 1000000L)
+    }
+    val ev = rows.toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val scale = 1000000L
+    val got = Analytics.markovStationary(ev, iters = 3, scale = scale)
+      .select("state", "pi_scaled").as[(String, Long)].collect().toMap
+    // replicate: n(a→b)=2, n(a→a)=1, n_a=3; n(b→a)=2, n_b=2
+    var pa = scale / 2; var pb = scale / 2
+    for (_ <- 1 to 3) {
+      val na = (pa * 1) / 3 + (pb * 2) / 2
+      val nb = (pa * 2) / 3
+      pa = na; pb = nb
+    }
+    assert(got == Map("a" -> pa, "b" -> pb))
+    // chain spends more limit time in 'a' (self-loop + return edge)
+    assert(got("a") > got("b"))
+  }
+
   test("attribution: trailing count, first/last touch, dark conversions kept") {
     val H = 3600000000L
     val rows = Seq(

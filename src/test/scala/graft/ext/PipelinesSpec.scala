@@ -277,4 +277,25 @@ class PipelinesSpec extends AnyFunSuite {
       .select("doc_id", "priority").as[(Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("dedupWeights: cluster mass ≈ 1e6 per cluster, singletons full weight") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "the quick brown fox jumps over the lazy dog again tomorrow"),
+      (4L, "completely unrelated text about spark query planning internals"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Pipelines.dedupWeights(d)
+      .select("doc_id", "cluster_size", "weight_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got.size == 4)
+    // weight is exactly 1e6 DIV size, and a singleton keeps full mass
+    got.values.foreach { case (_, sz, w) => assert(w == 1000000L / sz) }
+    assert(got(4L)._2 == 1L && got(4L)._3 == 1000000L)
+    // near-identical docs 1-3 share a cluster (they share LSH bands)
+    assert(got(1L)._2 >= 2L)
+  }
 }
