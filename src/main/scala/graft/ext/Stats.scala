@@ -427,13 +427,17 @@ object Stats {
          (coalesce(col("o"), lit(0L)).cast("double") - eCol) / eCol).as("contrib"))
     // per-cell contributions floor-quantized to 1e-9 units before the
     // exact BIGINT total — floor is representation-insensitive where a
-    // decimal CAST is not (see seasonality); bias ≤ |cells|·1e-9, pinned
-    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    full.withColumn("chi2",
-        (sum(floor(col("contrib") * lit(1000000000.0)).cast("long")).over(all)
-          .cast("double") / lit(1000000000.0)))
+    // decimal CAST is not (see seasonality); bias ≤ |cells|·1e-9, pinned.
+    // The total rides back as a 1-row broadcast (not a partition-less
+    // window): the cell relation is an aggregate already, but the audit
+    // shape stays the adjudicated crossJoin-of-1-row-aggregate
+    val cellsFull = graft.etl.CacheRegistry.persist(full)
+    val totAgg = cellsFull.agg(
+      sum(floor(col("contrib") * lit(1000000000.0)).cast("long")).as("_nano"))
+    cellsFull.crossJoin(broadcast(totAgg))
       .select(col("a").as(aCol), col("b").as(bCol), col("observed"),
-        col("expected"), col("contrib"), col("chi2"))
+        col("expected"), col("contrib"),
+        (col("_nano").cast("double") / lit(1000000000.0)).as("chi2"))
   }
 
   def chiSquareBalanceSqlDuck(table: String, aCol: String, bCol: String): String =

@@ -42,7 +42,15 @@ object PlanAudit {
     "quality_ref_integrity" -> ("BroadcastNestedLoopJoin",
       "per-relationship crossJoin of two 1-row aggregates (totals × orphan count)"),
     "quality_drift_tv" -> ("BroadcastNestedLoopJoin",
-      "crossJoins of the 1-row totals and 1-row numerator-sum aggregates onto the bucket-count histogram"))
+      "crossJoins of the 1-row totals and 1-row numerator-sum aggregates onto the bucket-count histogram"),
+    "orders_brand_rules" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row basket-count aggregate onto the |brands|²-bounded rule rollup"),
+    "quality_chi2_balance" -> ("BroadcastNestedLoopJoin",
+      "margin cross product |A|×|B| plus the 1-row n aggregate — contingency cells, never the corpus"),
+    "search_bm25_topk" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row corpus-stats aggregate onto the postings join"),
+    "sim_matryoshka_recall" -> ("BroadcastNestedLoopJoin",
+      "two brute-force rankings by design (the audit must not confound truncation with ANN loss); broadcast 8-row query side"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
