@@ -1393,7 +1393,9 @@ object SparkEntry {
     // common-neighbor link prediction (ext/Graph.linkPrediction): non-edge
     // pairs ranked by shared near-dup neighbors — the pairs an LSH pass
     // likely MISSED and a curation sweep should re-check at lower θ; wedge
-    // join bounded by Σ deg², global TakeOrdered top-k
+    // middles capped at deg ≤ 64 (Adamic-Adar rationale), so wedge volume
+    // is n·cap²-bounded — template mega-hubs can't blow the join (they did
+    // at sf0.1 uncapped: spill-to-disk exhaustion); TakeOrdered top-k
     "graph_link_prediction" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ext.Graph.linkPrediction(

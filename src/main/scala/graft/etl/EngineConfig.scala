@@ -93,8 +93,11 @@ final case class EngineConfig(
     cusumThreshPct: Long = 400L,
     // containment join (ext/Dedup.containmentPrefixJoin): |A∩B|/|A| threshold
     containmentTheta: Double = 0.8,
-    // link prediction (ext/Graph.linkPrediction): emitted top-k pairs
-    linkPredTopK: Int = 100) {
+    // link prediction (ext/Graph.linkPrediction): emitted top-k pairs +
+    // wedge-middle degree cap (bounds wedge volume by n·cap²; the
+    // Adamic-Adar rationale — see Graph.linkPrediction)
+    linkPredTopK: Int = 100,
+    linkPredMaxMiddleDeg: Long = 64L) {
 
   /** config/ConverterConfig.java:170-191 invariants. */
   def validate(): EngineConfig = {
@@ -155,6 +158,8 @@ final case class EngineConfig(
     require(containmentTheta > 0 && containmentTheta <= 1.0,
       s"containmentTheta must be in (0, 1], got $containmentTheta")
     require(linkPredTopK > 0, s"linkPredTopK must be > 0, got $linkPredTopK")
+    require(linkPredMaxMiddleDeg >= 1,
+      s"linkPredMaxMiddleDeg must be >= 1, got $linkPredMaxMiddleDeg")
     val fmt = format.toLowerCase
     require(Set("ndjson", "csv", "json", "xlsx").contains(fmt), s"unknown format '$format'")
     require(Set("parquet", "xlsx").contains(inputFormat.toLowerCase),

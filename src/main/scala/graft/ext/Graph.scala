@@ -188,22 +188,41 @@ object Graph {
     * third documents but fell just under the LSH band threshold themselves:
     * exactly the pairs a curation pass should re-check at a lower θ.
     *
-    * Shape: one wedge self-join on the shared middle node (volume bounded
-    * by Σ deg², the same bound as [[triangles]] — never all-pairs), an
-    * anti-join that removes existing edges, one groupBy on the (a,c) pair,
-    * then a global TakeOrdered top-k (a k-row driver result, not a sort of
-    * the corpus). Scores are exact integers plus ONE double division, so
-    * ranking and values are engine-independent; ties break on (a,c). */
-  def linkPrediction(pairs: DataFrame, topK: Int = 100): DataFrame = {
+    * Shape: one wedge self-join on the shared middle node, an anti-join
+    * that removes existing edges, one groupBy on the (a,c) pair, then a
+    * global TakeOrdered top-k (a k-row driver result, not a sort of the
+    * corpus). Scores are exact integers plus ONE double division, so
+    * ranking and values are engine-independent; ties break on (a,c).
+    *
+    * Wedge volume is Σ deg(m)² over MIDDLE nodes — on a near-dup graph
+    * with template mega-hubs (r11 measured two LSH buckets holding ~45% of
+    * docs) that is ~10¹⁰ wedges and filled the spill disk at sf0.1. The
+    * operator therefore counts common neighbors THROUGH middles of degree
+    * ≤ `maxMiddleDeg` only (the Adamic-Adar rationale made hard: a
+    * neighbor shared with half the corpus carries ~zero link evidence —
+    * AA weights it 1/log deg → ~0 — so dropping it changes ranking
+    * little and bounds wedges by n·cap²). The cap is PINNED semantics,
+    * mirrored exactly in the oracle; deg_a/deg_b/jaccard still use full
+    * degrees, so cn is a lower bound exactly where AA says it should be. */
+  def linkPrediction(pairs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
+    linkPrediction(pairs, cfg.linkPredTopK, cfg.linkPredMaxMiddleDeg)
+
+  def linkPrediction(pairs: DataFrame, topK: Int = 100,
+      maxMiddleDeg: Long = 64L): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
+    require(maxMiddleDeg >= 1, s"maxMiddleDeg must be >= 1, got $maxMiddleDeg")
     val e = graft.etl.CacheRegistry.persist(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"),
           col("doc_a").as("dst"))))
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
-    val cand = e.as("e1").join(e.as("e2"), col("e1.dst") === col("e2.src"))
-      .filter(col("e1.src") < col("e2.dst"))
-      .select(col("e1.src").as("a"), col("e2.dst").as("c"))
+    // wedges centered only on low-degree middles: edge (m→x) survives iff
+    // deg(m) <= cap, so the self-join's key distribution is cap-bounded
+    val eMid = graft.etl.CacheRegistry.persist(
+      e.join(deg.filter(col("d") <= maxMiddleDeg).select(col("src")), "src"))
+    val cand = eMid.as("e1").join(eMid.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("c"))
       .join(pairs.select(col("doc_a").as("a"), col("doc_b").as("c")),
         Seq("a", "c"), "left_anti")
       .groupBy("a", "c").agg(count(lit(1)).as("cn"))
@@ -218,17 +237,19 @@ object Graph {
   }
 
   /** Oracle for [[linkPrediction]] over the LSH candidate-pair graph. */
-  def linkPredictionLshSqlDuck(topK: Int = 100): String =
+  def linkPredictionLshSqlDuck(topK: Int = 100, maxMiddleDeg: Long = 64L): String =
     s"""WITH ${Dedup.lshPairsCteDuck},
        | e AS (SELECT a AS src, b AS dst FROM prs
        |   UNION ALL SELECT b AS src, a AS dst FROM prs),
        | dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-       | cand AS (SELECT e1.src AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS cn
-       |   FROM e e1 JOIN e e2 ON e1.dst = e2.src
-       |   WHERE e1.src < e2.dst
+       | em AS (SELECT e.src, e.dst FROM e JOIN dg ON e.src = dg.src
+       |   WHERE dg.d <= $maxMiddleDeg),
+       | cand AS (SELECT e1.dst AS a, e2.dst AS c, CAST(count(*) AS BIGINT) AS cn
+       |   FROM em e1 JOIN em e2 ON e1.src = e2.src
+       |   WHERE e1.dst < e2.dst
        |     AND NOT EXISTS (SELECT 1 FROM prs
-       |                     WHERE prs.a = e1.src AND prs.b = e2.dst)
-       |   GROUP BY e1.src, e2.dst)
+       |                     WHERE prs.a = e1.dst AND prs.b = e2.dst)
+       |   GROUP BY e1.dst, e2.dst)
        |SELECT cand.a AS doc_a, cand.c AS doc_b, cn,
        |  CAST(cn AS DOUBLE) / CAST(da.d + dc.d - cn AS DOUBLE) AS nbr_jaccard
        |FROM cand JOIN dg da ON da.src = cand.a JOIN dg dc ON dc.src = cand.c

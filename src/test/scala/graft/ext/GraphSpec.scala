@@ -145,4 +145,17 @@ class GraphSpec extends AnyFunSuite {
     val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
     got.foreach { case (a, b, _, _) => assert(!edges.contains((a, b))) }
   }
+
+  test("linkPrediction: middles above the degree cap carry no wedges") {
+    // star: hub 1 connected to 2..6 (deg 5). Uncapped, every leaf pair is
+    // predicted via the hub; cap 4 silences the hub entirely.
+    val pairs = (2L to 6L).map(i => (1L, i)).toDF("doc_a", "doc_b")
+    val uncapped = Graph.linkPrediction(pairs, maxMiddleDeg = 64L).count()
+    assert(uncapped == 10L) // C(5,2) leaf pairs
+    assert(Graph.linkPrediction(pairs, maxMiddleDeg = 4L).count() == 0L)
+    // leaves (deg 1) still center wedges under the cap — none exist here,
+    // but a path through a leaf-degree middle must survive
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    assert(Graph.linkPrediction(path, maxMiddleDeg = 2L).count() == 1L)
+  }
 }
