@@ -1644,6 +1644,14 @@ object SparkEntry {
       Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents"))).toDF
         .orderBy("doc_id", "frame_idx")),
 
+    // ViT-style patch grid (ext/Multimodal.patches): payload → 16×8
+    // resample → 4×4 patches with exact byte sums and integer-milli means
+    // — the patch-embedding preprocessing interface with the indexing and
+    // batch shape real, only the pixel decode stubbed
+    "multimodal_patches" -> ((s, dir) =>
+      Multimodal.patches(Multimodal.asMedia(t(s, dir, "documents"))).toDF
+        .orderBy("doc_id", "patch_row", "patch_col")),
+
     // exact-moment Pearson correlation + OLS slope of value vs hour-of-day
     // per event_type (ext/Stats.pearsonByHour): decimal/bigint moments in
     // ONE map-side-combined aggregate, textbook formula in double over them
@@ -2822,6 +2830,7 @@ object SparkEntry {
     "pipeline_training_examples" -> graft.ext.Pipelines.trainingExamplesSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
     "multimodal_decode" -> Multimodal.decodeSqlDuck,
+    "multimodal_patches" -> Multimodal.patchesSqlDuck(),
     "multimodal_resize" -> Multimodal.resizeSqlDuck(),
     "multimodal_frame_sample" -> Multimodal.frameSampleSqlDuck(),
     "events_corr_hour" -> graft.ext.Stats.pearsonByHourSqlDuck,

@@ -149,6 +149,83 @@ object Multimodal {
 
   // hex-pair → byte value, shared by the resize/frame oracles ($p = a
   // 2-char uppercase hex pair expression)
+  /** Patch record: one ViT-style grid patch of the resampled payload. */
+  final case class Patch(
+      doc_id: Long, patch_row: Int, patch_col: Int,
+      n_px: Int, byte_sum: Long, mean_milli: Long)
+
+  /** ViT-style PATCH extraction: resample the payload onto a `gridW×gridH`
+    * byte grid (the [[resize]] index map, row-major), then split the grid
+    * into `patchW×patchH` patches and emit each patch's exact byte sum and
+    * integer-milli mean — the patch-embedding preprocessing interface
+    * (grid → patches → per-patch vectors) with the pixel decode stubbed by
+    * the byte interpretation and EVERY index/summary step real. A real
+    * ViT front end swaps the byte fetch for a pixel fetch; the partition
+    * batching, patch indexing (`idx = (pr·pH + y)·W + pc·pW + x`) and
+    * one-to-many output shape stay as they are.
+    *
+    * Integer-exact throughout (sum of bytes, `1000·sum DIV n_px`), so the
+    * oracle reproduces every value from the hex rendering. Empty payloads
+    * yield no patches. */
+  def patches(media: DataFrame, gridW: Int = 16, gridH: Int = 8,
+      patchW: Int = 4, patchH: Int = 4): org.apache.spark.sql.Dataset[Patch] = {
+    import media.sparkSession.implicits._
+    require(gridW > 0 && gridH > 0 && gridW % patchW == 0 && gridH % patchH == 0,
+      s"patch dims must tile the grid: ($gridW x $gridH) / ($patchW x $patchH)")
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val n = gridW * gridH
+    val nPx = patchW * patchH
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes.isEmpty) Iterator.empty
+        else for {
+          pr <- (0 until gridH / patchH).iterator
+          pc <- (0 until gridW / patchW).iterator
+        } yield {
+          var sum = 0L
+          var y = 0
+          while (y < patchH) {
+            var x = 0
+            while (x < patchW) {
+              val idx = (pr * patchH + y) * gridW + (pc * patchW + x)
+              sum += (bytes((idx.toLong * bytes.length / n).toInt) & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Patch(id, pr, pc, nPx, sum, 1000L * sum / nPx)
+        }
+      }
+    }
+  }
+
+  /** Oracle for [[patches]]: the same resample + patch index arithmetic
+    * over the payload's hex rendering. */
+  def patchesSqlDuck(gridW: Int = 16, gridH: Int = 8,
+      patchW: Int = 4, patchH: Int = 4): String = {
+    val n = gridW * gridH
+    val nPx = patchW * patchH
+    val idx = s"((pr * $patchH + (k // $patchW)) * $gridW + pc * $patchW + (k % $patchW))"
+    val pair = s"substr(hx, CAST((($idx * nb) // $n) * 2 + 1 AS BIGINT), 2)"
+    s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb FROM documents),
+       | pr AS (SELECT doc_id, hx, nb, unnest(generate_series(0, ${gridH / patchH - 1})) AS pr
+       |   FROM h WHERE nb > 0),
+       | pp AS (SELECT doc_id, hx, nb, pr, unnest(generate_series(0, ${gridW / patchW - 1})) AS pc
+       |   FROM pr),
+       | s AS (SELECT doc_id, pr, pc,
+       |    CAST(list_sum(list_transform(generate_series(0, ${nPx - 1}),
+       |      k -> ${hexValDuck(pair)})) AS BIGINT) AS byte_sum
+       |   FROM pp)
+       |SELECT doc_id, CAST(pr AS INTEGER) AS patch_row,
+       |  CAST(pc AS INTEGER) AS patch_col, CAST($nPx AS INTEGER) AS n_px,
+       |  byte_sum, (1000 * byte_sum) // $nPx AS mean_milli
+       |FROM s ORDER BY doc_id, patch_row, patch_col""".stripMargin
+  }
+
   private def hexValDuck(p: String): String = {
     val hx = "'0123456789ABCDEF'"
     s"((strpos($hx, substr($p, 1, 1)) - 1) * 16 + strpos($hx, substr($p, 2, 1)) - 1)"

@@ -80,4 +80,24 @@ class MultimodalSpec extends AnyFunSuite {
     val f = Multimodal.frameSample(mediaOf((1L, "")), every = 2).collect()
     assert(f.length == 1 && f.head.f_len == 0L && f.head.byte_sum == 0L)
   }
+
+  test("patches: hand-checked grid tiling when payload length equals the grid") {
+    // 128 ascii bytes → the resample is the identity (i·128/128 = i), so
+    // each 4×4 patch sums exactly its grid cells
+    val s = (0 until 128).map(i => ('a' + i % 26).toChar).mkString
+    val got = Multimodal.patches(mediaOf((1L, s))).collect()
+      .map(p => (p.patch_row, p.patch_col) -> p).toMap
+    assert(got.size == (16 / 4) * (8 / 4))
+    val bytes = s.getBytes("UTF-8")
+    got.foreach { case ((pr, pc), p) =>
+      var sum = 0L
+      for (y <- 0 until 4; x <- 0 until 4)
+        sum += bytes((pr * 4 + y) * 16 + pc * 4 + x) & 0xff
+      assert(p.byte_sum == sum && p.n_px == 16 && p.mean_milli == 1000 * sum / 16)
+    }
+    // empty payload: no patches; short payload: indices clamp via the map
+    assert(Multimodal.patches(mediaOf((2L, ""))).count() == 0L)
+    val short = Multimodal.patches(mediaOf((3L, "ab"))).collect()
+    assert(short.length == 8 && short.forall(_.n_px == 16))
+  }
 }
