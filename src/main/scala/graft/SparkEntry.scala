@@ -1659,6 +1659,18 @@ object SparkEntry {
     "events_corr_hour" -> ((s, dir) =>
       graft.ext.Stats.pearsonByHour(t(s, dir, "events")).orderBy("event_type")),
 
+    // RFM customer segmentation (ext/Analytics.rfm): recency/frequency/
+    // monetary per customer + tie-free 1-5 ntile scores — one customer
+    // rollup, 1-row max-date broadcast, windows over the aggregate only
+    "orders_rfm" -> ((s, dir) =>
+      graft.ext.Analytics.rfm(t(s, dir, "orders")).orderBy("o_custkey")),
+
+    // super-human event-rate / burst detection (ext/Stats.botRates): the
+    // abuse gate before user events feed training — sustained milli-rate
+    // and exact sliding-window peak burst, one user_id exchange
+    "events_bot_rates" -> ((s, dir) =>
+      graft.ext.Stats.botRates(t(s, dir, "events")).orderBy("user_id")),
+
     // stationary distribution of the session transition chain (ext/
     // Analytics.markovStationary): fixed-round integer power iteration
     // over the |states|²-row count relation — the corpus is touched once
@@ -2852,6 +2864,8 @@ object SparkEntry {
     "events_seasonality" -> graft.ext.Stats.seasonalitySqlDuck(),
     "events_attribution" -> graft.ext.Analytics.attributionSqlDuck(),
     "events_markov_stationary" -> graft.ext.Analytics.markovStationarySqlDuck(),
+    "orders_rfm" -> graft.ext.Analytics.rfmSqlDuck,
+    "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "orders_brand_rules" -> graft.ext.Analytics.brandRulesSqlDuck(),
 

@@ -764,6 +764,62 @@ object Analytics {
       |FROM events e JOIN st USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * orders table — the classic marketing-analytics rollup, and the same
+    * shape as per-source corpus freshness scoring. Recency = days from the
+    * customer's last order to the corpus max date (exact integer),
+    * frequency = order count, monetary = exact DECIMAL(18,2) spend
+    * (rendered VARCHAR per the decimal-output rule). Each dimension also
+    * gets a 1–5 ntile score over a TIE-FREE order (metric, then customer
+    * key), so scores are engine-identical.
+    *
+    * Shape: one customer-keyed aggregation, the 1-row max-date aggregate
+    * broadcast back, and three ntile windows sharing one unpartitioned
+    * sort of the |customers| aggregate — already a rollup, never raw
+    * orders. */
+  def rfm(orders: DataFrame): DataFrame = {
+    val maxD = orders.agg(max(col("o_orderdate").cast("timestamp")).as("_maxd"))
+    val per = orders
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("timestamp")).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(DecimalType182)).as("_spend"))
+    val scored = per.crossJoin(broadcast(maxD))
+      .select(col("o_custkey"),
+        expr("(unix_micros(_maxd) - unix_micros(_last)) DIV 86400000000")
+          .as("recency_days"),
+        col("frequency"),
+        col("_spend").cast("string").as("monetary"),
+        col("_spend").as("_spendd"))
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("_spendd").desc, col("o_custkey"))
+    scored
+      .withColumn("r_score", ntile(5).over(rW).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .drop("_spendd")
+  }
+
+  def rfmSqlDuck: String =
+    """WITH per AS (SELECT o_custkey,
+      |    max(CAST(o_orderdate AS TIMESTAMP)) AS last_d,
+      |    CAST(count(*) AS BIGINT) AS frequency,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY o_custkey),
+      | mx AS (SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS maxd FROM orders)
+      |SELECT o_custkey,
+      |  (epoch_us(maxd) - epoch_us(last_d)) // 86400000000 AS recency_days,
+      |  frequency,
+      |  CAST(spend AS VARCHAR) AS monetary,
+      |  CAST(ntile(5) OVER (ORDER BY (epoch_us(maxd) - epoch_us(last_d)) // 86400000000, o_custkey) AS BIGINT) AS r_score,
+      |  CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_score,
+      |  CAST(ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS m_score
+      |FROM per CROSS JOIN mx
+      |ORDER BY o_custkey""".stripMargin
+
+  private val DecimalType182 = org.apache.spark.sql.types.DecimalType(18, 2)
+
   /** Stationary distribution of the order-1 session transition chain by
     * FIXED-round power iteration — "where do user journeys spend their
     * time in the limit", the summary number the full transition matrix

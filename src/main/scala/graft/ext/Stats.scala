@@ -548,6 +548,64 @@ object Stats {
        |JOIN ssb ON ssb.key = cells.key
        |ORDER BY $keyCol, dow, hour""".stripMargin
 
+  /** Super-human event-rate detection — the abuse/bot gate a training
+    * pipeline runs before user-generated events feed anything downstream:
+    * per user, the active span (first→last event), total events, the
+    * sustained rate in milli-events-per-minute (exact integer:
+    * `n·60·10⁶·1000 DIV span_us`), and the peak BURST (max events inside
+    * any sliding `burstUs` window, computed exactly by counting forward
+    * neighbors in a RANGE frame — each event asks "how many events in my
+    * next minute", the classic two-pointer bound as one window pass).
+    * Flags users whose sustained rate or burst exceed the thresholds;
+    * single-event users have no span and are never rate-flagged.
+    *
+    * Shape: one user_id exchange shared by the burst window and the
+    * rollup; all arithmetic integer-exact. */
+  def botRates(events: DataFrame, minEventsPerMinMilli: Long = 60000L,
+      maxBurst: Long = 30L, burstUs: Long = 60000000L): DataFrame = {
+    require(minEventsPerMinMilli > 0 && maxBurst > 0 && burstUs > 0)
+    val e = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val burstW = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(0L, burstUs - 1L)
+    val per = e.withColumn("_burst", count(lit(1)).over(burstW))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("us")) - min(col("us"))).as("span_us"),
+        max(col("_burst")).as("max_burst"))
+      .withColumn("rate_milli",
+        when(col("span_us") > 0,
+          expr("(n_events * 60000000000) DIV span_us")))
+    per
+      .withColumn("flagged",
+        (col("rate_milli").isNotNull &&
+          col("rate_milli") >= minEventsPerMinMilli) ||
+        col("max_burst") > maxBurst)
+      .select(col("user_id"), col("n_events"), col("span_us"),
+        col("rate_milli"), col("max_burst"), col("flagged"))
+  }
+
+  def botRatesSqlDuck(minEventsPerMinMilli: Long = 60000L,
+      maxBurst: Long = 30L, burstUs: Long = 60000000L): String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+       |   WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       | b AS (SELECT user_id, us,
+       |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY us
+       |      RANGE BETWEEN CURRENT ROW AND ${burstUs - 1} FOLLOWING)
+       |      AS BIGINT) AS burst
+       |   FROM e),
+       | per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       |    max(us) - min(us) AS span_us, max(burst) AS max_burst
+       |   FROM b GROUP BY user_id),
+       | r AS (SELECT *, CASE WHEN span_us > 0
+       |      THEN (n_events * 60000000000) // span_us END AS rate_milli
+       |   FROM per)
+       |SELECT user_id, n_events, span_us, rate_milli, max_burst,
+       |  (rate_milli IS NOT NULL AND rate_milli >= $minEventsPerMinMilli)
+       |    OR max_burst > $maxBurst AS flagged
+       |FROM r ORDER BY user_id""".stripMargin
+
   def profileColumnsSqlDuck(table: String, cols: Seq[String]): String =
     cols.map { c =>
       s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,

@@ -50,7 +50,10 @@ object PlanAudit {
     "search_bm25_topk" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row corpus-stats aggregate onto the postings join"),
     "sim_matryoshka_recall" -> ("BroadcastNestedLoopJoin",
-      "two brute-force rankings by design (the audit must not confound truncation with ANN loss); broadcast 8-row query side"))
+      "two brute-force rankings by design (the audit must not confound truncation with ANN loss); broadcast 8-row query side"),
+    // compound adjudication: '+'-separated smell set, each member expected
+    "orders_rfm" -> ("BroadcastNestedLoopJoin+SinglePartitionWindow",
+      "1-row max-date crossJoin, and global ntile windows over the per-customer AGGREGATE (|customers| rows), never raw orders"))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -91,7 +94,8 @@ object PlanAudit {
         val distinctSmells = smells.distinct
         if (distinctSmells.isEmpty) println(f"AUDIT $name%-36s clean")
         else adjudicated.get(name) match {
-          case Some((expected, why)) if distinctSmells.forall(_ == expected) =>
+          case Some((expected, why))
+              if distinctSmells.forall(expected.split('+').contains(_)) =>
             println(f"AUDIT $name%-36s adjudicated: $expected ($why)")
           case _ =>
             unexplained += 1

@@ -317,6 +317,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
 
+  test("rfm: recency/frequency/monetary with tie-free quintile scores") {
+    val day = 86400000000L
+    val orders = Seq(
+      // cust 1: two orders, last 2 days before max; spends 10 + 20
+      (1L, 1L, 0L, 10.0), (2L, 1L, 8L * day, 20.0),
+      // cust 2: one order at the corpus max date, spend 100
+      (3L, 2L, 10L * day, 100.0),
+      // cust 3: one stale order, spend 5
+      (4L, 3L, 1L * day, 5.0))
+      .toDF("o_orderkey", "o_custkey", "us", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(col("us")))
+    val got = Analytics.rfm(orders).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(1L)._1 == 2L && got(1L)._2 == 2L && got(1L)._3 == "30.00")
+    assert(got(2L)._1 == 0L && got(2L)._3 == "100.00")
+    assert(got(3L)._1 == 9L && got(3L)._3 == "5.00")
+    // most recent customer gets the best recency score bucket
+    assert(got(2L)._4 <= got(1L)._4 && got(1L)._4 <= got(3L)._4)
+    // biggest spender gets the best monetary bucket
+    assert(got(2L)._6 <= got(1L)._6 && got(1L)._6 <= got(3L)._6)
+    // scores identical under repartition (tie-free order)
+    val again = Analytics.rfm(orders.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(again == got.map { case (k, v) => k -> v._4 })
+  }
+
   test("markovStationary: two-state chain matches the hand-run integer rounds") {
     // user journey a→b→a→b→a→a: transitions a→b ×2, b→a ×2, a→a ×1
     val rows = Seq("a", "b", "a", "b", "a", "a").zipWithIndex.map { case (t, i) =>

@@ -165,6 +165,35 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  // ---- botRates ------------------------------------------------------
+
+  test("botRates: burst and sustained-rate flags, single-event users unflagged") {
+    val M = 60000000L // one minute in µs
+    val rows =
+      // user 1: 40 events inside one minute → burst 40 AND huge rate
+      (1 to 40).map(i => (i.toLong, 1L, i.toLong * 1000000L)) ++
+      // user 2: 10 events spread over 10 hours → rate 1000 milli/min
+      (1 to 10).map(i => (100L + i, 2L, i.toLong * HourUs)) ++
+      // user 3: a single event — no span, never rate-flagged
+      Seq((200L, 3L, 5L * HourUs))
+    val ev = rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Stats.botRates(ev, minEventsPerMinMilli = 60000L, maxBurst = 30L,
+        burstUs = M)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(if (r.isNullAt(3)) null else r.getLong(3)),
+          r.getLong(4), r.getBoolean(5)))).toMap
+    val (n1, rate1, burst1, f1) = got(1L)
+    // span = 39 s → rate = 40·60e9 / 39e6 = 61538 milli-events/min
+    assert(n1 == 40L && rate1.contains(40L * 60000000000L / 39000000L))
+    assert(burst1 == 40L && f1)
+    val (_, rate2, burst2, f2) = got(2L)
+    // span 9 h = 540 min → 10 events ⇒ 18.5 → 18 milli-events/min; burst 1
+    assert(rate2.contains(18L) && burst2 <= 2L && !f2)
+    val (n3, rate3, _, f3) = got(3L)
+    assert(n3 == 1L && rate3.isEmpty && !f3)
+  }
+
   // ---- seasonality ---------------------------------------------------
 
   test("seasonality: hand-computed two-cell decomposition, R² = SSb/SStot") {
