@@ -1263,6 +1263,24 @@ object SparkEntry {
         .orderBy("hr", "event_type")
     }),
 
+    // exact distinct users per hour as a TWO-stateful-operator streaming
+    // pipeline (streaming/EventStreams.distinctUsers): watermarked dedup on
+    // (window, user) → windowed count, append mode — a window emits once
+    // its end passes the watermark; the oracle applies the same cut
+    "events_stream_distinct_users" -> ((s, dir) => {
+      runNarrowStream(s, "stream_distinct_verify")(
+        graft.streaming.EventStreams.distinctUsers(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_distinct_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_distinct_verify")
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("n_users"))
+        .orderBy("w_start")
+    }),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -2978,5 +2996,20 @@ object SparkEntry {
         |WHERE c.click_id IS NOT NULL OR epoch_us(p.p_ts) < wm.wm_us
         |ORDER BY purchase_id, click_id""".stripMargin,
     "sim_tfidf_pairs" -> graft.ext.TextOps.tfidfCosinePairsSqlDuck(),
-    "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck())
+    "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck(),
+
+    // watermark-finalized windows only: window emits once its END ≤ the
+    // final watermark ((max event-time ms) − 1h, ms-truncated like Spark's
+    // watermark tracker) — the events_stream_join_outer precedent
+    "events_stream_distinct_users" ->
+      """WITH wm AS (SELECT ((max(epoch_us(ts)) // 1000 - 3600000) * 1000) AS wm_us
+        |   FROM events),
+        | d AS (SELECT DISTINCT (epoch_us(ts) // 3600000000) * 3600000000 AS ws,
+        |     user_id
+        |   FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+        |SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d CROSS JOIN wm
+        |WHERE ws + 3600000000 <= wm.wm_us
+        |GROUP BY ws ORDER BY w_start""".stripMargin)
 }

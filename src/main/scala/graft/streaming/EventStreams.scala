@@ -74,6 +74,24 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("user_id"),
         col("event_type"), col("keep_id"), col("n_dups"))
 
+  /** Exact distinct users per tumbling hour — streaming count(DISTINCT) is
+    * unsupported directly, so this is the canonical TWO-STATEFUL-OPERATOR
+    * pipeline (Spark 3.4+ allows chained stateful ops in append mode):
+    * watermarked dropDuplicates on (window, user) feeds a windowed count.
+    * State: one row per open (window, user) in the dedup store + one per
+    * open window in the agg store, both evicted by the watermark. Append
+    * mode means a window emits only once its END passes the watermark —
+    * the oracle mirrors that finalization cut exactly (the
+    * events_stream_join_outer precedent). */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"), window(col("ts"), "1 hour").as("w"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("w_start"), col("n_users"))
+
   /** Streaming exact deduplication by event id with a watermark bounding the
     * dedup state — the streaming half of the dedup suite (ext/Dedup covers
     * batch). State holds only ids newer than the watermark. */

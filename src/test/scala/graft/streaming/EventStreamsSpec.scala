@@ -222,6 +222,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("two-stateful-op distinct users equals batch distinct on finalized windows") {
+    val stream = EventStreams.distinctUsers(EventStreams.readEvents(spark, sf0001))
+    val q = stream.writeStream
+      .format("memory").queryName("distinct_users_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("distinct_users_test")
+      .selectExpr("unix_micros(w_start) AS ws", "n_users")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .selectExpr("unix_micros(ts) AS us", "user_id")
+    val wmUs = ev.selectExpr("((max(us) DIV 1000 - 3600000) * 1000) AS wm")
+      .head().getLong(0)
+    val batch = ev
+      .selectExpr("(us DIV 3600000000) * 3600000000 AS ws", "user_id")
+      .distinct().groupBy("ws").count()
+      .filter(org.apache.spark.sql.functions.col("ws") + 3600000000L <= wmUs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("NDJSON stream restart with the same checkpoint writes no duplicate batches") {
     val tmp = java.nio.file.Files.createTempDirectory("ndjson_restart").toString
     def runOnce(): Unit = {
