@@ -1446,6 +1446,13 @@ object SparkEntry {
       Dedup.containmentPrefixJoin(t(s, dir, "documents"), theta = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // LSH candidate QUALITY eval (ext/Dedup.lshEval): banded-MinHash
+    // candidates scored against the EXACT prefix join at θ over the same
+    // shingle sets — tp / false negatives / precision / recall in one row;
+    // the number that decides whether the band config is safe to ship
+    "dedup_lsh_eval" -> ((s, dir) =>
+      Dedup.lshEval(t(s, dir, "documents"))),
+
     "dedup_keep_first" -> ((s, dir) =>
       Dedup.dropNearDuplicates(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -2771,6 +2778,7 @@ object SparkEntry {
         |FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
         |ORDER BY transition, prob""".stripMargin,
     "dedup_simhash_pairs" -> Dedup.simhashHammingPairsSqlDuck(),
+    "dedup_lsh_eval" -> Dedup.lshEvalSqlDuck(),
     "events_session_funnel" -> graft.ext.Analytics.sessionFunnelSqlDuck(),
     "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,

@@ -226,6 +226,76 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** LSH candidate-generation QUALITY evaluation — "measure, don't guess"
+    * applied to the engine's own dedup scale path: the banded-MinHash
+    * candidate pairs (the probabilistic path) scored against the EXACT
+    * prefix-filter join at Jaccard ≥ θ over the same w-shingle sets.
+    * Emits one row: exact-pair count, candidate count, true positives,
+    * FALSE NEGATIVES (the near-dup pairs LSH missed — the number that
+    * decides whether the band/row configuration is safe to ship), and
+    * candidate precision / recall. Both operands are oracle-checked
+    * operators in their own right; this row pins their RELATIONSHIP.
+    *
+    * Shape: the two pair relations (each corpus-linear), one semi-join on
+    * the pair key, three 1-row aggregates crossJoined (adjudicated). */
+  def lshEval(docs: DataFrame, theta: Double = 0.8,
+      shingleW: Int = 3): DataFrame = {
+    val exact = graft.etl.CacheRegistry.persist(
+      jaccardPrefixJoin(docs, "text", theta, shingleW)
+        .select(col("doc_a"), col("doc_b")))
+    val cand = graft.etl.CacheRegistry.persist(
+      lshCandidatePairs(minhashFromTokens(shingles(docs, shingleW)))
+        .select(col("doc_a"), col("doc_b")))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val tp = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("tp"))
+    nExact.crossJoin(broadcast(nCand)).crossJoin(broadcast(tp))
+      .select(col("n_exact"), col("n_candidates"), col("tp"),
+        (col("n_exact") - col("tp")).as("fn"),
+        when(col("n_candidates") > 0,
+          col("tp").cast("double") / col("n_candidates").cast("double"))
+          .as("precision"),
+        when(col("n_exact") > 0,
+          col("tp").cast("double") / col("n_exact").cast("double"))
+          .as("recall"))
+  }
+
+  /** Oracle for [[lshEval]]: shingle sigs + band buckets for the candidate
+    * side, the quadratic exact form for the truth side. */
+  def lshEvalSqlDuck(theta: Double = 0.8, w: Int = 3): String = {
+    val mins = (0 until NumHashes).map(i => s"min(md5('mh$i' || tok)) AS s$i").mkString(", ")
+    val parts = ("tok" +: (1 until w).map(j =>
+      s"lead(tok, $j) OVER (PARTITION BY doc_id ORDER BY i)")).mkString(" || ' ' || ")
+    val bandUnion = (0 until NumBands)
+      .map(b => s"SELECT doc_id, $b AS bi, band$b AS band FROM bands")
+      .mkString(" UNION ALL ")
+    s"""WITH tk AS (SELECT doc_id, ${TextOps.tokensSqlDuck("text")} AS tks FROM documents),
+       | pos AS (SELECT doc_id, unnest(tks) AS tok, generate_subscripts(tks, 1) AS i FROM tk),
+       | sh AS (SELECT doc_id, $parts AS tok FROM pos),
+       | t AS (SELECT doc_id, list_distinct(list(tok)) AS toks
+       |   FROM sh WHERE tok IS NOT NULL GROUP BY doc_id),
+       | exact AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |   FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |   WHERE ${jaccardExprDuck("a.toks", "b.toks")} >= $theta),
+       | sigs AS (SELECT doc_id, $mins FROM sh WHERE tok IS NOT NULL GROUP BY doc_id),
+       | ${bucketsCteDuck},
+       | prs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |   FROM buckets x JOIN buckets y
+       |   ON x.bi = y.bi AND x.band = y.band AND x.doc_id < y.doc_id),
+       | ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM exact),
+       | nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM prs),
+       | tp AS (SELECT CAST(count(*) AS BIGINT) AS tp FROM exact
+       |   WHERE EXISTS (SELECT 1 FROM prs
+       |                 WHERE prs.doc_a = exact.doc_a AND prs.doc_b = exact.doc_b))
+       |SELECT n_exact, n_candidates, tp, n_exact - tp AS fn,
+       |  CASE WHEN n_candidates > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_candidates AS DOUBLE) END AS precision,
+       |  CASE WHEN n_exact > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_exact AS DOUBLE) END AS recall
+       |FROM ne CROSS JOIN nc CROSS JOIN tp""".stripMargin
+  }
+
   /** n-gram (token-set) Jaccard similarity over blocked candidate pairs.
     * Blocking key: (lang, n_chars div 100) — cheap deterministic buckets that
     * bound the pair count; at scale, replace blocking with

@@ -407,6 +407,21 @@ class DedupSpec extends AnyFunSuite {
     assert(a == expect && a.nonEmpty)
   }
 
+  test("lshEval: identities hold and duplicates are found with full recall") {
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector.tabulate(50)(i => s"w$i")
+    def text() = Seq.fill(12)(vocab(rnd.nextInt(50))).mkString(" ")
+    val base = (1L to 30L).map(i => i -> text())
+    // plant 3 exact duplicate pairs — exact Jaccard 1.0, must be recalled
+    val d = docs((base ++ Seq(31L -> base(0)._2, 32L -> base(1)._2,
+      33L -> base(2)._2)): _*)
+    val r = Dedup.lshEval(d, theta = 0.8, shingleW = 3).collect().head
+    val (ne, nc, tp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(ne >= 3L && fn == ne - tp)
+    assert(tp >= 3L) // identical docs share every band: always candidates
+    assert(r.getDouble(4) == tp.toDouble / nc && r.getDouble(5) == tp.toDouble / ne)
+  }
+
   test("jaccard: identical = 1.0, disjoint absent or 0") {
     val d = docs((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
     val j = Dedup.jaccardPairs(d).collect()
