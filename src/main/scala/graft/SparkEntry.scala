@@ -735,6 +735,32 @@ object SparkEntry {
     // (c_acctbal, c_custkey) is a unique order within each segment, so ranks
     // are tie-free and the derived doubles are single divisions of identical
     // integers on both engines — bit-identical
+    // window VALUE functions (first/last/nth/lag/lead) over the tie-free
+    // (orderkey, linenumber) order — the remaining SQL window surface;
+    // last_value needs the full-partition frame (default frame stops at
+    // CURRENT ROW, identical rule in both engines, made explicit here)
+    "window_value_funcs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // (linenumber, partkey, suppkey, extendedprice) is a verified unique
+      // order within each orderkey at every SF — bare linenumber TIES at
+      // sf0.01 (11,785 duplicate groups) and value-window output under a
+      // non-total order is engine-dependent
+      val w = Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_quantity").cast("decimal(18,2)")).over(w)
+            .cast("string").as("first_qty"),
+          last(col("l_quantity").cast("decimal(18,2)")).over(full)
+            .cast("string").as("last_qty"),
+          nth_value(col("l_quantity").cast("decimal(18,2)"), 2).over(full)
+            .cast("string").as("second_qty"),
+          lag(col("l_linenumber"), 1, -1L).over(w).cast("long").as("prev_line"),
+          lead(col("l_linenumber"), 1, -1L).over(w).cast("long").as("next_line"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "window_ntile" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("c_mktsegment")
@@ -2779,6 +2805,20 @@ object SparkEntry {
         |ORDER BY transition, prob""".stripMargin,
     "dedup_simhash_pairs" -> Dedup.simhashHammingPairsSqlDuck(),
     "dedup_lsh_eval" -> Dedup.lshEvalSqlDuck(),
+    "window_value_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(first_value(CAST(l_quantity AS DECIMAL(18,2))) OVER w AS VARCHAR) AS first_qty,
+        |  CAST(last_value(CAST(l_quantity AS DECIMAL(18,2))) OVER wf AS VARCHAR) AS last_qty,
+        |  CAST(nth_value(CAST(l_quantity AS DECIMAL(18,2)), 2) OVER wf AS VARCHAR) AS second_qty,
+        |  CAST(lag(l_linenumber, 1, -1) OVER w AS BIGINT) AS prev_line,
+        |  CAST(lead(l_linenumber, 1, -1) OVER w AS BIGINT) AS next_line
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice),
+        |  wf AS (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "events_session_funnel" -> graft.ext.Analytics.sessionFunnelSqlDuck(),
     "events_funnel_rates" -> graft.ext.Analytics.funnelRatesSqlDuck(),
     "events_retention_cohort" -> graft.ext.Analytics.retentionCohortsSqlDuck,
