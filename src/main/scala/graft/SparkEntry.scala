@@ -1858,6 +1858,19 @@ object SparkEntry {
         .orderBy(col("p").desc, col("d_us"))
     }),
 
+    // one-row corpus DATA CARD (ext/Pipelines.corpusCard): docs/sources/
+    // langs/tokens + the near-dup cluster structure — the release summary
+    // block, every number exact except two divisions
+    "quality_corpus_card" -> ((s, dir) =>
+      graft.ext.Pipelines.corpusCard(t(s, dir, "documents"))),
+
+    // cross-source duplication matrix (ext/Pipelines.sourceOverlap): which
+    // sources copy from which — LSH pair counts per source pair with
+    // possible-pair-normalized rates; |sources|²-bounded output
+    "quality_source_overlap" -> ((s, dir) =>
+      graft.ext.Pipelines.sourceOverlap(t(s, dir, "documents"))
+        .orderBy("source_a", "source_b")),
+
     // duplicate-aware sampling weights (ext/Pipelines.dedupWeights): every
     // doc carries 1e6 DIV |near-dup cluster| µ-weight — each cluster
     // contributes one unit of sampling mass however many copies it has;
@@ -2933,6 +2946,8 @@ object SparkEntry {
     "orders_rfm" -> graft.ext.Analytics.rfmSqlDuck,
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
+    "quality_corpus_card" -> graft.ext.Pipelines.corpusCardSqlDuck,
+    "quality_source_overlap" -> graft.ext.Pipelines.sourceOverlapSqlDuck,
     "orders_brand_rules" -> graft.ext.Analytics.brandRulesSqlDuck(),
 
     // independent recomputation of the bucketed-layout join: DuckDB joins

@@ -679,6 +679,112 @@ object Pipelines {
        |FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
        |ORDER BY priority DESC, doc_id LIMIT $k""".stripMargin
 
+  /** One-row corpus DATA CARD — the summary block a dataset release ships
+    * with (n docs / sources / langs, token volume, mean length, and the
+    * near-dup structure from the cluster pass: how many docs sit in
+    * multi-doc clusters and how many clusters there are). Every number is
+    * an exact integer except the two divisions.
+    *
+    * Shape: one token-count aggregation over the corpus, the cluster
+    * labels' size rollup, and 1-row aggregates crossJoined (adjudicated
+    * BNLJ shape — |rows|=1 everywhere past the scans). */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(size(TextOps.fastTokens(col("text"))).cast("long")).as("n_tokens"))
+    val cl = Dedup.clusterByBuckets(docs,
+      Dedup.bandBuckets(Dedup.minhashSignatures(docs)))
+    val dup = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .agg(sum(when(col("sz") > 1, 1L).otherwise(0L)).as("n_dup_clusters"),
+        sum(when(col("sz") > 1, col("sz")).otherwise(0L)).as("n_docs_in_dups"))
+    base.crossJoin(broadcast(dup))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"),
+        col("n_dup_clusters"), col("n_docs_in_dups"),
+        (col("n_docs_in_dups").cast("double") / col("n_docs").cast("double"))
+          .as("dup_doc_rate"))
+  }
+
+  /** Oracle for [[corpusCard]] over the shared recursive-CC chain. */
+  def corpusCardSqlDuck: String =
+    s"""${Dedup.clustersCteDuck},
+       | base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(sum(len(${TextOps.tokensSqlDuck("text")})) AS BIGINT) AS n_tokens
+       |   FROM documents),
+       | sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz FROM cl
+       |   GROUP BY cluster_id),
+       | dup AS (SELECT
+       |    CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_clusters,
+       |    CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_docs_in_dups
+       |   FROM sz)
+       |SELECT n_docs, n_sources, n_langs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+       |  n_dup_clusters, n_docs_in_dups,
+       |  CAST(n_docs_in_dups AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_doc_rate
+       |FROM base CROSS JOIN dup""".stripMargin
+
+  /** Cross-source duplication matrix: for every source pair (unordered,
+    * incl. the diagonal), how many LSH near-dup candidate pairs link a doc
+    * of one to a doc of the other, with the pair-rate normalized by the
+    * number of possible cross pairs — WHICH SOURCES COPY FROM WHICH, the
+    * curation question behind source-mixing weights (a high off-diagonal
+    * rate means two "independent" sources share a template or a crawl).
+    *
+    * Counts exact; rate is one double division per emitted row. Shape: the
+    * pair relation joins the slim (doc_id, source) projection twice
+    * (broadcast-size at any corpus — it's a dim of the pair stream), then
+    * a |sources|²-bounded rollup. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val perSrc = src.groupBy("source").agg(count(lit(1)).as("nd"))
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
+    val lab = pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+    lab
+      .join(broadcast(perSrc.select(col("source").as("source_a"),
+        col("nd").as("docs_a"))), "source_a")
+      .join(broadcast(perSrc.select(col("source").as("source_b"),
+        col("nd").as("docs_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        col("docs_a"), col("docs_b"),
+        when(col("source_a") === col("source_b"),
+          lit(2.0) * col("n_pairs") /
+            (col("docs_a").cast("double") * (col("docs_a") - 1).cast("double")))
+          .otherwise(col("n_pairs").cast("double") /
+            (col("docs_a").cast("double") * col("docs_b").cast("double")))
+          .as("pair_rate"))
+  }
+
+  /** Oracle for [[sourceOverlap]] over the shared LSH pair chain. */
+  def sourceOverlapSqlDuck: String =
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | src AS (SELECT doc_id, source FROM documents),
+       | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM src
+       |   GROUP BY source),
+       | lab AS (SELECT least(x.source, y.source) AS source_a,
+       |     greatest(x.source, y.source) AS source_b,
+       |     CAST(count(*) AS BIGINT) AS n_pairs
+       |   FROM prs JOIN src x ON prs.a = x.doc_id
+       |   JOIN src y ON prs.b = y.doc_id
+       |   GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_pairs, pa.nd AS docs_a, pb.nd AS docs_b,
+       |  CASE WHEN source_a = source_b
+       |    THEN 2.0 * n_pairs / (CAST(pa.nd AS DOUBLE) * CAST(pa.nd - 1 AS DOUBLE))
+       |    ELSE CAST(n_pairs AS DOUBLE) / (CAST(pa.nd AS DOUBLE) * CAST(pb.nd AS DOUBLE))
+       |  END AS pair_rate
+       |FROM lab JOIN ps pa ON pa.source = lab.source_a
+       |JOIN ps pb ON pb.source = lab.source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** Duplicate-aware sampling weights: every document weighted 1/|its
     * near-dup cluster| in exact integer micro-units (`10⁶ DIV size`) — the
     * soft alternative to keep-first dedup (Lee et al., "Deduplicating

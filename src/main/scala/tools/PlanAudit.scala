@@ -53,6 +53,8 @@ object PlanAudit {
       "two brute-force rankings by design (the audit must not confound truncation with ANN loss); broadcast 8-row query side"),
     "dedup_lsh_eval" -> ("BroadcastNestedLoopJoin",
       "crossJoin of three 1-row count aggregates (exact/candidates/tp)"),
+    "quality_corpus_card" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row corpus aggregate and 1-row cluster-structure aggregate"),
     // compound adjudication: '+'-separated smell set, each member expected
     "orders_rfm" -> ("BroadcastNestedLoopJoin+SinglePartitionWindow",
       "1-row max-date crossJoin, and global ntile windows over the per-customer AGGREGATE (|customers| rows), never raw orders"))

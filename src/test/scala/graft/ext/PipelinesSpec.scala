@@ -278,6 +278,41 @@ class PipelinesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("corpusCard: counts, token volume, and dup structure on a known frame") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val d = Seq(
+      (1L, "en", "s0", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "en", "s1", "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "fr", "s0", "un deux trois quatre cinq six sept huit"),
+      (4L, "en", "s1", "totally different text about query planners here now"))
+      .toDF("doc_id", "lang", "source", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = Pipelines.corpusCard(d).collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 32L && r.getDouble(4) == 8.0) // 4 docs × 8 tokens
+    // docs 1,2 are identical → one 2-doc cluster
+    assert(r.getLong(5) == 1L && r.getLong(6) == 2L && r.getDouble(7) == 0.5)
+  }
+
+  test("sourceOverlap: planted cross-source duplicate shows up off-diagonal") {
+    import org.apache.spark.sql.functions.{col, length, lit}
+    val dup = "the exact same template text repeated across two sources verbatim"
+    val d = Seq(
+      (1L, "s0", dup), (2L, "s1", dup),
+      (3L, "s0", "unrelated content alpha beta gamma delta epsilon zeta"),
+      (4L, "s1", "another unrelated body omega psi chi phi upsilon tau"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Pipelines.sourceOverlap(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val (n, da, db, rate) = got(("s0", "s1"))
+    assert(n >= 1L && da == 2L && db == 2L && rate == n.toDouble / 4.0)
+    // identical docs always band-collide, so the pair is present
+    assert(got.keySet.contains(("s0", "s1")))
+  }
+
   test("dedupWeights: cluster mass ≈ 1e6 per cluster, singletons full weight") {
     import org.apache.spark.sql.functions.{col, length, lit}
     val d = Seq(
