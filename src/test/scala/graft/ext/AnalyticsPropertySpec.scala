@@ -94,4 +94,58 @@ class AnalyticsPropertySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(got == expected)
   }
+
+  test("attribution equals a naive per-conversion scan on random streams") {
+    val rnd = new scala.util.Random(67)
+    val types = Seq("view", "click", "email", "purchase")
+    val W = 3600000000L * 3
+    // unique (user, us) by construction: us = index-derived
+    val rows = (0 until 500).map { i =>
+      (i.toLong, (i % 9).toLong, i.toLong * 977000000L + (i % 9),
+        types(rnd.nextInt(types.length)))
+    }
+    val ev = rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.attribution(ev, lookbackUs = W)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), Option(r.getString(4)), Option(r.getString(5))))).toMap
+    val expect = rows.groupBy(_._2).flatMap { case (_, evs) =>
+      val sorted = evs.sortBy(_._3)
+      sorted.filter(_._4 == "purchase").map { p =>
+        val win = sorted.filter(e =>
+          e._3 >= p._3 - W && e._3 < p._3 && e._4 != "purchase")
+        p._1 -> ((win.size.toLong, win.headOption.map(_._4), win.lastOption.map(_._4)))
+      }
+    }
+    assert(got == expect && got.nonEmpty)
+  }
+
+  test("markovStationary equals a naive matrix power iteration") {
+    val rnd = new scala.util.Random(73)
+    val types = Seq("a", "b", "c", "d")
+    val rows = (0 until 400).map { i =>
+      (i.toLong, (i % 6).toLong, i.toLong * 1000000L, types(rnd.nextInt(4)))
+    }
+    val ev = rows.toDF("event_id", "user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val scale = 1000000000L
+    val got = Analytics.markovStationary(ev, iters = 3, scale = scale)
+      .select("state", "pi_scaled").as[(String, Long)].collect().toMap
+    // naive: count transitions per user stream, then the integer rounds
+    val trans = rows.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+      val s = evs.sortBy(e => (e._3, e._1)).map(_._4)
+      s.zip(s.tail)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val outTot = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val states = trans.flatMap { case ((f, t), _) => Seq(f, t) }.toSet.toSeq.sorted
+    var pi = states.map(_ -> scale / states.size).toMap
+    for (_ <- 1 to 3) {
+      val in = states.map { s =>
+        s -> trans.collect { case ((f, t), n) if t == s =>
+          (pi(f) * n) / outTot(f) }.sum
+      }.toMap
+      pi = in
+    }
+    assert(got == pi)
+  }
 }
