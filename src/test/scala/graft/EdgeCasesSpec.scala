@@ -242,4 +242,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Stats.anomalyZscore(one).count() == 0)
     assert(Temporal.sessionIntervals(one).count() == 1)
   }
+
+  test("round-11 operators on empty inputs return empty, not errors") {
+    import graft.ext.{Analytics, Graph, Multimodal, Pipelines, Stats}
+    val emptyEvents = Seq.empty[(Long, Long, Long, Double, String)]
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Stats.cusumChangepoints(emptyEvents).count() == 0)
+    assert(Stats.botRates(emptyEvents).count() == 0)
+    assert(Stats.seasonality(emptyEvents).count() == 0)
+    assert(Analytics.attribution(emptyEvents).count() == 0)
+    assert(Dedup.containmentPrefixJoin(emptyDocs).count() == 0)
+    assert(Dedup.simhashHammingPairs(emptyDocs).count() == 0)
+    assert(Graph.linkPrediction(emptyPairs).count() == 0)
+    assert(TextOps.searchTopK(emptyDocs).count() == 0)
+    assert(Pipelines.sourceOverlap(emptyDocs).count() == 0)
+    assert(Pipelines.dedupWeights(emptyDocs).count() == 0)
+    assert(Multimodal.patches(Multimodal.asMedia(emptyDocs)).count() == 0)
+  }
+
+  test("round-11 single-row inputs: well-defined, never a crash") {
+    import graft.ext.{Analytics, Stats}
+    val one = Seq((1L, 1L, 1000000L, 5.0, "purchase"))
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    // single event: no span → no rate flag; CUSUM: d = -k ≤ 0 → no alarm
+    assert(Stats.cusumChangepoints(one).count() == 0)
+    val br = Stats.botRates(one).collect()
+    assert(br.length == 1 && br.head.isNullAt(3) && !br.head.getBoolean(5))
+    // a lone purchase is a dark conversion, not an error
+    val at = Analytics.attribution(one).collect()
+    assert(at.length == 1 && at.head.getLong(3) == 0L)
+    // seasonality: one cell, SStot 0 → null R²
+    val se = Stats.seasonality(one).collect()
+    assert(se.length == 1 && se.head.isNullAt(5))
+  }
 }
