@@ -1307,6 +1307,63 @@ object SparkEntry {
         .orderBy("w_start")
     }),
 
+    // 9th streaming oracle row — the CHAINED interval-join → windowed-agg
+    // shape (two stateful joins feeding a stateful aggregation in one
+    // query, Spark 3.5+ multi-stateful-operator support): each purchase
+    // anchor inner-joins the same user's events in the following 10
+    // minutes, then aggregates per anchor inside a 10-minute event-time
+    // window. Append mode emits a window only once the (propagated)
+    // watermark passes its end; the exact propagated cut through
+    // join→agg is engine-internal, so BOTH sides restrict to windows whose
+    // end is ≥ 1 h before the last anchor — conservatively inside any
+    // propagation rule (the EventStreamsSpec batch-equivalence precedent).
+    "events_stream_range_join" -> ((s, dir) => {
+      runNarrowStream(s, "stream_rangejoin_verify")(
+        graft.streaming.EventStreams.rangeJoinCounts(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_rangejoin_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      val cutoffUs = t(s, dir, "events")
+        .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0) - 3600000000L
+      s.table("stream_rangejoin_verify")
+        .filter(unix_micros(col("w_end")) <= cutoffUs)
+        .select(unix_micros(col("w_end")).as("w_end_us"), col("anchor_id"),
+          col("n_events"), dstr(col("sum_value")).as("sum_value"))
+        .orderBy("anchor_id")
+    }),
+
+    // 10th streaming oracle row — the watermark-BUFFERED out-of-order
+    // funnel (mapGroupsWithState carrying a finalized fold + an
+    // above-watermark event buffer). Emissions are per-user bests with
+    // strictly increasing n_seen, so the final row per user (max n_seen)
+    // folds every event — provably the batch funnel on all data
+    // regardless of how the source batched arrivals (foldSteps splits
+    // freely at any sorted cut; EventStreamsSpec proves the multi-batch
+    // disorder case). Sentinel −1 for unreached steps keeps the oracle
+    // hash path null-free (the events_stream_join_outer precedent).
+    "events_stream_funnel" -> ((s, dir) => {
+      runNarrowStream(s, "stream_funnel_verify")(
+        graft.streaming.EventStreams.funnelStateBuffered(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_funnel_verify")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_seen").desc)
+      s.table("stream_funnel_verify")
+        .withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
+        .select(col("user_id"),
+          coalesce(col("ts1_us"), lit(-1L)).as("ts1_us"),
+          coalesce(col("ts2_us"), lit(-1L)).as("ts2_us"),
+          coalesce(col("ts3_us"), lit(-1L)).as("ts3_us"),
+          col("step_reached"), col("n_seen"))
+        .orderBy("user_id")
+    }),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -1631,8 +1688,9 @@ object SparkEntry {
     // multi-query BM25 retrieval through the inverted index (ext/TextOps
     // .searchTopK): query terms equi-join the postings — each query touches
     // only docs sharing a term, partial scores combine map-side, top-k
-    // plans as WindowGroupLimit; per-term doubles quantize to DECIMAL(28,12)
-    // before the (query, doc) sum so ranking is partitioning-independent
+    // plans as WindowGroupLimit; per-term doubles floor-quantize to 1e-9
+    // BIGINT nano-units before the (query, doc) sum so ranking is
+    // partitioning-independent (see searchTopK's scaladoc)
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
@@ -3074,5 +3132,49 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM d CROSS JOIN wm
         |WHERE ws + 3600000000 <= wm.wm_us
-        |GROUP BY ws ORDER BY w_start""".stripMargin)
+        |GROUP BY ws ORDER BY w_start""".stripMargin,
+
+    // batch twin of the chained interval-join → windowed-agg streaming
+    // query, restricted to the same conservative finalization cut the
+    // Spark side applies (window end ≥ 1 h before the last anchor)
+    "events_stream_range_join" ->
+      """WITH a AS (SELECT event_id AS anchor_id, user_id AS a_user,
+        |     epoch_us(ts) AS a_us
+        |   FROM events WHERE event_type = 'purchase'
+        |     AND user_id IS NOT NULL AND ts IS NOT NULL),
+        | p AS (SELECT user_id AS p_user, epoch_us(ts) AS p_us, value
+        |   FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        | cut AS (SELECT max(a_us) - 3600000000 AS cutoff_us FROM a),
+        | j AS (SELECT a.anchor_id, a.a_us, p.value
+        |   FROM a JOIN p ON p.p_user = a.a_user
+        |     AND p.p_us >= a.a_us AND p.p_us < a.a_us + 600000000)
+        |SELECT ((a_us // 600000000) + 1) * 600000000 AS w_end_us, anchor_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM j CROSS JOIN cut
+        |WHERE ((a_us // 600000000) + 1) * 600000000 <= cut.cutoff_us
+        |GROUP BY 1, 2 ORDER BY anchor_id""".stripMargin,
+
+    // batch funnel with the streaming row's null contract + per-user
+    // arrival count; −1 sentinels for unreached steps (null-free hash)
+    "events_stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |     AND ts IS NOT NULL),
+        | s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |   OVER (PARTITION BY user_id) AS t1 FROM e),
+        | s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+        |   THEN us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+        | s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+        |   THEN us END) OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT user_id,
+        |  coalesce(min(t1), -1) AS ts1_us,
+        |  coalesce(min(t2), -1) AS ts2_us,
+        |  coalesce(min(t3), -1) AS ts3_us,
+        |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+        |            WHEN min(t2) IS NOT NULL THEN 2
+        |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS step_reached,
+        |  CAST(count(*) AS BIGINT) AS n_seen
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

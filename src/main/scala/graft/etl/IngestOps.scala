@@ -179,7 +179,8 @@ object IngestOps {
     * partitioner — equal keys can never split); balance degrades, never
     * correctness. */
   def withGlobalPos(df: DataFrame, key: org.apache.spark.sql.Column,
-      posCol: String = "_pos", numParts: Int = 0): DataFrame = {
+      posCol: String = "_pos", numParts: Int = 0,
+      order: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bucket = rangeBuckets(df, key, numParts)
     val counts = df.select(bucket.as("_b")).groupBy("_b")
@@ -189,7 +190,11 @@ object IngestOps {
     val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }
       .init.zip(counts).map { case ((_, off), (b, _)) => b -> off }
     val offsetMap = map(offsets.flatMap { case (b, off) => Seq(lit(b), lit(off)) }.toSeq: _*)
-    val w = Window.partitionBy("_bkt").orderBy(key)
+    // `order` refines WITHIN-bucket order for deterministic positions under
+    // tied keys; its primary sort must be `key` itself (buckets partition
+    // the key range, so any cross-bucket reordering would be incoherent)
+    val w = Window.partitionBy("_bkt")
+      .orderBy((if (order.nonEmpty) order else Seq(key)): _*)
     df.withColumn("_bkt", bucket)
       .withColumn(posCol,
         element_at(offsetMap, col("_bkt")) + row_number().over(w).cast("long"))

@@ -26,12 +26,23 @@ object Layout {
       nBuckets: Int = 8): Unit = {
     val s = df.sparkSession
     s.sql(s"DROP TABLE IF EXISTS `$table`")
+    // Orphan-location cleanup is a LOCAL-filesystem remedy only: on an
+    // hdfs://host/path (or s3a://…) warehouse, new URI(wh).getPath strips
+    // the scheme+authority and the recursive delete would hit an unrelated
+    // local directory — parse via Hadoop Path (which also tolerates
+    // unencoded characters new URI() rejects) and skip unless the resolved
+    // scheme is file/null. Distributed warehouses overwrite through the
+    // catalog's own location handling instead.
     val wh = s.conf.get("spark.sql.warehouse.dir")
-    val loc = new java.io.File(new java.net.URI(wh).getPath, table)
-    if (loc.exists()) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    val whPath = new org.apache.hadoop.fs.Path(wh)
+    val scheme = whPath.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val loc = new java.io.File(whPath.toUri.getPath, table)
+      if (loc.exists()) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc.toPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     df.write.mode("overwrite")
       .format("parquet")

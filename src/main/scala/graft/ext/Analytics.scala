@@ -774,9 +774,18 @@ object Analytics {
     * key), so scores are engine-identical.
     *
     * Shape: one customer-keyed aggregation, the 1-row max-date aggregate
-    * broadcast back, and three ntile windows sharing one unpartitioned
-    * sort of the |customers| aggregate — already a rollup, never raw
-    * orders. */
+    * broadcast back, then three DISTRIBUTED ntile scores: each is the
+    * closed-form ntile over the EXACT global rank from the deterministic
+    * range-bucket recipe (IngestOps.withGlobalPos) — never a
+    * `Window.orderBy` with no partition, which would drag the whole
+    * |customers| rollup through one partition (millions of rows at 100×).
+    * ntile(k) over rank r with total n: buckets 1..(n mod k) hold
+    * ⌈n/k⌉ rows, the rest ⌊n/k⌋ — so b = ⌈r/(q+1)⌉ below the boundary
+    * rank (n mod k)·(q+1), else (n mod k) + ⌈(r − boundary)/q⌉, all in
+    * BIGINT `DIV` arithmetic (value-identical to both engines' ntile since
+    * the order is made TIE-FREE by the customer-key tiebreak). Descending
+    * metrics bucket on the negated key, so bucket boundaries and the
+    * within-bucket sort agree by construction. */
   def rfm(orders: DataFrame): DataFrame = {
     val maxD = orders.agg(max(col("o_orderdate").cast("timestamp")).as("_maxd"))
     val per = orders
@@ -784,21 +793,45 @@ object Analytics {
       .agg(max(col("o_orderdate").cast("timestamp")).as("_last"),
         count(lit(1)).as("frequency"),
         sum(col("o_totalprice").cast(DecimalType182)).as("_spend"))
-    val scored = per.crossJoin(broadcast(maxD))
-      .select(col("o_custkey"),
-        expr("(unix_micros(_maxd) - unix_micros(_last)) DIV 86400000000")
-          .as("recency_days"),
-        col("frequency"),
-        col("_spend").cast("string").as("monetary"),
-        col("_spend").as("_spendd"))
-    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
-    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
-    val mW = Window.orderBy(col("_spendd").desc, col("o_custkey"))
-    scored
-      .withColumn("r_score", ntile(5).over(rW).cast("long"))
-      .withColumn("f_score", ntile(5).over(fW).cast("long"))
-      .withColumn("m_score", ntile(5).over(mW).cast("long"))
-      .drop("_spendd")
+    // cached: the global-rank recipe passes over the rollup several times
+    // per score (bucket sample + bucket counts + the ranking window)
+    val scored = graft.etl.CacheRegistry.persist(
+      per.crossJoin(broadcast(maxD))
+        .select(col("o_custkey"),
+          expr("(unix_micros(_maxd) - unix_micros(_last)) DIV 86400000000")
+            .as("recency_days"),
+          col("frequency"),
+          col("_spend").cast("string").as("monetary"),
+          col("_spend").as("_spendd")))
+    val n = scored.count()
+    def score(df: DataFrame, key: Column, out: String): DataFrame =
+      graft.etl.IngestOps.withGlobalPos(df, key, "_rk",
+          order = Seq(key, col("o_custkey")))
+        .withColumn(out, ntileFromRank(col("_rk"), n, 5))
+        .drop("_rk")
+    var d = score(scored, col("recency_days"), "r_score")
+    d = score(d, -col("frequency"), "f_score")
+    d = score(d, -col("_spendd"), "m_score")
+    d.drop("_spendd")
+  }
+
+  /** Closed-form SQL ntile(k) from an exact 1-based global rank `r` and
+    * total row count `n` (driver scalars → literal arithmetic, BIGINT DIV
+    * throughout): the distributed replacement for an unpartitioned ntile
+    * window. Requires a tie-free rank (callers tiebreak on a unique key). */
+  private def ntileFromRank(r: Column, n: Long, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    def idiv(a: Column, b: Long): Column =
+      toColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpression(a), toExpression(lit(b))))
+    val q = n / k
+    val rem = n % k
+    if (q == 0L) r // fewer rows than buckets: ntile assigns bucket = rank
+    else {
+      val boundary = rem * (q + 1) // last rank inside the ⌈n/k⌉-sized buckets
+      when(r <= lit(boundary), idiv(r - lit(1L), q + 1) + lit(1L))
+        .otherwise(lit(rem) + idiv(r - lit(boundary + 1), q) + lit(1L))
+    }
   }
 
   def rfmSqlDuck: String =
@@ -914,7 +947,16 @@ object Analytics {
     * same RANGE frame (range, not rows — the lookback is wall-clock), so
     * there is no purchases × touches join anywhere. Conversions with an
     * empty window emit with n_touches 0 and null types (they're the
-    * "dark conversions" an attribution report must not drop). */
+    * "dark conversions" an attribution report must not drop).
+    *
+    * PRECONDITION — unique (user_id, ts) per row: a RANGE frame orders by
+    * `us` alone, so when several touches share one (user_id, us) instant at
+    * the frame boundary, which of them is "first"/"last" is peeked
+    * nondeterministically (and can diverge between engines). The fixtures
+    * satisfy this (event ts values are unique per user); inputs that don't
+    * must pre-aggregate ties to one row per instant (e.g. min(event_type)
+    * per (user_id, us)) before calling, the same hazard the
+    * window_value_funcs entry documents. */
   def attribution(events: DataFrame, convType: String = "purchase",
       lookbackUs: Long = 604800000000L): DataFrame = {
     require(lookbackUs > 0, s"lookbackUs must be > 0, got $lookbackUs")

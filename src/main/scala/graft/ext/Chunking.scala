@@ -139,11 +139,15 @@ object Chunking {
     * `orderBy(...).limit(k)` plans as `TakeOrderedAndProject` — each task
     * keeps its local k, the driver merges task winners — never a global
     * sort of the n-gram vocabulary (which at 100 TB is billions of rows).
-    * The rank column is computed on the k survivors only. Ties break on the
-    * gram text, so top-k membership and ranks are engine-invariant. */
+    * The rank column is computed on the k survivors only, as a triangular
+    * broadcast self-join (rank = 1 + rows strictly ahead, O(k²) pairs on a
+    * k-row relation) rather than an unpartitioned row_number window — same
+    * values, but no WindowExec-on-one-partition node anywhere in the plan.
+    * Ties break on the gram text, so top-k membership and ranks are
+    * engine-invariant. */
   def topNgrams(docs: DataFrame, k: Int = 100, textCol: String = "text"): DataFrame = {
     require(k > 0, "k must be positive")
-    val topK = docs
+    val topK = graft.etl.CacheRegistry.persist(docs
       .select(TextOps.fastTokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(explode(expr(
@@ -151,9 +155,13 @@ object Chunking {
       )).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
-      .limit(k)
-    topK.withColumn("rank",
-      row_number().over(Window.orderBy(col("cnt").desc, col("ngram"))).cast("long"))
+      .limit(k))
+    val ahead = broadcast(topK.select(col("ngram").as("_bn"), col("cnt").as("_bc")))
+    topK.join(ahead,
+        col("_bc") > col("cnt") ||
+          (col("_bc") === col("cnt") && col("_bn") < col("ngram")), "left_outer")
+      .groupBy(col("ngram"), col("cnt"))
+      .agg((count(col("_bn")) + 1L).as("rank"))
       .select("rank", "ngram", "cnt")
   }
 

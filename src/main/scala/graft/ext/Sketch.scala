@@ -340,10 +340,15 @@ object Sketch {
     *
     * Contract: the group-key domain must be driver-small (an enum-like
     * column — event types, languages, shards); each open bracket adds three
-    * conditional aggregates per round. For high-cardinality groups use
-    * [[sampleQuantilesByGroup]] (bounded sample, one pass) instead. */
+    * conditional aggregates per round. ENFORCED at `maxGroups` (default
+    * 10 000 — already 20 000+ conditional aggregates per round at two
+    * probs): beyond that the driver state and the aggregate expression list
+    * both stop being "bounded scalars", so the call fails fast with a
+    * pointer at [[sampleQuantilesByGroup]] (bounded sample, one pass)
+    * instead of silently degrading into a driver-memory hazard at 100 TB
+    * key cardinalities. */
   def exactQuantileDiscByGroup(df: DataFrame, group: String, valueCol: String,
-      probs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+      probs: Seq[Double] = Seq(0.5, 0.9), maxGroups: Int = 10000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       "probs must be in (0, 1]")
     val spark = df.sparkSession
@@ -351,6 +356,15 @@ object Sketch {
     val vals = graft.etl.CacheRegistry.persist(
       df.select(col(group).cast("string").as("_g"),
         col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
+    // guard BEFORE the per-group collect: one cheap distinct-count over the
+    // cached slim relation, so a high-cardinality key can never pull an
+    // unbounded head array to the driver
+    val nGroups = vals.select(count_distinct(col("_g"))).head().getLong(0)
+    require(nGroups <= maxGroups,
+      s"exactQuantileDiscByGroup: $nGroups distinct '$group' values exceed " +
+        s"maxGroups=$maxGroups (driver state is O(groups·probs) and each " +
+        "round's aggregate carries 3 conditionals per open bracket) — use " +
+        "sampleQuantilesByGroup for high-cardinality keys")
     // per-group head aggregation also carries the GK seed sketch probed at
     // p ± 2ε — provable round-1 brackets for every (group, prob) at zero
     // extra jobs (see [[exactQuantileDisc]])

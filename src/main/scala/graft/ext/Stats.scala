@@ -474,9 +474,9 @@ object Stats {
     * (us div 3600s) mod 24) — never an engine's locale-dependent
     * dayofweek(). Cell and total moments are exact decimal/BIGINT sums;
     * means and SS_total = Σx² − (Σx)²/n are fixed-order doubles over them;
-    * SS_between quantizes each cell's n·(mean_c − mean)² term to
-    * DECIMAL(28,12) before the exact per-type sum (the usual midpoint-free
-    * argument), so R² is partitioning-independent.
+    * SS_between floor-quantizes each cell's n·(mean_c − mean)² term to
+    * 1e-6 BIGINT micro-units before the exact per-type sum (floor has no
+    * rounding-mode ambiguity), so R² is partitioning-independent.
     *
     * Shape: one map-side-combined cell aggregation over the corpus, then
     * everything downstream operates on ≤ |types|·168 cell rows with the

@@ -85,6 +85,10 @@ object EventStreams {
     * events_stream_join_outer precedent). */
   def distinctUsers(events: DataFrame): DataFrame =
     events
+      // same null contract as every batch events operator (and the oracle's
+      // WHERE clause): a null user must not count as a distinct user, and a
+      // null ts can never finalize a window
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", "1 hour")
       .select(col("ts"), col("user_id"), window(col("ts"), "1 hour").as("w"))
       .dropDuplicates("w", "user_id")
@@ -437,11 +441,12 @@ object EventStreams {
     * ext/Ranges.bucketedRangeJoin + the user-key filter; EventStreamsSpec
     * proves equivalence on all watermark-finalized windows. */
   def rangeJoinCounts(events: DataFrame): DataFrame = {
-    val anchors = events.filter(col("event_type") === "purchase")
+    val clean = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val anchors = clean.filter(col("event_type") === "purchase")
       .select(col("user_id").as("a_user"), col("event_id").as("anchor_id"),
         col("ts").as("a_ts"))
       .withWatermark("a_ts", "10 minutes")
-    val points = events
+    val points = clean
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
       .withWatermark("p_ts", "10 minutes")
     points.join(anchors,

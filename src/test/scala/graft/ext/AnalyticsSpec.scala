@@ -344,6 +344,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(again == got.map { case (k, v) => k -> v._4 })
   }
 
+  test("rfm: closed-form global-rank ntile equals Window.ntile; no unpartitioned WindowExec") {
+    // randomized differential against the single-partition ntile windows
+    // the operator replaced (the 100 TB fix must be value-identical)
+    val day = 86400000000L
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (i.toLong, (rnd.nextInt(97) + 1).toLong, rnd.nextInt(60).toLong * day,
+        (rnd.nextInt(100000) + 1) / 100.0)
+    }
+    val orders = rows.toDF("o_orderkey", "o_custkey", "us", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(col("us")))
+    val got = Analytics.rfm(orders)
+    import org.apache.spark.sql.expressions.Window
+    val rW = Window.orderBy(col("recency_days"), col("o_custkey"))
+    val fW = Window.orderBy(col("frequency").desc, col("o_custkey"))
+    val mW = Window.orderBy(col("_spendd").desc, col("o_custkey"))
+    val maxD = orders.agg(max(col("o_orderdate").cast("timestamp")).as("_maxd"))
+    val expected = orders.groupBy("o_custkey")
+      .agg(max(col("o_orderdate").cast("timestamp")).as("_last"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("_spendd"))
+      .crossJoin(broadcast(maxD))
+      .withColumn("recency_days",
+        expr("(unix_micros(_maxd) - unix_micros(_last)) DIV 86400000000"))
+      .withColumn("r_score", ntile(5).over(rW).cast("long"))
+      .withColumn("f_score", ntile(5).over(fW).cast("long"))
+      .withColumn("m_score", ntile(5).over(mW).cast("long"))
+      .select("o_custkey", "r_score", "f_score", "m_score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val gotMap = got.select("o_custkey", "r_score", "f_score", "m_score")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotMap == expected)
+    // and the plan that replaced them must not contain the thing it fixed
+    var badWindows = 0
+    graft.etl.PlanWalk.visit(got.queryExecution.executedPlan) { p =>
+      p match {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => badWindows += 1
+        case _ => ()
+      }
+    }
+    assert(badWindows == 0, "rfm must not plan an unpartitioned window")
+  }
+
   test("markovStationary: two-state chain matches the hand-run integer rounds") {
     // user journey a→b→a→b→a→a: transitions a→b ×2, b→a ×2, a→a ×1
     val rows = Seq("a", "b", "a", "b", "a", "a").zipWithIndex.map { case (t, i) =>
