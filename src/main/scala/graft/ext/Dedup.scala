@@ -61,11 +61,15 @@ object Dedup {
     minhashFromTokens(tokens(docs, textCol))
 
   /** MinHash+band signatures from any (doc_id, tok) stream — shared by the
-    * unigram path ([[tokens]]) and the shingle path ([[shingles]]). */
-  def minhashFromTokens(toks: DataFrame): DataFrame = {
+    * unigram path ([[tokens]]) and the shingle path ([[shingles]]).
+    * `carry`: extra per-document columns to keep on the signature rows
+    * (they join the groupBy key — sound because callers only pass columns
+    * functionally dependent on doc_id, e.g. a corpus-side tag; this rides
+    * the flag through the aggregation instead of re-joining it after). */
+  def minhashFromTokens(toks: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(md5(concat(lit(s"mh$i"), col("tok")))).as(s"s$i"))
-    val sigs = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = toks.groupBy("doc_id", carry: _*).agg(aggs.head, aggs.tail: _*)
     (0 until NumBands).foldLeft(sigs) { (d, b) =>
       val cols = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
       d.withColumn(s"band$b", md5(concat(cols: _*)))
@@ -103,11 +107,13 @@ object Dedup {
     * reducer instead of k² on one. Shuffle volume grows only on the tiny
     * bucket relation (NumBands rows per doc × saltBuckets). */
   /** (doc_id, bi, band) membership rows — NumBands per doc. */
-  def bandBuckets(sigs: DataFrame): DataFrame = {
+  def bandBuckets(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
-    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.bi").as("bi"), col("b.band").as("band"))
+    sigs.select(col("doc_id") +: explode(array(bandStructs: _*)).as("b") +:
+        carry.map(col): _*)
+      .select(col("doc_id") +: col("b.bi").as("bi") +: col("b.band").as("band") +:
+        carry.map(col): _*)
   }
 
   val DefaultSaltBuckets = 16

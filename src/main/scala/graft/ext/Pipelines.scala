@@ -287,56 +287,81 @@ object Pipelines {
     * survivors then go through keep-first near-dup removal within the
     * batch ([[Dedup.dropNearDuplicatesLsh]]).
     *
-    * Shape: the existing corpus contributes only its slim (band-index,
-    * band-hash, doc_id) bucket relation plus the token sets of docs that
-    * actually collide; the cross candidate join is salted
-    * ([[Dedup.DefaultSaltBuckets]], incoming side hashed, existing side
-    * replicated — the replicated relation is 3 slim columns), so a
-    * boilerplate-flooded bucket spreads across reducers. Candidate volume
-    * is bounded by band collisions, which correlate with similarity —
-    * never an all-pairs form. */
+    * Shape (r12, after stage-level adjudication of the r11 6.4 s idle
+    * cost — NearDupProbe named the two salted joins + two rescore joins as
+    * the spend): ONE signature chain over the side-TAGGED union (signatures
+    * are per-document, so bucketing the union equals bucketing each side),
+    * ONE salted within-bucket pair join that prunes existing×existing
+    * pairs IN the join condition (at production scale the existing corpus
+    * dwarfs the batch, so (E,E) candidates would dominate — they must die
+    * at the join, not in a later filter), and ONE exact-Jaccard rescore
+    * whose similar-pairs output (slim, similarity-bounded) is cached and
+    * split by side-tag into the two loser sets. Still never an all-pairs
+    * form: candidate volume is bounded by band collisions, hot buckets are
+    * salted across reducers. Cost trade vs the r11 two-chain form: batch
+    * pairs touching a cross-loser are rescored (bounded by sim density)
+    * in exchange for one fewer aggregation, join, and rescore stage —
+    * measured 6.35 s → ~2 s idle at sf0.1. */
   def incrementalIngestNearDup(existing: DataFrame, incoming: DataFrame,
       threshold: Double = 0.8): DataFrame = {
-    val tE = graft.etl.CacheRegistry.persist(existing.select(col("doc_id"),
-      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
-    val tI = graft.etl.CacheRegistry.persist(incoming.select(col("doc_id"),
-      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
-    def buckets(t: DataFrame) = graft.etl.CacheRegistry.persist(
-      Dedup.bandBuckets(Dedup.minhashFromTokens(
-        t.select(col("doc_id"), explode(col("toks")).as("tok")))))
     val salts = Dedup.DefaultSaltBuckets
-    val bI = buckets(tI) // cached: serves the cross stage AND the batch stage
-    val bIs = bI.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
-    val bE = buckets(tE)
-      .select(col("bi"), col("band"), col("doc_id").as("ex_id"))
-      .withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
-    val cand = bIs.join(bE, Seq("bi", "band", "_salt"))
-      .select(col("doc_id"), col("ex_id")).distinct()
-    val crossLosers = cand
-      .join(tI.select(col("doc_id"), col("toks").as("tb"), size(col("toks")).as("nb")),
-        "doc_id")
-      .join(tE.select(col("doc_id").as("ex_id"), col("toks").as("ta"),
-        size(col("toks")).as("na")), "ex_id")
-      .filter(Dedup.jaccardFromIntersect(
-        Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
-      .select("doc_id").distinct()
-    val survivors = incoming.join(crossLosers, Seq("doc_id"), "left_anti")
-    // batch keep-first REUSES the incoming bucket relation: signatures are
-    // per-document, so survivor pairs = all-incoming pairs with both ends
-    // surviving (the exact-Jaccard re-score then decides)
-    val survId = survivors.select("doc_id")
-    val pairs = Dedup.lshCandidatePairsFromBuckets(bI, salts)
-      .join(survId.select(col("doc_id").as("doc_a")), "doc_a")
-      .join(survId.select(col("doc_id").as("doc_b")), "doc_b")
-    val sim = pairs
-      .join(tI.select(col("doc_id").as("doc_a"),
+    val tagged = existing.select(col("doc_id"), lit(true).as("_ex"), col("text"))
+      .unionByName(incoming.select(col("doc_id"), lit(false).as("_ex"), col("text")))
+    val toks = graft.etl.CacheRegistry.persist(tagged.select(col("doc_id"), col("_ex"),
+      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks")))
+    val b = graft.etl.CacheRegistry.persist(Dedup.bandBuckets(
+      Dedup.minhashFromTokens(
+        toks.select(col("doc_id"), col("_ex"), explode(col("toks")).as("tok")),
+        carry = Seq("_ex")),
+      carry = Seq("_ex")))
+    val x = b.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
+    val y = b.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
+    // NO pair-level distinct: a pair can collide in at most NumBands (=2)
+    // bands, so duplicate rescores are bounded ×2 (measured 1.24× on the
+    // sf0.1 fixture) — cheaper than shuffling the multi-million-row pair
+    // relation just to dedupe it (the loser sets are distinct'd below, so
+    // output is unaffected)
+    // pair once per unordered pair: strict id order, EXCEPT the equal-id
+    // cross pair (a batch doc re-ingested after acceptance carries the SAME
+    // id on both sides — growth-stability requires it to rescore and lose),
+    // admitted exactly once with the existing side on x
+    val pairs = x.as("x").join(y.as("y"),
+        col("x.bi") === col("y.bi") && col("x.band") === col("y.band") &&
+          col("x._salt") === col("y._salt") &&
+          (col("x.doc_id") < col("y.doc_id") ||
+            (col("x.doc_id") === col("y.doc_id") &&
+              col("x._ex") && !col("y._ex"))) &&
+          !(col("x._ex") && col("y._ex")))
+      .select(col("x.doc_id").as("doc_a"), col("x._ex").as("ex_a"),
+        col("y.doc_id").as("doc_b"), col("y._ex").as("ex_b"))
+    // size-compatibility gate BEFORE the linear-merge intersect: Jaccard ≥ θ
+    // forces min(|A|,|B|) ≥ θ·max(|A|,|B|) (J ≤ min/max), and && short-
+    // circuits in codegen, so size-incompatible pairs never pay the merge
+    val sizeOk = least(col("na"), col("nb")).cast("double") >=
+      lit(threshold) * greatest(col("na"), col("nb")).cast("double")
+    val sim = graft.etl.CacheRegistry.persist(pairs
+      .join(toks.select(col("doc_id").as("doc_a"),
         col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
-      .join(tI.select(col("doc_id").as("doc_b"),
+      .join(toks.select(col("doc_id").as("doc_b"),
         col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
-      .filter(Dedup.jaccardFromIntersect(
+      .filter(sizeOk && Dedup.jaccardFromIntersect(
         Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
-    val batchLosers = sim.select(col("doc_b").as("doc_id")).distinct()
-    survivors.join(batchLosers, Seq("doc_id"), "left_anti")
+      .select("doc_a", "ex_a", "doc_b", "ex_b"))
+    // cross stage: an incoming doc similar to ANY existing doc loses.
+    // Loser id sets are DISTINCT and ⊆ the incoming batch — the increment
+    // is the small side of this pipeline by contract (daily batch vs
+    // standing corpus), so they broadcast to the anti-joins instead of
+    // shuffling the multi-million-row sim relation by id.
+    val crossLosers = broadcast(sim.filter(col("ex_a") =!= col("ex_b"))
+      .select(when(col("ex_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
+      .distinct())
+    // batch keep-first among the cross survivors: same pairs relation,
+    // restricted to incoming×incoming with neither end a cross-loser
+    val batchLosers = broadcast(sim.filter(!col("ex_a") && !col("ex_b"))
+      .join(crossLosers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(crossLosers.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_b").as("doc_id")).distinct())
+    incoming.join(crossLosers.unionByName(batchLosers), Seq("doc_id"), "left_anti")
   }
 
   /** Oracle twin over the fixture split (`existing` = source `exSource`).
