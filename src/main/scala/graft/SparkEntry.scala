@@ -589,6 +589,112 @@ object SparkEntry {
           count(lit(1)).as("n_lines"))
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated scalar subquery on
+    // an AGGREGATE ("suppliers whose cost equals the part's minimum cost"),
+    // decorrelated into a per-(part, supplier) aggregate + a part-
+    // partitioned window min as the equality gate. No partsupp table in
+    // the fixture, so "cost" is the supplier's best discounted unit price
+    // from lineitem — pure per-row double arithmetic (one IEEE mult+div,
+    // no aggregation-order dependence), so min() and the equality compare
+    // are bit-identical across engines.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+      val p = t(s, dir, "part").filter(col("p_size") === 15)
+        .select("p_partkey", "p_brand")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .withColumn("_unit",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) / col("l_quantity"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("l_suppkey"))
+        .agg(min(col("_unit")).as("best_unit_cost"))
+        .withColumn("_best", min(col("best_unit_cost")).over(w))
+        .filter(col("best_unit_cost") === col("_best"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_suppkey"), col("s_name"),
+          col("s_acctbal"), col("best_unit_cost"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // TPC-H Q9 shape (profit by nation and year): the 5-way star join with
+    // a LIKE-filtered part dimension; profit = exact-decimal revenue minus
+    // an exact-decimal retail cost (p_retailprice × quantity stands in for
+    // the missing ps_supplycost), summed per (supplier nation, order
+    // year). Both dimensions broadcast; the only shuffles are the
+    // order-key join and the final small rollup.
+    "q9_profit_by_nation" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+      val profit = d2(col("l_extendedprice")) * (d2(lit(1)) - d2(col("l_discount"))) -
+        d2(col("p_retailprice")) * d2(col("l_quantity"))
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).as("_p"))
+        .select(col("nation"), col("o_year"), dstr(col("_p")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock): per-key value vs a SCALAR subquery
+    // over the same aggregate — the 1-row total rides back as a broadcast
+    // cross join and the threshold compare stays in exact decimals
+    // (value × 1500 > total; no float fraction anywhere).
+    "q11_important_parts" -> ((s, dir) => {
+      val pv = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(revenue().as("_v"))
+      val tot = pv.agg(sum(col("_v")).as("_tot"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("_v") * lit(1500) > col("_tot"))
+        .orderBy(col("_v").desc, col("l_partkey"))
+        .select(col("l_partkey").as("p_partkey"), dstr(col("_v")).as("part_value"))
+    }),
+
+    // TPC-H Q16 shape (supplier counts with an exclusion subquery): count
+    // DISTINCT suppliers per (brand, type, size) bucket, excluding a
+    // NOT-IN supplier set (negative account balance stands in for the
+    // missing comment filter) — LeftAnti against the broadcast exclusion,
+    // distinct-then-count so each (bucket, supplier) crosses the exchange
+    // once.
+    "q16_supplier_counts" -> ((s, dir) => {
+      val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("_bad"))
+      val p = t(s, dir, "part")
+        .filter(col("p_type") =!= "STANDARD" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("_bad"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(count(lit(1)).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 shape (excess-share suppliers): the nested correlated
+    // quantifier — "suppliers who shipped more than a sixth of some part's
+    // lifetime volume" (the uniform fixture averages ~26 suppliers per
+    // part, so a 1/6 share is a strong outlier: 30/100 suppliers at
+    // sf0.01, 10 at sf0.001) — decorrelated into one (part, supplier)
+    // aggregate and a part-partitioned window total; the share compare is
+    // exact decimal × 6, never a float fraction.
+    "q20_excess_shipments" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      t(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(d2(col("l_quantity"))).as("_sq"))
+        .withColumn("_tot", sum(col("_sq")).over(w))
+        .filter(col("_sq") * lit(6) > col("_tot"))
+        .select("l_suppkey").distinct()
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")
+    }),
+
     // TPC-H Q21 shape (suppliers who kept the order waiting): the DOUBLE
     // correlated quantifier — EXISTS a co-supplier line on the same order,
     // NOT EXISTS a co-supplier line shipped later — as a LeftSemi + LeftAnti
@@ -2441,6 +2547,79 @@ object SparkEntry {
         |WHERE p_brand = 'Brand#3'
         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
         |                    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // Q2 shape: correlated scalar subquery on an aggregate (the classic
+    // decorrelation exercise) — per-row double unit cost, so min() and the
+    // equality gate are bit-identical to the Spark window-min form
+    "q2_min_cost_supplier" ->
+      """WITH m AS (
+        |  SELECT p_partkey, p_brand, l_suppkey,
+        |    min((l_extendedprice * (1.0 - l_discount)) / l_quantity)
+        |      AS best_unit_cost
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 15
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.p_partkey, p_brand, s_suppkey, s_name, s_acctbal,
+        |  best_unit_cost
+        |FROM m JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE best_unit_cost = (SELECT min(m2.best_unit_cost) FROM m m2
+        |                        WHERE m2.p_partkey = m.p_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |  CAST(date_part('year', o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    - CAST(p_retailprice AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q11 shape: HAVING against a scalar subquery over the same aggregate;
+    // the compare stays in exact decimals (× 1500, no float fraction)
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS v
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p_partkey, CAST(v AS VARCHAR) AS part_value
+        |FROM pv
+        |WHERE v * 1500 > (SELECT sum(v) FROM pv)
+        |ORDER BY v DESC, p_partkey""".stripMargin,
+
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type <> 'STANDARD'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q20 shape: IN over a correlated aggregate comparison (share of a
+    // part's lifetime volume), exact decimal × 6
+    "q20_excess_shipments" ->
+      """WITH l00 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+        |  FROM lineitem
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM l00 a
+        |  WHERE a.sq * 6 > (SELECT sum(b.sq) FROM l00 b
+        |                    WHERE b.l_partkey = a.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q21_waiting_supplier" ->
       """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait

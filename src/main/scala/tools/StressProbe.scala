@@ -127,7 +127,22 @@ object StressProbe {
         graft.ext.Pipelines.prioritySample(d, "n_chars", "doc_id", 100).count()),
       "graph_pagerank" -> (d => graft.ext.Graph.pageRank(d,
         graft.ext.Dedup.lshCandidatePairs(
-          graft.ext.Dedup.minhashSignatures(d))).count()))
+          graft.ext.Dedup.minhashSignatures(d))).count()),
+      "graph_triangles" -> (d => graft.ext.Graph.triangles(d,
+        graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.minhashSignatures(d))).count()),
+      "graph_kcore" -> (d => graft.ext.Graph.kCore(d,
+        graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.minhashSignatures(d))).count()),
+      "graph_link_prediction" -> (d => graft.ext.Graph.linkPrediction(
+        graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.minhashSignatures(d))).count()),
+      "dedup_containment" -> (d =>
+        graft.ext.Dedup.containmentPrefixJoin(d, theta = 0.8).count()),
+      "dedup_simhash_pairs" -> (d =>
+        graft.ext.Dedup.simhashHammingPairs(d).count()),
+      "search_bm25_topk" -> (d => graft.ext.TextOps.searchTopK(d).count()),
+      "sample_dedup_weights" -> (d => graft.ext.Pipelines.dedupWeights(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -167,7 +182,9 @@ object StressProbe {
       "quality_out_of_order" -> (e =>
         graft.ext.Analytics.outOfOrderRate(e).count()),
       "events_equidepth_hist" -> (e =>
-        graft.ext.Analytics.equidepthHistogram(e, "value", 8).count()))
+        graft.ext.Analytics.equidepthHistogram(e, "value", 8).count()),
+      "events_markov_stationary" -> (e =>
+        graft.ext.Analytics.markovStationary(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
