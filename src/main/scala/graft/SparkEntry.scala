@@ -1470,6 +1470,52 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // 11th streaming oracle row — mapGroupsWithState running per-user
+    // totals in EXACT BIGINT-cents state (restart-deterministic by
+    // construction; sum_value is the one correctly-rounded double of the
+    // exact total, so the oracle's DECIMAL-sum → DOUBLE cast lands on the
+    // identical bits). Final row per user = max n_events (strictly
+    // increasing per emission).
+    "events_stream_user_totals" -> ((s, dir) => {
+      runNarrowStream(s, "stream_utotals_verify")(
+        graft.streaming.EventStreams.userTotalsState(
+            graft.streaming.EventStreams.readEvents(s, dir)).toDF
+          .writeStream.format("memory").queryName("stream_utotals_verify")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table("stream_utotals_verify")
+        .withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
+        .select(col("user_id"), col("n_events"), col("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // 12th streaming oracle row — the bounded-state quantile sketch
+    // (mapGroupsWithState holding the k smallest (md5(event_id), value)
+    // pairs per event type — the deterministic hash-min-k sample maintained
+    // INCREMENTALLY). After the final batch the profile equals the batch
+    // sketch bit-for-bit, so the oracle is the same md5-ordered sample +
+    // quantile_cont shape the green sketch_sample_quantiles_grouped row
+    // uses. Final row per type = max n_seen.
+    "events_stream_quantile_profile" -> ((s, dir) => {
+      runNarrowStream(s, "stream_qprofile_verify")(
+        graft.streaming.EventStreams.quantileProfileState(
+            graft.streaming.EventStreams.readEvents(s, dir)).toDF
+          .writeStream.format("memory").queryName("stream_qprofile_verify")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n_seen").desc)
+      s.table("stream_qprofile_verify")
+        .withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
+        .select(col("event_type"), col("n_seen"), col("sample_n"),
+          col("q50"), col("q90"))
+        .orderBy("event_type")
+    }),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -3355,5 +3401,33 @@ object SparkEntry {
         |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS step_reached,
         |  CAST(count(*) AS BIGINT) AS n_seen
-        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch twin of the exact-cents stateful totals: count(*) + null-
+    // skipping DECIMAL sum cast to DOUBLE (the correctly-rounded double of
+    // the exact total = the streaming emission's cents/100.0)
+    "events_stream_user_totals" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(coalesce(sum(CAST(value AS DECIMAL(18,2))),
+        |    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch twin of the incremental hash-min-k quantile sketch state: the
+    // same md5-ordered deterministic sample + quantile_cont interpolation
+    // as the green sketch_sample_quantiles_grouped row
+    "events_stream_quantile_profile" ->
+      """WITH e AS (SELECT event_type, md5(CAST(event_id AS VARCHAR)) AS h,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        | n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_seen
+        |   FROM e GROUP BY 1),
+        | r AS (SELECT event_type, v, row_number() OVER
+        |     (PARTITION BY event_type ORDER BY h, v) AS rn FROM e)
+        |SELECT r.event_type, n.n_seen, CAST(count(*) AS BIGINT) AS sample_n,
+        |  quantile_cont(v, 0.5) AS q50, quantile_cont(v, 0.9) AS q90
+        |FROM r JOIN n ON r.event_type = n.event_type
+        |WHERE rn <= 64
+        |GROUP BY r.event_type, n.n_seen
+        |ORDER BY r.event_type""".stripMargin)
 }

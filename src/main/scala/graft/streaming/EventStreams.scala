@@ -108,23 +108,37 @@ object EventStreams {
     * (KeyValueGroupedDataset.mapGroupsWithState): the arbitrary-stateful-
     * processing extension point for logic windows can't express. State is
     * one small record per user; each micro-batch folds its events into the
-    * state and emits the updated totals (output mode: update). */
-  final case class UserState(nEvents: Long, sumValue: Double)
+    * state and emits the updated totals (output mode: update).
+    *
+    * The accumulator is EXACT BIGINT cents (value quantized through the
+    * repo-standard DECIMAL(18,2) cast), not a running double: double
+    * accumulation depends on arrival order, so a restart that re-batches
+    * events would emit different low bits — cents are associative, making
+    * the final total restart- AND oracle-exact (`sum_value` is the one
+    * correctly-rounded double of the exact cents total). Null values fold
+    * as 0 but still count into n_events, mirroring count(*) + null-skipping
+    * SUM batch semantics. */
+  final case class UserState(nEvents: Long, cents: Long)
   final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
 
   def userTotalsState(events: DataFrame): org.apache.spark.sql.Dataset[UserTotals] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    events.selectExpr("user_id", "value").as[(Long, Double)]
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        coalesce((col("value").cast("decimal(18,2)") * 100).cast("long"), lit(0L))
+          .as("cents"))
+      .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[UserState, UserTotals](GroupStateTimeout.NoTimeout) {
         (uid, rows, state) =>
           var n = 0L
-          var v = 0.0
-          state.getOption.foreach { s => n = s.nEvents; v = s.sumValue }
-          rows.foreach { case (_, value) => n += 1; v += value }
-          state.update(UserState(n, v))
-          UserTotals(uid, n, v)
+          var c = 0L
+          state.getOption.foreach { s => n = s.nEvents; c = s.cents }
+          rows.foreach { case (_, cents) => n += 1; c += cents }
+          state.update(UserState(n, c))
+          UserTotals(uid, n, c / 100.0)
       }
   }
 

@@ -31,8 +31,10 @@ object PlanAudit {
       "crossJoin of the 1-row corpus-size aggregate"),
     "sample_mix_weighted" -> ("BroadcastNestedLoopJoin",
       "per-group count relation (|groups| rows) x 1-row min-scale aggregate"),
-    "text_top_ngrams" -> ("SinglePartitionWindow",
-      "rank window runs AFTER limit(k) — k=100 rows through one partition; the distributed part is TakeOrderedAndProject"),
+    "text_top_ngrams" -> ("BroadcastNestedLoopJoin",
+      "triangular rank self-join over the k=100 survivors (k² bounded pairs) — replaced the r11 unpartitioned rank window; the distributed part is TakeOrderedAndProject"),
+    "q11_important_parts" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row total-value aggregate (the TPC-H Q11 scalar-subquery shape)"),
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quartile-edges aggregate"),
     "events_zorder_key" -> ("BroadcastNestedLoopJoin",
