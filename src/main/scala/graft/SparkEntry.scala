@@ -2000,6 +2000,15 @@ object SparkEntry {
       graft.ext.Sketch.countMinTokens(t(s, dir, "documents"))
         .orderBy(col("exact").desc, col("token"))),
 
+    // explicit-register HyperLogLog distinct users per event type
+    // (ext/Sketch.hllDistinctByGroup): 256 max-rank registers per group,
+    // rank capped at 20 so every 2^-rho term and their 256-term sum are
+    // EXACT binary64 -- the estimate is partition- and engine-invariant;
+    // the exact count column validates the sketch at fixture scale
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.ext.Sketch.hllDistinctByGroup(t(s, dir, "events"),
+        "event_type", "user_id").orderBy("event_type")),
+
     // corpus-slice distribution drift as TOTAL-VARIATION distance (ext/
     // Stats.driftTotalVariation): TV, not PSI/KL — no ln, the per-bucket
     // |p_a − p_b| cross-multiplies to exact BIGINT numerators and TV is
@@ -3212,6 +3221,8 @@ object SparkEntry {
     "profile_documents" -> graft.ext.Stats.profileColumnsSqlDuck("documents",
       Seq("doc_id", "lang", "source", "n_chars", "text")),
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
+    "sketch_hll_distinct" -> graft.ext.Sketch.hllDistinctByGroupSqlDuck(
+      "events", "event_type", "user_id"),
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,

@@ -525,4 +525,99 @@ object Sketch {
        |SELECT token, exact, est, est - exact AS overcount FROM est
        |ORDER BY exact DESC, token LIMIT $topK""".stripMargin
   }
+
+  /** HyperLogLog register expressions over an md5-hex column — ONE SQL text
+    * evaluated by both engines (the [[graft.ext.Dedup.simhash16Expr]]
+    * pattern: substr/position/regexp_extract/CASE only, no dialect
+    * functions). Hex digits 1–2 pick one of m=256 registers; the register
+    * rank ρ = (leading zero BITS of the remaining 13-hex-digit stream) + 1,
+    * computed as 4·(leading '0' hex chars) + the first non-zero digit's
+    * intra-nibble zeros, CAPPED at 20 — the cap is part of the pinned
+    * semantics and keeps every 2^-ρ term exactly representable AND the
+    * register sum exactly associative in binary64 (≤256 terms, each ≥ 2^-20,
+    * total ≤ 256: every partial sum fits in 28 mantissa bits), so the
+    * estimate is a deterministic function of the key set on any engine and
+    * any partitioning. */
+  def hllRegisterSqlPublic(hCol: String): (String, String) = hllRegisterSql(hCol)
+  private[ext] def hllRegisterSql(hCol: String): (String, String) = {
+    val hex = "'0123456789abcdef'"
+    val d1 = s"(position(substr($hCol, 1, 1) IN $hex) - 1)"
+    val d2 = s"(position(substr($hCol, 2, 1) IN $hex) - 1)"
+    val bucket = s"($d1 * 16 + $d2)"
+    val tail = s"substr($hCol, 3, 13)"
+    val lz = s"length(regexp_extract($tail, '^0*', 0))"
+    val nz = s"(position(substr($tail, $lz + 1, 1) IN $hex) - 1)"
+    val extra = s"(CASE WHEN $nz >= 8 THEN 0 WHEN $nz >= 4 THEN 1" +
+      s" WHEN $nz >= 2 THEN 2 ELSE 3 END)"
+    val rho = s"(CASE WHEN $lz >= 5 THEN 20 ELSE 4 * $lz + $extra + 1 END)"
+    (bucket, rho)
+  }
+
+  /** Per-group HyperLogLog distinct-count estimate (Flajolet, Fusy,
+    * Gandouet & Meunier 2007) with EXPLICIT registers — the mergeable
+    * industry-standard sketch, kept transparent: m=256 registers per group
+    * as ordinary rows, max-rank per register, estimate
+    * α·m² / (Σ 2^-M_j + zero-registers), with the register sum carried as
+    * an EXACT integer (Σ 2^(20-M_j) in BIGINT — Java's Math.pow(2, -n) is
+    * only 1-ulp-guaranteed and measurably differs from DuckDB's, so no
+    * floating pow appears anywhere; one exact power-of-two division at the
+    * end). The scale path is ONE pass over
+    * the keys plus 256-row-per-group state (registers merge by max, so the
+    * aggregation is map-side combined and restart/partition-invariant);
+    * the exact count(DISTINCT) column exists to VALIDATE the sketch at
+    * fixture scale — at 100 TB a user drops it and keeps the sketch.
+    * No small-range linear-counting branch: ln() is the one libm call
+    * whose last bit differs across engines, so the raw estimate plus the
+    * zero-register count are emitted and the correction is the caller's
+    * (documented) choice. */
+  def hllDistinctByGroup(df: DataFrame, group: String, key: String): DataFrame = {
+    val (bucket, rho) = hllRegisterSql("_h")
+    val clean = df.filter(col(group).isNotNull && col(key).isNotNull)
+    val regs = clean
+      .selectExpr(s"$group AS _g", s"md5(CAST($key AS STRING)) AS _h")
+      .selectExpr("_g", s"$bucket AS _b", s"$rho AS _r")
+      .groupBy("_g", "_b").agg(max("_r").as("_m"))
+    val prof = regs.groupBy("_g").agg(
+      count(lit(1)).as("registers_hit"),
+      // exact 2^(20-m) integer units; m ≤ 20 so terms are 1..2^19 and the
+      // 256-term sum is ≤ 2^27 — no floating point until the final division
+      sum(expr("shiftleft(CAST(1 AS BIGINT), 20 - _m)")).as("_s"))
+    val exact = clean.groupBy(col(group).as("_g2"))
+      .agg(count_distinct(col(key)).as("n_exact"))
+    prof.join(exact, col("_g") === col("_g2"))
+      .selectExpr(s"_g AS $group", "CAST(n_exact AS BIGINT) AS n_exact",
+        "CAST(registers_hit AS BIGINT) AS registers_hit",
+        "CAST(256 - registers_hit AS BIGINT) AS zero_registers",
+        // literals CAST to DOUBLE explicitly: Spark parses bare decimal
+        // literals as DECIMAL and would run this in decimal arithmetic,
+        // while DuckDB promotes to double — cast both sides identically
+        "CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE) + " +
+          "CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE)) * " +
+          "CAST(65536 AS DOUBLE) / " +
+          "(CAST(_s AS DOUBLE) / CAST(1048576 AS DOUBLE) + " +
+          "CAST(256 - registers_hit AS DOUBLE)) AS hll_estimate")
+  }
+
+  /** DuckDB oracle twin of [[hllDistinctByGroup]] — same register SQL text,
+    * same literal constants. */
+  def hllDistinctByGroupSqlDuck(table: String, group: String, key: String): String = {
+    val (bucket, rho) = hllRegisterSql("_h")
+    s"""WITH e AS (SELECT $group AS g, md5(CAST($key AS VARCHAR)) AS _h
+       |  FROM $table WHERE $group IS NOT NULL AND $key IS NOT NULL),
+       | hb AS (SELECT g, $bucket AS b, $rho AS r FROM e),
+       | regs AS (SELECT g, b, max(r) AS m FROM hb GROUP BY 1, 2),
+       | prof AS (SELECT g, CAST(count(*) AS BIGINT) AS registers_hit,
+       |    sum(CAST(1 AS BIGINT) << (20 - m)) AS s FROM regs GROUP BY 1),
+       | ex AS (SELECT $group AS g, CAST(count(DISTINCT $key) AS BIGINT) AS n_exact
+       |   FROM $table WHERE $group IS NOT NULL AND $key IS NOT NULL GROUP BY 1)
+       |SELECT prof.g AS $group, n_exact, registers_hit,
+       |  CAST(256 - registers_hit AS BIGINT) AS zero_registers,
+       |  CAST(0.7213 AS DOUBLE) / (CAST(1 AS DOUBLE)
+       |      + CAST(1.079 AS DOUBLE) / CAST(256 AS DOUBLE))
+       |    * CAST(65536 AS DOUBLE) /
+       |    (CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE)
+       |     + CAST(256 - registers_hit AS DOUBLE)) AS hll_estimate
+       |FROM prof JOIN ex ON prof.g = ex.g
+       |ORDER BY $group""".stripMargin
+  }
 }

@@ -201,4 +201,29 @@ class SketchSpec extends AnyFunSuite {
     assert(tx("x").getAs[Long]("sample_n") == 10L)
     assert(tx("x").getAs[Double]("q50") == 4.5)
   }
+
+  test("hllDistinctByGroup: ±3 RSE of the exact count; partitioning-invariant") {
+    // HLL's RSE for m=256 registers is 1.04/sqrt(256) = 6.5%; with the
+    // raw (uncorrected) estimator the low-cardinality bias widens the
+    // band, so assert a conservative 4x RSE envelope at n=2000 and 500.
+    val df = spark.range(4000).select(
+      when(col("id") % 2 === 0, "even").otherwise("odd").as("g"),
+      when(col("id") % 2 === 0, col("id") / 2).otherwise(col("id") % 1000)
+        .cast("long").as("k")).toDF()
+    val got = Sketch.hllDistinctByGroup(df, "g", "k")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("even", "odd"))
+    got.values.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est - exact) / exact < 4 * 0.065,
+        s"estimate $est too far from exact $exact")
+      assert(r.getAs[Long]("registers_hit") + r.getAs[Long]("zero_registers") == 256L)
+    }
+    // registers merge by max -> the estimate is a pure function of the key
+    // SET, whatever the partitioning
+    val again = Sketch.hllDistinctByGroup(df.repartition(13), "g", "k")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
+    assert(again == got.map { case (g, r) => g -> r.getAs[Double]("hll_estimate") })
+  }
 }
