@@ -1470,6 +1470,34 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // 13th streaming oracle row — the O(1)-state ordered-arrival funnel
+    // (mapGroupsWithState holding just three step timestamps). Within one
+    // AvailableNow batch the operator itself sorts each user's rows by
+    // (ts, type) before folding, so the single-file fixture satisfies the
+    // ordered-stream contract by construction; the buffered variant
+    // (events_stream_funnel) covers cross-batch disorder. Oracle = the
+    // strict-sequence batch funnel with the same null contract.
+    "events_stream_funnel_o1" -> ((s, dir) => {
+      runNarrowStream(s, "stream_funnel1_verify")(
+        graft.streaming.EventStreams.funnelState(
+            graft.streaming.EventStreams.readEvents(s, dir)).toDF
+          .writeStream.format("memory").queryName("stream_funnel1_verify")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("step_reached").desc,
+          coalesce(col("ts3_us"), col("ts2_us"), col("ts1_us"), lit(-1L)).desc)
+      s.table("stream_funnel1_verify")
+        .withColumn("_rk", row_number().over(rk)).filter(col("_rk") === 1)
+        .select(col("user_id"),
+          coalesce(col("ts1_us"), lit(-1L)).as("ts1_us"),
+          coalesce(col("ts2_us"), lit(-1L)).as("ts2_us"),
+          coalesce(col("ts3_us"), lit(-1L)).as("ts3_us"),
+          col("step_reached"))
+        .orderBy("user_id")
+    }),
+
     // 11th streaming oracle row — mapGroupsWithState running per-user
     // totals in EXACT BIGINT-cents state (restart-deterministic by
     // construction; sum_value is the one correctly-rounded double of the
@@ -1566,6 +1594,20 @@ object SparkEntry {
     // sample sketch, binning as one codegen'd CASE over the scan
     "sample_length_quartiles" -> ((s, dir) =>
       graft.ext.Pipelines.lengthQuartiles(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // per-source cap (keep best n per source): rank <= n over a partitioned
+    // window -- plans as WindowGroupLimit, map-side pre-pruned to n per
+    // source before the exchange
+    "pipeline_source_cap" -> ((s, dir) =>
+      graft.ext.Pipelines.sourceCap(t(s, dir, "documents"), 15)
+        .orderBy("source", "rank")),
+
+    // deterministic global training-order permutation in md5(doc_id) order
+    // via the bucketed global rank -- reproducible corpus shuffle with no
+    // single-partition sort anywhere
+    "pipeline_shuffle_order" -> ((s, dir) =>
+      graft.ext.Pipelines.shuffleOrder(t(s, dir, "documents"))
+        .orderBy("doc_id")),
 
     // the near-duplicate form of daily ingest: reject incoming docs
     // LSH+Jaccard-similar to the existing corpus, then keep-first within
@@ -3223,6 +3265,8 @@ object SparkEntry {
     "sketch_countmin" -> graft.ext.Sketch.countMinTokensSqlDuck(),
     "sketch_hll_distinct" -> graft.ext.Sketch.hllDistinctByGroupSqlDuck(
       "events", "event_type", "user_id"),
+    "pipeline_source_cap" -> graft.ext.Pipelines.sourceCapSqlDuck(15),
+    "pipeline_shuffle_order" -> graft.ext.Pipelines.shuffleOrderSqlDuck,
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
@@ -3412,6 +3456,29 @@ object SparkEntry {
         |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS step_reached,
         |  CAST(count(*) AS BIGINT) AS n_seen
+        |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // batch twin of the O(1)-state ordered funnel: identical strict-
+    // sequence semantics to events_stream_funnel's oracle minus the
+    // arrival counter
+    "events_stream_funnel_o1" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |   WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |     AND ts IS NOT NULL),
+        | s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+        |   OVER (PARTITION BY user_id) AS t1 FROM e),
+        | s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND us > t1
+        |   THEN us END) OVER (PARTITION BY user_id) AS t2 FROM s1),
+        | s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND us > t2
+        |   THEN us END) OVER (PARTITION BY user_id) AS t3 FROM s2)
+        |SELECT user_id,
+        |  coalesce(min(t1), -1) AS ts1_us,
+        |  coalesce(min(t2), -1) AS ts2_us,
+        |  coalesce(min(t3), -1) AS ts3_us,
+        |  CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+        |            WHEN min(t2) IS NOT NULL THEN 2
+        |            WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS step_reached
         |FROM s3 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // batch twin of the exact-cents stateful totals: count(*) + null-

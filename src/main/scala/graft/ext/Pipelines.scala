@@ -280,6 +280,55 @@ object Pipelines {
        |       ELSE 4 END AS BIGINT) AS bucket
        |FROM wl CROSS JOIN e ORDER BY doc_id""".stripMargin
 
+  /** Per-source document cap — the web-corpus curation rule "keep at most
+    * n docs per domain/source, best first" that stops any single crawl
+    * domain from dominating the training mixture. Ranking key here is
+    * (n_chars DESC, doc_id) as the stand-in for any deterministic quality
+    * key; ties can't happen (doc_id is unique), so the kept set is exact.
+    *
+    * Scale shape: rank ≤ n over a partitioned window plans as
+    * WindowGroupLimit (Spark 3.5+) — each map task pre-prunes to its local
+    * top-n per source BEFORE the exchange, so the shuffle carries
+    * O(sources × n) rows per task, not the corpus. */
+  def sourceCap(docs: DataFrame, n: Int = 50): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select("doc_id", "source", "n_chars")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  def sourceCapSqlDuck(n: Int = 50): String =
+    s"""WITH r AS (SELECT doc_id, source, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+       |  FROM documents)
+       |SELECT doc_id, source, n_chars, rank FROM r
+       |WHERE rank <= $n ORDER BY source, rank""".stripMargin
+
+  /** Deterministic global training-order permutation: every doc gets a
+    * dense 1-based position in md5(doc_id) order — the "shuffle the corpus
+    * once, reproducibly" step before sequence packing / sharding. Seeded
+    * hash order means the permutation is a pure function of the ID SET
+    * (stable across reruns, engines, partitionings — the property
+    * rand()-based shuffles lack), and the position comes from the
+    * deterministic range-bucket global rank (IngestOps.withGlobalPos), so
+    * at 100 TB this is one bucket-count pass plus one bucketed
+    * row_number — NEVER a single-partition global sort. */
+  def shuffleOrder(docs: DataFrame): DataFrame = {
+    val key = md5(col("doc_id").cast("string"))
+    graft.etl.IngestOps.withGlobalPos(docs.select(col("doc_id")), key,
+        "shuffle_pos", order = Seq(key, col("doc_id")))
+      .select(col("doc_id"), col("shuffle_pos"))
+  }
+
+  def shuffleOrderSqlDuck: String =
+    """SELECT doc_id,
+      |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+      |    doc_id) AS BIGINT) AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** [[incrementalIngest]]'s near-duplicate form — what production daily
     * ingest actually runs: an incoming document is rejected when it is
     * `threshold`-Jaccard-similar (distinct unigram sets, LSH band-bucket

@@ -143,6 +143,41 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("sourceCap keeps exactly the top-n per source and plans a WindowGroupLimit") {
+    import spark.implicits._
+    val docs = (for (src <- Seq("a", "b"); i <- 1 to 10)
+      yield (s"$src$i".hashCode.toLong, src, i.toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val got = Pipelines.sourceCap(docs, 3)
+    val rows = got.collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 6)
+    // best-first: within each source the 3 LARGEST n_chars, ranks 1..3
+    Seq("a", "b").foreach { src =>
+      val s = rows.filter(_._1 == src).sortBy(_._3)
+      assert(s.map(_._2).toSeq == Seq(10L, 9L, 8L) && s.map(_._3).toSeq == Seq(1L, 2L, 3L))
+    }
+    // the cap must pre-prune map-side: WindowGroupLimit in the plan
+    var hasLimit = false
+    graft.etl.PlanWalk.visit(got.queryExecution.executedPlan) { p =>
+      if (p.getClass.getSimpleName.contains("WindowGroupLimit")) hasLimit = true
+    }
+    assert(hasLimit, s"expected WindowGroupLimit in:\n${got.queryExecution.executedPlan}")
+  }
+
+  test("shuffleOrder is a dense permutation, stable across partitionings, and rand-free") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val got = Pipelines.shuffleOrder(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSeq.sorted == (1L to 300L).toSeq) // dense 1..n
+    assert(got.keySet == (1L to 300L).toSet)
+    val again = Pipelines.shuffleOrder(docs.repartition(17)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got) // pure function of the id set
+    // and it actually permutes (id order != position order)
+    assert((1L to 300L).count(i => got(i) == i) < 30)
+  }
+
   test("incrementalIngestNearDup rejects near-dups of the corpus, then keep-firsts the batch") {
     import spark.implicits._
     val base = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
