@@ -639,15 +639,18 @@ object SparkEntry {
     }),
 
     // TPC-H Q11 shape (important stock): per-key value vs a SCALAR subquery
-    // over the same aggregate — the 1-row total rides back as a broadcast
-    // cross join and the threshold compare stays in exact decimals
-    // (value × 1500 > total; no float fraction anywhere).
+    // over the same aggregate — the 1-row (total, count) aggregate rides
+    // back as a broadcast cross join. TPC-H scales Q11's fraction by 1/SF,
+    // so the faithful scale-invariant form keys the threshold to the
+    // AVERAGE part value: keep v > 1.25·avg, compared in exact integer
+    // decimals (v·n·4 > total·5 — no float fraction anywhere; selects the
+    // same ~top-decile at every SF).
     "q11_important_parts" -> ((s, dir) => {
       val pv = t(s, dir, "lineitem").groupBy(col("l_partkey"))
         .agg(revenue().as("_v"))
-      val tot = pv.agg(sum(col("_v")).as("_tot"))
+      val tot = pv.agg(sum(col("_v")).as("_tot"), count(lit(1)).as("_n"))
       pv.crossJoin(broadcast(tot))
-        .filter(col("_v") * lit(1500) > col("_tot"))
+        .filter(col("_v") * col("_n") * lit(4) > col("_tot") * lit(5))
         .orderBy(col("_v").desc, col("l_partkey"))
         .select(col("l_partkey").as("p_partkey"), dstr(col("_v")).as("part_value"))
     }),
@@ -2678,8 +2681,9 @@ object SparkEntry {
         |WHERE p_name LIKE '%gear%'
         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
 
-    // Q11 shape: HAVING against a scalar subquery over the same aggregate;
-    // the compare stays in exact decimals (× 1500, no float fraction)
+    // Q11 shape: HAVING against scalar subqueries over the same aggregate;
+    // threshold = 1.25 x the average part value in exact integer decimals
+    // (v*n*4 > total*5), scale-invariant like TPC-H's 1/SF fraction
     "q11_important_parts" ->
       """WITH pv AS (
         |  SELECT l_partkey AS p_partkey,
@@ -2689,7 +2693,7 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT p_partkey, CAST(v AS VARCHAR) AS part_value
         |FROM pv
-        |WHERE v * 1500 > (SELECT sum(v) FROM pv)
+        |WHERE v * (SELECT count(*) FROM pv) * 4 > (SELECT sum(v) FROM pv) * 5
         |ORDER BY v DESC, p_partkey""".stripMargin,
 
     "q16_supplier_counts" ->

@@ -142,7 +142,9 @@ object StressProbe {
       "dedup_simhash_pairs" -> (d =>
         graft.ext.Dedup.simhashHammingPairs(d).count()),
       "search_bm25_topk" -> (d => graft.ext.TextOps.searchTopK(d).count()),
-      "sample_dedup_weights" -> (d => graft.ext.Pipelines.dedupWeights(d).count()))
+      "sample_dedup_weights" -> (d => graft.ext.Pipelines.dedupWeights(d).count()),
+      "pipeline_source_cap" -> (d => graft.ext.Pipelines.sourceCap(d).count()),
+      "pipeline_shuffle_order" -> (d => graft.ext.Pipelines.shuffleOrder(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -184,7 +186,9 @@ object StressProbe {
       "events_equidepth_hist" -> (e =>
         graft.ext.Analytics.equidepthHistogram(e, "value", 8).count()),
       "events_markov_stationary" -> (e =>
-        graft.ext.Analytics.markovStationary(e).count()))
+        graft.ext.Analytics.markovStationary(e).count()),
+      "sketch_hll_distinct" -> (e =>
+        graft.ext.Sketch.hllDistinctByGroup(e, "event_type", "user_id").count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
@@ -214,6 +218,8 @@ object StressProbe {
     }
     val relQueries = Seq("q4_order_priority", "q8_market_share",
       "q12_priority_class", "q17_small_qty", "q21_waiting_supplier",
+      "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
+      "q16_supplier_counts", "q20_excess_shipments",
       "sketch_sample_quantiles", "sketch_sample_quantiles_grouped",
       "orders_pareto_front")
 

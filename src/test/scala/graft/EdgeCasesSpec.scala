@@ -278,4 +278,44 @@ class EdgeCasesSpec extends AnyFunSuite {
     val se = Stats.seasonality(one).collect()
     assert(se.length == 1 && se.head.isNullAt(5))
   }
+
+  test("round-12 operators on empty inputs return empty, not errors") {
+    import graft.ext.{Pipelines, Sketch}
+    val emptyEvents = Seq.empty[(Long, Long, Long, Double, String)]
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(Pipelines.sourceCap(emptyDocs).count() == 0)
+    assert(Pipelines.shuffleOrder(emptyDocs).count() == 0)
+    assert(Pipelines.incrementalIngestNearDup(emptyDocs, emptyDocs).count() == 0)
+    assert(Sketch.hllDistinctByGroup(emptyEvents, "event_type", "user_id").count() == 0)
+  }
+
+  test("round-12 degenerate shapes: empty-side ingest, tiny rfm, 1-key HLL") {
+    import graft.ext.{Analytics, Pipelines, Sketch}
+    val oneDoc = Seq((7L, "alpha beta gamma", "en", 16L, "src0"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+    // empty existing corpus: the whole batch is cross-survivor; the batch
+    // keep-first still applies within the increment
+    assert(Pipelines.incrementalIngestNearDup(emptyDocs, oneDoc).count() == 1)
+    // empty increment against a real corpus: nothing to admit, no error
+    assert(Pipelines.incrementalIngestNearDup(oneDoc, emptyDocs).count() == 0)
+    // a single doc is its own shuffle permutation and survives any cap
+    assert(Pipelines.shuffleOrder(oneDoc).head().getLong(1) == 1L)
+    assert(Pipelines.sourceCap(oneDoc, 1).count() == 1)
+    // rfm with fewer customers than quintiles: ntile degenerates to rank
+    val tiny = Seq((1L, 3L, 0L, 10.0), (2L, 4L, 86400000000L, 20.0))
+      .toDF("o_orderkey", "o_custkey", "us", "o_totalprice")
+      .withColumn("o_orderdate", timestamp_micros(col("us")))
+    val scores = Analytics.rfm(tiny).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(scores.values.toSet == Set(1L, 2L))
+    // HLL on a single key: one register hit, estimate within the
+    // small-range bias envelope (raw estimator, no linear counting)
+    val oneEv = Seq((1L, 42L, 1000000L, 5.0, "view"))
+      .toDF("event_id", "user_id", "us", "value", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val h = Sketch.hllDistinctByGroup(oneEv, "event_type", "user_id").head()
+    assert(h.getAs[Long]("n_exact") == 1L && h.getAs[Long]("registers_hit") == 1L)
+    assert(h.getAs[Double]("hll_estimate") > 0.0 && h.getAs[Double]("hll_estimate") < 260.0)
+  }
 }
