@@ -1557,6 +1557,12 @@ object SparkEntry {
     "events_minmax_scale" -> ((s, dir) =>
       graft.ext.Analytics.minmaxScale(t(s, dir, "events")).orderBy("event_id")),
 
+    // winsorization to EXACT [p05, p95] fences (value-domain bisection, two
+    // broadcast scalars, least/greatest clip -- every output double is an
+    // input double)
+    "events_winsorize" -> ((s, dir) =>
+      graft.ext.Analytics.winsorize(t(s, dir, "events")).orderBy("event_id")),
+
     // robust median/MAD outliers: the exact bisection path composed over a
     // DERIVED column (|v - median|), fences again pushed into the scan
     "events_outliers_mad" -> ((s, dir) =>
@@ -1769,6 +1775,13 @@ object SparkEntry {
 
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
+    // SemDeDup (Abbas et al. 2023): coarse k-means clusters, then drop any
+    // vector with a lower-id cosine>theta neighbor in its own cluster —
+    // the published within-cluster collapse of the all-pairs embedding
+    // dedup; pair volume bounded by the cluster equi-join
+    "dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(t(s, dir, "embeddings")).orderBy("vec_id")),
 
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
@@ -3070,6 +3083,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
     "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
+    "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
@@ -3270,6 +3284,7 @@ object SparkEntry {
     "sketch_hll_distinct" -> graft.ext.Sketch.hllDistinctByGroupSqlDuck(
       "events", "event_type", "user_id"),
     "pipeline_source_cap" -> graft.ext.Pipelines.sourceCapSqlDuck(15),
+    "events_winsorize" -> graft.ext.Analytics.winsorizeSqlDuck(),
     "pipeline_shuffle_order" -> graft.ext.Pipelines.shuffleOrderSqlDuck,
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),

@@ -375,6 +375,42 @@ object Analytics {
           .otherwise(lit(0.0)).as("scaled"))
   }
 
+  /** Winsorization — clip a metric to its exact [pLo, pHi] type-1 quantile
+    * fences, the standard outlier-robust cleaning step before scaling or
+    * loss weighting. The fences come from the value-domain bisection
+    * ([[graft.ext.Sketch.exactQuantileDisc]] — O(log range) rounds, O(1)
+    * driver state, never a global sort), pivot to a 1-row relation and
+    * broadcast back over the stream; the clip itself is
+    * least/greatest comparisons only, so every output double is an INPUT
+    * double — bit-exact on any engine and any partitioning. */
+  def winsorize(events: DataFrame, pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi, "need 0 < pLo < pHi <= 1")
+    val q = graft.ext.Sketch.exactQuantileDisc(events, "value", Seq(pLo, pHi))
+    val fences = q.agg(
+      max(when(col("prob") === pLo, col("value"))).as("_lo"),
+      max(when(col("prob") === pHi, col("value"))).as("_hi"))
+    events.filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+      .crossJoin(broadcast(fences))
+      .select(col("event_id"), col("value"),
+        least(greatest(col("value"), col("_lo")), col("_hi")).as("clipped"),
+        (col("value") < col("_lo") || col("value") > col("_hi")).as("was_clipped"))
+  }
+
+  def winsorizeSqlDuck(pLo: Double = 0.05, pHi: Double = 0.95): String =
+    s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+       |           WHERE value IS NOT NULL),
+       | s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+       |       count(*) OVER () AS n FROM v),
+       | f AS (SELECT
+       |   (SELECT v FROM s WHERE rn = CAST(ceil($pLo * n) AS BIGINT) LIMIT 1) AS lo,
+       |   (SELECT v FROM s WHERE rn = CAST(ceil($pHi * n) AS BIGINT) LIMIT 1) AS hi)
+       |SELECT event_id, CAST(value AS DOUBLE) AS value,
+       |  least(greatest(CAST(value AS DOUBLE), lo), hi) AS clipped,
+       |  (CAST(value AS DOUBLE) < lo OR CAST(value AS DOUBLE) > hi) AS was_clipped
+       |FROM events CROSS JOIN f
+       |WHERE value IS NOT NULL ORDER BY event_id""".stripMargin
+
   /** Event-type transition matrix (first-order Markov estimate): per user,
     * consecutive event pairs in (time, id) order; output one row per
     * (from_type, to_type) with the transition count and row-normalized

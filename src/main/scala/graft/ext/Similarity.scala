@@ -254,21 +254,31 @@ object Similarity {
     * is the same left-associated double accumulation from 0.0 as
     * [[graft.functions.FloatVectorDotConst]], so scores are bit-identical
     * and the assignment/probe/top-k decisions agree exactly. */
-  def ivfTopKSqlDuck(nQueries: Int = 8, k: Int = 10, kClusters: Int = 16,
-      nProbe: Int = 3, iters: Int = 2): String = {
+  // score(e, c) = e·c - |c|²/2, both chains left-assoc from 0.0 (the
+  // FloatVectorDotConst / Array[Double].sum accumulation order); shared by
+  // every oracle that replays the deterministic Lloyd trainer
+  private[ext] def ivfScoreSql(c: String): String = {
     val dims = 1 to Dim
-    // score(e, c) = e·c - |c|²/2, both chains left-assoc from 0.0 (the
-    // FloatVectorDotConst / Array[Double].sum accumulation order)
-    def dotEC(c: String): String =
+    val dotEC =
       "0.0 + " + dims.map(i => s"CAST(e.embedding[$i] AS DOUBLE)*$c.c$i").mkString(" + ")
-    def halfSql(c: String): String =
+    val halfSql =
       "(0.0 + " + dims.map(i => s"$c.c$i*$c.c$i").mkString(" + ") + ") / 2"
-    def scoreSql(c: String): String = s"(${dotEC(c)}) - (${halfSql(c)})"
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (SELECT vec_id, cluster FROM (
-         |  SELECT e.vec_id, c.cluster, row_number() OVER (
-         |    PARTITION BY e.vec_id ORDER BY ${scoreSql("c")} DESC, c.cluster) AS rn
-         |  FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    s"($dotEC) - ($halfSql)"
+  }
+
+  private[ext] def ivfAssignCte(name: String, cents: String): String =
+    s"""$name AS (SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c.cluster, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("c")} DESC, c.cluster) AS rn
+       |  FROM embeddings e CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+
+  /** The deterministic Lloyd-trainer CTE chain shared by [[ivfTopKSqlDuck]]
+    * and [[semanticDedupSqlDuck]]: `cents0` (first-k init), per round an
+    * assignment + exact quantized-BIGINT mean (the [[VecSumQ]] arithmetic
+    * replayed term-for-term), then the final `assignf` assignment against
+    * the round-`iters` centroids. Returns (cteBlock, finalCentsName). */
+  private[ext] def ivfTrainerCtes(kClusters: Int, iters: Int): (String, String) = {
+    val dims = 1 to Dim
     def sumsCte(name: String, assign: String): String = {
       val ss = dims.map(i =>
         s"SUM(CAST(floor(CAST(e.embedding[$i] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
@@ -285,17 +295,23 @@ object Similarity {
     val cents0 = s"cents0 AS (SELECT vec_id AS cluster, ${dims.map(i =>
       s"CAST(embedding[$i] AS DOUBLE) AS c$i").mkString(", ")} FROM embeddings WHERE vec_id < $kClusters)"
     val rounds = (1 to iters).flatMap { r =>
-      Seq(assignCte(s"assign$r", s"cents${r - 1}"),
+      Seq(ivfAssignCte(s"assign$r", s"cents${r - 1}"),
         sumsCte(s"sums$r", s"assign$r"),
         centsCte(s"cents$r", s"cents${r - 1}", s"sums$r"))
     }
     val cF = s"cents$iters"
-    s"""WITH $cents0,
-       | ${rounds.mkString(",\n ")},
-       | ${assignCte("assignf", cF)},
+    (s"""$cents0,
+        | ${rounds.mkString(",\n ")},
+        | ${ivfAssignCte("assignf", cF)}""".stripMargin, cF)
+  }
+
+  def ivfTopKSqlDuck(nQueries: Int = 8, k: Int = 10, kClusters: Int = 16,
+      nProbe: Int = 3, iters: Int = 2): String = {
+    val (ctes, cF) = ivfTrainerCtes(kClusters, iters)
+    s"""WITH $ctes,
        | probes AS (SELECT query_id, cluster FROM (
        |  SELECT e.vec_id AS query_id, c.cluster, row_number() OVER (
-       |    PARTITION BY e.vec_id ORDER BY ${scoreSql("c")} DESC, c.cluster) AS rn
+       |    PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("c")} DESC, c.cluster) AS rn
        |  FROM embeddings e CROSS JOIN $cF c WHERE e.vec_id < $nQueries) WHERE rn <= $nProbe),
        | v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -312,6 +328,66 @@ object Similarity {
        |  FROM scored)
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with the coarse k-means
+    * quantizer, then drop every vector that has a LOWER-id neighbor with
+    * cosine > `threshold` INSIDE ITS OWN CLUSTER (keep-first, the
+    * ext/Dedup convention). The reference's embedding near-dup pass is
+    * all-pairs; this is the published scale recipe: the O(n²) comparison
+    * collapses to within-cluster blocks, an equi-join on the cluster id.
+    *
+    * Shape at 100 TB: one Lloyd training pass ([[ivfCentroids]] — only the
+    * k×Dim centroid matrix is driver-resident), one broadcast-literal
+    * assignment pass, then a self-equi-join keyed on `cluster` — pair
+    * volume is Σ|cluster|², bounded by sizing kClusters ∝ corpus (SemDeDup
+    * uses fixed-occupancy clusters for exactly this reason); no cartesian
+    * anywhere. Comparisons on both engines run the identical left-assoc
+    * double dot chain, so the > threshold cut is bit-identical.
+    *
+    * Output: one row per vector — (vec_id, cluster, kept). */
+  def semanticDedup(emb: DataFrame, kClusters: Int = 16,
+      threshold: Double = 0.4, iters: Int = 2): DataFrame = {
+    require(kClusters >= 1 && iters >= 1, "need kClusters >= 1, iters >= 1")
+    require(threshold > -1 && threshold < 1, "cosine threshold must be in (-1, 1)")
+    val cents = ivfCentroids(emb, kClusters, iters)
+    val v = graft.etl.CacheRegistry.persist(
+      ivfAssign(withNorm(emb), cents)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster")))
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        dotCol("va", "vb") / (col("na") * col("nb")) > threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    v.join(dups.withColumn("_dup", lit(true)), Seq("vec_id"), "left")
+      // cluster cast to BIGINT: the oracle's cluster id descends from
+      // cents0's `vec_id AS cluster` and the compare is type-strict
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        coalesce(col("_dup"), lit(false)).unary_!.as("kept"))
+  }
+
+  /** DuckDB oracle for [[semanticDedup]]: the shared Lloyd-trainer CTEs
+    * ([[ivfTrainerCtes]]) reproduce the exact cluster assignment, then the
+    * same within-cluster lower-id cosine cut. */
+  def semanticDedupSqlDuck(kClusters: Int = 16, threshold: Double = 0.4,
+      iters: Int = 2): String = {
+    val (ctes, _) = ivfTrainerCtes(kClusters, iters)
+    s"""WITH $ctes,
+       | v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       | dups AS (SELECT DISTINCT y.vec_id
+       |  FROM assignf x JOIN assignf y
+       |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  JOIN v a ON a.vec_id = x.vec_id
+       |  JOIN v b ON b.vec_id = y.vec_id
+       |  WHERE (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) > $threshold)
+       |SELECT f.vec_id, f.cluster, (d.vec_id IS NULL) AS kept
+       |FROM assignf f LEFT JOIN dups d ON d.vec_id = f.vec_id
+       |ORDER BY f.vec_id""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`. All-pairs on

@@ -35,6 +35,8 @@ object PlanAudit {
       "triangular rank self-join over the k=100 survivors (k² bounded pairs) — replaced the r11 unpartitioned rank window; the distributed part is TakeOrderedAndProject"),
     "q11_important_parts" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row total-value aggregate (the TPC-H Q11 scalar-subquery shape)"),
+    "events_winsorize" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row quantile-fence aggregate (two broadcast scalars)"),
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quartile-edges aggregate"),
     "events_zorder_key" -> ("BroadcastNestedLoopJoin",

@@ -47,6 +47,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Analytics.retentionCohorts(emptyEvents).count() == 0)
     assert(Analytics.outliersIqr(emptyEvents).count() == 0)
     assert(Analytics.minmaxScale(emptyEvents).count() == 0)
+    assert(Analytics.winsorize(emptyEvents).count() == 0)
     assert(Sketch.exactQuantileDiscByGroup(emptyEvents, "event_type", "value").count() == 0)
     assert(TextOps.piiRedact(emptyDocs).count() == 0)
     assert(TextOps.bm25(emptyDocs).count() == 0)

@@ -160,6 +160,22 @@ class AnalyticsSpec extends AnyFunSuite {
       (0L, 2L, 0.0, 24.9), (1L, 1L, 25.0, 25.0), (2L, 1L, 70.0, 70.0)))
   }
 
+  test("winsorize clips to exact type-1 [p05,p95] fences; outputs are input values") {
+    // 20 values 1..20: type-1 quantiles are ceil(0.05*20)=1st (=1.0) and
+    // ceil(0.95*20)=19th (=19.0) order statistics
+    val e = (1 to 20).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+    val out = Analytics.winsorize(e)
+      .select("event_id", "clipped", "was_clipped")
+      .as[(Long, Double, Boolean)].collect()
+      .map { case (k, c, w) => k -> ((c, w)) }.toMap
+    assert(out(1L) == ((1.0, false)))   // at the low fence, not below
+    assert(out(10L) == ((10.0, false)))
+    assert(out(19L) == ((19.0, false)))
+    assert(out(20L) == ((19.0, true)))  // above the high fence → clipped down
+    // every clipped output is one of the input doubles
+    assert(out.values.map(_._1).toSet.subsetOf((1 to 20).map(_.toDouble).toSet))
+  }
+
   test("minmaxScale maps each group's range onto [0,1]; degenerate range to 0") {
     val e = Seq(
       (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),

@@ -102,6 +102,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: one row per vector; dup set exactly the within-cluster lower-id cosine neighbors; equi-join plan") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val sem = Similarity.semanticDedup(emb)
+    val out = sem.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val n = emb.count()
+    assert(out.length == n && out.map(_._1).distinct.length == n)
+    // cross-check the prune against the independent all-pairs operator: a
+    // vector is dropped iff a LOWER-id >0.4 neighbor shares its cluster
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    val pairs = Similarity.cosinePairs(emb, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDups = pairs.collect { case (a, b) if cluster(a) == cluster(b) => b }.toSet
+    assert(out.filterNot(_._3).map(_._1).toSet == expectedDups)
+    // fixture has planted replicas → some dups, and never everything drops
+    assert(expectedDups.nonEmpty && out.count(_._3) > expectedDups.size)
+    // the within-cluster comparison must plan as a cluster equi-join
+    val plan = sem.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"expected cluster equi-join, got:\n$plan")
+  }
+
   test("bucketed cosine pairs: subset of all-pairs with useful recall, and an equi-join plan") {
     val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
     val bucketed = Similarity.cosinePairsBucketed(emb)
