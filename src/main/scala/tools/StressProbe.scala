@@ -148,7 +148,8 @@ object StressProbe {
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
-      "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()))
+      "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()),
+      "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
       "events_asof_join" -> asofCount,
@@ -188,7 +189,8 @@ object StressProbe {
       "events_markov_stationary" -> (e =>
         graft.ext.Analytics.markovStationary(e).count()),
       "sketch_hll_distinct" -> (e =>
-        graft.ext.Sketch.hllDistinctByGroup(e, "event_type", "user_id").count()))
+        graft.ext.Sketch.hllDistinctByGroup(e, "event_type", "user_id").count()),
+      "events_winsorize" -> (e => graft.ext.Analytics.winsorize(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
