@@ -25,6 +25,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.graft.rangejoin.bucketUs", "600000000")
+      // fingerprint determinism: scan-metadata lists (DataFilters etc.)
+      // truncate at this length on the PRE-normalized text, so the cut
+      // position shifts with the session-global exprId digit widths — print
+      // them whole; canonicalPlanText additionally collapses any list that
+      // still truncates
+      .config("spark.sql.maxMetadataStringLength", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -84,6 +90,14 @@ object Bench {
         // (code, fixture) only.
         spark.catalog.clearCache()
         val plan = canonicalPlanText(SparkEntry.queries(name)(spark, sfDir))
+        // adjudication aid: SPARK_GRAFT_FP_TEXT_DIR dumps the hashed text
+        // itself, so a flapped digest can be diffed token-by-token instead
+        // of re-derived from the 12-hex prefix
+        sys.env.get("SPARK_GRAFT_FP_TEXT_DIR").foreach { d =>
+          new java.io.File(d).mkdirs()
+          val tw = new java.io.PrintWriter(s"$d/$name.txt", "UTF-8")
+          try tw.print(plan) finally tw.close()
+        }
         val md = java.security.MessageDigest.getInstance("MD5")
         md.digest(plan.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       } catch { case _: Throwable => "err" }
@@ -188,13 +202,78 @@ object Bench {
     * an identity hash reorders them per-session (see FloatVectorDotConst /
     * BloomMightContainLong). */
   def canonicalPlanText(df: org.apache.spark.sql.DataFrame): String =
-    df.queryExecution.executedPlan.canonicalized.toString
+    stripPlanText(df.queryExecution.executedPlan.canonicalized.toString)
+
+  /** The full text-normalization pipeline (split out so the digest's
+    * determinism properties are unit-testable on captured plan strings). */
+  private[graft] def stripPlanText(raw: String): String = {
+    val stripped = raw
       .replaceAll("#\\d+", "#x")
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda\\$x")
       .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\[id=\\d+\\]", "[id=x]")
       .replaceAll("Broadcast\\((\\d+)\\)", "Broadcast(x)")
+      // a metadata list that still hit maxMetadataStringLength ends in an
+      // unclosed "...": its cut point tracks pre-normalization exprId
+      // widths, so the fragment is session-dependent garbage — collapse it
+      .replaceAll("(DataFilters|PartitionFilters|PushedFilters): \\[[^\\]]*?\\.\\.\\.", "$1: [truncated]")
+    // Two session-order-dependent ORDERINGS survive the token stripping
+    // (both reproduced by flapping digests on the cluster-chain family,
+    // diffed via SPARK_GRAFT_FP_TEXT_DIR):
+    //  - multicommutativeop(...) prints commutative operands sorted by
+    //    hashCodes that depend on pre-normalization exprIds, i.e. on how
+    //    many expressions the session allocated before this query;
+    //  - RewriteDistinctAggregates emits the per-distinct-group partial
+    //    aggregates in hash-map iteration order, so two countDistinct
+    //    columns swap positions inside `functions=[...]` between sessions.
+    // Sorting the top-level items makes the digest a function of the
+    // MULTISET — the semantic content; any real change to an operand or
+    // aggregate still changes it.
+    sortBracketSpans(sortBracketSpans(stripped, "multicommutativeop("),
+      "functions=[")
+  }
+
+  /** Sort the top-level comma-separated items inside every balanced span
+    * opened by `marker` (whose last char is the opening bracket). Nested
+    * `()`/`[]` inside items are tracked so their commas don't split. */
+  private[graft] def sortBracketSpans(text: String, marker: String): String = {
+    val close = if (marker.last == '(') ')' else ']'
+    val sb = new StringBuilder
+    var i = 0
+    var j = text.indexOf(marker, i)
+    while (j >= 0) {
+      sb.append(text.substring(i, j + marker.length))
+      var k = j + marker.length
+      var dp = 0
+      var db = 0
+      val items = scala.collection.mutable.ArrayBuffer.empty[String]
+      val item = new StringBuilder
+      var done = false
+      while (!done && k < text.length) {
+        val c = text.charAt(k)
+        // recurse into the finished item so a NESTED span sorts before the
+        // outer item order is decided
+        if (c == close && dp == 0 && db == 0) {
+          items += sortBracketSpans(item.toString, marker); done = true
+        }
+        else {
+          if (c == '(') dp += 1 else if (c == ')') dp -= 1
+          else if (c == '[') db += 1 else if (c == ']') db -= 1
+          if (c == ',' && dp == 0 && db == 0) {
+            items += sortBracketSpans(item.toString, marker); item.clear()
+            if (k + 1 < text.length && text.charAt(k + 1) == ' ') k += 1
+          } else item.append(c)
+        }
+        k += 1
+      }
+      if (done) { sb.append(items.sorted.mkString(", ")).append(close); i = k }
+      else i = j + marker.length // unbalanced span: leave verbatim, move on
+      j = text.indexOf(marker, i)
+    }
+    sb.append(text.substring(i))
+    sb.toString
+  }
 
   /** 1/5/15-minute load averages from /proc/loadavg — recorded at bench
     * start and end so a reader of the JSON can adjudicate noise (a loaded

@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The fingerprint digest must be a function of (code, fixture) only.
+  * These are the two session-order-dependent orderings observed flapping
+  * live (diffed via SPARK_GRAFT_FP_TEXT_DIR): distinct-aggregate partials
+  * inside `functions=[...]` and commutative operands inside
+  * `multicommutativeop(...)`. */
+class BenchCanonSpec extends AnyFunSuite {
+
+  test("sortBracketSpans normalizes the two observed flap shapes to one text") {
+    val a = "HashAggregate(keys=[], functions=[partial_count(none#x) FILTER (WHERE (1 = none#x)), partial_count(none#x) FILTER (WHERE (2 = none#x))], output=[none#xL])"
+    val b = "HashAggregate(keys=[], functions=[partial_count(none#x) FILTER (WHERE (2 = none#x)), partial_count(none#x) FILTER (WHERE (1 = none#x))], output=[none#xL])"
+    assert(Bench.sortBracketSpans(a, "functions=[") ==
+      Bench.sortBracketSpans(b, "functions=["))
+
+    val c = "Filter multicommutativeop(isnotnull(none#x), might_contain(Subquery, [id=#x], xxhash64(none#xL, 42)), (none#x = en), class And, None)"
+    val d = "Filter multicommutativeop(might_contain(Subquery, [id=#x], xxhash64(none#xL, 42)), isnotnull(none#x), (none#x = en), class And, None)"
+    assert(Bench.sortBracketSpans(c, "multicommutativeop(") ==
+      Bench.sortBracketSpans(d, "multicommutativeop("))
+  }
+
+  test("stripPlanText collapses session-width-dependent metadata truncation") {
+    // the truncation cut point tracks pre-normalization exprId digit widths:
+    // the same scan prints "lower(text#12345)), ..." in one session and
+    // "lower(text#87)), t..." in another — both must normalize identically
+    val a = "FileScan parquet [doc_id#12345L] Batched: true, DataFilters: [(size(tok(lower(text#12345)), true) >= 10), (size..., Format: Parquet, PushedFilters: [IsNotNull(doc_id)], ReadSchema: struct<doc_id:bigint>"
+    val b = "FileScan parquet [doc_id#87L] Batched: true, DataFilters: [(size(tok(lower(text#87)), true) >= 10), (size(tok..., Format: Parquet, PushedFilters: [IsNotNull(doc_id)], ReadSchema: struct<doc_id:bigint>"
+    assert(Bench.stripPlanText(a) == Bench.stripPlanText(b))
+    // an untruncated PushedFilters list is NOT collapsed — pushdown evidence
+    // must stay in the digest basis
+    assert(Bench.stripPlanText(a).contains("PushedFilters: [IsNotNull(doc_id)]"))
+    assert(Bench.stripPlanText(a).contains("DataFilters: [truncated]"))
+  }
+
+  test("sortBracketSpans: nested spans sort before the outer order is decided; non-span text untouched") {
+    val x = "multicommutativeop(multicommutativeop(b, a), c)"
+    val y = "multicommutativeop(c, multicommutativeop(a, b))"
+    assert(Bench.sortBracketSpans(x, "multicommutativeop(") ==
+      Bench.sortBracketSpans(y, "multicommutativeop("))
+    val plain = "Project [none#x], Exchange hashpartitioning(none#x, 32)"
+    assert(Bench.sortBracketSpans(plain, "multicommutativeop(") == plain)
+    // nested brackets inside items never split on their inner commas
+    val z = "functions=[f(a, [b, c]), g(d)]"
+    assert(Bench.sortBracketSpans(z, "functions=[") == "functions=[f(a, [b, c]), g(d)]")
+  }
+}
