@@ -1786,6 +1786,12 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // perplexity-filter slot (CCNet/Gopher/FineWeb): mean inverse bigram
+    // probability under the corpus's own MLE model — log-free rational
+    // form, exact micro-unit integer sums (see TextOps.surprisal)
+    "text_surprisal" -> ((s, dir) =>
+      TextOps.surprisal(t(s, dir, "documents")).orderBy("doc_id")),
+
     "text_tokens" -> ((s, dir) =>
       TextOps.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -3085,6 +3091,7 @@ object SparkEntry {
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,
+    "text_surprisal" -> TextOps.surprisalSqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,

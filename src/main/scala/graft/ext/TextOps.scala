@@ -113,6 +113,77 @@ object TextOps {
        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok_est
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Bigram-surprisal quality score — the perplexity-filtering slot of a
+    * CCNet-style curation stack (Wenzek et al. 2020 rank corpora by LM
+    * perplexity; the Gopher and FineWeb pipelines keep the same stage),
+    * re-expressed in cross-engine-exact arithmetic. Per document: the mean
+    * INVERSE conditional bigram probability
+    * mean_i[ C(w_{i-1}·) / C(w_{i-1}, w_i) ] under the corpus's own MLE
+    * bigram model. 1.0 = every transition maximally predictable; large =
+    * improbable under the corpus model. It is the arithmetic-mean analog
+    * of perplexity (which is the geometric mean of the same ratios) and
+    * deliberately LOG-FREE: Java and DuckDB libm disagree at 1 ulp on
+    * ln/pow — the same reason tfidf/BM25 use a rational idf. MLE needs no
+    * smoothing: every scored bigram was observed (count ≥ 1), so no ratio
+    * divides by zero. Docs with < 2 tokens have no bigrams and are
+    * excluded (a perplexity filter has nothing to say about them).
+    *
+    * Exactness: each ratio floor-quantizes to 1e-6 BIGINT micro-units
+    * (`c1 * 1000000 DIV c12`, exact integer ops; c1 ≤ corpus bigram
+    * positions, so the product stays inside BIGINT up to ~9e12 positions);
+    * the per-doc sum is an exact integer; the one final division chain is
+    * the only double math, mirrored term-for-term in the oracle.
+    *
+    * Shape at 100 TB: bigrams come from ONE array expression per doc
+    * (zip_with over two slices — no per-token window, no extra shuffle),
+    * then a vocab-keyed rollup (C(w1·)), an observed-bigram rollup
+    * (C(w1,w2)), a model-sized equi-join back onto the bigram stream on
+    * (w1, w2) — Zipf-hot head bigrams are the skew axis; AQE's skew split
+    * or etl/Skew salting applies, and the model side is vocabulary-sized,
+    * never corpus-sized — and a doc-keyed rollup. */
+  def surprisal(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val big = graft.etl.CacheRegistry.persist(
+      docs.select(col("doc_id"), tokensArr(textCol).as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), " +
+            "(a, b) -> named_struct('w1', a, 'w2', b))")).as("_bg"))
+        .select(col("doc_id"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2")))
+    val uni = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val model = bi.join(uni, "w1")
+      .select(col("w1"), col("w2"),
+        expr("(c1 * CAST(1000000 AS BIGINT)) DIV c12").as("q"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("_sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("_sq").cast("double") / col("n_bigrams").cast("double") /
+          lit(1000000.0)).as("mean_inv_prob"))
+  }
+
+  /** DuckDB oracle for [[surprisal]]: independent bigram derivation (the
+    * positional lead-window form, vs Spark's slice/zip_with array algebra),
+    * identical integer model arithmetic. */
+  def surprisalSqlDuck: String =
+    s"""WITH tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks FROM documents),
+       | pos AS (SELECT doc_id, unnest(tks) AS w1, generate_subscripts(tks, 1) AS i
+       |   FROM tk WHERE len(tks) >= 2),
+       | bg AS (SELECT doc_id, w1, w2 FROM (
+       |   SELECT doc_id, w1, lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+       |   FROM pos) WHERE w2 IS NOT NULL),
+       | uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+       | bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+       | model AS (SELECT bi.w1, bi.w2, (uni.c1 * 1000000) // bi.c12 AS q
+       |   FROM bi JOIN uni ON bi.w1 = uni.w1),
+       | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |     CAST(sum(m.q) AS BIGINT) AS sq
+       |   FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+       |   GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  CAST(sq AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0 AS mean_inv_prob
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Document fingerprint: hash of the token-normalized text (lowercase,
     * token stream re-joined on single spaces) — whitespace/punctuation
     * canonicalization before hashing. */

@@ -50,6 +50,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Analytics.winsorize(emptyEvents).count() == 0)
     assert(Sketch.exactQuantileDiscByGroup(emptyEvents, "event_type", "value").count() == 0)
     assert(TextOps.piiRedact(emptyDocs).count() == 0)
+    assert(TextOps.surprisal(emptyDocs).count() == 0)
     assert(TextOps.bm25(emptyDocs).count() == 0)
     assert(TextOps.postings(emptyDocs).count() == 0)
     assert(TextOps.novelty(emptyDocs).count() == 0)

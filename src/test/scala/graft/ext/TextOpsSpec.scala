@@ -20,6 +20,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("stop_ratio") == 0.5)
   }
 
+  test("surprisal: hand-computed MLE bigram model on a 3-doc corpus") {
+    // bigram stream: d1 = (a,b)(b,a)(a,b); d2 = (a,b)(b,c); d3 excluded
+    // (single token). C(a·)=3, C(b·)=2; C(ab)=3, C(ba)=1, C(bc)=1.
+    // q(ab) = floor(3e6/3) = 1e6; q(ba) = q(bc) = 2e6.
+    val d = docs((1L, "a b a b"), (2L, "a b c"), (3L, "c"))
+    val out = TextOps.surprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out.keySet == Set(1L, 2L)) // doc 3 has no bigrams
+    assert(out(1L) == ((3L, 4000000.0 / 3.0 / 1000000.0))) // (1e6+2e6+1e6)/3
+    assert(out(2L) == ((2L, 3000000.0 / 2.0 / 1000000.0))) // (1e6+2e6)/2
+    // a uniformly predictable doc scores exactly 1.0
+    val mono = docs((9L, "x x x x"))
+    val m = TextOps.surprisal(mono).collect().head
+    assert(m.getLong(1) == 3L && m.getDouble(2) == 1.0)
+  }
+
   test("quality: empty text → zero ratios, no division error") {
     val r = TextOps.quality(docs((1L, ""))).collect().head
     assert(r.getAs[Long]("n_tokens") == 0 && r.getAs[Double]("stop_ratio") == 0.0)
