@@ -1828,6 +1828,12 @@ object SparkEntry {
 
     // weighted corpus mixing: src0 gets 2x the share of every other source,
     // every group downsampled deterministically (hash-ordered rank)
+    // temperature mixing (share ∝ n_tokens^(1/2)): derives the per-source
+    // weights mixSources consumes — sqrt-exact + micro-unit integer
+    // normalization (see Pipelines.temperatureMix)
+    "sample_temperature_mix" -> ((s, dir) =>
+      graft.ext.Pipelines.temperatureMix(t(s, dir, "documents")).orderBy("source")),
+
     "sample_mix_weighted" -> ((s, dir) =>
       graft.ext.Pipelines.mixSources(
         t(s, dir, "documents").select("doc_id", "source"),
@@ -3138,6 +3144,7 @@ object SparkEntry {
     "dedup_minhash_shingles" -> Dedup.minhashShinglesSqlDuck(),
     "sample_stratified" -> graft.ext.Pipelines.stratifiedSampleSqlDuck(
       "lang", "doc_id", 20, "documents", "doc_id, lang, source"),
+    "sample_temperature_mix" -> graft.ext.Pipelines.temperatureMixSqlDuck(),
     "sample_mix_weighted" -> graft.ext.Pipelines.mixSourcesSqlDuck(
       "source", "doc_id", "src0", "documents", "doc_id, source"),
     "sample_token_budget" -> graft.ext.Pipelines.mixByTokenBudgetSqlDuck(

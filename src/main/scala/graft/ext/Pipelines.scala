@@ -549,6 +549,56 @@ object Pipelines {
       .drop("_tgt")
   }
 
+  /** Temperature-scaled source weighting — the multilingual-LM mixing rule
+    * (T5 / XLM-R style): a source's sampling share is proportional to
+    * n_tokens^α, α = 1/2, smoothing corpus-size imbalance so small sources
+    * are up-weighted without letting any source dominate. [[mixSources]]
+    * consumes GIVEN weights; this operator DERIVES them from the corpus.
+    *
+    * α is pinned at 1/2 because sqrt is an IEEE correctly-rounded
+    * primitive on both engines, while general pow() differs at 1 ulp
+    * between Java and DuckDB libm (the HLL estimator lesson, NOTES round
+    * 12). Cross-engine exactness by quantize-then-sum: per source
+    * w = floor(sqrt(n_tokens) · 1e6) BIGINT micro-units; the normalizer is
+    * an exact integer sum (order-independent, unlike a double Σsqrt);
+    * shares are one double division each; the per-source token quota is
+    * (budget · w) DIV total in exact integers (inside BIGINT while
+    * budget · sqrt(n_tokens) · 1e6 < 2^63 — petatoken corpora at default
+    * budget). Shape: one |sources|-row rollup + a 1-row total crossJoined
+    * back (the adjudicated broadcast-scalar shape). */
+  def temperatureMix(docs: DataFrame, budget: Long = 100000L): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val per = docs.filter(col("text").isNotNull)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.ext.TextOps.tokenCount("text")).as("n_tokens"))
+      .withColumn("w_micro",
+        expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val tot = per.agg(sum("w_micro").as("_tw"), sum("n_tokens").as("_tn"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("_tn").cast("double")).as("raw_share"),
+        col("w_micro"),
+        (col("w_micro").cast("double") / col("_tw").cast("double")).as("temp_share"),
+        expr(s"(CAST($budget AS BIGINT) * w_micro) DIV _tw").as("token_quota"))
+  }
+
+  /** Oracle for [[temperatureMix]] — same integer model, independent SQL. */
+  def temperatureMixSqlDuck(budget: Long = 100000L): String =
+    s"""WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(${graft.ext.TextOps.tokensSqlDuck("text")})) AS BIGINT) AS n_tokens
+       |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+       | w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |    AS w_micro FROM per),
+       | tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tn FROM w)
+       |SELECT source, n_docs, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE) AS raw_share,
+       |  w_micro,
+       |  CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS temp_share,
+       |  ($budget * w_micro) // tw AS token_quota
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+
   /** Token-budget corpus mixing: from each group keep documents — in the
     * deterministic md5-hash order of [[stratifiedSample]] — until the
     * group's TOKEN budget is spent. The pretraining mixing unit is tokens,

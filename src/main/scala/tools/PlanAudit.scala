@@ -37,6 +37,8 @@ object PlanAudit {
       "crossJoin of the 1-row total-value aggregate (the TPC-H Q11 scalar-subquery shape)"),
     "events_winsorize" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quantile-fence aggregate (two broadcast scalars)"),
+    "sample_temperature_mix" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row weight-normalizer aggregate over the |sources|-row rollup"),
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quartile-edges aggregate"),
     "events_zorder_key" -> ("BroadcastNestedLoopJoin",

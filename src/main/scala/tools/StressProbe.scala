@@ -101,6 +101,8 @@ object StressProbe {
         graft.ext.TextOps.dedupSegmentsGlobal(d).count()),
       "sample_token_budget" -> (d =>
         graft.ext.Pipelines.mixByTokenBudget(d, "source", "doc_id", 800L).count()),
+      "sample_temperature_mix" -> (d =>
+        graft.ext.Pipelines.temperatureMix(d).count()),
       "sketch_kmv_overlap" -> (d => graft.ext.Sketch.kmvJaccard(
         graft.ext.Dedup.shingles(d.filter(col("source") === "src0"), 3), col("tok"),
         graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),

@@ -51,6 +51,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Sketch.exactQuantileDiscByGroup(emptyEvents, "event_type", "value").count() == 0)
     assert(TextOps.piiRedact(emptyDocs).count() == 0)
     assert(TextOps.surprisal(emptyDocs).count() == 0)
+    assert(Pipelines.temperatureMix(emptyDocs).count() == 0)
     assert(TextOps.bm25(emptyDocs).count() == 0)
     assert(TextOps.postings(emptyDocs).count() == 0)
     assert(TextOps.novelty(emptyDocs).count() == 0)

@@ -67,6 +67,26 @@ class PipelinesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureMix: sqrt-weighted shares and exact integer quotas") {
+    // src a: 3 docs x 3 tokens = 9 tokens -> w = sqrt(9)*1e6 = 3e6
+    // src b: 4 docs x 4 tokens = 16 tokens -> w = 4e6; tw = 7e6
+    val rows = (1 to 3).map(i => (i.toLong, "a", "t t t")) ++
+      (4 to 7).map(i => (i.toLong, "b", "t t t t"))
+    val df = rows.toDF("doc_id", "source", "text")
+    val out = Pipelines.temperatureMix(df).orderBy("source").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getAs[Long]("n_tokens") == 9L && b.getAs[Long]("n_tokens") == 16L)
+    assert(a.getAs[Long]("w_micro") == 3000000L && b.getAs[Long]("w_micro") == 4000000L)
+    assert(a.getAs[Double]("raw_share") == 9.0 / 25.0)
+    assert(a.getAs[Double]("temp_share") == 3000000.0 / 7000000.0)
+    // temperature smooths toward the small source: its share rises
+    assert(a.getAs[Double]("temp_share") > a.getAs[Double]("raw_share"))
+    assert(b.getAs[Double]("temp_share") < b.getAs[Double]("raw_share"))
+    // exact integer quotas: floor(1e5 * 3/7), floor(1e5 * 4/7)
+    assert(a.getAs[Long]("token_quota") == 42857L)
+    assert(b.getAs[Long]("token_quota") == 57142L)
+  }
+
   test("mixSources: smallest-constrained group kept whole, boosted group gets 2x share") {
     import org.apache.spark.sql.functions._
     // a: 100 docs, b: 40, c: 25. weights: a=2, others=1.
