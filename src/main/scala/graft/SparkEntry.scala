@@ -1783,6 +1783,13 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(t(s, dir, "embeddings")).orderBy("vec_id")),
 
+    // hard-negative mining (DPR/ANCE): per anchor the most-similar
+    // NON-near-dup neighbors from the IVF pool — near-dups are false
+    // negatives, cut at the dedup family's 0.4 cosine threshold
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"))
+        .orderBy("query_id", "neg_rank")),
+
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -3096,6 +3103,7 @@ object SparkEntry {
     "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
+    "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,
     "text_surprisal" -> TextOps.surprisalSqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,

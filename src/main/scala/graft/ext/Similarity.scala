@@ -334,9 +334,10 @@ object Similarity {
     * arXiv:2303.09540): cluster the corpus with the coarse k-means
     * quantizer, then drop every vector that has a LOWER-id neighbor with
     * cosine > `threshold` INSIDE ITS OWN CLUSTER (keep-first, the
-    * ext/Dedup convention). The reference's embedding near-dup pass is
-    * all-pairs; this is the published scale recipe: the O(n²) comparison
-    * collapses to within-cluster blocks, an equi-join on the cluster id.
+    * ext/Dedup convention). [[cosinePairs]] (the `dedup_embedding_cosine`
+    * row) is the all-pairs form; this is the published scale recipe: the
+    * O(n²) comparison collapses to within-cluster blocks, an equi-join on
+    * the cluster id.
     *
     * Shape at 100 TB: one Lloyd training pass ([[ivfCentroids]] — only the
     * k×Dim centroid matrix is driver-resident), one broadcast-literal
@@ -389,6 +390,42 @@ object Similarity {
        |FROM assignf f LEFT JOIN dups d ON d.vec_id = f.vec_id
        |ORDER BY f.vec_id""".stripMargin
   }
+
+  /** Hard-negative mining for contrastive embedding training (the
+    * DPR/ANCE recipe): per anchor, the most-similar neighbors that are NOT
+    * near-duplicates — a near-dup is a FALSE negative that poisons the
+    * contrastive loss, so the candidate pool is cut at the same cosine
+    * threshold the dedup family uses ([[cosinePairs]]/[[semanticDedup]]'s
+    * 0.4) and the survivors re-rank by similarity. Candidates come from
+    * the IVF path ([[ivfTopK]] with a widened pool), so the search scales
+    * exactly as the ANN index does; the re-rank window is partitioned by
+    * anchor over ≤ kPool rows — never a global window. Ties after the
+    * 6-dp rounding break on neighbor_id, mirrored in the oracle. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 8, kNeg: Int = 5,
+      dupTheta: Double = 0.4, kPool: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kNeg >= 1 && kPool >= kNeg, "need 1 <= kNeg <= kPool")
+    val pool = ivfTopK(emb, nQueries, kPool)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pool.filter(col("cos_sim") <= dupTheta)
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= kNeg)
+      .select("query_id", "neg_rank", "neighbor_id", "cos_sim")
+  }
+
+  /** Oracle for [[hardNegatives]]: the [[ivfTopKSqlDuck]] pool as a CTE,
+    * then the identical cut + re-rank. */
+  def hardNegativesSqlDuck(nQueries: Int = 8, kNeg: Int = 5,
+      dupTheta: Double = 0.4, kPool: Int = 20): String =
+    s"""WITH pool AS (${ivfTopKSqlDuck(nQueries, kPool)})
+       |SELECT query_id, neg_rank, neighbor_id, cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS BIGINT) AS neg_rank
+       |  FROM pool WHERE cos_sim <= $dupTheta)
+       |WHERE neg_rank <= $kNeg
+       |ORDER BY query_id, neg_rank""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs above `threshold`. All-pairs on
     * the oracle path; for scale use [[srpBuckets]] first. */

@@ -152,7 +152,8 @@ object StressProbe {
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
       "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()),
-      "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()))
+      "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()),
+      "sim_hard_negatives" -> (e => graft.ext.Similarity.hardNegatives(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
       "events_asof_join" -> asofCount,

@@ -123,6 +123,26 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected cluster equi-join, got:\n$plan")
   }
 
+  test("hardNegatives: near-dup clones excluded, survivors are the best sub-threshold neighbors") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val base = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // clone anchor 0 → a cos≈1 neighbor that MUST NOT appear as a negative
+    val clones = base.filter(_._1 < 1).map { case (id, v) =>
+      (id + 1000000L, v.map(x => x + 1e-4f))
+    }
+    val all = (base ++ clones).toSeq.toDF("vec_id", "embedding")
+    val neg = Similarity.hardNegatives(all, nQueries = 1, kNeg = 5).collect()
+    assert(neg.length == 5)
+    assert(!neg.exists(_.getAs[Long]("neighbor_id") == 1000000L),
+      "the planted near-dup leaked into the negatives")
+    assert(neg.forall(_.getAs[Double]("cos_sim") <= 0.4))
+    val ranks = neg.map(_.getAs[Long]("neg_rank")).sorted.toSeq
+    assert(ranks == (1L to 5L))
+    // ranked by similarity descending
+    val cs = neg.sortBy(_.getAs[Long]("neg_rank")).map(_.getAs[Double]("cos_sim")).toSeq
+    assert(cs == cs.sorted.reverse)
+  }
+
   test("bucketed cosine pairs: subset of all-pairs with useful recall, and an equi-join plan") {
     val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
     val bucketed = Similarity.cosinePairsBucketed(emb)
