@@ -580,7 +580,11 @@ object Pipelines {
         (col("n_tokens").cast("double") / col("_tn").cast("double")).as("raw_share"),
         col("w_micro"),
         (col("w_micro").cast("double") / col("_tw").cast("double")).as("temp_share"),
-        expr(s"(CAST($budget AS BIGINT) * w_micro) DIV _tw").as("token_quota"))
+        // nullif: a degenerate all-empty-text corpus has total weight 0 —
+        // Spark's non-ANSI DIV 0 yields null but DuckDB // 0 ERRORS, so
+        // both engines must see NULL via the same guard
+        expr(s"(CAST($budget AS BIGINT) * w_micro) DIV nullif(_tw, 0)")
+          .as("token_quota"))
   }
 
   /** Oracle for [[temperatureMix]] — same integer model, independent SQL. */
@@ -596,7 +600,7 @@ object Pipelines {
        |  CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE) AS raw_share,
        |  w_micro,
        |  CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS temp_share,
-       |  ($budget * w_micro) // tw AS token_quota
+       |  ($budget * w_micro) // nullif(tw, 0) AS token_quota
        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** Token-budget corpus mixing: from each group keep documents — in the

@@ -85,6 +85,11 @@ class PipelinesSpec extends AnyFunSuite {
     // exact integer quotas: floor(1e5 * 3/7), floor(1e5 * 4/7)
     assert(a.getAs[Long]("token_quota") == 42857L)
     assert(b.getAs[Long]("token_quota") == 57142L)
+    // degenerate all-empty-text corpus: total weight 0 → null quota (the
+    // nullif guard both engines share), never a division error
+    val empties = Seq((1L, "a", ""), (2L, "b", "")).toDF("doc_id", "source", "text")
+    val e = Pipelines.temperatureMix(empties).orderBy("source").collect()
+    assert(e.length == 2 && e.forall(_.isNullAt(e.head.fieldIndex("token_quota"))))
   }
 
   test("mixSources: smallest-constrained group kept whole, boosted group gets 2x share") {
