@@ -190,6 +190,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey").cast("long"))
     }),
 
+    // columnar-format roundtrip through Spark's built-in ORC source/sink:
+    // the same all-string rendering xlsx_roundtrip checks, written as a
+    // partitioned ORC dataset and read back — must equal the oracle's
+    // independent all-string render (shared oracle discipline; proves the
+    // second columnar format end-to-end, not just parquet)
+    "orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+        new java.io.File(dir).getName
+      val orders = IngestOps.allString(t(s, dir, "orders"))
+      orders.repartition(4).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("o_orderkey").cast("long"))
+    }),
+
     "c4_json_tolerant" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1793,6 +1806,18 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextOps.quality(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Gopher/MassiveText rule-bundle filter: word-level rules as exact
+    // cross-multiplied BIGINT comparisons, keep = product of flags — a
+    // map-only pass, zero shuffles (see TextOps.gopherRules)
+    "text_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // substring-level duplicate density (Lee et al. 2021 adapted to sliding
+    // 8-gram coverage): fraction of shingle positions also seen in another
+    // doc, exact ppm integer arithmetic (see TextOps.dupFraction)
+    "text_dup_fraction" -> ((s, dir) =>
+      TextOps.dupFraction(t(s, dir, "documents")).orderBy("doc_id")),
+
     // perplexity-filter slot (CCNet/Gopher/FineWeb): mean inverse bigram
     // probability under the corpus's own MLE model — log-free rational
     // form, exact micro-unit integer sums (see TextOps.surprisal)
@@ -2396,6 +2421,17 @@ object SparkEntry {
     // what went out through the xlsx container must equal a direct
     // all-string render of the table (same per-type rules as cellToString)
     "xlsx_roundtrip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY orders.o_orderkey""".stripMargin,
+
+    // what went out through the ORC dataset must equal the same independent
+    // all-string render (the xlsx_roundtrip oracle, shared discipline)
+    "orc_roundtrip" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
         |  CAST(o_custkey AS VARCHAR) AS o_custkey,
         |  o_orderstatus,
@@ -3105,6 +3141,8 @@ object SparkEntry {
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,
+    "text_gopher_rules" -> TextOps.gopherRulesSqlDuck,
+    "text_dup_fraction" -> TextOps.dupFractionSqlDuck(),
     "text_surprisal" -> TextOps.surprisalSqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,

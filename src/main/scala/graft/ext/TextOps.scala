@@ -379,6 +379,87 @@ object TextOps {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Gopher-style rule-bundle quality filter (Rae et al. 2021 §A1.1,
+    * MassiveText; the same rule family FineWeb/RefinedWeb reuse) adapted to
+    * this corpus's signals: per-doc boolean rules over exact integer counts,
+    * a doc survives only if every rule passes. The published line-based
+    * rules (bullet/ellipsis line fractions) don't apply here — the fixture
+    * corpus is single-line — so the bundle keeps the word-level rules:
+    * word count in [20, 100000], mean word length in [3, 10], ≥ 2 stopword
+    * hits, and ≥ 50% distinct tokens (the duplicate-word-fraction rule).
+    *
+    * Cross-engine exactness: every ratio rule is compared CROSS-MULTIPLIED
+    * in BIGINT (3·n ≤ Σlen ≤ 10·n; 2·distinct ≥ n) — no division, no
+    * doubles, no epsilon. Rule flags are INT 0/1, `keep` their product.
+    * Scale shape: pure per-row array algebra over the token array — one
+    * narrow map, zero shuffles, fully codegen'd; at 100 TB this is a
+    * map-only pass pipelined into the scan. */
+  def gopherRules(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val enStops = LangProfiles.head._2
+    docs
+      .select(col("doc_id"), fastTokens(col(textCol)).as("_toks"),
+        stopwordCount(textCol, enStops).as("n_stop"))
+      .withColumn("n_tok", size(col("_toks")).cast("long"))
+      .withColumn("sum_tok_len",
+        expr("aggregate(transform(_toks, t -> CAST(length(t) AS BIGINT)), 0L, (a, x) -> a + x)"))
+      .withColumn("n_distinct", size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("r_count",
+        (col("n_tok") >= 20L && col("n_tok") <= 100000L).cast("int"))
+      .withColumn("r_meanlen",
+        (lit(3L) * col("n_tok") <= col("sum_tok_len") &&
+          col("sum_tok_len") <= lit(10L) * col("n_tok")).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2L).cast("int"))
+      .withColumn("r_uniq", (lit(2L) * col("n_distinct") >= col("n_tok")).cast("int"))
+      .withColumn("keep",
+        col("r_count") * col("r_meanlen") * col("r_stop") * col("r_uniq"))
+      .select("doc_id", "n_tok", "sum_tok_len", "n_stop", "n_distinct",
+        "r_count", "r_meanlen", "r_stop", "r_uniq", "keep")
+  }
+
+  /** Corpus-wide duplicate-shingle fraction per document (the substring-
+    * level dedup signal of Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better", adapted from suffix arrays to sliding
+    * w-gram coverage): for each doc, the fraction of its sliding w-token
+    * shingle positions whose shingle text also occurs in at least one OTHER
+    * document. Unlike [[dedupSegmentsGlobal]] (disjoint segments, ≥3 global
+    * repeats, rewrites text) this measures per-position overlap density and
+    * flags rather than rewrites — the filter form the paper applies.
+    *
+    * Cross-engine exactness: `dup_ppm = (n_dup · 1e6) DIV n_shingles` and
+    * `keep = (5 · n_dup ≤ n_shingles)` (≤ 20% duplicated) are pure BIGINT
+    * arithmetic. Scale shape: shingle stream → one distinct-docs aggregation
+    * (map-side combined) to get the ≥2-doc shingle set, one equi-join of the
+    * stream against that set, one per-doc count — all keyed shuffles, never
+    * all-pairs; the duplicated-shingle relation is the join's small side in
+    * a lightly-duplicated corpus (boilerplate concentrates). The shingle
+    * stream is cached so the join probe doesn't re-tokenize. */
+  def dupFraction(docs: DataFrame, w: Int = 8, textCol: String = "text"): DataFrame = {
+    require(w > 0, "w must be positive")
+    val sh = Dedup.shingles(docs, w, textCol)
+      .select(col("doc_id"), col("tok").as("s")).cache()
+    // shingles present in >= 2 distinct docs (doc-distinct first so a
+    // within-doc repeat doesn't count as cross-doc duplication)
+    val dup = sh.distinct()
+      .groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 2L)
+      .select(col("s"), lit(1).as("_isdup"))
+    val agg = sh.join(dup, Seq("s"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        coalesce(sum(col("_isdup")), lit(0L)).cast("long").as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_ppm",
+        when(col("n_shingles") > 0L,
+          expr("(n_dup * 1000000L) DIV n_shingles")
+        ).otherwise(lit(0L)).cast("long"))
+      .withColumn("keep",
+        (lit(5L) * col("n_dup") <= col("n_shingles")).cast("int"))
+  }
+
   // ---- oracle SQL builders (DuckDB dialect) ----------------------------
 
   /** Ordered w-shingle CTE body (lead-based; incomplete tail shingles null
@@ -470,6 +551,50 @@ object TextOps {
        |  coalesce(a.text_deduped, '') AS text_deduped
        |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  /** DuckDB oracle for [[gopherRules]] — identical tokenization, identical
+    * cross-multiplied BIGINT rule arithmetic, keep = product of flags. */
+  def gopherRulesSqlDuck: String = {
+    val enStops = LangProfiles.head._2
+    val inList = enStops.map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id, n_tok, sum_tok_len, n_stop, n_distinct,
+       |  r_count, r_meanlen, r_stop, r_uniq,
+       |  r_count * r_meanlen * r_stop * r_uniq AS keep
+       |FROM (
+       |  SELECT doc_id, n_tok, sum_tok_len, n_stop, n_distinct,
+       |    CAST(CASE WHEN n_tok >= 20 AND n_tok <= 100000 THEN 1 ELSE 0 END AS INT) AS r_count,
+       |    CAST(CASE WHEN 3 * n_tok <= sum_tok_len AND sum_tok_len <= 10 * n_tok THEN 1 ELSE 0 END AS INT) AS r_meanlen,
+       |    CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stop,
+       |    CAST(CASE WHEN 2 * n_distinct >= n_tok THEN 1 ELSE 0 END AS INT) AS r_uniq
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n_tok,
+       |      CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_tok_len,
+       |      CAST(len(list_filter(toks, t -> t IN ($inList))) AS BIGINT) AS n_stop,
+       |      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+       |    FROM (SELECT doc_id, ${tokensSqlDuck("text")} AS toks FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[dupFraction]] — same sliding shingles (lead form),
+    * same doc-distinct ≥2-doc rule, same BIGINT ppm/keep arithmetic. */
+  def dupFractionSqlDuck(w: Int = 8): String =
+    s"""WITH sh AS (SELECT doc_id, s FROM (${shingleCtesDuck(w, "")})
+       |   WHERE s IS NOT NULL),
+       | dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sh)
+       |   GROUP BY s HAVING count(*) >= 2),
+       | agg AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       |   CAST(sum(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+       |   FROM sh LEFT JOIN dup ON sh.s = dup.s GROUP BY sh.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(coalesce(a.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(CASE WHEN coalesce(a.n_shingles, 0) > 0
+       |    THEN (a.n_dup * 1000000) // a.n_shingles ELSE 0 END AS BIGINT) AS dup_ppm,
+       |  CAST(CASE WHEN 5 * coalesce(a.n_dup, 0) <= coalesce(a.n_shingles, 0)
+       |    THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Weighted sparse document similarity: cosine over TF-IDF-weighted
     * `w`-token shingles, each doc represented by its `topM` highest-weight

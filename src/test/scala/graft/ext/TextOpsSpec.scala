@@ -36,6 +36,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(m.getLong(1) == 3L && m.getDouble(2) == 1.0)
   }
 
+  test("gopherRules: hand-computed signals and rule flags") {
+    // d1: 4 tokens (below the 20-word floor), 2 stopword hits, mean len 3
+    // d2: 24 tokens (the + w01..w22 + the), all rules pass
+    // d3: empty text — count rule fails, vacuous rules pass
+    val d2Text = "the " + (1 to 22).map(i => f"w$i%02d").mkString(" ") + " the"
+    val r = TextOps.gopherRules(docs((1L, "The cat, the hat!"), (2L, d2Text), (3L, "")))
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_tok") == 4L)
+    assert(r(1L).getAs[Long]("sum_tok_len") == 12L)
+    assert(r(1L).getAs[Long]("n_stop") == 2L)
+    assert(r(1L).getAs[Long]("n_distinct") == 3L)
+    assert(r(1L).getAs[Int]("r_count") == 0 && r(1L).getAs[Int]("r_meanlen") == 1 &&
+      r(1L).getAs[Int]("r_stop") == 1 && r(1L).getAs[Int]("r_uniq") == 1)
+    assert(r(1L).getAs[Int]("keep") == 0)
+    assert(r(2L).getAs[Long]("n_tok") == 24L)
+    assert(r(2L).getAs[Long]("sum_tok_len") == 72L) // mean exactly 3.0
+    assert(r(2L).getAs[Int]("keep") == 1)
+    assert(r(3L).getAs[Long]("n_tok") == 0L)
+    assert(r(3L).getAs[Int]("r_count") == 0 && r(3L).getAs[Int]("r_meanlen") == 1 &&
+      r(3L).getAs[Int]("keep") == 0)
+  }
+
+  test("dupFraction: cross-doc shingles only; within-doc repeats don't count") {
+    // w=2: d1 'a b','b c'; d2 'a b','b d' → 'a b' is the only cross-doc
+    // shingle; d3 has no shingles; d4's repeated 'q q' is single-doc
+    val r = TextOps.dupFraction(
+      docs((1L, "a b c"), (2L, "a b d"), (3L, "x"), (4L, "q q q")), w = 2)
+      .collect().map(x => (x.getAs[Long]("doc_id"),
+        (x.getAs[Long]("n_shingles"), x.getAs[Long]("n_dup"),
+         x.getAs[Long]("dup_ppm"), x.getAs[Int]("keep")))).toMap
+    assert(r(1L) == ((2L, 1L, 500000L, 0)))
+    assert(r(2L) == ((2L, 1L, 500000L, 0)))
+    assert(r(3L) == ((0L, 0L, 0L, 1)))
+    assert(r(4L) == ((2L, 0L, 0L, 1)))
+  }
+
   test("quality: empty text → zero ratios, no division error") {
     val r = TextOps.quality(docs((1L, ""))).collect().head
     assert(r.getAs[Long]("n_tokens") == 0 && r.getAs[Double]("stop_ratio") == 0.0)
