@@ -203,6 +203,23 @@ object SparkEntry {
       s.read.orc(out).orderBy(col("o_orderkey").cast("long"))
     }),
 
+    // row-format roundtrip through Spark's built-in CSV source/sink: the
+    // same all-string rendering, written as a headered CSV dataset and read
+    // back with an explicit all-string schema (no inference) — exercises
+    // quote/escape fidelity in the text path; emptyValue pinned so "" stays
+    // "" instead of null on the way back
+    "csv_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+        new java.io.File(dir).getName
+      val orders = IngestOps.allString(t(s, dir, "orders"))
+      orders.repartition(4).write.mode("overwrite")
+        .option("header", "true").option("emptyValue", "\"\"").csv(out)
+      val schema = org.apache.spark.sql.types.StructType(orders.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+      s.read.option("header", "true").schema(schema).csv(out)
+        .orderBy(col("o_orderkey").cast("long"))
+    }),
+
     "c4_json_tolerant" -> ((s, dir) =>
       t(s, dir, "events")
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -1789,6 +1806,12 @@ object SparkEntry {
     "sim_ivf_topk" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
+    // PQ/ADC top-k (Jégou et al. 2011): per-subspace Lloyd codebooks, m
+    // codes per vector, query-table equi-join on (subspace, code), exact
+    // integer micro-unit distance sums (see Similarity.pqTopK)
+    "sim_pq_adc" -> ((s, dir) =>
+      Similarity.pqTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
     // SemDeDup (Abbas et al. 2023): coarse k-means clusters, then drop any
     // vector with a lower-id cosine>theta neighbor in its own cluster —
     // the published within-cluster collapse of the all-pairs embedding
@@ -2421,6 +2444,17 @@ object SparkEntry {
     // what went out through the xlsx container must equal a direct
     // all-string render of the table (same per-type rules as cellToString)
     "xlsx_roundtrip" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
+        |  CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  o_orderstatus,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+        |  o_orderpriority
+        |FROM orders ORDER BY orders.o_orderkey""".stripMargin,
+
+    // what went out through the CSV dataset must equal the same independent
+    // all-string render (the xlsx_roundtrip oracle, shared discipline)
+    "csv_roundtrip" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS o_orderkey,
         |  CAST(o_custkey AS VARCHAR) AS o_custkey,
         |  o_orderstatus,
@@ -3138,6 +3172,7 @@ object SparkEntry {
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
     "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
+    "sim_pq_adc" -> Similarity.pqTopKSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,

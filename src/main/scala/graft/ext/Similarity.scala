@@ -726,4 +726,193 @@ object Similarity {
       |  CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(err2 ORDER BY d)),
       |    (a, b) -> a + b) AS DOUBLE) AS mse_sum
       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---- PQ (product quantization) ANN — Jégou, Douze & Schmid, "Product
+  // quantization for nearest neighbor search", TPAMI 2011 ------------------
+
+  /** Number of PQ subspaces (Dim / PqM dims each) and per-subspace codebook
+    * size. 4 × 16 keeps the codebook a 4·16·16-double driver matrix and the
+    * oracle's unrolled CTEs tractable; production tuning is data-dependent
+    * (the paper's m=8, k*=256 shape drops in unchanged). */
+  val PqM = 4
+  val PqK = 16
+  val PqSubDim: Int = Dim / PqM
+
+  /** Squared L2 distance between `eCol`'s subspace slice starting at
+    * 0-based `off` and the constant sub-centroid `c` — an explicit
+    * left-associated (e−c)² term chain, mirrored token-for-token by the
+    * oracle SQL so assignment argmins agree bit-exactly. */
+  private def pqSubD2(eCol: String, off: Int, c: Array[Double]): Column =
+    c.indices.map { i =>
+      val e = element_at(col(eCol), off + i + 1).cast("double")
+      (e - lit(c(i))) * (e - lit(c(i)))
+    }.reduceLeft(_ + _)
+
+  /** Per-subspace nearest-code columns `_code_0.._code_{m-1}` (argmin of the
+    * PqK d2 chains; first-min-wins tie-break = lowest code, the
+    * [[ivfAssign]] convention). Codebook rides into codegen as literals. */
+  private def pqAssignCols(df: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame =
+    cents.indices.foldLeft(df) { (d, s) =>
+      val arr = array(cents(s).map(c => pqSubD2("embedding", s * PqSubDim, c)).toSeq: _*)
+      d.withColumn(s"_d2_$s", arr)
+        .withColumn(s"_code_$s",
+          (expr(s"array_position(_d2_$s, array_min(_d2_$s))") - 1).cast("int"))
+        .drop(s"_d2_$s")
+    }
+
+  /** Per-subspace Lloyd codebooks: deterministic init from the first PqK
+    * vectors' slices, `iters` rounds. One distributed pass per round trains
+    * ALL subspaces: assignment columns, one posexplode to (vec_id, s, code),
+    * one (s, code)-keyed aggregation of quantized per-dimension BIGINT sums
+    * (map-side combined, exact integer arithmetic — the [[VecSumQ]] rule).
+    * Only the m × PqK × subDim codebook is driver-resident. */
+  def pqCentroids(emb: DataFrame, iters: Int = 2): Array[Array[Array[Double]]] = {
+    import emb.sparkSession.implicits._
+    val init = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("embedding").as[Array[Float]].collect()
+    var cents = Array.tabulate(PqM)(s =>
+      init.map(v => v.slice(s * PqSubDim, (s + 1) * PqSubDim).map(_.toDouble)))
+    for (_ <- 1 to iters) {
+      val sums = pqAssignCols(emb, cents)
+        .select(col("embedding"),
+          posexplode(array((0 until PqM).map(s => col(s"_code_$s")): _*)).as(Seq("s", "code")))
+        .withColumn("subvec", slice(col("embedding"), col("s") * PqSubDim + 1, lit(PqSubDim)))
+        .groupBy("s", "code")
+        .agg(count(lit(1)).as("n"),
+          (0 until PqSubDim).map(i =>
+            sum(floor(element_at(col("subvec"), i + 1).cast("double") * lit(Quant))
+              .cast("long")).as(s"s$i")): _*)
+        .collect()
+        .map(r => (r.getAs[Int]("s"), r.getAs[Int]("code")) ->
+          ((r.getAs[Long]("n"), (0 until PqSubDim).map(i => r.getAs[Long](s"s$i")).toArray)))
+        .toMap
+      cents = Array.tabulate(PqM)(s => Array.tabulate(PqK)(j =>
+        sums.get((s, j))
+          .map { case (n, ss) => ss.map(x => x.toDouble / n / Quant) }
+          .getOrElse(cents(s)(j))))
+    }
+    cents
+  }
+
+  /** PQ/ADC top-k: every corpus vector is stored as m subspace codes; a
+    * query's distance to a vector is the sum of m precomputed
+    * query-to-sub-centroid distances (asymmetric distance computation).
+    * Each per-subspace distance floor-quantizes to 1e-6 BIGINT micro-units
+    * BEFORE the sum, so the m-term total is exact integer arithmetic —
+    * partition-order- and engine-independent.
+    *
+    * Scale shape: the code relation is m short rows per vector; the
+    * query-side distance table (nQueries · m · PqK rows — 512 here) is
+    * broadcast, the join is an equi-join on (s, code), and the per-pair sum
+    * is a map-side-combinable fixed-m aggregation. ADC is BY DESIGN a full
+    * scan with O(m) work per vector (that is the speedup over O(Dim));
+    * composing with the IVF coarse quantizer (IVFADC, §IV of the paper) to
+    * prune the scan is the published next step and drops in as a cluster
+    * pre-filter on the code relation. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = pqCentroids(emb, iters)
+    val codes = pqAssignCols(emb, cents)
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(array((0 until PqM).map(s => col(s"_code_$s")): _*)).as(Seq("s", "code")))
+    val qstructs = for (s <- 0 until PqM; j <- 0 until PqK) yield struct(
+      lit(s).as("s"), lit(j).as("code"),
+      floor(pqSubD2("embedding", s * PqSubDim, cents(s)(j)) * lit(Quant))
+        .cast("long").as("d2m"))
+    val qtab = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(array(qstructs: _*)).as("q"))
+      .select(col("query_id"), col("q.s").as("s"), col("q.code").as("code"),
+        col("q.d2m").as("d2m"))
+    val scored = codes.join(broadcast(qtab), Seq("s", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d2m").as("adist_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist_micro").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist_micro"))
+  }
+
+  /** Oracle for [[pqTopK]] — replays the whole deterministic pipeline as
+    * CTEs: per-subspace first-PqK init, per round a UNION-ALL-over-subspaces
+    * assignment (row_number over the identical left-associated (e−c)² chains,
+    * d2 ASC, code ASC — first-min-wins like `array_position(array_min)`) and
+    * an exact quantized-BIGINT mean, then the final encode, the query
+    * distance table with the same floor-to-micro-units quantization, and the
+    * integer ADC sum + top-k window. */
+  def pqTopKSqlDuck(nQueries: Int = 8, k: Int = 10, iters: Int = 2): String = {
+    val dims = 0 until PqSubDim
+    def d2Chain(s: Int): String = dims.map { i =>
+      val e = s"CAST(e.embedding[${s * PqSubDim + i + 1}] AS DOUBLE)"
+      s"($e - c.c$i) * ($e - c.c$i)"
+    }.mkString(" + ")
+    def assignCte(name: String, cents: String, where: String): String = {
+      val branches = (0 until PqM).map { s =>
+        s"""SELECT e.vec_id, $s AS s, c.cluster, row_number() OVER (
+           |    PARTITION BY e.vec_id ORDER BY ${d2Chain(s)} ASC, c.cluster) AS rn
+           |  FROM embeddings e CROSS JOIN $cents c WHERE c.s = $s$where"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"$name AS (SELECT vec_id, s, cluster FROM (\n  $branches) WHERE rn = 1)"
+    }
+    val cents0 = {
+      val branches = (0 until PqM).map { s =>
+        val cs = dims.map(i =>
+          s"CAST(embedding[${s * PqSubDim + i + 1}] AS DOUBLE) AS c$i").mkString(", ")
+        s"SELECT $s AS s, vec_id AS cluster, $cs FROM embeddings WHERE vec_id < $PqK"
+      }.mkString("\n  UNION ALL\n  ")
+      s"cents0 AS (\n  $branches)"
+    }
+    def sumsCte(name: String, assign: String): String = {
+      val branches = (0 until PqM).map { s =>
+        val ss = dims.map(i =>
+          s"SUM(CAST(floor(CAST(e.embedding[${s * PqSubDim + i + 1}] AS DOUBLE) * 1000000.0) AS BIGINT)) AS s$i")
+          .mkString(", ")
+        s"""SELECT $s AS s, a.cluster, $ss, COUNT(*) AS n
+           |  FROM embeddings e JOIN $assign a ON a.vec_id = e.vec_id AND a.s = $s
+           |  GROUP BY a.cluster""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"$name AS (\n  $branches)"
+    }
+    def centsCte(name: String, prev: String, sums: String): String = {
+      val cs = dims.map(i =>
+        s"COALESCE(CAST(su.s$i AS DOUBLE) / CAST(su.n AS DOUBLE) / 1000000.0, p.c$i) AS c$i")
+        .mkString(", ")
+      s"""$name AS (SELECT p.s, p.cluster, $cs
+         |  FROM $prev p LEFT JOIN $sums su ON su.s = p.s AND su.cluster = p.cluster)"""
+        .stripMargin
+    }
+    val rounds = (1 to iters).flatMap { r =>
+      Seq(assignCte(s"assign$r", s"cents${r - 1}", ""),
+        sumsCte(s"sums$r", s"assign$r"),
+        centsCte(s"cents$r", s"cents${r - 1}", s"sums$r"))
+    }
+    val cF = s"cents$iters"
+    val qtab = {
+      val branches = (0 until PqM).map { s =>
+        s"""SELECT e.vec_id AS query_id, $s AS s, c.cluster AS code,
+           |    CAST(floor((${d2Chain(s)}) * 1000000.0) AS BIGINT) AS d2m
+           |  FROM embeddings e CROSS JOIN $cF c
+           |  WHERE c.s = $s AND e.vec_id < $nQueries""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"qtab AS (\n  $branches)"
+    }
+    s"""WITH $cents0,
+       | ${rounds.mkString(",\n ")},
+       | ${assignCte("encodef", cF, "")},
+       | $qtab,
+       | scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id, SUM(q.d2m) AS adist_micro
+       |  FROM encodef a JOIN qtab q ON q.s = a.s AND q.code = a.cluster
+       |  WHERE a.vec_id <> q.query_id
+       |  GROUP BY q.query_id, a.vec_id)
+       |SELECT query_id, rank, neighbor_id, adist_micro FROM (
+       |  SELECT query_id, neighbor_id, CAST(adist_micro AS BIGINT) AS adist_micro,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -435,8 +435,8 @@ object TextOps {
     * stream is cached so the join probe doesn't re-tokenize. */
   def dupFraction(docs: DataFrame, w: Int = 8, textCol: String = "text"): DataFrame = {
     require(w > 0, "w must be positive")
-    val sh = Dedup.shingles(docs, w, textCol)
-      .select(col("doc_id"), col("tok").as("s")).cache()
+    val sh = graft.etl.CacheRegistry.persist(
+      Dedup.shingles(docs, w, textCol).select(col("doc_id"), col("tok").as("s")))
     // shingles present in >= 2 distinct docs (doc-distinct first so a
     // within-doc repeat doesn't count as cross-doc duplication)
     val dup = sh.distinct()

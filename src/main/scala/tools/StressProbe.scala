@@ -147,13 +147,16 @@ object StressProbe {
       "search_bm25_topk" -> (d => graft.ext.TextOps.searchTopK(d).count()),
       "sample_dedup_weights" -> (d => graft.ext.Pipelines.dedupWeights(d).count()),
       "pipeline_source_cap" -> (d => graft.ext.Pipelines.sourceCap(d).count()),
-      "pipeline_shuffle_order" -> (d => graft.ext.Pipelines.shuffleOrder(d).count()))
+      "pipeline_shuffle_order" -> (d => graft.ext.Pipelines.shuffleOrder(d).count()),
+      "text_gopher_rules" -> (d => graft.ext.TextOps.gopherRules(d).count()),
+      "text_dup_fraction" -> (d => graft.ext.TextOps.dupFraction(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
       "sim_ann_lsh" -> (e => graft.ext.Similarity.annTopK(e).count()),
       "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()),
-      "sim_hard_negatives" -> (e => graft.ext.Similarity.hardNegatives(e).count()))
+      "sim_hard_negatives" -> (e => graft.ext.Similarity.hardNegatives(e).count()),
+      "sim_pq_adc" -> (e => graft.ext.Similarity.pqTopK(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
       "events_asof_join" -> asofCount,

@@ -102,6 +102,33 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqTopK: planted clone retrieved at rank 1 with zero-ish distance; k cap; partition-invariant") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val base = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // an EXACT clone lands in the same m codes as its source, so its ADC
+    // distance equals the query's own quantization distance — the minimum
+    val clones = base.filter(_._1 < 3).map { case (id, v) => (id + 1000000L, v) }
+    val all = (base ++ clones).toSeq.toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(all, nQueries = 3, k = 5).collect()
+    (0L until 3L).foreach { qid =>
+      val mine = pq.filter(_.getAs[Long]("query_id") == qid)
+      assert(mine.length == 5)
+      assert(mine.map(_.getAs[Long]("rank")).sorted.sameElements(1L to 5L))
+      // the clone shares every code with the query → no candidate can score
+      // strictly below it; tie-break on neighbor_id may rank a same-distance
+      // vector first, so assert distance-optimality, not position
+      val clone = mine.find(_.getAs[Long]("neighbor_id") == qid + 1000000L)
+      assert(clone.isDefined, s"query $qid: exact clone missing from PQ top-5")
+      assert(clone.get.getAs[Long]("adist_micro") ==
+        mine.map(_.getAs[Long]("adist_micro")).min)
+    }
+    // partition-invariance: integer ADC sums make the result set exact
+    val a = Similarity.pqTopK(emb, nQueries = 4, k = 5).collect().map(_.toString).sorted
+    val b = Similarity.pqTopK(emb.repartition(13), nQueries = 4, k = 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("semanticDedup: one row per vector; dup set exactly the within-cluster lower-id cosine neighbors; equi-join plan") {
     val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
     val sem = Similarity.semanticDedup(emb)
