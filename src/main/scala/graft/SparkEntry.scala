@@ -1812,6 +1812,11 @@ object SparkEntry {
     "sim_pq_adc" -> ((s, dir) =>
       Similarity.pqTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
+    // PQ recall@k against the exact L2 ranking — dual-pass evaluation row
+    // by design (the lshEval / matryoshka precedent)
+    "sim_pq_recall" -> ((s, dir) =>
+      Similarity.pqRecall(t(s, dir, "embeddings"))),
+
     // SemDeDup (Abbas et al. 2023): coarse k-means clusters, then drop any
     // vector with a lower-id cosine>theta neighbor in its own cluster —
     // the published within-cluster collapse of the all-pairs embedding
@@ -3173,6 +3178,7 @@ object SparkEntry {
     "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "sim_pq_adc" -> Similarity.pqTopKSqlDuck(),
+    "sim_pq_recall" -> Similarity.pqRecallSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,

@@ -841,7 +841,19 @@ object Similarity {
     * an exact quantized-BIGINT mean, then the final encode, the query
     * distance table with the same floor-to-micro-units quantization, and the
     * integer ADC sum + top-k window. */
-  def pqTopKSqlDuck(nQueries: Int = 8, k: Int = 10, iters: Int = 2): String = {
+  def pqTopKSqlDuck(nQueries: Int = 8, k: Int = 10, iters: Int = 2): String =
+    s"""WITH ${pqCtes(nQueries, iters)}
+       |SELECT query_id, rank, neighbor_id, adist_micro FROM (
+       |  SELECT query_id, neighbor_id, CAST(adist_micro AS BIGINT) AS adist_micro,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The shared CTE chain ending in `scored(query_id, neighbor_id,
+    * adist_micro)` — the trainer, encode, query table, and ADC sum. */
+  private[ext] def pqCtes(nQueries: Int, iters: Int): String = {
     val dims = 0 until PqSubDim
     def d2Chain(s: Int): String = dims.map { i =>
       val e = s"CAST(e.embedding[${s * PqSubDim + i + 1}] AS DOUBLE)"
@@ -898,7 +910,7 @@ object Similarity {
       }.mkString("\n  UNION ALL\n  ")
       s"qtab AS (\n  $branches)"
     }
-    s"""WITH $cents0,
+    s"""$cents0,
        | ${rounds.mkString(",\n ")},
        | ${assignCte("encodef", cF, "")},
        | $qtab,
@@ -906,13 +918,63 @@ object Similarity {
        |  SELECT q.query_id, a.vec_id AS neighbor_id, SUM(q.d2m) AS adist_micro
        |  FROM encodef a JOIN qtab q ON q.s = a.s AND q.code = a.cluster
        |  WHERE a.vec_id <> q.query_id
-       |  GROUP BY q.query_id, a.vec_id)
-       |SELECT query_id, rank, neighbor_id, adist_micro FROM (
-       |  SELECT query_id, neighbor_id, CAST(adist_micro AS BIGINT) AS adist_micro,
-       |    CAST(row_number() OVER (
-       |      PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id) AS BIGINT) AS rank
-       |  FROM scored)
-       |WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |  GROUP BY q.query_id, a.vec_id)""".stripMargin
   }
+
+  /** PQ recall audit against the EXACT L2 top-k (the paper's recall@k
+    * metric): per query, how many of the true k nearest neighbors the ADC
+    * ranking retrieved. The truth ranking orders by the monotone-equivalent
+    * `q·c − |c|²/2` (|q|² is constant per query) so no sqrt enters; both
+    * rankings and the overlap count are exact, recall is the int/int
+    * division. Dual-pass BY DESIGN — the exact scan is the evaluation
+    * harness, not the production path (the lshEval / matryoshka precedent). */
+  def pqRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = pqTopK(emb, nQueries, k, iters).select("query_id", "neighbor_id")
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    val truth = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", dotCol("qv", "cv") - dotCol("cv", "cv") / lit(2.0))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle twin of [[pqRecall]]: the PQ CTE chain plus the exact-score
+    * window ranking, identical dot chains and tie-breaks. */
+  def pqRecallSqlDuck(nQueries: Int = 8, k: Int = 10, iters: Int = 2): String =
+    s"""WITH ${pqCtes(nQueries, iters)},
+       | approx AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT query_id, neighbor_id, row_number() OVER (
+       |     PARTITION BY query_id ORDER BY adist_micro ASC, neighbor_id) AS rnk
+       |   FROM scored) WHERE rnk <= $k),
+       | truth AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |       (${dotSqlDuck("q.embedding", "c.embedding")}) -
+       |       (${dotSqlDuck("c.embedding", "c.embedding")}) / 2.0 DESC,
+       |       c.vec_id) AS rnk
+       |   FROM embeddings q JOIN embeddings c
+       |     ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id)
+       |   WHERE rnk <= $k),
+       | hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |   FROM truth t JOIN approx a
+       |     ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |   GROUP BY t.query_id)
+       |SELECT e.vec_id AS query_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / ${k.toDouble} AS recall
+       |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.query_id
+       |WHERE e.vec_id < $nQueries ORDER BY query_id""".stripMargin
 }
