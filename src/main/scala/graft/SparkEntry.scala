@@ -1817,6 +1817,11 @@ object SparkEntry {
     "sim_pq_recall" -> ((s, dir) =>
       Similarity.pqRecall(t(s, dir, "embeddings"))),
 
+    // IVFADC (§IV of the PQ paper): IVF cluster pruning then ADC re-rank —
+    // the billion-scale composition; ADC runs only on the probed candidates
+    "sim_ivfpq_topk" -> ((s, dir) =>
+      Similarity.ivfPqTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
+
     // SemDeDup (Abbas et al. 2023): coarse k-means clusters, then drop any
     // vector with a lower-id cosine>theta neighbor in its own cluster —
     // the published within-cluster collapse of the all-pairs embedding
@@ -3179,6 +3184,7 @@ object SparkEntry {
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "sim_pq_adc" -> Similarity.pqTopKSqlDuck(),
     "sim_pq_recall" -> Similarity.pqRecallSqlDuck(),
+    "sim_ivfpq_topk" -> Similarity.ivfPqTopKSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,

@@ -809,21 +809,32 @@ object Similarity {
     * composing with the IVF coarse quantizer (IVFADC, §IV of the paper) to
     * prune the scan is the published next step and drops in as a cluster
     * pre-filter on the code relation. */
-  def pqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
-      iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cents = pqCentroids(emb, iters)
-    val codes = pqAssignCols(emb, cents)
+  /** (neighbor_id, s, code) — m code rows per corpus vector. */
+  private def pqCodes(emb: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame =
+    pqAssignCols(emb, cents)
       .select(col("vec_id").as("neighbor_id"),
         posexplode(array((0 until PqM).map(s => col(s"_code_$s")): _*)).as(Seq("s", "code")))
+
+  /** ADC distance table: (query_id, s, code, d2m) — nQueries · m · PqK rows,
+    * each subspace distance floor-quantized to micro-unit BIGINTs. */
+  private def pqQueryTable(emb: DataFrame, cents: Array[Array[Array[Double]]],
+      nQueries: Int): DataFrame = {
     val qstructs = for (s <- 0 until PqM; j <- 0 until PqK) yield struct(
       lit(s).as("s"), lit(j).as("code"),
       floor(pqSubD2("embedding", s * PqSubDim, cents(s)(j)) * lit(Quant))
         .cast("long").as("d2m"))
-    val qtab = emb.filter(col("vec_id") < nQueries)
+    emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), explode(array(qstructs: _*)).as("q"))
       .select(col("query_id"), col("q.s").as("s"), col("q.code").as("code"),
         col("q.d2m").as("d2m"))
+  }
+
+  def pqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
+      iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = pqCentroids(emb, iters)
+    val codes = pqCodes(emb, cents)
+    val qtab = pqQueryTable(emb, cents, nQueries)
     val scored = codes.join(broadcast(qtab), Seq("s", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
@@ -851,9 +862,11 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** The shared CTE chain ending in `scored(query_id, neighbor_id,
-    * adist_micro)` — the trainer, encode, query table, and ADC sum. */
-  private[ext] def pqCtes(nQueries: Int, iters: Int): String = {
+  /** The shared CTE chain ending in `${p}scored(query_id, neighbor_id,
+    * adist_micro)` — the trainer, encode, query table, and ADC sum. All CTE
+    * names take the `p` prefix so the chain composes with other trainer
+    * chains (IVFADC) without collisions. */
+  private[ext] def pqCtes(nQueries: Int, iters: Int, p: String = ""): String = {
     val dims = 0 until PqSubDim
     def d2Chain(s: Int): String = dims.map { i =>
       val e = s"CAST(e.embedding[${s * PqSubDim + i + 1}] AS DOUBLE)"
@@ -874,7 +887,7 @@ object Similarity {
           s"CAST(embedding[${s * PqSubDim + i + 1}] AS DOUBLE) AS c$i").mkString(", ")
         s"SELECT $s AS s, vec_id AS cluster, $cs FROM embeddings WHERE vec_id < $PqK"
       }.mkString("\n  UNION ALL\n  ")
-      s"cents0 AS (\n  $branches)"
+      s"${p}cents0 AS (\n  $branches)"
     }
     def sumsCte(name: String, assign: String): String = {
       val branches = (0 until PqM).map { s =>
@@ -896,11 +909,11 @@ object Similarity {
         .stripMargin
     }
     val rounds = (1 to iters).flatMap { r =>
-      Seq(assignCte(s"assign$r", s"cents${r - 1}", ""),
-        sumsCte(s"sums$r", s"assign$r"),
-        centsCte(s"cents$r", s"cents${r - 1}", s"sums$r"))
+      Seq(assignCte(s"${p}assign$r", s"${p}cents${r - 1}", ""),
+        sumsCte(s"${p}sums$r", s"${p}assign$r"),
+        centsCte(s"${p}cents$r", s"${p}cents${r - 1}", s"${p}sums$r"))
     }
-    val cF = s"cents$iters"
+    val cF = s"${p}cents$iters"
     val qtab = {
       val branches = (0 until PqM).map { s =>
         s"""SELECT e.vec_id AS query_id, $s AS s, c.cluster AS code,
@@ -908,15 +921,15 @@ object Similarity {
            |  FROM embeddings e CROSS JOIN $cF c
            |  WHERE c.s = $s AND e.vec_id < $nQueries""".stripMargin
       }.mkString("\n  UNION ALL\n  ")
-      s"qtab AS (\n  $branches)"
+      s"${p}qtab AS (\n  $branches)"
     }
     s"""$cents0,
        | ${rounds.mkString(",\n ")},
-       | ${assignCte("encodef", cF, "")},
+       | ${assignCte(s"${p}encodef", cF, "")},
        | $qtab,
-       | scored AS (
+       | ${p}scored AS (
        |  SELECT q.query_id, a.vec_id AS neighbor_id, SUM(q.d2m) AS adist_micro
-       |  FROM encodef a JOIN qtab q ON q.s = a.s AND q.code = a.cluster
+       |  FROM ${p}encodef a JOIN ${p}qtab q ON q.s = a.s AND q.code = a.cluster
        |  WHERE a.vec_id <> q.query_id
        |  GROUP BY q.query_id, a.vec_id)""".stripMargin
   }
@@ -977,4 +990,78 @@ object Similarity {
        |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / ${k.toDouble} AS recall
        |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.query_id
        |WHERE e.vec_id < $nQueries ORDER BY query_id""".stripMargin
+
+  /** IVFADC (§IV of Jégou et al. 2011): the coarse IVF quantizer prunes the
+    * corpus to the query's nProbe closest clusters, then PQ/ADC ranks only
+    * those candidates. This is THE published composition for billion-scale
+    * ANN — the full-scan cost of plain ADC drops to ~nProbe/kClusters of
+    * the corpus per query, and every join stays an equi-join (cluster id,
+    * then (s, code)). Both codebooks are the deterministic driver-resident
+    * trainers already oracle-proven by [[ivfTopK]] and [[pqTopK]]; distance
+    * sums are the same exact micro-unit BIGINTs, so the pruned ranking is
+    * engine- and partitioning-independent. Default iters=1 (not the
+    * siblings' 2): this row's coverage point is the prune→ADC COMPOSITION;
+    * both trainers are already proven at iters=2 in their own rows, and a
+    * second Lloyd round here would only re-pay their cost. */
+  def ivfPqTopK(embRaw: DataFrame, nQueries: Int = 8, k: Int = 10,
+      kClusters: Int = 16, nProbe: Int = 3, iters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // Both trainers plus the encode/query passes rescan the corpus —
+    // 2·iters Lloyd passes + 3 consumers. One persist feeds them all.
+    val emb = graft.etl.CacheRegistry.persist(embRaw)
+    // coarse stage: candidate pairs from the probed clusters
+    val cents = ivfCentroids(emb, kClusters, iters)
+    val v = ivfAssign(emb, cents)
+    val centScores = cents.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      graft.functions.VectorExprs.dotConst(col("embedding"), c) - lit(half)
+    }
+    val wProbe = Window.partitionBy("query_id").orderBy(col("score").desc, col("cluster"))
+    val qProbes = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        posexplode(array(centScores.toSeq: _*)).as(Seq("cluster", "score")))
+      .withColumn("_r", row_number().over(wProbe))
+      .filter(col("_r") <= nProbe)
+      .select("query_id", "cluster")
+    val cand = v.select(col("vec_id").as("neighbor_id"), col("cluster"))
+      .join(broadcast(qProbes), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    // fine stage: ADC sums computed ONLY for the pruned candidates
+    val pqc = pqCentroids(emb, iters)
+    val scored = cand
+      .join(pqCodes(emb, pqc), Seq("neighbor_id"))
+      .join(broadcast(pqQueryTable(emb, pqc, nQueries)), Seq("query_id", "s", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("d2m").as("adist_micro"))
+    val w = Window.partitionBy("query_id").orderBy(col("adist_micro").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adist_micro"))
+  }
+
+  /** Oracle for [[ivfPqTopK]]: the IVF trainer chain (probes + candidate
+    * pairs) composed with the `pq_`-prefixed PQ chain; the oracle computes
+    * ADC for all pairs and restricts to candidates — same result as the
+    * engine's candidates-first evaluation order. */
+  def ivfPqTopKSqlDuck(nQueries: Int = 8, k: Int = 10, kClusters: Int = 16,
+      nProbe: Int = 3, iters: Int = 1): String = {
+    val (ctes, cF) = ivfTrainerCtes(kClusters, iters)
+    s"""WITH $ctes,
+       | probes AS (SELECT query_id, cluster FROM (
+       |  SELECT e.vec_id AS query_id, c.cluster, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${ivfScoreSql("c")} DESC, c.cluster) AS rn
+       |  FROM embeddings e CROSS JOIN $cF c WHERE e.vec_id < $nQueries) WHERE rn <= $nProbe),
+       | cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assignf a ON a.cluster = p.cluster AND a.vec_id <> p.query_id),
+       | ${pqCtes(nQueries, iters, "pq_")}
+       |SELECT query_id, rank, neighbor_id, adist_micro FROM (
+       |  SELECT c.query_id, c.neighbor_id, CAST(s.adist_micro AS BIGINT) AS adist_micro,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY c.query_id ORDER BY s.adist_micro ASC, c.neighbor_id) AS BIGINT) AS rank
+       |  FROM cand c JOIN pq_scored s
+       |    ON s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)
+       |WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

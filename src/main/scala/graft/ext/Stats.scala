@@ -257,6 +257,68 @@ object Stats {
        |FROM j CROSS JOIN t CROSS JOIN s
        |ORDER BY bucket""".stripMargin
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `valueCol`
+    * distributions of two sources — the classic distribution-drift test
+    * (complements [[driftTotalVariation]]'s binned TV with the binless
+    * sup-CDF-gap statistic). Everything is integer arithmetic:
+    * D = max_v |F_a(v) − F_b(v)| = max_v |cumA(v)·n_b − cumB(v)·n_a| /
+    * (n_a·n_b), so the max is taken over exact BIGINT numerators and the
+    * one division happens once at the end (floor-quantized to micro-units;
+    * cross-engine exact — no double CDFs ever materialize).
+    *
+    * Shape: per-value counts (map-side-combined groupBy over the union of
+    * both sources — the corpus is read once), then the bucketed
+    * [[graft.etl.IngestOps.withGlobalRunningSum]] prefix machinery for the
+    * two CDFs (range-bucket on value, per-bucket offsets, ONE within-bucket
+    * window — never a single-reducer global sort), a broadcast 1-row totals
+    * aggregate, and a TakeOrdered top-1 for the argmax. `at_value` is the
+    * smallest value attaining the sup (ties broken ascending, so the row is
+    * deterministic on both engines). */
+  def ksDrift(docs: DataFrame, srcA: String = "src0", srcB: String = "src1",
+      valueCol: String = "n_chars"): DataFrame = {
+    val f = docs.filter(col("source").isin(srcA, srcB) && col(valueCol).isNotNull)
+    val g = f.groupBy(col(valueCol).as("v")).agg(
+      sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    val c = graft.etl.IngestOps.withGlobalRunningSum(
+      graft.etl.IngestOps.withGlobalRunningSum(g, col("v"), col("ca"), "cuma"),
+      col("v"), col("cb"), "cumb")
+    val tot = c.agg(max("cuma").as("n_a"), max("cumb").as("n_b"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("d_num", abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+      .orderBy(col("d_num").desc, col("v").asc)
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("n_a") * col("n_b")).as("d_den"),
+        col("v").as("at_value"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          expr("d_num * 1000000 DIV (n_a * n_b)")).as("d_micro"))
+  }
+
+  /** Oracle twin of [[ksDrift]] over documents' n_chars: the same exact
+    * integer CDF-gap chain, with the window cumulative sum in place of the
+    * bucketed prefix machinery. */
+  def ksDriftSqlDuck(srcA: String = "src0", srcB: String = "src1"): String =
+    s"""WITH f AS (SELECT n_chars AS v,
+       |    CASE WHEN source = '$srcA' THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN source = '$srcB' THEN 1 ELSE 0 END AS b
+       |  FROM documents
+       |  WHERE source IN ('$srcA', '$srcB') AND n_chars IS NOT NULL),
+       | g AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+       |    CAST(sum(b) AS BIGINT) AS cb FROM f GROUP BY v),
+       | c AS (SELECT v, CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+       |    CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cumb FROM g),
+       | t AS (SELECT CAST(max(cuma) AS BIGINT) AS n_a,
+       |    CAST(max(cumb) AS BIGINT) AS n_b FROM c),
+       | s AS (SELECT v, n_a, n_b,
+       |    CAST(abs(cuma * n_b - cumb * n_a) AS BIGINT) AS d_num
+       |  FROM c CROSS JOIN t)
+       |SELECT n_a, n_b, d_num, CAST(n_a * n_b AS BIGINT) AS d_den,
+       |  v AS at_value,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) END AS d_micro
+       |FROM s ORDER BY d_num DESC, v ASC LIMIT 1""".stripMargin
+
   /** Key-concentration audit: how skewed is the distribution of rows over
     * a key — the shuffle-planning input (a high Gini / top-share key column
     * needs salting before it becomes a reducer hot spot). Output is ONE

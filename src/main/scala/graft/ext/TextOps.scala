@@ -1127,4 +1127,84 @@ object TextOps {
     val bad = pre.join(benchSh, "_h").select("doc_id").distinct()
     candidates.join(bad, Seq("doc_id"), "left_anti")
   }
+
+  /** Vocabulary coverage curve — the tokenizer-budget planning question:
+    * how many distinct terms (frequency-ranked) does it take to cover p% of
+    * all token OCCURRENCES in the corpus? One row per requested micro-unit
+    * fraction with the minimal vocab size and the coverage it actually
+    * achieves.
+    *
+    * The standard formulation walks terms in frequency-descending order and
+    * cumulates — a global sort over |vocab| rows. This implementation
+    * collapses terms into FREQUENCY CLASSES first (all terms with count n
+    * are interchangeable: any prefix of a class contributes extra·n tokens
+    * regardless of which terms are picked, so the minimal vocab size is
+    * invariant under within-class order — no term-level tie-break needed and
+    * none is defined). Classes are ≤ O(√Σn) rows by the usual
+    * distinct-count bound, cumulated in n-DESC order by the bucketed
+    * [[graft.etl.IngestOps.withGlobalRunningSum]] prefix machinery (key
+    * −n; never a single-reducer global window), and the boundary class per
+    * threshold is a 3-row broadcast range join. All arithmetic is BIGINT
+    * (need = ⌈p·total⌉ and extra = ⌈rem/n⌉ as integer DIV chains), so both
+    * engines agree exactly. */
+  def vocabCoverage(docs: DataFrame,
+      pMicros: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    import docs.sparkSession.implicits._
+    val tf = docs.filter(col("text").isNotNull)
+      .select(explode(tokensArr("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val cls = tf.groupBy("n").agg(count(lit(1)).as("c"))
+      .withColumn("mass", col("n") * col("c"))
+    val cum = graft.etl.IngestOps.withGlobalRunningSum(
+      graft.etl.IngestOps.withGlobalRunningSum(cls, -col("n"), col("mass"), "cm"),
+      -col("n"), col("c"), "ct")
+    val tot = cls.agg(sum("mass").as("total"))
+    val ts = pMicros.toDF("p_micro").crossJoin(broadcast(tot))
+      .withColumn("need", expr("(p_micro * total + 999999) DIV 1000000"))
+    // boundary class: the first (in n-DESC order) whose cumulative mass
+    // reaches the target — prev_cm < need <= cm picks it exactly
+    cum.join(broadcast(ts),
+        col("cm") >= col("need") && (col("cm") - col("mass")) < col("need"))
+      .select(col("p_micro"),
+        (col("ct") - col("c") +
+          expr("(need - (cm - mass) + n - 1) DIV n")).as("vocab_size"),
+        (col("cm") - col("mass") +
+          expr("((need - (cm - mass) + n - 1) DIV n) * n")).as("covered_tokens"),
+        col("total").as("total_tokens"))
+      .withColumn("coverage_micro",
+        expr("covered_tokens * 1000000 DIV total_tokens"))
+      .orderBy("p_micro")
+  }
+
+  /** Oracle twin of [[vocabCoverage]]: identical frequency-class integer
+    * chain, with the window cumulative sums in place of the bucketed
+    * prefix machinery. */
+  def vocabCoverageSqlDuck(
+      pMicros: Seq[Long] = Seq(500000L, 900000L, 990000L)): String = {
+    val vals = pMicros.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+    s"""WITH tf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+       |    SELECT unnest(${tokensSqlDuck("text")}) AS term
+       |    FROM documents WHERE text IS NOT NULL) GROUP BY term),
+       | cls AS (SELECT n, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(n * count(*) AS BIGINT) AS mass FROM tf GROUP BY n),
+       | cum AS (SELECT n, c, mass,
+       |    CAST(SUM(mass) OVER (ORDER BY n DESC) AS BIGINT) AS cm,
+       |    CAST(SUM(c) OVER (ORDER BY n DESC) AS BIGINT) AS ct FROM cls),
+       | t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cls),
+       | p(p_micro) AS (VALUES $vals),
+       | ts AS (SELECT p_micro, total,
+       |    CAST((p_micro * total + 999999) // 1000000 AS BIGINT) AS need
+       |  FROM p CROSS JOIN t),
+       | sel AS (SELECT p_micro, total, need, n, c, mass, cm, ct
+       |  FROM cum JOIN ts ON cm >= need AND cm - mass < need)
+       |SELECT p_micro,
+       |  CAST(ct - c + (need - (cm - mass) + n - 1) // n AS BIGINT)
+       |    AS vocab_size,
+       |  CAST(cm - mass + ((need - (cm - mass) + n - 1) // n) * n AS BIGINT)
+       |    AS covered_tokens,
+       |  total AS total_tokens,
+       |  CAST((cm - mass + ((need - (cm - mass) + n - 1) // n) * n) * 1000000
+       |    // total AS BIGINT) AS coverage_micro
+       |FROM sel ORDER BY p_micro""".stripMargin
+  }
 }

@@ -13,6 +13,8 @@ object PlanAudit {
       "all-pairs by design; fixture-scale oracle twin of the bucketed form, excluded from bench"),
     "sim_topk_bruteforce" -> ("BroadcastNestedLoopJoin",
       "broadcast QUERY side (8 rows) vs streamed candidates — the intended brute-force baseline"),
+    "sim_pq_recall" -> ("BroadcastNestedLoopJoin",
+      "the exact-truth ranking pass: broadcast 8-row query side vs streamed corpus (the sim_topk_bruteforce shape) — the evaluation harness half of the dual-pass recall audit, not the production path"),
     "q22_idle_customers" -> ("BroadcastNestedLoopJoin",
       "crossJoin of a 1-row global-average aggregate (the TPC-H Q22 shape)"),
     "q_scalar_subquery" -> ("BroadcastNestedLoopJoin",

@@ -129,6 +129,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("ivfPqTopK: every hit lies in a probed IVF cluster; ADC sums agree with pqTopK; partition-invariant") {
+    val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val out = Similarity.ivfPqTopK(emb, nQueries = 4, k = 5).collect()
+    assert(out.nonEmpty)
+    // ranks are 1..n per query with no gaps, n <= k
+    out.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted
+      assert(ranks.sameElements(1L to ranks.length) && ranks.length <= 5)
+    }
+    // coarse-stage contract: a hit must come from one of the query's
+    // nProbe closest clusters (recompute the same deterministic trainer)
+    val cents = Similarity.ivfCentroids(emb, 16, 1)
+    val cluster = Similarity.ivfAssign(emb, cents)
+      .select($"vec_id", $"cluster").as[(Long, Int)].collect().toMap
+    def score(v: Array[Float], c: Array[Double]): Double = {
+      val dot = v.indices.foldLeft(0.0)((a, i) => a + v(i).toDouble * c(i))
+      dot - c.map(x => x * x).sum / 2
+    }
+    val vecs = emb.filter($"vec_id" < 4)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val probes = vecs.map { case (qid, v) =>
+      qid -> cents.indices.sortBy(i => (-score(v, cents(i)), i)).take(3).toSet
+    }
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neighbor_id")
+      assert(q != n)
+      assert(probes(q).contains(cluster(n)),
+        s"hit $n (cluster ${cluster(n)}) outside query $q's probe set ${probes(q)}")
+    }
+    // fine-stage contract: the ADC distance of every (q, n) pair equals the
+    // pure-PQ operator's distance for that pair (same codebooks at iters=1)
+    val pqAll = Similarity.pqTopK(emb, nQueries = 4, k = Int.MaxValue, iters = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Long]("adist_micro")).toMap
+    out.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      assert(pqAll(key) == r.getAs[Long]("adist_micro"),
+        s"ADC mismatch vs pqTopK for $key")
+    }
+    // integer distances + id tie-breaks → exact partition invariance
+    val a = out.map(_.toString).sorted
+    val b = Similarity.ivfPqTopK(emb.repartition(13), nQueries = 4, k = 5)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("semanticDedup: one row per vector; dup set exactly the within-cluster lower-id cosine neighbors; equi-join plan") {
     val emb = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
     val sem = Similarity.semanticDedup(emb)
