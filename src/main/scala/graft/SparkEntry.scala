@@ -2156,6 +2156,20 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // exact two-sample Kolmogorov–Smirnov drift (ext/Stats.ksDrift): the
+    // binless sup-CDF-gap companion to quality_drift_tv — integer CDF
+    // numerators via the bucketed running-sum machinery, one TakeOrdered
+    // argmax, one final micro-unit DIV
+    "quality_ks_drift" -> ((s, dir) =>
+      graft.ext.Stats.ksDrift(t(s, dir, "documents"))),
+
+    // vocabulary coverage curve (ext/TextOps.vocabCoverage): minimal
+    // frequency-ranked vocab covering 50/90/99% of token occurrences —
+    // frequency-CLASS collapse (within-class order provably irrelevant),
+    // bucketed n-DESC prefix sums, 3-row broadcast boundary join
+    "text_vocab_coverage" -> ((s, dir) =>
+      TextOps.vocabCoverage(t(s, dir, "documents"))),
+
     // DAU/WAU engagement + stickiness (ext/Analytics.dauWau): exact
     // sliding distinct via the bounded ×7 window-end expansion of
     // (user, day) facts — never a per-day history scan
@@ -3394,6 +3408,8 @@ object SparkEntry {
     "events_winsorize" -> graft.ext.Analytics.winsorizeSqlDuck(),
     "pipeline_shuffle_order" -> graft.ext.Pipelines.shuffleOrderSqlDuck,
     "quality_drift_tv" -> graft.ext.Stats.driftTvSqlDuck("src0", "src1"),
+    "quality_ks_drift" -> graft.ext.Stats.ksDriftSqlDuck(),
+    "text_vocab_coverage" -> TextOps.vocabCoverageSqlDuck(),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,

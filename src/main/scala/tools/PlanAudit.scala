@@ -39,6 +39,10 @@ object PlanAudit {
       "crossJoin of the 1-row total-value aggregate (the TPC-H Q11 scalar-subquery shape)"),
     "events_winsorize" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row quantile-fence aggregate (two broadcast scalars)"),
+    "quality_ks_drift" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row sample-totals aggregate onto the per-value CDF relation"),
+    "text_vocab_coverage" -> ("BroadcastNestedLoopJoin",
+      "3 threshold rows crossJoin the 1-row corpus-total aggregate, then broadcast-range-join the frequency-class relation (one boundary row each)"),
     "sample_temperature_mix" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row weight-normalizer aggregate over the |sources|-row rollup"),
     "sample_length_quartiles" -> ("BroadcastNestedLoopJoin",

@@ -116,6 +116,8 @@ object StressProbe {
         d.filter(col("source") === "src0"), d.filter(col("source") =!= "src0")).count()),
       "text_novelty" -> (d => graft.ext.TextOps.novelty(d).count()),
       "text_surprisal" -> (d => graft.ext.TextOps.surprisal(d).count()),
+      "text_vocab_coverage" -> (d => graft.ext.TextOps.vocabCoverage(d).count()),
+      "quality_ks_drift" -> (d => graft.ext.Stats.ksDrift(d).count()),
       "sample_length_quartiles" -> (d => graft.ext.Pipelines.lengthQuartiles(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),
       "text_decontaminate_bloom" -> (d => graft.ext.TextOps.decontaminateBloom(

@@ -412,4 +412,27 @@ class StatsSpec extends AnyFunSuite {
       .select("gini").as[Double].head()
     assert(a == b)
   }
+
+  test("ksDrift: hand-computed sup-CDF gap, deterministic argmax, partition-invariant") {
+    // A = {1,2,3}, B = {2,3,4,4}: numerators |cumA·nB − cumB·nA| over
+    // v=1..4 are 4,5,6,0 → D = 6/12 at v=3
+    def mk(rows: Seq[(String, Long)]) = rows.toDF("source", "n_chars")
+    val rows = Seq("a" -> 1L, "a" -> 2L, "a" -> 3L,
+      "b" -> 2L, "b" -> 3L, "b" -> 4L, "b" -> 4L)
+    val got = Stats.ksDrift(mk(rows), "a", "b")
+      .select("n_a", "n_b", "d_num", "d_den", "at_value", "d_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((3L, 4L, 6L, 12L, 3L, 500000L)))
+    // identical samples → D = 0, argmax tie-breaks to the smallest value
+    val same = Seq("a" -> 5L, "a" -> 9L, "b" -> 5L, "b" -> 9L)
+    val zero = Stats.ksDrift(mk(same), "a", "b")
+      .select("d_num", "at_value").as[(Long, Long)].head()
+    assert(zero == ((0L, 5L)))
+    // exact integer chain → partition invariance
+    val big = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i % 37))
+    val x = Stats.ksDrift(mk(big), "a", "b").collect().head.toString
+    val y = Stats.ksDrift(mk(big).repartition(13), "a", "b")
+      .collect().head.toString
+    assert(x == y)
+  }
 }

@@ -277,4 +277,34 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSet == again.toSet)
   }
+
+  test("vocabCoverage: hand-computed boundary classes; coverage >= target; partition-invariant") {
+    // term freqs: a×4, b×2, c×2, d×1, e×1 → total 10.
+    // p=.5: need 5 → class n=2, vocab 2, covered 6
+    // p=.9: need 9 → class n=1, vocab 4, covered 9
+    // p=.99: need 10 → class n=1, vocab 5, covered 10
+    val d = docs(1L -> "a a a a b b", 2L -> "c c d e")
+    val got = TextOps.vocabCoverage(d).collect().map(r =>
+      (r.getAs[Long]("p_micro"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Long]("total_tokens"),
+        r.getAs[Long]("coverage_micro")))
+    assert(got.toSeq == Seq(
+      (500000L, 2L, 6L, 10L, 600000L),
+      (900000L, 4L, 9L, 10L, 900000L),
+      (990000L, 5L, 10L, 10L, 1000000L)))
+    // fixture corpus: vocab_size and coverage both non-decreasing in p,
+    // coverage always reaches the target, vocab never exceeds |vocab|
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val rows = TextOps.vocabCoverage(fx).collect().map(r =>
+      (r.getAs[Long]("p_micro"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("coverage_micro")))
+    assert(rows.map(_._1).toSeq == Seq(500000L, 900000L, 990000L))
+    rows.foreach { case (p, _, cov) => assert(cov >= p) }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    val again = TextOps.vocabCoverage(fx.repartition(13)).collect().map(r =>
+      (r.getAs[Long]("p_micro"), r.getAs[Long]("vocab_size"),
+        r.getAs[Long]("coverage_micro")))
+    assert(rows.toSeq == again.toSeq)
+  }
 }
