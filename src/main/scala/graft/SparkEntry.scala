@@ -1762,6 +1762,13 @@ object SparkEntry {
       Dedup.containmentPrefixJoin(t(s, dir, "documents"), theta = 0.8)
         .orderBy("doc_a", "doc_b")),
 
+    // cross-source contamination matrix (ext/Dedup.crossSourceOverlap):
+    // distinct shared w-shingles per source pair + overlap coefficient —
+    // distinct (shingle, source) projection BEFORE the self-join bounds
+    // the per-key fan-out by |sources|, output by |sources|²
+    "dedup_cross_source_overlap" -> ((s, dir) =>
+      Dedup.crossSourceOverlap(t(s, dir, "documents"))),
+
     // LSH candidate QUALITY eval (ext/Dedup.lshEval): banded-MinHash
     // candidates scored against the EXACT prefix join at θ over the same
     // shingle sets — tp / false negatives / precision / recall in one row;
@@ -3415,6 +3422,7 @@ object SparkEntry {
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),
     "dedup_containment" -> Dedup.containmentPrefixJoinSqlDuck(0.8),
+    "dedup_cross_source_overlap" -> Dedup.crossSourceOverlapSqlDuck(),
     "graph_pagerank" -> graft.ext.Graph.pageRankLshSqlDuck(),
     "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
     "graph_link_prediction" -> graft.ext.Graph.linkPredictionLshSqlDuck(),

@@ -1114,4 +1114,52 @@ object Dedup {
        |  ${jaccardExprDuck("a.toks", "b.toks")} AS jaccard
        |FROM t a JOIN t b ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cross-source contamination matrix: for every source pair (a < b) the
+    * number of DISTINCT w-shingles both emit, each side's distinct-shingle
+    * count, and the overlap coefficient shared/min(|A|,|B|) floor-quantized
+    * to micro-units (integer until the one DIV) — the "is benchmark/source
+    * B leaking into training source A" audit at corpus granularity, the
+    * between-slice companion of the per-doc decontaminate gate.
+    *
+    * Scale shape: the distinct (shingle, source) projection collapses every
+    * repeat BEFORE the join, so each shingle key carries at most |sources|
+    * rows and the self-equi-join emits ≤ C(|sources|,2) pairs per distinct
+    * shingle — never doc×doc, unsaltable-hot only if one shingle spanned
+    * most sources (bounded by the |sources|² output anyway). Shingles ride
+    * as md5 digests: fixed-width shuffle keys, bit-identical on both
+    * engines. */
+  def crossSourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
+    val ds = shingles(docs, w)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(md5(col("tok")).as("h"), col("source")).distinct()
+    val perSrc = ds.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(perSrc.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(perSrc.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .withColumn("overlap_micro", expr("n_shared * 1000000 DIV least(n_a, n_b)"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"), col("overlap_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Oracle twin of [[crossSourceOverlap]] — same distinct-projection,
+    * self-join, and integer overlap-coefficient chain. */
+  def crossSourceOverlapSqlDuck(w: Int = 5): String =
+    s"""WITH sh AS (${TextOps.shingleCtesDuck(w, "")}),
+       | ds AS (SELECT DISTINCT md5(s) AS h, source FROM sh WHERE s IS NOT NULL),
+       | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source),
+       | pr AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+       |  CAST(n_shared * 1000000 // least(pa.n, pb.n) AS BIGINT) AS overlap_micro
+       |FROM pr JOIN ps pa ON pr.src_a = pa.source
+       |  JOIN ps pb ON pr.src_b = pb.source
+       |ORDER BY src_a, src_b""".stripMargin
 }

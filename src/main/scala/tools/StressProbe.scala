@@ -117,6 +117,7 @@ object StressProbe {
       "text_novelty" -> (d => graft.ext.TextOps.novelty(d).count()),
       "text_surprisal" -> (d => graft.ext.TextOps.surprisal(d).count()),
       "text_vocab_coverage" -> (d => graft.ext.TextOps.vocabCoverage(d).count()),
+      "dedup_cross_source_overlap" -> (d => graft.ext.Dedup.crossSourceOverlap(d).count()),
       "quality_ks_drift" -> (d => graft.ext.Stats.ksDrift(d).count()),
       "sample_length_quartiles" -> (d => graft.ext.Pipelines.lengthQuartiles(d).count()),
       "text_bm25" -> (d => graft.ext.TextOps.bm25(d).count()),

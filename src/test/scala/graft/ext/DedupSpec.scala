@@ -429,4 +429,35 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 2L)) == 1.0)
     assert(math.abs(j((1L, 3L)) - 0.5) < 1e-12) // {a,b,c}∩{a,b,d}=2, ∪=4
   }
+
+  test("crossSourceOverlap: hand-built shared shingles; non-overlapping pairs absent; partition-invariant") {
+    import org.apache.spark.sql.functions.lit
+    // A: 6 tokens → 2 distinct 5-shingles; B: 5 tokens → 1 (= A's first);
+    // C: disjoint. Expect only (A,B): shared 1, overlap 1/min(2,1) = 1.0
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "srcA"),
+      (2L, "alpha beta gamma delta epsilon", "srcB"),
+      (3L, "one two three four five", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceOverlap(d).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[String]("src_a"), r.getAs[String]("src_b")) == (("srcA", "srcB")))
+    assert(r.getAs[Long]("n_shared") == 1L && r.getAs[Long]("n_a") == 2L &&
+      r.getAs[Long]("n_b") == 1L && r.getAs[Long]("overlap_micro") == 1000000L)
+    // within-source duplicate shingles collapse before the join: a repeat
+    // of B's text inside srcB changes nothing
+    val dup = d.unionByName(Seq((4L, "alpha beta gamma delta epsilon", "srcB"))
+      .toDF("doc_id", "text", "source"))
+    val got2 = Dedup.crossSourceOverlap(dup).collect()
+    assert(got2.length == 1 && got2.head.getAs[Long]("n_shared") == 1L &&
+      got2.head.getAs[Long]("n_b") == 1L)
+    // fixture corpus: exact integer chain → partition invariance
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val a = Dedup.crossSourceOverlap(fx).collect().map(_.toString).toSeq
+    val b = Dedup.crossSourceOverlap(fx.repartition(13)).collect()
+      .map(_.toString).toSeq
+    assert(a == b)
+  }
 }
