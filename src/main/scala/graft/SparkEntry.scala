@@ -1577,6 +1577,64 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // streaming exact dedup by event id (EventStreams.dedupEvents /
+    // dropDuplicatesWithinWatermark) — driven with REAL duplicates: the
+    // stream is the source unioned with a re-read of every third event, so
+    // the row proves state-backed drop behavior, not a no-op pass-through.
+    // Oracle = each event id exactly once (batch DISTINCT).
+    "events_stream_dedup" -> ((s, dir) => {
+      val src = graft.streaming.EventStreams.readEvents(s, dir)
+      val dups = graft.streaming.EventStreams.readEvents(s, dir)
+        .filter(pmod(col("event_id"), lit(3)) === 0)
+      runNarrowStream(s, "stream_dedup_verify")(
+        graft.streaming.EventStreams.dedupEvents(src.unionByName(dups))
+          .writeStream.format("memory").queryName("stream_dedup_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_dedup_verify")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
+    // stream-stream INNER windowed join (EventStreams.clickPurchaseJoin):
+    // each purchase joins same-user clicks in the preceding hour; inner
+    // matches emit as soon as both sides arrive, so unlike the LEFT OUTER
+    // twin no watermark-finalization cut is needed — oracle is the plain
+    // batch range join
+    "events_stream_join_inner" -> ((s, dir) => {
+      runNarrowStream(s, "stream_joininner_verify")(
+        graft.streaming.EventStreams.clickPurchaseJoin(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_joininner_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_joininner_verify")
+        .select(col("purchase_id"), col("click_id"), col("user_id"))
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    // stream-static ANTI join (EventStreams.filterBlocklisted): drop every
+    // event whose user is on a static blocklist (every 10th user) — the
+    // at-ingest curation/PII gate in streaming form; static side broadcast
+    // per micro-batch, zero streaming state
+    "events_stream_blocklist" -> ((s, dir) => {
+      val bl = t(s, dir, "events")
+        .filter(col("user_id").isNotNull && pmod(col("user_id"), lit(10)) === 3)
+        .select(col("user_id").as("blocked_user")).distinct()
+      runNarrowStream(s, "stream_blocklist_verify")(
+        graft.streaming.EventStreams.filterBlocklisted(
+            graft.streaming.EventStreams.readEvents(s, dir), bl)
+          .writeStream.format("memory").queryName("stream_blocklist_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_blocklist_verify")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy("event_id")
+    }),
+
     // Tukey-fence outliers on EXACT type-1 quartiles (value-domain
     // bisection, never a sort): two scalar bounds, one pushed-down filter
     "events_outliers_iqr" -> ((s, dir) =>
@@ -3546,6 +3604,27 @@ object SparkEntry {
         |CROSS JOIN wm
         |WHERE c.click_id IS NOT NULL OR epoch_us(p.p_ts) < wm.wm_us
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // streaming dedup with injected duplicate copies → exactly one row per
+    // event id survives (the duplicates exist only on the Spark stream
+    // side, so the base table IS the expected output)
+    "events_stream_dedup" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
+    // inner stream-stream join: all matches emit once both sides arrive —
+    // no finalization cut, so the oracle is the plain batch range join
+    "events_stream_join_inner" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  p.user_id
+        |FROM events p JOIN events c ON p.user_id = c.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // stream-static anti join: events of blocklisted (user_id % 10 = 3)
+    // users dropped, everything else passes through unchanged
+    "events_stream_blocklist" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE user_id IS NULL OR user_id % 10 <> 3
+        |ORDER BY event_id""".stripMargin,
     "sim_tfidf_pairs" -> graft.ext.TextOps.tfidfCosinePairsSqlDuck(),
     "dedup_edit_distance" -> graft.ext.Dedup.editDistancePairsSqlDuck(),
 
