@@ -2371,6 +2371,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // corpus snapshot diff (ext/Pipelines.corpusDiff): added/removed/
+    // changed/unchanged counts across two derived snapshot versions —
+    // one co-partitioned full-outer equi-join on doc_id over fixed-width
+    // content hashes, then a ≤4-row rollup
+    "pipeline_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val v2 = docs.filter(pmod(col("doc_id"), lit(10)) =!= 4)
+        .withColumn("text", when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.ext.Pipelines.corpusDiff(v1, v2)
+    }),
+
     // first-order Markov transition matrix between event types (ext/
     // Analytics.transitionMatrix): one user_id exchange for the lag pairs,
     // |types|²-bounded rollup, broadcast per-from totals
@@ -3548,6 +3561,7 @@ object SparkEntry {
     "sim_quantize_sq8" -> Similarity.quantizeSq8SqlDuck,
     "pipeline_upsert_latest" -> graft.ext.Pipelines.upsertLatestSqlDuck(
       "doc_id, text, lang, source, n_chars"),
+    "pipeline_corpus_diff" -> graft.ext.Pipelines.corpusDiffSqlDuck,
     "events_transition_matrix" -> graft.ext.Analytics.transitionMatrixSqlDuck,
     "events_type_affinity" -> graft.ext.Analytics.typeAffinitySqlDuck(),
     "quality_ref_integrity" -> graft.ext.Analytics.refIntegritySqlDuck(Seq(

@@ -925,6 +925,45 @@ object Pipelines {
     * Shape: the label-propagation clusters ([[Dedup.clusterByBuckets]])
     * plus ONE cluster-keyed count and a map-side join-back; weights are
     * BIGINT integer division — engine-exact. */
+  /** Corpus snapshot diff: classify every doc id across two corpus
+    * versions as added (v2-only) / removed (v1-only) / changed (both, text
+    * content hash differs) / unchanged, and roll up the counts — the
+    * "what did this refresh actually do" audit before a retrain is kicked
+    * off on the new snapshot. Content compares as md5 over
+    * coalesce(text,'') (null-safe, fixed-width), the diff is ONE
+    * co-partitioned full-outer equi-join on doc_id, and the rollup is a
+    * ≤4-row aggregate — nothing in the plan grows faster than the
+    * snapshots themselves. */
+  def corpusDiff(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h1"))
+    val b = v2.select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("h1").isNull, "added")
+        .when(col("h2").isNull, "removed")
+        .when(col("h1") === col("h2"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy("status").agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** Oracle twin of [[corpusDiff]] for the SparkEntry row's derived
+    * snapshots: v1 = docs without the doc_id%10=7 slice, v2 = docs without
+    * the %10=4 slice and with every %3=0 text re-crawled (text || ' v2').
+    */
+  def corpusDiffSqlDuck: String =
+    s"""WITH v1 AS (SELECT doc_id, md5(coalesce(text, '')) AS h1
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       | v2 AS (SELECT doc_id, md5(coalesce(
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END, ''))
+       |    AS h2
+       |  FROM documents WHERE doc_id % 10 <> 4),
+       | d AS (SELECT CASE WHEN h1 IS NULL THEN 'added'
+       |    WHEN h2 IS NULL THEN 'removed'
+       |    WHEN h1 = h2 THEN 'unchanged' ELSE 'changed' END AS status
+       |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+       |SELECT status, CAST(count(*) AS BIGINT) AS n FROM d
+       |GROUP BY status ORDER BY status""".stripMargin
+
   def dedupWeights(docs: DataFrame): DataFrame = {
     val cl = graft.etl.CacheRegistry.persist(
       Dedup.clusterByBuckets(docs,

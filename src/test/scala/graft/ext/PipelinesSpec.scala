@@ -393,4 +393,24 @@ class PipelinesSpec extends AnyFunSuite {
     // near-identical docs 1-3 share a cluster (they share LSH bands)
     assert(got(1L)._2 >= 2L)
   }
+
+  test("corpusDiff: hand-built added/removed/changed/unchanged; null text null-safe") {
+    def df(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val v1 = df(1L -> "same", 2L -> "old", 3L -> "gone")
+    val v2 = df(1L -> "same", 2L -> "new", 4L -> "fresh")
+    val got = Pipelines.corpusDiff(v1, v2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 1L,
+      "changed" -> 1L, "unchanged" -> 1L))
+    // null text on both sides hashes as '' → unchanged, not spurious churn
+    val n1 = Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val g2 = Pipelines.corpusDiff(n1, n1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2 == Map("unchanged" -> 1L))
+    // identical snapshots → everything unchanged
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val self = Pipelines.corpusDiff(fx, fx).collect()
+    assert(self.length == 1 && self.head.getString(0) == "unchanged" &&
+      self.head.getLong(1) == fx.count())
+  }
 }
