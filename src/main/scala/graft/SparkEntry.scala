@@ -2241,6 +2241,12 @@ object SparkEntry {
     "events_dau_wau" -> ((s, dir) =>
       graft.ext.Analytics.dauWau(t(s, dir, "events")).orderBy("day")),
 
+    // cumulative unique-user growth curve (ext/Analytics.cumulativeUsers):
+    // first-active-day per user, per-day rollup, bucketed running sum —
+    // exact BIGINTs end to end
+    "events_cumulative_users" -> ((s, dir) =>
+      graft.ext.Analytics.cumulativeUsers(t(s, dir, "events"))),
+
     // TIME-WEIGHTED average per user (ext/Temporal.timeWeightedAvg): the
     // irregular-sampling mean — exact BIGINT cents·µs accumulation, one
     // final double division; one user_id exchange
@@ -3489,6 +3495,7 @@ object SparkEntry {
     "quality_ks_drift" -> graft.ext.Stats.ksDriftSqlDuck(),
     "text_vocab_coverage" -> TextOps.vocabCoverageSqlDuck(),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
+    "events_cumulative_users" -> graft.ext.Analytics.cumulativeUsersSqlDuck,
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),

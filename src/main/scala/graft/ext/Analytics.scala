@@ -553,6 +553,36 @@ object Analytics {
         (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
   }
 
+  /** Cumulative unique users by day — the growth curve: each user counts
+    * once on their FIRST active day (a per-user min aggregate, map-side
+    * combined), the per-day new-user rollup is |days| rows, and the
+    * running total uses the bucketed
+    * [[graft.etl.IngestOps.withGlobalRunningSum]] prefix machinery (never
+    * a single-reducer global window). All counts are exact BIGINTs, so the
+    * curve is partitioning- and engine-independent. */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
+    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+    graft.etl.IngestOps.withGlobalRunningSum(
+        perDay, col("day"), col("n_new"), "cum_users")
+      .select("day", "n_new", "cum_users")
+      .orderBy("day")
+  }
+
+  /** Oracle twin of [[cumulativeUsers]] — window cumulative sum in place
+    * of the bucketed prefix machinery. */
+  def cumulativeUsersSqlDuck: String =
+    s"""WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY user_id),
+       | pd AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new
+       |  FROM fs GROUP BY day)
+       |SELECT day, n_new,
+       |  CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+       |FROM pd ORDER BY day""".stripMargin
+
   def dauWauSqlDuck(windowDays: Int = 7): String =
     s"""WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),

@@ -468,4 +468,30 @@ class AnalyticsSpec extends AnyFunSuite {
     // minSupport prunes
     assert(Analytics.brandRules(li, part, minSupport = 2L).count() == 2L)
   }
+
+  test("cumulativeUsers: users count once on first day; curve is a running total; partition-invariant") {
+    val DayUs = 86400000000L
+    // u1 first on d0 (again d2), u2 on d0, u3 on d2, u4 on d5
+    val e = Seq((1L, 1L, 0L), (2L, 2L, 0L), (3L, 1L, 2 * DayUs),
+      (4L, 3L, 2 * DayUs), (5L, 4L, 5 * DayUs))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.cumulativeUsers(e)
+      .select("n_new", "cum_users").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2L), (1L, 3L), (1L, 4L)))
+    // null user/ts excluded
+    val withNulls = e.unionByName(
+      Seq((6L, Option.empty[Long], Option(6 * DayUs)),
+        (7L, Option(9L), Option.empty[Long]))
+        .toDF("event_id", "user_id", "us")
+        .withColumn("ts", timestamp_micros(col("us"))))
+    assert(Analytics.cumulativeUsers(withNulls)
+      .agg(org.apache.spark.sql.functions.max("cum_users"))
+      .as[Long].head() == 4L)
+    // exact integers → identical under repartition
+    val a = Analytics.cumulativeUsers(e).collect().map(_.toString).toSeq
+    val b = Analytics.cumulativeUsers(e.repartition(7)).collect()
+      .map(_.toString).toSeq
+    assert(a == b)
+  }
 }
