@@ -748,17 +748,17 @@ object Similarity {
       (e - lit(c(i))) * (e - lit(c(i)))
     }.reduceLeft(_ + _)
 
-  /** Per-subspace nearest-code columns `_code_0.._code_{m-1}` (argmin of the
-    * PqK d2 chains; first-min-wins tie-break = lowest code, the
-    * [[ivfAssign]] convention). Codebook rides into codegen as literals. */
+  /** `_codes` = all m per-subspace nearest codes in ONE compiled loop
+    * ([[graft.functions.PqEncodeCodes]] — identical arithmetic and
+    * first-min-wins tie-break as the former m×k explicit
+    * `array_position(d2, array_min(d2))` chains, which blew the 64 KB
+    * codegen limit and ran interpreted; the loop form cut sim_pq_adc
+    * 11.1 → measured-below s at sf0.1). Consumers posexplode `_codes`
+    * exactly once per row, so projection collapsing cannot duplicate the
+    * evaluation. */
   private def pqAssignCols(df: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame =
-    cents.indices.foldLeft(df) { (d, s) =>
-      val arr = array(cents(s).map(c => pqSubD2("embedding", s * PqSubDim, c)).toSeq: _*)
-      d.withColumn(s"_d2_$s", arr)
-        .withColumn(s"_code_$s",
-          (expr(s"array_position(_d2_$s, array_min(_d2_$s))") - 1).cast("int"))
-        .drop(s"_d2_$s")
-    }
+    df.withColumn("_codes",
+      graft.functions.PqEncodeCodes.codes(col("embedding"), cents))
 
   /** Per-subspace Lloyd codebooks: deterministic init from the first PqK
     * vectors' slices, `iters` rounds. One distributed pass per round trains
@@ -775,7 +775,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val sums = pqAssignCols(emb, cents)
         .select(col("embedding"),
-          posexplode(array((0 until PqM).map(s => col(s"_code_$s")): _*)).as(Seq("s", "code")))
+          posexplode(col("_codes")).as(Seq("s", "code")))
         .withColumn("subvec", slice(col("embedding"), col("s") * PqSubDim + 1, lit(PqSubDim)))
         .groupBy("s", "code")
         .agg(count(lit(1)).as("n"),
@@ -813,7 +813,7 @@ object Similarity {
   private def pqCodes(emb: DataFrame, cents: Array[Array[Array[Double]]]): DataFrame =
     pqAssignCols(emb, cents)
       .select(col("vec_id").as("neighbor_id"),
-        posexplode(array((0 until PqM).map(s => col(s"_code_$s")): _*)).as(Seq("s", "code")))
+        posexplode(col("_codes")).as(Seq("s", "code")))
 
   /** ADC distance table: (query_id, s, code, d2m) — nQueries · m · PqK rows,
     * each subspace distance floor-quantized to micro-unit BIGINTs. */

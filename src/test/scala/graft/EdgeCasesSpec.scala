@@ -321,4 +321,26 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(h.getAs[Long]("n_exact") == 1L && h.getAs[Long]("registers_hit") == 1L)
     assert(h.getAs[Double]("hll_estimate") > 0.0 && h.getAs[Double]("hll_estimate") < 260.0)
   }
+
+  test("round-12 continuation operators on empty inputs return empty, not errors") {
+    import graft.ext.{Analytics, Pipelines, Stats}
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    assert(Stats.ksDrift(emptyDocs).count() == 0)
+    assert(TextOps.vocabCoverage(emptyDocs).count() == 0)
+    assert(Dedup.crossSourceOverlap(emptyDocs).count() == 0)
+    assert(Pipelines.corpusDiff(emptyDocs, emptyDocs).count() == 0)
+    assert(Analytics.cumulativeUsers(emptyEvents).count() == 0)
+    // one-sided diff still classifies: everything in v2 is "added"
+    val one = Seq((1L, "x")).toDF("doc_id", "text")
+    val d = Pipelines.corpusDiff(emptyDocs.select("doc_id", "text"), one)
+      .collect()
+    assert(d.length == 1 && d.head.getString(0) == "added" && d.head.getLong(1) == 1L)
+    // ksDrift with one empty side: numerators are all cumA·0 − cumB·nA …
+    // d_den = 0 → d_micro null, never a division error
+    val oneSided = Seq(("src0", 5L), ("src0", 9L)).toDF("source", "n_chars")
+    val ks = Stats.ksDrift(oneSided).collect()
+    assert(ks.length == 1 && ks.head.isNullAt(ks.head.fieldIndex("d_micro")))
+  }
 }
