@@ -1887,6 +1887,12 @@ object SparkEntry {
     "sim_ivfpq_topk" -> ((s, dir) =>
       Similarity.ivfPqTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
+    // SRP-LSH recall@k vs the exact cosine ranking — the third leg of the
+    // eval trilogy (lsh_eval: Jaccard candidates; pq_recall: quantizer;
+    // this: the SRP bucket structure). Dual-pass by design.
+    "sim_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(t(s, dir, "embeddings"))),
+
     // SemDeDup (Abbas et al. 2023): coarse k-means clusters, then drop any
     // vector with a lower-id cosine>theta neighbor in its own cluster —
     // the published within-cluster collapse of the all-pairs embedding
@@ -3283,6 +3289,7 @@ object SparkEntry {
     "sim_pq_adc" -> Similarity.pqTopKSqlDuck(),
     "sim_pq_recall" -> Similarity.pqRecallSqlDuck(),
     "sim_ivfpq_topk" -> Similarity.ivfPqTopKSqlDuck(),
+    "sim_ann_recall" -> Similarity.annRecallSqlDuck(),
     "dedup_semantic" -> Similarity.semanticDedupSqlDuck(),
     "sim_hard_negatives" -> Similarity.hardNegativesSqlDuck(),
     "text_quality" -> TextOps.qualitySqlDuck,

@@ -619,8 +619,12 @@ object Similarity {
     * expansion on the query side (`xor(b, 1<<j)` per bit plus the identity
     * probe), candidate dedup on slim ids, exact cosine re-score, top-k
     * window — term-for-term the [[cosinePairsBucketedSqlDuck]] pattern. */
-  def annTopKSqlDuck(nQueries: Int = 8, k: Int = 10, nTables: Int = AnnTables,
-      bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): String = {
+  /** The shared ANN CTE chain `v, bk, qp, cand, scored(query_id,
+    * neighbor_id, cos)` — hyperplane buckets, multi-probe expansion,
+    * candidate join, cosine scoring. Consumed by [[annTopKSqlDuck]] and
+    * [[annRecallSqlDuck]]. */
+  private def annChainCtes(nQueries: Int, nTables: Int, bitsPerTable: Int,
+      seed: Long): String = {
     val signs = srpSigns(nTables, bitsPerTable, seed)
     val bkUnion = (0 until nTables).map { t =>
       val bits = (0 until bitsPerTable).map { j =>
@@ -628,7 +632,7 @@ object Similarity {
       }.mkString(" + ")
       s"SELECT vec_id, $t AS t, CAST($bits AS BIGINT) AS b FROM embeddings"
     }.mkString(" UNION ALL ")
-    s"""WITH v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
+    s"""v AS (SELECT vec_id, embedding, sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
        | bk AS ($bkUnion),
        | qp AS (
@@ -643,14 +647,67 @@ object Similarity {
        |  SELECT cand.query_id, cand.neighbor_id,
        |    (${dotSqlDuck("a.embedding", "b.embedding")}) / (a.nrm * b.nrm) AS cos
        |  FROM cand JOIN v a ON a.vec_id = cand.query_id
-       |            JOIN v b ON b.vec_id = cand.neighbor_id)
+       |            JOIN v b ON b.vec_id = cand.neighbor_id)""".stripMargin
+  }
+
+  def annTopKSqlDuck(nQueries: Int = 8, k: Int = 10, nTables: Int = AnnTables,
+      bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): String =
+    s"""WITH ${annChainCtes(nQueries, nTables, bitsPerTable, seed)}
        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
        |  SELECT query_id, neighbor_id, cos,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
        |  FROM scored)
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** SRP-LSH recall@k audit against the exact brute-force cosine ranking —
+    * the third leg of the evaluation trilogy (dedup_lsh_eval grades the
+    * Jaccard LSH candidates, sim_pq_recall grades the PQ quantizer, this
+    * grades the SRP bucket structure). Both rankings share the identical
+    * dot/norm arithmetic and (cos DESC, neighbor_id) tie-break, the overlap
+    * count is exact, recall is the one int/int division. Dual-pass BY
+    * DESIGN — the exact scan is the evaluation harness, not the production
+    * path. */
+  def annRecall(emb: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val approx = annTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val truth = bruteForceTopK(emb, nQueries, k).select("query_id", "neighbor_id")
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    emb.filter(col("vec_id") < nQueries).select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+      .orderBy("query_id")
   }
+
+  /** Oracle twin of [[annRecall]]: the shared ANN chain plus the exact
+    * ranking, identical tie-breaks. */
+  def annRecallSqlDuck(nQueries: Int = 8, k: Int = 10, nTables: Int = AnnTables,
+      bitsPerTable: Int = AnnBitsPerTable, seed: Long = 42L): String =
+    s"""WITH ${annChainCtes(nQueries, nTables, bitsPerTable, seed)},
+       | annk AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT query_id, neighbor_id, row_number() OVER (
+       |     PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |   FROM scored) WHERE rnk <= $k),
+       | tscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (${dotSqlDuck("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cos
+       |  FROM v q JOIN v c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       | truth AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT query_id, neighbor_id, row_number() OVER (
+       |     PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |   FROM tscored) WHERE rnk <= $k),
+       | hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+       |  FROM truth t JOIN annk a
+       |    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY t.query_id)
+       |SELECT e.vec_id AS query_id,
+       |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / ${k.toDouble} AS recall
+       |FROM embeddings e LEFT JOIN hits h ON e.vec_id = h.query_id
+       |WHERE e.vec_id < $nQueries ORDER BY query_id""".stripMargin
 
   /** Scalar (SQ8) embedding quantization: per-DIMENSION min/max over the
     * corpus define 256 uniform levels; each float compresses to one byte

@@ -15,6 +15,8 @@ object PlanAudit {
       "broadcast QUERY side (8 rows) vs streamed candidates — the intended brute-force baseline"),
     "sim_pq_recall" -> ("BroadcastNestedLoopJoin",
       "the exact-truth ranking pass: broadcast 8-row query side vs streamed corpus (the sim_topk_bruteforce shape) — the evaluation harness half of the dual-pass recall audit, not the production path"),
+    "sim_ann_recall" -> ("BroadcastNestedLoopJoin",
+      "same exact-truth ranking pass as sim_pq_recall (broadcast 8-row query side) — the evaluation harness half of the SRP recall audit"),
     "q22_idle_customers" -> ("BroadcastNestedLoopJoin",
       "crossJoin of a 1-row global-average aggregate (the TPC-H Q22 shape)"),
     "q_scalar_subquery" -> ("BroadcastNestedLoopJoin",
