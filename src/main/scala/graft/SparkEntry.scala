@@ -2396,6 +2396,19 @@ object SparkEntry {
       graft.ext.Pipelines.corpusDiff(v1, v2)
     }),
 
+    // ABC revenue classification (ext/Analytics.abcAnalysis): who drives
+    // the first 80% / next 15% / tail of revenue — exact-cents spend
+    // classes cumulated DESC via the bucketed prefix machinery, whole-class
+    // deterministic labels, integer cross-multiplied thresholds
+    "orders_abc_analysis" -> ((s, dir) =>
+      graft.ext.Analytics.abcAnalysis(t(s, dir, "orders"))),
+
+    // Benford first-digit audit (ext/Stats.benford): observed first-digit
+    // shares of exact cents vs the hardcoded log10(1+1/d) literals — the
+    // fabricated-amounts smell test; ≤9 groups, broadcast 1-row total
+    "quality_benford" -> ((s, dir) =>
+      graft.ext.Stats.benford(t(s, dir, "orders"))),
+
     // first-order Markov transition matrix between event types (ext/
     // Analytics.transitionMatrix): one user_id exchange for the lag pairs,
     // |types|²-bounded rollup, broadcast per-from totals
@@ -3503,6 +3516,8 @@ object SparkEntry {
     "text_vocab_coverage" -> TextOps.vocabCoverageSqlDuck(),
     "events_dau_wau" -> graft.ext.Analytics.dauWauSqlDuck(),
     "events_cumulative_users" -> graft.ext.Analytics.cumulativeUsersSqlDuck,
+    "orders_abc_analysis" -> graft.ext.Analytics.abcAnalysisSqlDuck(),
+    "quality_benford" -> graft.ext.Stats.benfordSqlDuck,
     "quality_out_of_order" -> graft.ext.Analytics.outOfOrderRateSqlDuck,
     "events_twa" -> graft.ext.Temporal.timeWeightedAvgSqlDuck,
     "dedup_jaccard_prefix" -> Dedup.jaccardPrefixJoinSqlDuck(0.8),

@@ -919,6 +919,70 @@ object Analytics {
 
   private val DecimalType182 = org.apache.spark.sql.types.DecimalType(18, 2)
 
+  /** ABC revenue classification (the Pareto inventory rule): customers
+    * ranked by exact spend, labeled A while the cumulative revenue share
+    * BEFORE them is under `aPerMille`/1000, B under `bPerMille`/1000, C
+    * after — who drives the first 80% / next 15% / tail of revenue.
+    *
+    * Same class-collapse trick as the vocabulary-coverage curve: customers
+    * group by their EXACT cents spend first, so equal-spend customers are
+    * interchangeable and get one deterministic label (a per-customer rank
+    * would tie-break arbitrarily inside a spend class and the boundary
+    * labels would be partition luck). The spend-class relation cumulates in
+    * spend-DESC order through the bucketed
+    * [[graft.etl.IngestOps.withGlobalRunningSum]] prefix machinery; the
+    * label test cross-multiplies to exact BIGINTs (prev·1000 < thr·total).
+    * Bounds: cents totals stay under 2^63/10^6 ≈ $92 B — fine far past the
+    * fixture; a >$92 B corpus would move share_micro to DECIMAL(38) DIV. */
+  def abcAnalysis(orders: DataFrame, aPerMille: Long = 800L,
+      bPerMille: Long = 950L): DataFrame = {
+    require(0 <= aPerMille && aPerMille <= bPerMille && bPerMille <= 1000L,
+      "need 0 <= aPerMille <= bPerMille <= 1000")
+    val perCust = orders
+      .filter(col("o_custkey").isNotNull && col("o_totalprice").isNotNull)
+      .groupBy("o_custkey")
+      .agg(sum((col("o_totalprice").cast(DecimalType182) * 100).cast("long"))
+        .as("cents"))
+    val cls = perCust.groupBy("cents").agg(count(lit(1)).as("nc"))
+      .withColumn("mass", col("cents") * col("nc"))
+    val cum = graft.etl.IngestOps.withGlobalRunningSum(
+      cls, -col("cents"), col("mass"), "cm")
+    val tot = cls.agg(sum("mass").as("total"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("label",
+        when((col("cm") - col("mass")) * 1000 < lit(aPerMille) * col("total"), "A")
+          .when((col("cm") - col("mass")) * 1000 < lit(bPerMille) * col("total"), "B")
+          .otherwise("C"))
+      .groupBy("label", "total")
+      .agg(sum("nc").as("n_customers"), sum("mass").as("revenue_cents"))
+      .withColumn("share_micro", expr("revenue_cents * 1000000 DIV total"))
+      .select("label", "n_customers", "revenue_cents", "share_micro")
+      .orderBy("label")
+  }
+
+  /** Oracle twin of [[abcAnalysis]] — window cumulative sum in place of the
+    * bucketed prefix machinery, identical integer label tests. */
+  def abcAnalysisSqlDuck(aPerMille: Long = 800L, bPerMille: Long = 950L): String =
+    s"""WITH pc AS (SELECT o_custkey,
+       |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM orders WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+       |  GROUP BY o_custkey),
+       | cls AS (SELECT cents, CAST(count(*) AS BIGINT) AS nc,
+       |    CAST(cents * count(*) AS BIGINT) AS mass FROM pc GROUP BY cents),
+       | cum AS (SELECT cents, nc, mass,
+       |    CAST(SUM(mass) OVER (ORDER BY cents DESC) AS BIGINT) AS cm FROM cls),
+       | t AS (SELECT CAST(sum(mass) AS BIGINT) AS total FROM cls),
+       | lab AS (SELECT CASE
+       |    WHEN (cm - mass) * 1000 < $aPerMille * total THEN 'A'
+       |    WHEN (cm - mass) * 1000 < $bPerMille * total THEN 'B'
+       |    ELSE 'C' END AS label, nc, mass, total
+       |  FROM cum CROSS JOIN t)
+       |SELECT label, CAST(sum(nc) AS BIGINT) AS n_customers,
+       |  CAST(sum(mass) AS BIGINT) AS revenue_cents,
+       |  CAST(sum(mass) * 1000000 // total AS BIGINT) AS share_micro
+       |FROM lab GROUP BY label, total ORDER BY label""".stripMargin
+
   /** Stationary distribution of the order-1 session transition chain by
     * FIXED-round power iteration — "where do user journeys spend their
     * time in the limit", the summary number the full transition matrix

@@ -319,6 +319,61 @@ object Stats {
        |    THEN CAST(d_num * 1000000 // (n_a * n_b) AS BIGINT) END AS d_micro
        |FROM s ORDER BY d_num DESC, v ASC LIMIT 1""".stripMargin
 
+  /** Benford's-law first-digit probabilities log10(1 + 1/d), d = 1..9, as
+    * their exact shortest-repr double literals — both engines parse the
+    * same decimal text to the same binary64, so no libm log10 runs anywhere
+    * at query time. */
+  private val BenfordP = Seq(
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+
+  /** Benford first-digit audit — the classic fabricated-amounts smell test:
+    * observed first-digit distribution of positive amounts (exact cents)
+    * against the Benford expectation, one row per digit with the absolute
+    * deviation. First digit extracts as substr(cents-as-string, 1, 1) —
+    * byte-identical on both engines, no log10 of data anywhere. Counts are
+    * map-side-combined BIGINTs over ≤9 groups; shares are one double
+    * division against a broadcast 1-row total. */
+  def benford(df: DataFrame, valueCol: String = "o_totalprice"): DataFrame = {
+    val digits = df.filter(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select((xDec(col(valueCol)) * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"))
+    val pmap = map(BenfordP.zipWithIndex.flatMap { case (p, i) =>
+      Seq(lit(i + 1), lit(p)) }: _*)
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("expected", element_at(pmap, col("digit")))
+      .withColumn("abs_dev", abs(col("share") - col("expected")))
+      .select("digit", "n", "share", "expected", "abs_dev")
+      .orderBy("digit")
+  }
+
+  /** Oracle twin of [[benford]] over orders' o_totalprice. */
+  def benfordSqlDuck: String = {
+    // CAST each probability to DOUBLE: a bare 16-digit literal types as
+    // DECIMAL in DuckDB (harness-banned and arithmetic-divergent)
+    val vals = BenfordP.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, CAST($p AS DOUBLE))" }.mkString(", ")
+    s"""WITH d AS (SELECT CAST(substr(CAST(
+       |      CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+       |    AND CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) > 0),
+       | c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+       | t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+       | p(digit, expected) AS (VALUES $vals)
+       |SELECT c.digit, n,
+       |  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       |  expected,
+       |  abs(CAST(n AS DOUBLE) / CAST(total AS DOUBLE) - expected) AS abs_dev
+       |FROM c JOIN p USING (digit) CROSS JOIN t ORDER BY digit""".stripMargin
+  }
+
   /** Key-concentration audit: how skewed is the distribution of rows over
     * a key — the shuffle-planning input (a high Gini / top-share key column
     * needs salting before it becomes a reducer hot spot). Output is ONE

@@ -43,6 +43,10 @@ object PlanAudit {
       "crossJoin of the 1-row quantile-fence aggregate (two broadcast scalars)"),
     "quality_ks_drift" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row sample-totals aggregate onto the per-value CDF relation"),
+    "orders_abc_analysis" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row revenue-total aggregate onto the spend-class relation"),
+    "quality_benford" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row total aggregate onto the ≤9-row digit rollup"),
     "text_vocab_coverage" -> ("BroadcastNestedLoopJoin",
       "3 threshold rows crossJoin the 1-row corpus-total aggregate, then broadcast-range-join the frequency-class relation (one boundary row each)"),
     "sample_temperature_mix" -> ("BroadcastNestedLoopJoin",

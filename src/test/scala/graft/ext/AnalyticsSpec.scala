@@ -469,6 +469,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(Analytics.brandRules(li, part, minSupport = 2L).count() == 2L)
   }
 
+  test("abcAnalysis: hand-built Pareto labels; equal-spend customers share one label; shares sum to 1") {
+    def orders(rows: (Long, Long, Double)*) =
+      rows.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    // spends 50/30/15/5 of a 100 total → prev-shares 0, 50, 80, 95 → A A B C
+    val o = orders((1L, 1L, 50.0), (2L, 2L, 30.0), (3L, 3L, 15.0), (4L, 4L, 5.0))
+    val got = Analytics.abcAnalysis(o).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "A" -> ((2L, 8000L, 800000L)),
+      "B" -> ((1L, 1500L, 150000L)),
+      "C" -> ((1L, 500L, 50000L))))
+    // equal-spend customers collapse into one class → one label for both,
+    // even when a per-customer rank would straddle the A boundary
+    val tie = orders((1L, 1L, 40.0), (2L, 2L, 30.0), (3L, 3L, 30.0))
+    val lab = Analytics.abcAnalysis(tie).collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    assert(lab == Map("A" -> 3L)) // prev-share of the 30-class is 40% < 80%
+    // partition invariance (exact integers end to end)
+    val big = orders((1L to 300L).map(k => (k, k % 40, (k % 17 + 1) * 10.0)): _*)
+    val a = Analytics.abcAnalysis(big).collect().map(_.toString).toSeq
+    val b = Analytics.abcAnalysis(big.repartition(13)).collect()
+      .map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("cumulativeUsers: users count once on first day; curve is a running total; partition-invariant") {
     val DayUs = 86400000000L
     // u1 first on d0 (again d2), u2 on d0, u3 on d2, u4 on d5

@@ -413,6 +413,25 @@ class StatsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("benford: hand-counted digits, expected = log10(1+1/d), non-positive excluded") {
+    val o = Seq((1L, 1.0), (2L, 2.50), (3L, 19.99), (4L, 0.05), (5L, 30.0),
+      (6L, 0.0), (7L, -4.0))
+      .toDF("o_orderkey", "o_totalprice")
+    val got = Stats.benford(o).collect()
+    val byD = got.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byD == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 5 -> 1L)) // 0 and -4 excluded
+    got.foreach { r =>
+      val d = r.getInt(0)
+      // within 1 ulp of libm log10 — NOT ==: the pinned literals exist
+      // precisely because JVM and other libms disagree in the last ulp
+      // (d=3 differs here), and the literal is what BOTH engines share
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) <=
+        math.ulp(r.getDouble(3)))
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 5.0)
+      assert(r.getDouble(4) == math.abs(r.getDouble(2) - r.getDouble(3)))
+    }
+  }
+
   test("ksDrift: hand-computed sup-CDF gap, deterministic argmax, partition-invariant") {
     // A = {1,2,3}, B = {2,3,4,4}: numerators |cumA·nB − cumB·nA| over
     // v=1..4 are 4,5,6,0 → D = 6/12 at v=3
