@@ -1848,6 +1848,13 @@ object SparkEntry {
     "dedup_keep_first_lsh_rep" -> ((s, dir) =>
       Dedup.dropNearDuplicatesLshRep(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // quality-aware canonical selection (the RefinedWeb/FineWeb rule): per
+    // LSH-connected cluster keep the best member by an exact-integer key
+    // (n_alpha, n_chars, -doc_id); one max-of-struct aggregate over the
+    // adjudicated bipartite label propagation — no windows
+    "dedup_keep_best" -> ((s, dir) =>
+      Dedup.keepBestInCluster(t(s, dir, "documents")).orderBy("doc_id")),
+
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(t(s, dir, "embeddings")).orderBy("id_a", "id_b")),
 
@@ -2051,6 +2058,13 @@ object SparkEntry {
     // partitioning-independent (see searchTopK's scaladoc)
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
+
+    // ranked-retrieval scorecard over the BM25 top-k: graded term-containment
+    // relevance, DCG via pinned 1/log2 literals floor-quantized to nano
+    // BIGINTs, nDCG/MRR as integer DIVs — the 4th eval harness (after LSH
+    // pair eval and PQ/SRP recall@k); output is |queries| rows
+    "search_eval_ndcg" -> ((s, dir) =>
+      TextOps.searchEval(t(s, dir, "documents"))),
 
     "text_bm25" -> ((s, dir) =>
       graft.ext.TextOps.bm25(t(s, dir, "documents")).orderBy("doc_id")),
@@ -3294,6 +3308,7 @@ object SparkEntry {
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_keep_first_lsh" -> Dedup.dropNearDuplicatesLshSqlDuck(),
     "dedup_keep_first_lsh_rep" -> Dedup.dropNearDuplicatesLshRepSqlDuck(),
+    "dedup_keep_best" -> Dedup.keepBestSqlDuck,
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
@@ -3552,6 +3567,7 @@ object SparkEntry {
       graft.ext.Stats.chiSquareBalanceSqlDuck("documents", "lang", "source"),
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
     "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
+    "search_eval_ndcg" -> TextOps.searchEvalSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

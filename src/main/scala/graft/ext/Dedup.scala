@@ -842,6 +842,58 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware canonical selection: within each LSH-connected duplicate
+    * cluster keep the BEST member, not the first — the rule production
+    * curation stacks actually use (RefinedWeb/FineWeb keep the
+    * highest-quality capture of a near-dup group; keep-first is only the
+    * id-ordering special case). "Best" is an exact-integer key — most
+    * alphabetic characters, then most characters, then smallest doc_id —
+    * so the argmax is bit-identical on both engines (no double ratios in
+    * the ordering).
+    *
+    * Plan shape: the cluster labels are [[clusterByBuckets]]'s bipartite
+    * label propagation (already scale-adjudicated; candidate pairs never
+    * materialize), the per-doc quality key is a narrow projection, and the
+    * selection itself is ONE map-side-combinable `max(struct(...))`
+    * aggregate keyed by cluster id plus an id-keyed join-back — no windows,
+    * nothing quadratic, the cluster-sized state is a single 3-field struct.
+    * Returns one row per cluster: (doc_id kept, cluster_id, cluster_size,
+    * n_alpha, n_chars). */
+  def keepBestInCluster(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val labels = clusterByBuckets(docs, bandBuckets(minhashSignatures(docs, textCol)))
+    val keyed = labels.join(
+      docs.select(col("doc_id"),
+        TextOps.alphaCount(textCol).as("n_alpha"),
+        TextOps.charCount(textCol).as("n_chars")), "doc_id")
+    keyed.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("n_alpha"), col("n_chars"), (-col("doc_id")).as("ni")))
+          .as("_best"))
+      .select((-col("_best.ni")).as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("_best.n_alpha").as("n_alpha"),
+        col("_best.n_chars").as("n_chars"))
+  }
+
+  /** DuckDB oracle for [[keepBestInCluster]]: the shared recursive-CTE
+    * component computation ([[clustersCteDuck]] — an independent fixpoint
+    * formulation of the same components), then a window row_number over
+    * (n_alpha DESC, n_chars DESC, doc_id) per cluster. The engine's
+    * max-of-struct and the oracle's row_number are different mechanisms
+    * over the same total order, which is what makes the check real. */
+  def keepBestSqlDuck: String =
+    s"""$clustersCteDuck,
+       | q AS (SELECT doc_id,
+       |   CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |   CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+       | m AS (SELECT cl.doc_id, cl.cluster_id, q.n_alpha, q.n_chars
+       |   FROM cl JOIN q USING (doc_id)),
+       | sz AS (SELECT cluster_id, count(*) AS cluster_size FROM m GROUP BY cluster_id)
+       |SELECT m.doc_id, m.cluster_id, sz.cluster_size, m.n_alpha, m.n_chars
+       |FROM m JOIN sz USING (cluster_id)
+       |QUALIFY row_number() OVER (PARTITION BY m.cluster_id
+       |  ORDER BY m.n_alpha DESC, m.n_chars DESC, m.doc_id) = 1
+       |ORDER BY doc_id""".stripMargin
+
   /** DuckDB oracle for LSH-connected duplicate clusters ([[clusterByBuckets]]
     * over [[bandBuckets]], or equivalently [[duplicateClusters]] over
     * [[lshCandidatePairs]]): connected components as a recursive CTE — `reach` holds

@@ -983,6 +983,188 @@ object TextOps {
   // =====================================================================
   // Inverted-index posting lists
   // =====================================================================
+  // Retrieval evaluation: nDCG@k + MRR over the BM25 ranking
+  // =====================================================================
+
+  /** Pinned 1/log2(rank+1) DCG discount literals for ranks 1..10 — decimal
+    * strings embedded VERBATIM in both the Scala plan and the DuckDB oracle,
+    * so each engine parses the identical nearest-double (the repo-wide
+    * libm-free rule: Java and DuckDB log() disagree at 1 ulp, literals
+    * cannot). */
+  private[ext] val DcgDiscounts: Seq[(Long, String)] = Seq(
+    1L -> "1.0", 2L -> "0.6309297535714574", 3L -> "0.5",
+    4L -> "0.43067655807339306", 5L -> "0.38685280723454163",
+    6L -> "0.3562071871080222", 7L -> "0.3333333333333333",
+    8L -> "0.3154648767857287", 9L -> "0.30102999566398114",
+    10L -> "0.2890648263178878")
+
+  /** IR-eval scorecard for [[searchTopK]]'s BM25 ranking: per query one row
+    * (query_id, n_rel, dcg_nano, idcg_nano, ndcg_micro, mrr_micro) — the
+    * fourth leg of the repo's evaluation harnesses (LSH pair eval, PQ/SRP
+    * recall@k, and now ranked-retrieval quality). Relevance is graded and
+    * label-derived, not model-derived: rel(q, d) = number of DISTINCT query
+    * terms present in d's token set (0..|q| — the standard judgment-free
+    * proxy when no click log exists), so the metric is exactly reproducible
+    * in SQL. For the BINARY metrics (MRR, n_rel) "relevant" means rel ≥ 2 —
+    * a majority of a 3-term query — because every retrieved doc trivially
+    * has rel ≥ 1 (BM25 only scores docs sharing a term), which would make
+    * a rel ≥ 1 MRR identically 1.0.
+    *
+    * Exactness: DCG@k = Σ rel_i · W_i uses the pinned [[DcgDiscounts]]
+    * literals; each rank's term floor-quantizes to 1e-9 gain units BEFORE
+    * the per-query sum (BIGINT addition — partitioning cannot perturb it),
+    * nDCG is one micro-unit integer DIV, and MRR@k is 1000000 DIV
+    * first-relevant-rank — no transcendental evaluated at query time
+    * anywhere. IDCG ranks ONLY the rel ≥ 1 docs (absent docs gain 0 in both
+    * engines).
+    *
+    * Shape: the ranking is [[searchTopK]] unchanged (WindowGroupLimit
+    * top-k); rel is one broadcast join of the ≤|q|·|terms| query-term list
+    * against distinct doc tokens + a (query, doc)-keyed count; the ideal
+    * ranking is a per-query WindowGroupLimit over rel (k rows survive);
+    * discounts join via a broadcast k-row table. Output is |queries| rows —
+    * driver-safe at any corpus size. */
+  def searchEval(docs: DataFrame,
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= DcgDiscounts.size,
+      s"k must be in [1, ${DcgDiscounts.size}], got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = broadcast(DcgDiscounts.take(k)
+      .map { case (r, s) => (r, s.toDouble) }.toDF("rank", "w"))
+    val qTerms = broadcast(queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .toDF("query_id", "term"))
+    // graded relevance: distinct-term containment count per (query, doc)
+    val rel = graft.etl.CacheRegistry.persist(
+      docs.select(col("doc_id"), explode(array_distinct(tokensArr(textCol))).as("term"))
+        .join(qTerms, "term")
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel")))
+    val topk = searchTopK(docs, queries, k, k1, b, textCol)
+      .join(rel, Seq("query_id", "doc_id"), "left")
+      .select(col("query_id"), col("rank"), coalesce(col("rel"), lit(0L)).as("rel"))
+    val dcg = topk.join(wdf, "rank")
+      .groupBy("query_id")
+      .agg(sum(floor(col("rel").cast("double") * col("w") * lit(1000000000.0))
+        .cast("long")).as("dcg_nano"),
+        min(when(col("rel") >= 2, col("rank"))).as("first_rel_rank"))
+    val idealW = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("doc_id"))
+    val idcg = rel.withColumn("rank", row_number().over(idealW).cast("long"))
+      .filter(col("rank") <= k)
+      .join(wdf, "rank")
+      .groupBy("query_id")
+      .agg(sum(floor(col("rel").cast("double") * col("w") * lit(1000000000.0))
+        .cast("long")).as("idcg_nano"),
+        count(lit(1)).as("n_ideal"))
+    val nRel = rel.filter(col("rel") >= 2)
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    dcg.join(idcg, Seq("query_id"), "left")
+      .join(nRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("dcg_nano"),
+        coalesce(col("idcg_nano"), lit(0L)).as("idcg_nano"),
+        when(coalesce(col("idcg_nano"), lit(0L)) > 0,
+          expr("dcg_nano * 1000000 DIV idcg_nano")).otherwise(lit(0L))
+          .as("ndcg_micro"),
+        coalesce(expr("1000000 DIV first_rel_rank"), lit(0L)).as("mrr_micro"))
+      .orderBy("query_id")
+  }
+
+  /** Oracle twin of [[searchEval]]: the [[searchTopKSqlDuck]] scoring CTEs
+    * verbatim, a rel CTE, the same pinned discount VALUES table, identical
+    * floor-to-nano quantization and integer DIVs. */
+  def searchEvalSqlDuck(
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+    val qRows = queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
+    val wRows = DcgDiscounts.take(k)
+      .map { case (r, s) => s"($r, CAST($s AS DOUBLE))" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term
+       |    FROM documents),
+       | tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       |   FROM toks GROUP BY term, doc_id),
+       | dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |   FROM toks GROUP BY doc_id),
+       | df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |   FROM tf GROUP BY term),
+       | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+       | q(query_id, term) AS (VALUES $qRows),
+       | w(rank, w) AS (VALUES $wRows),
+       | sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(sum(CAST(floor((
+       |      CAST(tf.tf AS DOUBLE) * CAST($k1p1 AS DOUBLE) /
+       |      (CAST(tf.tf AS DOUBLE) + CAST($k1 AS DOUBLE) * (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) *
+       |        (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.sum_dl AS DOUBLE)))) *
+       |      ((CAST(st.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |       (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+       |      ) * 1000000000.0E0) AS BIGINT)) AS BIGINT) AS score_nano
+       |   FROM tf JOIN q ON tf.term = q.term
+       |   JOIN df ON df.term = tf.term
+       |   JOIN dl ON dl.doc_id = tf.doc_id
+       |   CROSS JOIN st
+       |   GROUP BY q.query_id, tf.doc_id),
+       | topk AS (SELECT query_id, doc_id, rank FROM (
+       |   SELECT query_id, doc_id,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rank
+       |   FROM sc) WHERE rank <= $k),
+       | rel AS (SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS rel
+       |   FROM (SELECT DISTINCT doc_id, term FROM toks) t
+       |   JOIN q ON t.term = q.term
+       |   GROUP BY q.query_id, t.doc_id),
+       | dcg AS (SELECT topk.query_id,
+       |     CAST(sum(CAST(floor((CAST(coalesce(rel.rel, 0) AS DOUBLE) * w.w)
+       |       * 1000000000.0E0) AS BIGINT)) AS BIGINT) AS dcg_nano,
+       |     min(CASE WHEN coalesce(rel.rel, 0) >= 2 THEN topk.rank END)
+       |       AS first_rel_rank
+       |   FROM topk
+       |   LEFT JOIN rel ON rel.query_id = topk.query_id
+       |     AND rel.doc_id = topk.doc_id
+       |   JOIN w ON w.rank = topk.rank
+       |   GROUP BY topk.query_id),
+       | ideal AS (SELECT query_id, rel, rank FROM (
+       |   SELECT query_id, rel,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY rel DESC, doc_id) AS BIGINT) AS rank
+       |   FROM rel) WHERE rank <= $k),
+       | idcg AS (SELECT ideal.query_id,
+       |     CAST(sum(CAST(floor((CAST(ideal.rel AS DOUBLE) * w.w)
+       |       * 1000000000.0E0) AS BIGINT)) AS BIGINT) AS idcg_nano
+       |   FROM ideal JOIN w ON w.rank = ideal.rank
+       |   GROUP BY ideal.query_id),
+       | nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |   FROM rel WHERE rel >= 2 GROUP BY query_id)
+       |SELECT dcg.query_id,
+       |  coalesce(nrel.n_rel, 0) AS n_rel,
+       |  dcg.dcg_nano,
+       |  coalesce(idcg.idcg_nano, 0) AS idcg_nano,
+       |  CASE WHEN coalesce(idcg.idcg_nano, 0) > 0
+       |    THEN (dcg.dcg_nano * 1000000) // idcg.idcg_nano ELSE 0 END
+       |    AS ndcg_micro,
+       |  coalesce(1000000 // dcg.first_rel_rank, 0) AS mrr_micro
+       |FROM dcg
+       |LEFT JOIN idcg ON idcg.query_id = dcg.query_id
+       |LEFT JOIN nrel ON nrel.query_id = dcg.query_id
+       |ORDER BY dcg.query_id""".stripMargin
+  }
 
   /** Capped posting lists: for every term, its document frequency, and the
     * top-`k` documents by term frequency (ties to the lower doc_id) — the

