@@ -2059,6 +2059,13 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
+    // distributed BPE merge learning: ONE corpus-sized word-frequency
+    // rollup, then 6 rounds of weighted pair counting over the word-TYPE
+    // table (Heaps-bounded) with a 1-row argmax pull per round; merges are
+    // literal leftmost-non-overlapping replaces, counts exact BIGINTs
+    "text_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(t(s, dir, "documents"))),
+
     // ranked-retrieval scorecard over the BM25 top-k: graded term-containment
     // relevance, DCG via pinned 1/log2 literals floor-quantized to nano
     // BIGINTs, nDCG/MRR as integer DIVs — the 4th eval harness (after LSH
@@ -3568,6 +3575,7 @@ object SparkEntry {
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
     "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
     "search_eval_ndcg" -> TextOps.searchEvalSqlDuck(),
+    "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

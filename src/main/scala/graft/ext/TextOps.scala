@@ -983,6 +983,112 @@ object TextOps {
   // =====================================================================
   // Inverted-index posting lists
   // =====================================================================
+  // BPE merge learning (tokenizer training, the distributed half)
+  // =====================================================================
+
+  /** The first `rounds` byte-pair-encoding merges learned from the corpus
+    * (Sennrich et al. ACL'16), one row per round: (merge_round, left_sym,
+    * right_sym, pair_count). This is the distributed half of tokenizer
+    * training — the part that must see all 100 TB.
+    *
+    * Scale shape: the ONLY corpus-sized pass is the initial word-frequency
+    * rollup (one map-side-combinable groupBy). Every merge round then runs
+    * over the WORD-TYPE table (|vocab| rows — Heaps'-law-bounded, millions
+    * at worst, corpus-size-independent): adjacent-pair counting explodes
+    * ≤ word-length pairs per type weighted by freq, and the argmax pulls
+    * exactly ONE row to the driver per round (bounded driver state, the
+    * same adjudicated pattern as the IVF centroid pull).
+    *
+    * Exactness: counts are BIGINT sums; the winning pair is the (count
+    * DESC, left, right) total order — no floats anywhere. Words render as
+    * '|'-delimited symbol strings ('|h|e|y|'); a merge is one literal
+    * `replace` of '|a|b|' with '|ab|' — leftmost non-overlapping in BOTH
+    * engines (UTF8String.replace and DuckDB replace verified to agree,
+    * incl. the overlapped 'aaa' case → '|aa|a|'). '|' cannot collide:
+    * symbols are [a-z0-9] concatenations. Pair positions count WITH
+    * overlap ('aaa' counts (a,a) twice), matching the reference
+    * get_stats() semantics.
+    *
+    * Rounds stop early if no pair remains (every word fused to one
+    * symbol); real corpora never get close at small `rounds`. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32], got $rounds")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = graft.etl.CacheRegistry.persist(
+      docs.select(explode(tokensArr(textCol)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
+    var w = wf.select(
+      concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("s"),
+      col("freq"))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = filter(split(col("s"), "\\|"), x => x =!= "")
+      val pairs = w.select(col("freq"), syms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("a"),
+            element_at(col("syms"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, c))
+        // a, b are [a-z0-9]+ — safe to inline as SQL literals
+        w = w.select(expr(s"replace(s, '|$a|$b|', '|$a$b|')").as("s"), col("freq"))
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** Oracle twin of [[bpeMerges]]: `rounds` chained CTE triples
+    * (pairs → argmax → replace), identical delimiter rendering, identical
+    * (cnt DESC, a, b) tie-break, the same leftmost-non-overlapping
+    * `replace`. An independent fixpoint-free formulation — DuckDB holds
+    * every round as a relation while the engine iterates. Every CTE is
+    * AS MATERIALIZED: wN is referenced by both pN+1 and wN+1 (and mN three
+    * times), so inlined CTEs re-evaluate the whole prefix chain per
+    * reference — exponential in rounds (measured: >120 s vs 0.1 s at
+    * sf0.001). */
+  def bpeMergesSqlDuck(rounds: Int = 6): String = {
+    val init =
+      s""" w0 AS MATERIALIZED (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, freq
+         |   FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |     SELECT unnest(${tokensSqlDuck("text")}) AS word FROM documents)
+         |     GROUP BY word))""".stripMargin
+    val rounds_ = (1 to rounds).map { i =>
+      val prev = s"w${i - 1}"
+      s""" p$i AS MATERIALIZED (
+         |   SELECT syms[i] AS a, syms[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |   FROM (
+         |     SELECT syms, freq, unnest(generate_series(1, len(syms)-1)) AS i
+         |     FROM (SELECT list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+         |       freq FROM $prev))
+         |   GROUP BY 1, 2),
+         | m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         | w$i AS MATERIALIZED (SELECT replace(s,
+         |     '|' || (SELECT a FROM m$i) || '|' || (SELECT b FROM m$i) || '|',
+         |     '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|') AS s, freq
+         |   FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m$i"
+    }.mkString("\n UNION ALL ")
+    s"""WITH$init,
+       |$rounds_
+       |$union
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  // =====================================================================
   // Retrieval evaluation: nDCG@k + MRR over the BM25 ranking
   // =====================================================================
 

@@ -308,6 +308,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("bpeMerges learns hand-computed merges incl. the overlap count and early stop") {
+    val d = Seq((1L, "aaa ab"), (2L, "aaa")).toDF("doc_id", "text")
+    // wf: aaa×2, ab×1. Round 1: (a,a) counts WITH overlap = 2·2 = 4 beats
+    // (a,b)=1 → merge. Round 2: greedy leftmost replace gave '|aa|a|' so
+    // (aa,a)=2 → merge. Round 3: (a,b)=1. Round 4: nothing left → stop.
+    val got = TextOps.bpeMerges(d, rounds = 6).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "aa", "a", 2L), (3L, "a", "b", 1L)))
+    // tie-break: equal counts pick the lexicographically smallest (a, b)
+    val tie = Seq((1L, "xy zw")).toDF("doc_id", "text")
+    val t1 = TextOps.bpeMerges(tie, rounds = 1).collect().head
+    assert((t1.getAs[String]("left_sym"), t1.getAs[String]("right_sym")) == (("x", "y")))
+    // fixture corpus: exact BIGINT chain → partition invariance
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val a = TextOps.bpeMerges(fx, rounds = 3).collect().map(_.toString).toSeq
+    val b = TextOps.bpeMerges(fx.repartition(13), rounds = 3).collect().map(_.toString).toSeq
+    assert(a == b && a.size == 3)
+  }
+
   test("searchEval: perfect ranking scores ndcg=mrr=1.0; no strict-relevant doc zeroes mrr") {
     val d = Seq(
       (1L, "apple banana cherry"),
