@@ -1615,6 +1615,22 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // stream-stream LEFT SEMI join: purchases gated on any same-user click
+    // in the preceding hour, emitted at most once (no per-click fan-out) —
+    // completes the streaming join matrix; batch twin is the EXISTS form
+    "events_stream_join_semi" -> ((s, dir) => {
+      runNarrowStream(s, "stream_joinsemi_verify")(
+        graft.streaming.EventStreams.clickPurchaseSemi(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_joinsemi_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_joinsemi_verify")
+        .select(col("purchase_id"), col("user_id"))
+        .orderBy("purchase_id")
+    }),
+
     // stream-static ANTI join (EventStreams.filterBlocklisted): drop every
     // event whose user is on a static blocklist (every 10th user) — the
     // at-ingest curation/PII gate in streaming form; static side broadcast
@@ -3686,6 +3702,14 @@ object SparkEntry {
         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // stream-stream left semi: the EXISTS twin of the inner join's oracle
+    "events_stream_join_semi" ->
+      """SELECT p.event_id AS purchase_id, p.user_id
+        |FROM events p WHERE p.event_type = 'purchase' AND EXISTS (
+        |  SELECT 1 FROM events c WHERE c.event_type = 'click'
+        |    AND c.user_id = p.user_id
+        |    AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts)
+        |ORDER BY purchase_id""".stripMargin,
     // stream-static anti join: events of blocklisted (user_id % 10 = 3)
     // users dropped, everything else passes through unchanged
     "events_stream_blocklist" ->

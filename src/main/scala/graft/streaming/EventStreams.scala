@@ -445,6 +445,36 @@ object EventStreams {
       .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-stream LEFT SEMI windowed join — attribution as a GATE rather
+    * than an enumeration: emit each purchase AT MOST ONCE as soon as any
+    * same-user click in the preceding hour is seen, never duplicating per
+    * click the way the inner form must. Completes the streaming join
+    * matrix (inner [[clickPurchaseJoin]], left outer
+    * [[clickPurchaseLeftOuter]], stream-static anti
+    * [[filterBlocklisted]]). Same watermark + event-time-range state
+    * bounds as the inner join; the semi form additionally stores a
+    * matched bit per left row so re-matches emit nothing.
+    *
+    * Finalization: under AvailableNow over a finite source every match is
+    * processed, so the emitted set equals the batch EXISTS twin with no
+    * watermark cut — the same contract the inner oracle row relies on. */
+  def clickPurchaseSemi(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+      .select(col("purchase_id"), col("p_user").as("user_id"))
+  }
+
   /** Interval range join CHAINED into a windowed aggregation in ONE
     * streaming query — multiple stateful operators (Spark 3.5+): each
     * purchase anchor joins the same user's events in the following 10

@@ -73,6 +73,36 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream LEFT SEMI join equals the batch semi join, one row per purchase") {
+    import org.apache.spark.sql.functions._
+    val gated = EventStreams.clickPurchaseSemi(EventStreams.readEvents(spark, sf0001))
+    val q = gated.writeStream
+      .format("memory").queryName("sssemi_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sssemi_test").collect().map(_.toSeq).toSeq
+
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "left_semi")
+      .select(col("purchase_id"), col("p_user").as("user_id"))
+      .collect().map(_.toSeq).toSeq
+
+    assert(batch.nonEmpty, "fixture should contain gated purchases")
+    // at-most-once: no purchase may fan out per click
+    assert(streamed.map(_.head).distinct.size == streamed.size)
+    assert(streamed.toSet == batch.toSet)
+  }
+
   test("stream-stream LEFT OUTER join: inner matches + nulls for watermark-finalized purchases") {
     import org.apache.spark.sql.functions._
     val joined = EventStreams.clickPurchaseLeftOuter(EventStreams.readEvents(spark, sf0001))
