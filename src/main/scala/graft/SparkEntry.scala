@@ -2075,6 +2075,16 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
+    // the APPLY half of BPE (the actual 100 TB workload): encode the corpus
+    // with the learned merges via ONE word-type equi-join + per-source sum
+    "text_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(t(s, dir, "documents"))),
+
+    // stratified k-fold CV assignment (md5-prefix mod k, the splitByHash
+    // hash family) + the (fold, source) balance report a CV harness checks
+    "sample_kfold" -> ((s, dir) =>
+      graft.ext.Pipelines.kfoldReport(t(s, dir, "documents"))),
+
     // distributed BPE merge learning: ONE corpus-sized word-frequency
     // rollup, then 6 rounds of weighted pair counting over the word-TYPE
     // table (Heaps-bounded) with a 1-row argmax pull per round; merges are
@@ -3592,6 +3602,8 @@ object SparkEntry {
     "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
     "search_eval_ndcg" -> TextOps.searchEvalSqlDuck(),
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
+    "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),
+    "sample_kfold" -> graft.ext.Pipelines.kfoldReportSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

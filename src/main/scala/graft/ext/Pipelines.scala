@@ -459,6 +459,34 @@ object Pipelines {
     df.withColumn("split", assign)
   }
 
+  /** Stratified k-fold cross-validation assignment + balance report: every
+    * doc gets fold = md5-prefix(doc_id) mod k (the same deterministic
+    * seedless hash family as [[splitByHash]] — stable across runs, engines,
+    * and partitionings), and the output is the (fold, source) balance table
+    * a CV harness checks before training: n_docs and total chars per cell.
+    * Output is k·|sources| rows — bounded; the assignment itself is a
+    * narrow projection, the report one map-side-combinable aggregate. */
+  def kfoldReport(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val fold = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(k.toLong))
+    docs.select(fold.as("fold"), col("source"), col("n_chars"))
+      .groupBy("fold", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+      .orderBy("fold", "source")
+  }
+
+  /** Oracle twin of [[kfoldReport]] — identical md5-prefix mod-k hash. */
+  def kfoldReportSqlDuck(k: Int = 5): String =
+    s"""SELECT fold, source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+       |FROM (SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |    % $k AS BIGINT) AS fold, source, n_chars
+       |  FROM documents)
+       |GROUP BY fold, source
+       |ORDER BY fold, source""".stripMargin
+
   /** Leakage-safe split: near-duplicate documents MUST land in the same
     * split — hashing each doc independently leaks near-copies of training
     * rows into eval, the classic train/test contamination. Assign by the

@@ -1013,13 +1013,23 @@ object TextOps {
     * symbol); real corpora never get close at small `rounds`. */
   def bpeMerges(docs: DataFrame, rounds: Int = 6,
       textCol: String = "text"): DataFrame = {
-    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32], got $rounds")
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLearn(docs, rounds, textCol)._2
+      .toDF("merge_round", "left_sym", "right_sym", "pair_count")
+      .orderBy("merge_round")
+  }
+
+  /** Shared learner for [[bpeMerges]] / [[bpeEncode]]: returns the
+    * post-merge word-type table (word, s = '|'-delimited symbols, freq)
+    * and the learned merges. */
+  private[ext] def bpeLearn(docs: DataFrame, rounds: Int, textCol: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1,32], got $rounds")
     val wf = graft.etl.CacheRegistry.persist(
       docs.select(explode(tokensArr(textCol)).as("word"))
         .groupBy("word").agg(count(lit(1)).as("freq")))
-    var w = wf.select(
+    var w = wf.select(col("word"),
       concat(lit("|"), regexp_replace(col("word"), "(.)", "$1|")).as("s"),
       col("freq"))
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
@@ -1041,12 +1051,34 @@ object TextOps {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r.toLong, a, b, c))
         // a, b are [a-z0-9]+ — safe to inline as SQL literals
-        w = w.select(expr(s"replace(s, '|$a|$b|', '|$a$b|')").as("s"), col("freq"))
+        w = w.select(col("word"),
+          expr(s"replace(s, '|$a|$b|', '|$a$b|')").as("s"), col("freq"))
         r += 1
       }
     }
-    merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_count")
-      .orderBy("merge_round")
+    (w, merges.toSeq)
+  }
+
+  /** The APPLY half of BPE — the part that actually runs over all 100 TB:
+    * tokenize the corpus with the [[bpeLearn]]ed merges and report per
+    * source (n_words, n_pieces, pieces_per_word_micro). The encode itself
+    * is ONE equi-join of corpus word occurrences against the Heaps-bounded
+    * word-type table (Spark broadcasts it when small; a shuffle join
+    * otherwise) plus a map-side-combinable per-source sum — no per-round
+    * corpus passes, because all merging happened on word TYPES. Exact
+    * BIGINT counts; the ratio is a micro-unit integer DIV. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 6,
+      textCol: String = "text"): DataFrame = {
+    val (w, _) = bpeLearn(docs, rounds, textCol)
+    val pieces = w.select(col("word"),
+      size(filter(split(col("s"), "\\|"), x => x =!= "")).cast("long").as("np"))
+    docs.select(col("source"), explode(tokensArr(textCol)).as("word"))
+      .join(pieces, "word")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        expr("n_pieces * 1000000 DIV n_words").as("pieces_per_word_micro"))
+      .orderBy("source")
   }
 
   /** Oracle twin of [[bpeMerges]]: `rounds` chained CTE triples
@@ -1058,9 +1090,12 @@ object TextOps {
     * times), so inlined CTEs re-evaluate the whole prefix chain per
     * reference — exponential in rounds (measured: >120 s vs 0.1 s at
     * sf0.001). */
-  def bpeMergesSqlDuck(rounds: Int = 6): String = {
+  /** The shared round-chain CTE body (w0..wN, pN, mN — all MATERIALIZED;
+    * wN carries the original word so the encode oracle can join back). */
+  private def bpeChainCteDuck(rounds: Int): String = {
     val init =
-      s""" w0 AS MATERIALIZED (SELECT '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, freq
+      s""" w0 AS MATERIALIZED (SELECT word,
+         |     '|' || regexp_replace(word, '(.)', '\\1|', 'g') AS s, freq
          |   FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
          |     SELECT unnest(${tokensSqlDuck("text")}) AS word FROM documents)
          |     GROUP BY word))""".stripMargin
@@ -1074,19 +1109,41 @@ object TextOps {
          |       freq FROM $prev))
          |   GROUP BY 1, 2),
          | m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-         | w$i AS MATERIALIZED (SELECT replace(s,
+         | w$i AS MATERIALIZED (SELECT word, replace(s,
          |     '|' || (SELECT a FROM m$i) || '|' || (SELECT b FROM m$i) || '|',
          |     '|' || (SELECT a FROM m$i) || (SELECT b FROM m$i) || '|') AS s, freq
          |   FROM $prev)""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$rounds_"
+  }
+
+  def bpeMergesSqlDuck(rounds: Int = 6): String = {
     val union = (1 to rounds).map { i =>
       s"SELECT CAST($i AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM m$i"
     }.mkString("\n UNION ALL ")
-    s"""WITH$init,
-       |$rounds_
+    s"""WITH${bpeChainCteDuck(rounds)}
        |$union
        |ORDER BY merge_round""".stripMargin
   }
+
+  /** Oracle twin of [[bpeEncode]]: the same chain, then one join of word
+    * occurrences (with source) against the final word table's piece
+    * counts. */
+  def bpeEncodeSqlDuck(rounds: Int = 6): String =
+    s"""WITH${bpeChainCteDuck(rounds)},
+       | pieces AS MATERIALIZED (SELECT word,
+       |   CAST(len(list_filter(string_split(s, '|'), x -> x <> '')) AS BIGINT) AS np
+       |   FROM w$rounds),
+       | occ AS (SELECT source, unnest(${tokensSqlDuck("text")}) AS word
+       |   FROM documents)
+       |SELECT occ.source,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(pieces.np) AS BIGINT) AS n_pieces,
+       |  (CAST(sum(pieces.np) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+       |    AS pieces_per_word_micro
+       |FROM occ JOIN pieces USING (word)
+       |GROUP BY occ.source
+       |ORDER BY occ.source""".stripMargin
 
   // =====================================================================
   // Retrieval evaluation: nDCG@k + MRR over the BM25 ranking

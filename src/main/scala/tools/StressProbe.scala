@@ -152,7 +152,12 @@ object StressProbe {
       "pipeline_source_cap" -> (d => graft.ext.Pipelines.sourceCap(d).count()),
       "pipeline_shuffle_order" -> (d => graft.ext.Pipelines.shuffleOrder(d).count()),
       "text_gopher_rules" -> (d => graft.ext.TextOps.gopherRules(d).count()),
-      "text_dup_fraction" -> (d => graft.ext.TextOps.dupFraction(d).count()))
+      "text_dup_fraction" -> (d => graft.ext.TextOps.dupFraction(d).count()),
+      "dedup_keep_best" -> (d => graft.ext.Dedup.keepBestInCluster(d).count()),
+      "search_eval_ndcg" -> (d => graft.ext.TextOps.searchEval(d).count()),
+      "text_bpe_merges" -> (d => graft.ext.TextOps.bpeMerges(d).count()),
+      "text_bpe_encode" -> (d => graft.ext.TextOps.bpeEncode(d).count()),
+      "sample_kfold" -> (d => graft.ext.Pipelines.kfoldReport(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),

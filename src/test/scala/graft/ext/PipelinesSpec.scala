@@ -413,4 +413,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(self.length == 1 && self.head.getString(0) == "unchanged" &&
       self.head.getLong(1) == fx.count())
   }
+
+  test("kfoldReport: folds in range, totals conserved, deterministic across partitionings") {
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val rep = Pipelines.kfoldReport(fx, k = 5).collect()
+    assert(rep.forall(r => r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 5))
+    assert(rep.map(_.getAs[Long]("n_docs")).sum == fx.count())
+    // every fold is populated on the fixture (uniform md5 hash over 500 docs)
+    assert(rep.map(_.getAs[Long]("fold")).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val again = Pipelines.kfoldReport(fx.repartition(13), k = 5).collect()
+    assert(rep.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

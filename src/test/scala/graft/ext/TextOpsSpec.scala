@@ -329,6 +329,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 3)
   }
 
+  test("bpeEncode: pieces-per-word shrinks with rounds; hand-counted pieces") {
+    val d = Seq((1L, "aaa ab", "s1"), (2L, "aaa", "s1"))
+      .toDF("doc_id", "text", "source")
+    // rounds=1 merges only (a,a): aaa→|aa|a| (2 pieces), ab→|a|b| (2 pieces)
+    val r1 = TextOps.bpeEncode(d, rounds = 1).collect().head
+    assert(r1.getAs[Long]("n_words") == 3L && r1.getAs[Long]("n_pieces") == 6L)
+    assert(r1.getAs[Long]("pieces_per_word_micro") == 2000000L)
+    // rounds=3 learns (a,a),(aa,a),(a,b): both words fuse to 1 piece
+    val r3 = TextOps.bpeEncode(d, rounds = 3).collect().head
+    assert(r3.getAs[Long]("n_pieces") == 3L)
+    assert(r3.getAs[Long]("pieces_per_word_micro") == 1000000L)
+    // fixture: partition invariance of the whole learn+encode chain
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val a = TextOps.bpeEncode(fx, rounds = 2).collect().map(_.toString).toSeq
+    val b = TextOps.bpeEncode(fx.repartition(13), rounds = 2).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("searchEval: perfect ranking scores ndcg=mrr=1.0; no strict-relevant doc zeroes mrr") {
     val d = Seq(
       (1L, "apple banana cherry"),
