@@ -2080,6 +2080,12 @@ object SparkEntry {
     "text_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(t(s, dir, "documents"))),
 
+    // curriculum sharding: surprisal-ranked difficulty cut into 4 shards
+    // via rangeBuckets global rank + closed-form ntile — the
+    // sequence-difficulty warmup manifest, no single-partition windows
+    "pipeline_curriculum" -> ((s, dir) =>
+      graft.ext.Pipelines.curriculumShards(t(s, dir, "documents"))),
+
     // stratified k-fold CV assignment (md5-prefix mod k, the splitByHash
     // hash family) + the (fold, source) balance report a CV harness checks
     "sample_kfold" -> ((s, dir) =>
@@ -3604,6 +3610,7 @@ object SparkEntry {
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),
     "sample_kfold" -> graft.ext.Pipelines.kfoldReportSqlDuck(),
+    "pipeline_curriculum" -> graft.ext.Pipelines.curriculumShardsSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),
     "events_equidepth_hist" ->

@@ -246,6 +246,28 @@ object IngestOps {
     * the within-bucket running-sum window. `key` values must be UNIQUE per
     * row (group first if not) — a rows-frame running sum over tied keys
     * would be order-dependent within the tie. */
+  /** Closed-form SQL ntile(k) from an exact 1-based global rank `r` and
+    * total row count `n` (driver scalars → literal arithmetic, BIGINT DIV
+    * throughout): the distributed replacement for an unpartitioned ntile
+    * window — compose with [[withGlobalPos]] for the rank. Requires a
+    * tie-free rank (callers tiebreak on a unique key). Matches SQL ntile
+    * exactly: the first n%k buckets get ⌈n/k⌉ rows. */
+  def ntileFromRank(r: org.apache.spark.sql.Column, n: Long, k: Int)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    def idiv(a: org.apache.spark.sql.Column, b: Long): org.apache.spark.sql.Column =
+      toColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        toExpression(a), toExpression(lit(b))))
+    val q = n / k
+    val rem = n % k
+    if (q == 0L) r // fewer rows than buckets: ntile assigns bucket = rank
+    else {
+      val boundary = rem * (q + 1) // last rank inside the ⌈n/k⌉-sized buckets
+      when(r <= lit(boundary), idiv(r - lit(1L), q + 1) + lit(1L))
+        .otherwise(lit(rem) + idiv(r - lit(boundary + 1), q) + lit(1L))
+    }
+  }
+
   def withGlobalRunningSum(df: DataFrame, key: org.apache.spark.sql.Column,
       weight: org.apache.spark.sql.Column, outCol: String = "_rsum",
       numParts: Int = 0): DataFrame = {

@@ -881,24 +881,11 @@ object Analytics {
     d.drop("_spendd")
   }
 
-  /** Closed-form SQL ntile(k) from an exact 1-based global rank `r` and
-    * total row count `n` (driver scalars → literal arithmetic, BIGINT DIV
-    * throughout): the distributed replacement for an unpartitioned ntile
-    * window. Requires a tie-free rank (callers tiebreak on a unique key). */
-  private def ntileFromRank(r: Column, n: Long, k: Int): Column = {
-    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
-    def idiv(a: Column, b: Long): Column =
-      toColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        toExpression(a), toExpression(lit(b))))
-    val q = n / k
-    val rem = n % k
-    if (q == 0L) r // fewer rows than buckets: ntile assigns bucket = rank
-    else {
-      val boundary = rem * (q + 1) // last rank inside the ⌈n/k⌉-sized buckets
-      when(r <= lit(boundary), idiv(r - lit(1L), q + 1) + lit(1L))
-        .otherwise(lit(rem) + idiv(r - lit(boundary + 1), q) + lit(1L))
-    }
-  }
+  /** Closed-form ntile — promoted to the shared rank toolkit; see
+    * [[graft.etl.IngestOps.ntileFromRank]]. Kept as a local alias so the
+    * rfm scoring below reads at one altitude. */
+  private def ntileFromRank(r: Column, n: Long, k: Int): Column =
+    graft.etl.IngestOps.ntileFromRank(r, n, k)
 
   def rfmSqlDuck: String =
     """WITH per AS (SELECT o_custkey,

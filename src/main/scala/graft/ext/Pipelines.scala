@@ -459,6 +459,50 @@ object Pipelines {
     df.withColumn("split", assign)
   }
 
+  /** Curriculum sharding (sequence-difficulty warmup): rank every scoreable
+    * document by its [[TextOps.surprisal]] difficulty under the corpus's
+    * own bigram model and cut the ranking into `nShards` contiguous shards
+    * — shard 1 is the easiest (most predictable) slice the schedule trains
+    * on first. Returns the shard manifest (shard, n_docs, n_bigrams_total,
+    * min_mip, max_mip), `nShards` rows.
+    *
+    * Scale shape: difficulty is the existing surprisal chain; the ranking
+    * is [[graft.etl.IngestOps.withGlobalPos]] (range buckets + ≤numParts
+    * driver scalars — NO single-partition window) and the cut is the
+    * closed-form [[graft.etl.IngestOps.ntileFromRank]]. Ordering compares
+    * mean_inv_prob doubles that both engines derive from the same exact
+    * BIGINT pair via two correctly-rounded divisions (bit-identical), with
+    * doc_id breaking ties. Docs with < 2 tokens have no bigrams and are
+    * not scheduled (both engines). */
+  def curriculumShards(docs: DataFrame, nShards: Int = 4): DataFrame = {
+    require(nShards >= 2 && nShards <= 100, s"nShards out of range: $nShards")
+    val scored = graft.etl.CacheRegistry.persist(TextOps.surprisal(docs))
+    val n = scored.count()
+    graft.etl.IngestOps.withGlobalPos(scored, col("mean_inv_prob"), "_rk",
+        order = Seq(col("mean_inv_prob"), col("doc_id")))
+      .withColumn("shard", graft.etl.IngestOps.ntileFromRank(col("_rk"), n, nShards))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams_total"),
+        min(col("mean_inv_prob")).as("min_mip"), max(col("mean_inv_prob")).as("max_mip"))
+      .orderBy("shard")
+  }
+
+  /** Oracle twin of [[curriculumShards]]: the shared surprisal CTE chain,
+    * a plain ntile window (the semantics the closed form replaces), the
+    * same rollup. */
+  def curriculumShardsSqlDuck(nShards: Int = 4): String =
+    s"""WITH${TextOps.surprisalCteDuck},
+       | sc AS (SELECT doc_id, n_bigrams,
+       |   CAST(sq AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0 AS mip
+       |   FROM agg),
+       | sh AS (SELECT doc_id, n_bigrams, mip,
+       |   CAST(ntile($nShards) OVER (ORDER BY mip, doc_id) AS BIGINT) AS shard
+       |   FROM sc)
+       |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams_total,
+       |  min(mip) AS min_mip, max(mip) AS max_mip
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   /** Stratified k-fold cross-validation assignment + balance report: every
     * doc gets fold = md5-prefix(doc_id) mod k (the same deterministic
     * seedless hash family as [[splitByHash]] — stable across runs, engines,

@@ -165,8 +165,11 @@ object TextOps {
   /** DuckDB oracle for [[surprisal]]: independent bigram derivation (the
     * positional lead-window form, vs Spark's slice/zip_with array algebra),
     * identical integer model arithmetic. */
-  def surprisalSqlDuck: String =
-    s"""WITH tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks FROM documents),
+  /** The surprisal computation as a reusable CTE body ending in
+    * `agg(doc_id, n_bigrams, sq)` — shared with oracles that build ON the
+    * difficulty score (e.g. curriculum sharding). */
+  private[ext] def surprisalCteDuck: String =
+    s""" tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks FROM documents),
        | pos AS (SELECT doc_id, unnest(tks) AS w1, generate_subscripts(tks, 1) AS i
        |   FROM tk WHERE len(tks) >= 2),
        | bg AS (SELECT doc_id, w1, w2 FROM (
@@ -179,7 +182,10 @@ object TextOps {
        | agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |     CAST(sum(m.q) AS BIGINT) AS sq
        |   FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
-       |   GROUP BY doc_id)
+       |   GROUP BY doc_id)""".stripMargin
+
+  def surprisalSqlDuck: String =
+    s"""WITH$surprisalCteDuck
        |SELECT doc_id, n_bigrams,
        |  CAST(sq AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0 AS mean_inv_prob
        |FROM agg ORDER BY doc_id""".stripMargin

@@ -157,7 +157,8 @@ object StressProbe {
       "search_eval_ndcg" -> (d => graft.ext.TextOps.searchEval(d).count()),
       "text_bpe_merges" -> (d => graft.ext.TextOps.bpeMerges(d).count()),
       "text_bpe_encode" -> (d => graft.ext.TextOps.bpeEncode(d).count()),
-      "sample_kfold" -> (d => graft.ext.Pipelines.kfoldReport(d).count()))
+      "sample_kfold" -> (d => graft.ext.Pipelines.kfoldReport(d).count()),
+      "pipeline_curriculum" -> (d => graft.ext.Pipelines.curriculumShards(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),

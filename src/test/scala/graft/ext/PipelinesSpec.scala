@@ -414,6 +414,24 @@ class PipelinesSpec extends AnyFunSuite {
       self.head.getLong(1) == fx.count())
   }
 
+  test("curriculumShards: contiguous monotone difficulty bands, docs conserved, invariant") {
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val sh = Pipelines.curriculumShards(fx, nShards = 4).collect()
+    assert(sh.map(_.getAs[Long]("shard")).toSeq == Seq(1L, 2L, 3L, 4L))
+    // every scoreable doc (>= 2 tokens) is scheduled exactly once
+    assert(sh.map(_.getAs[Long]("n_docs")).sum ==
+      graft.ext.TextOps.surprisal(fx).count())
+    // shards are contiguous rank slices: band edges never overlap
+    sh.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_mip") <= b.getAs[Double]("min_mip"))
+    }
+    // ntile balance: shard sizes differ by at most 1
+    val sizes = sh.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    val again = Pipelines.curriculumShards(fx.repartition(13), nShards = 4).collect()
+    assert(sh.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("kfoldReport: folds in range, totals conserved, deterministic across partitionings") {
     val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
     val rep = Pipelines.kfoldReport(fx, k = 5).collect()
