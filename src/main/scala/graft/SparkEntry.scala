@@ -1957,6 +1957,11 @@ object SparkEntry {
     "text_langid" -> ((s, dir) =>
       TextOps.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // langid classifier eval: confusion matrix vs the fixture's own lang
+    // labels + per-true-row share (micro-units); ≤ |langs|² output rows
+    "quality_langid_eval" -> ((s, dir) =>
+      TextOps.langIdEval(t(s, dir, "documents"))),
+
     // within-doc repeated-segment removal (C4/FineWeb line dedup adapted to
     // 8-token segments): pure per-row array algebra, zero shuffles
     "text_dedup_segments" -> ((s, dir) =>
@@ -3365,6 +3370,7 @@ object SparkEntry {
     "text_surprisal" -> TextOps.surprisalSqlDuck,
     "text_tokens" -> TextOps.tokenCountsSqlDuck,
     "text_langid" -> TextOps.langIdSqlDuck,
+    "quality_langid_eval" -> TextOps.langIdEvalSqlDuck,
     "text_fingerprint" -> TextOps.fingerprintSqlDuck,
 
     "text_dedup_segments" -> TextOps.dedupSegmentsSqlDuck(),

@@ -731,6 +731,34 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Classifier evaluation for [[langId]]: the confusion matrix against
+    * the corpus's own `lang` labels plus per-cell share of the true-label
+    * row (micro-units) — the quality harness a langid gate ships with.
+    * One narrow scoring pass + one (label, prediction)-keyed aggregate;
+    * output is ≤ |langs|² rows. */
+  def langIdEval(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val pred = langId(docs, textCol).select(col("doc_id"), col("lang_pred"))
+    val cells = docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy("lang").agg(sum(col("n")).as("n_true"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 1000000 DIV n_true").as("share_micro"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  def langIdEvalSqlDuck: String =
+    s"""WITH pred AS (SELECT doc_id, lang_pred FROM ($langIdSqlDuck)),
+       | cells AS (SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+       |   FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+       |   GROUP BY d.lang, p.lang_pred),
+       | totals AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_true
+       |   FROM cells GROUP BY lang)
+       |SELECT c.lang, c.lang_pred, c.n, (c.n * 1000000) // t.n_true AS share_micro
+       |FROM cells c JOIN totals t ON c.lang = t.lang
+       |ORDER BY c.lang, c.lang_pred""".stripMargin
+
   def fingerprintSqlDuck: String =
     s"""SELECT doc_id, md5(array_to_string(${tokensSqlDuck("text")}, ' ')) AS fp
        |FROM documents ORDER BY doc_id""".stripMargin

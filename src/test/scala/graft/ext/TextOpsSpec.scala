@@ -329,6 +329,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b && a.size == 3)
   }
 
+  test("langIdEval: confusion cells conserve docs; shares sum to ~1 per true row") {
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val ev = TextOps.langIdEval(fx).collect()
+    assert(ev.map(_.getAs[Long]("n")).sum == fx.count())
+    // per true-label row the micro shares sum to 1e6 within flooring loss
+    ev.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Long]("share_micro")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length)
+    }
+    val again = TextOps.langIdEval(fx.repartition(13)).collect()
+    assert(ev.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("bpeEncode: pieces-per-word shrinks with rounds; hand-counted pieces") {
     val d = Seq((1L, "aaa ab", "s1"), (2L, "aaa", "s1"))
       .toDF("doc_id", "text", "source")
