@@ -343,4 +343,25 @@ class EdgeCasesSpec extends AnyFunSuite {
     val ks = Stats.ksDrift(oneSided).collect()
     assert(ks.length == 1 && ks.head.isNullAt(ks.head.fieldIndex("d_micro")))
   }
+
+  test("session-2 operators on empty/degenerate inputs return empty, not errors") {
+    import graft.ext.Pipelines
+    assert(Dedup.keepBestInCluster(emptyDocs).count() == 0)
+    assert(TextOps.searchEval(emptyDocs).count() == 0)
+    assert(TextOps.bpeMerges(emptyDocs).count() == 0)
+    assert(TextOps.bpeEncode(emptyDocs).count() == 0)
+    assert(Pipelines.kfoldReport(emptyDocs).count() == 0)
+    assert(Pipelines.curriculumShards(emptyDocs).count() == 0)
+    assert(TextOps.langIdEval(emptyDocs).count() == 0)
+    // all-single-char words: no adjacent pairs anywhere → zero merges
+    // (the early-stop path), and encode degenerates to 1 piece per word
+    val chars = Seq((1L, "a b c", "s1")).toDF("doc_id", "text", "source")
+    assert(TextOps.bpeMerges(chars).count() == 0)
+    val enc = TextOps.bpeEncode(chars).collect().head
+    assert(enc.getAs[Long]("n_words") == 3L && enc.getAs[Long]("n_pieces") == 3L)
+    // curriculum on a corpus where NO doc has 2+ tokens: nothing scheduled
+    val tiny = Seq((1L, "solo", "en", 4L, "s1")).toDF(
+      "doc_id", "text", "lang", "n_chars", "source")
+    assert(Pipelines.curriculumShards(tiny).count() == 0)
+  }
 }
