@@ -67,6 +67,8 @@ object PlanAudit {
       "margin cross product |A|×|B| plus the 1-row n aggregate — contingency cells, never the corpus"),
     "search_bm25_topk" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row corpus-stats aggregate onto the postings join"),
+    "search_eval_ndcg" -> ("BroadcastNestedLoopJoin",
+      "the searchTopK scoring pass it evaluates carries the same 1-row corpus-stats crossJoin; the eval layers are broadcast k-row joins"),
     "sim_matryoshka_recall" -> ("BroadcastNestedLoopJoin",
       "two brute-force rankings by design (the audit must not confound truncation with ANN loss); broadcast 8-row query side"),
     "dedup_lsh_eval" -> ("BroadcastNestedLoopJoin",
