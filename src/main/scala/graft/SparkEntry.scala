@@ -2190,6 +2190,12 @@ object SparkEntry {
     "orders_rfm" -> ((s, dir) =>
       graft.ext.Analytics.rfm(t(s, dir, "orders")).orderBy("o_custkey")),
 
+    // first-order-cohort LTV matrix: integer year·12+month cohorts,
+    // exact-cents revenue, running cumulative per cohort over the
+    // (cohorts × ages) rollup only — never a window over raw orders
+    "orders_cohort_ltv" -> ((s, dir) =>
+      graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
+
     // super-human event-rate / burst detection (ext/Stats.botRates): the
     // abuse gate before user events feed training — sustained milli-rate
     // and exact sliding-window peak burst, one user_id exchange
@@ -3592,6 +3598,7 @@ object SparkEntry {
     "events_attribution" -> graft.ext.Analytics.attributionSqlDuck(),
     "events_markov_stationary" -> graft.ext.Analytics.markovStationarySqlDuck(),
     "orders_rfm" -> graft.ext.Analytics.rfmSqlDuck,
+    "orders_cohort_ltv" -> graft.ext.Analytics.cohortLtvSqlDuck,
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "quality_corpus_card" -> graft.ext.Pipelines.corpusCardSqlDuck,

@@ -852,6 +852,65 @@ object Analytics {
     * the order is made TIE-FREE by the customer-key tiebreak). Descending
     * metrics bucket on the negated key, so bucket boundaries and the
     * within-bucket sort agree by construction. */
+  /** First-order-cohort lifetime-value matrix: customers cohort by the
+    * month of their FIRST order; each (cohort, age-in-months) cell reports
+    * active customers, revenue, the running cumulative revenue, and
+    * LTV-per-customer — the standard subscription/commerce cohort grid.
+    *
+    * Exactness: months are `year·12 + month − 1` integers (no engine
+    * months_between semantics), money is the repo's exact-cents idiom
+    * (DECIMAL(18,2)·100 per order before the BIGINT sum), LTV one integer
+    * DIV. Shape: two custkey-keyed aggregates + one custkey equi-join;
+    * the only window runs over the (cohorts × ages) ROLLUP — |months|²
+    * rows, partitioned by cohort — never over raw orders. */
+  def cohortLtv(orders: DataFrame): DataFrame = {
+    val o = orders.filter(col("o_custkey").isNotNull &&
+        col("o_orderdate").isNotNull && col("o_totalprice").isNotNull)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("ym"),
+        (col("o_totalprice").cast(DecimalType182) * 100).cast("long").as("cents"))
+    val first = o.groupBy("o_custkey").agg(min(col("ym")).as("cohort_ym"))
+    val sized = first.groupBy("cohort_ym").agg(count(lit(1)).as("cohort_size"))
+    val cells = o.join(first, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("age_months"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = Window.partitionBy("cohort_ym").orderBy("age_months")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(sized, "cohort_ym")
+      .withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .select(col("cohort_ym"), col("age_months"), col("n_active"),
+        col("revenue_cents"), col("cum_revenue_cents"), col("cohort_size"),
+        expr("cum_revenue_cents DIV cohort_size").as("ltv_cents"))
+      .orderBy("cohort_ym", "age_months")
+  }
+
+  /** Oracle twin of [[cohortLtv]] — identical integer month/cents
+    * arithmetic, window over the rollup. */
+  def cohortLtvSqlDuck: String =
+    s"""WITH o AS (SELECT o_custkey,
+       |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+       |    AND o_totalprice IS NOT NULL),
+       | f AS (SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey),
+       | sz AS (SELECT cohort_ym, CAST(count(*) AS BIGINT) AS cohort_size
+       |   FROM f GROUP BY cohort_ym),
+       | cells AS (SELECT f.cohort_ym, o.ym - f.cohort_ym AS age_months,
+       |     CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+       |     CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+       |   FROM o JOIN f USING (o_custkey) GROUP BY 1, 2),
+       | cum AS (SELECT cells.*, CAST(sum(revenue_cents) OVER (
+       |     PARTITION BY cohort_ym ORDER BY age_months
+       |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+       |   FROM cells)
+       |SELECT cum.cohort_ym, cum.age_months, cum.n_active, cum.revenue_cents,
+       |  cum.cum_revenue_cents, sz.cohort_size,
+       |  cum.cum_revenue_cents // sz.cohort_size AS ltv_cents
+       |FROM cum JOIN sz USING (cohort_ym)
+       |ORDER BY cohort_ym, age_months""".stripMargin
+
   def rfm(orders: DataFrame): DataFrame = {
     val maxD = orders.agg(max(col("o_orderdate").cast("timestamp")).as("_maxd"))
     val per = orders

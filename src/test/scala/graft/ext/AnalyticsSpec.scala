@@ -333,6 +333,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
 
+  test("cohortLtv: hand-built cohort grid, running cumulative, exact cents") {
+    val orders = Seq(
+      (1L, 1L, "2020-01-05", 10.0), (2L, 1L, "2020-02-20", 20.0),
+      (3L, 2L, "2020-01-28", 5.0),
+      (4L, 3L, "2020-02-01", 7.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+    val got = Analytics.cohortLtv(orders).collect().map(r =>
+      (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val jan = 2020L * 12 + 0 // year*12 + month-1
+    val feb = jan + 1
+    // Jan cohort (custs 1, 2; size 2): age 0 → 2 active, $15; age 1 → $20 more
+    assert(got((jan, 0L)) == ((2L, 1500L, 1500L, 2L, 750L)))
+    assert(got((jan, 1L)) == ((1L, 2000L, 3500L, 2L, 1750L)))
+    // Feb cohort (cust 3; size 1): one cell
+    assert(got((feb, 0L)) == ((1L, 700L, 700L, 1L, 700L)))
+    assert(got.size == 3)
+    // fixture: exact integer chain → partition invariance
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "orders")
+    val a = Analytics.cohortLtv(fx).collect().map(_.toString).toSeq
+    val b = Analytics.cohortLtv(fx.repartition(11)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("rfm: recency/frequency/monetary with tie-free quintile scores") {
     val day = 86400000000L
     val orders = Seq(
