@@ -240,7 +240,8 @@ object StressProbe {
       "q2_min_cost_supplier", "q9_profit_by_nation", "q11_important_parts",
       "q16_supplier_counts", "q20_excess_shipments",
       "sketch_sample_quantiles", "sketch_sample_quantiles_grouped",
-      "orders_pareto_front", "orc_roundtrip", "csv_roundtrip")
+      "orders_pareto_front", "orc_roundtrip", "csv_roundtrip",
+      "orders_cohort_ltv")
 
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on
