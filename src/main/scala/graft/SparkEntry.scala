@@ -2096,6 +2096,12 @@ object SparkEntry {
     "sample_kfold" -> ((s, dir) =>
       graft.ext.Pipelines.kfoldReport(t(s, dir, "documents"))),
 
+    // the leakage hash folds DON'T prevent, measured: LSH near-dup pairs
+    // crossing fold boundaries (≈ (k-1)/k of pairs) — the empirical
+    // witness for cluster-keyed splitting; 1-row output
+    "sample_kfold_leakage" -> ((s, dir) =>
+      graft.ext.Pipelines.kfoldLeakage(t(s, dir, "documents"))),
+
     // distributed BPE merge learning: ONE corpus-sized word-frequency
     // rollup, then 6 rounds of weighted pair counting over the word-TYPE
     // table (Heaps-bounded) with a 1-row argmax pull per round; merges are
@@ -3623,6 +3629,7 @@ object SparkEntry {
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),
     "sample_kfold" -> graft.ext.Pipelines.kfoldReportSqlDuck(),
+    "sample_kfold_leakage" -> graft.ext.Pipelines.kfoldLeakageSqlDuck(),
     "pipeline_curriculum" -> graft.ext.Pipelines.curriculumShardsSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),
     "quality_key_skew" -> graft.ext.Stats.keySkewSqlDuck("events", "user_id"),

@@ -531,6 +531,47 @@ object Pipelines {
        |GROUP BY fold, source
        |ORDER BY fold, source""".stripMargin
 
+  /** The contamination [[kfoldReport]]'s independent-hash folds do NOT
+    * prevent, measured: LSH near-dup candidate pairs whose members land in
+    * DIFFERENT folds (each such pair puts a near-copy of a training doc in
+    * a validation fold). One row: (n_pairs, n_cross_fold, leak_micro).
+    * The expected leak share for k independent folds is (k−1)/k — this row
+    * is the empirical witness for why [[splitLeakageSafe]] assigns by
+    * CLUSTER (where the cross-split count is zero by construction).
+    * Shape: the LSH pair graph (bucketed equi-join, the adjudicated form)
+    * plus two id-keyed fold joins and a 1-row aggregate. */
+  def kfoldLeakage(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val fold = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(k.toLong))
+    val folds = graft.etl.CacheRegistry.persist(
+      docs.select(col("doc_id"), fold.as("fold")))
+    Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
+      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
+      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("fold_a") =!= col("fold_b"), 1L).otherwise(0L)).as("n_cross_fold"))
+      .select(col("n_pairs"), col("n_cross_fold"),
+        expr("n_cross_fold * 1000000 DIV n_pairs").as("leak_micro"))
+  }
+
+  /** Oracle twin of [[kfoldLeakage]] — the shared LSH pair CTE + the same
+    * md5 mod-k fold hash. */
+  def kfoldLeakageSqlDuck(k: Int = 5): String =
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | f AS (SELECT doc_id,
+       |   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |     % $k AS BIGINT) AS fold FROM documents)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_cross_fold,
+       |  (CAST(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000) // CAST(count(*) AS BIGINT) AS leak_micro
+       |FROM prs
+       |JOIN f fa ON prs.a = fa.doc_id
+       |JOIN f fb ON prs.b = fb.doc_id""".stripMargin
+
   /** Leakage-safe split: near-duplicate documents MUST land in the same
     * split — hashing each doc independently leaks near-copies of training
     * rows into eval, the classic train/test contamination. Assign by the

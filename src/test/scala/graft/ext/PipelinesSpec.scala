@@ -432,6 +432,33 @@ class PipelinesSpec extends AnyFunSuite {
     assert(sh.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("kfoldLeakage: hash folds leak ≈ (k-1)/k of near-dup pairs; cluster split leaks zero") {
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val r = Pipelines.kfoldLeakage(fx, k = 5).collect().head
+    val (nPairs, nCross, micro) =
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cross_fold"), r.getAs[Long]("leak_micro"))
+    assert(nPairs > 0 && nCross <= nPairs)
+    // independent uniform folds → expected share (k-1)/k = 0.8; the fixture
+    // lands near it (binomial spread on |pairs| samples)
+    assert(micro > 650000L && micro < 950000L, s"leak_micro=$micro")
+    // the cluster-keyed split leaks ZERO pairs by construction — the
+    // complementary fact this row exists to witness
+    val split = Pipelines.splitLeakageSafe(fx,
+      Seq("train" -> 0.8, "eval" -> 0.2))
+      .select("doc_id", "split")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignatures(fx))
+    val cross = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "sa"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "sb"), "doc_b")
+      .filter(org.apache.spark.sql.functions.col("sa") =!=
+        org.apache.spark.sql.functions.col("sb")).count()
+    assert(cross == 0L)
+    val again = Pipelines.kfoldLeakage(fx.repartition(13), k = 5).collect().head
+    assert(again.toString == r.toString)
+  }
+
   test("kfoldReport: folds in range, totals conserved, deterministic across partitionings") {
     val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
     val rep = Pipelines.kfoldReport(fx, k = 5).collect()
