@@ -2096,9 +2096,10 @@ object SparkEntry {
     "sample_kfold" -> ((s, dir) =>
       graft.ext.Pipelines.kfoldReport(t(s, dir, "documents"))),
 
-    // the leakage hash folds DON'T prevent, measured: LSH near-dup pairs
-    // crossing fold boundaries (≈ (k-1)/k of pairs) — the empirical
-    // witness for cluster-keyed splitting; 1-row output
+    // the leakage hash folds DON'T prevent, measured: LSH co-bucket pairs
+    // crossing fold boundaries (≈ (k-1)/k) via closed-form per-bucket fold
+    // counts — NO pair materialization (the distinct-pair form probed 84x
+    // at 10x on the dup-dense replica corpus); 1-row output
     "sample_kfold_leakage" -> ((s, dir) =>
       graft.ext.Pipelines.kfoldLeakage(t(s, dir, "documents"))),
 

@@ -532,45 +532,57 @@ object Pipelines {
        |ORDER BY fold, source""".stripMargin
 
   /** The contamination [[kfoldReport]]'s independent-hash folds do NOT
-    * prevent, measured: LSH near-dup candidate pairs whose members land in
+    * prevent, measured: LSH co-bucket pairs whose members land in
     * DIFFERENT folds (each such pair puts a near-copy of a training doc in
-    * a validation fold). One row: (n_pairs, n_cross_fold, leak_micro).
+    * a validation fold). One row: (n_copairs, n_cross_fold, leak_micro).
     * The expected leak share for k independent folds is (k−1)/k — this row
     * is the empirical witness for why [[splitLeakageSafe]] assigns by
     * CLUSTER (where the cross-split count is zero by construction).
-    * Shape: the LSH pair graph (bucketed equi-join, the adjudicated form)
-    * plus two id-keyed fold joins and a 1-row aggregate. */
+    *
+    * 100 TB shape — NO pair materialization: a bucket with m members and
+    * per-fold counts m_f contributes m·(m−1)/2 co-pairs of which
+    * (m² − Σm_f²)/2 cross folds, so the whole statistic is two bucket-keyed
+    * aggregates of closed-form integer arithmetic. (The distinct-pair
+    * variant via [[Dedup.lshCandidatePairs]] is quadratic in duplicate
+    * density — its 10× probe measured 84× on the dup-dense replica corpus,
+    * which is what forced this form; co-pairs count a pair once PER SHARED
+    * BUCKET, the multiplicity the leak RATE is insensitive to because fold
+    * assignment is independent of bucket structure.) */
   def kfoldLeakage(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
     val fold = pmod(
       conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("long"), lit(k.toLong))
-    val folds = graft.etl.CacheRegistry.persist(
-      docs.select(col("doc_id"), fold.as("fold")))
-    Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs))
-      .join(folds.select(col("doc_id").as("doc_a"), col("fold").as("fold_a")), "doc_a")
-      .join(folds.select(col("doc_id").as("doc_b"), col("fold").as("fold_b")), "doc_b")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(when(col("fold_a") =!= col("fold_b"), 1L).otherwise(0L)).as("n_cross_fold"))
-      .select(col("n_pairs"), col("n_cross_fold"),
-        expr("n_cross_fold * 1000000 DIV n_pairs").as("leak_micro"))
+    val folds = docs.select(col("doc_id"), fold.as("fold"))
+    val buckets = Dedup.bandBuckets(Dedup.minhashSignatures(docs))
+    val perBucketFold = buckets.join(folds, "doc_id")
+      .groupBy("bi", "band", "fold").agg(count(lit(1)).as("mf"))
+    val perBucket = perBucketFold.groupBy("bi", "band")
+      .agg(sum(col("mf")).as("m"), sum(col("mf") * col("mf")).as("sq"))
+    perBucket
+      .agg(sum(expr("m * (m - 1) DIV 2")).as("n_copairs"),
+        sum(expr("(m * m - sq) DIV 2")).as("n_cross_fold"))
+      .select(col("n_copairs"), col("n_cross_fold"),
+        expr("n_cross_fold * 1000000 DIV n_copairs").as("leak_micro"))
   }
 
-  /** Oracle twin of [[kfoldLeakage]] — the shared LSH pair CTE + the same
-    * md5 mod-k fold hash. */
+  /** Oracle twin of [[kfoldLeakage]] — the shared band-bucket CTEs + the
+    * same md5 mod-k fold hash and closed-form bucket arithmetic. */
   def kfoldLeakageSqlDuck(k: Int = 5): String =
-    s"""WITH ${Dedup.lshPairsCteDuck},
+    s"""WITH ${Dedup.toksCteDuck}, ${Dedup.sigsCteDuck},
+       | ${Dedup.bucketsCteDuck},
        | f AS (SELECT doc_id,
        |   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-       |     % $k AS BIGINT) AS fold FROM documents)
-       |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       |  CAST(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_cross_fold,
-       |  (CAST(sum(CASE WHEN fa.fold <> fb.fold THEN 1 ELSE 0 END) AS BIGINT)
-       |    * 1000000) // CAST(count(*) AS BIGINT) AS leak_micro
-       |FROM prs
-       |JOIN f fa ON prs.a = fa.doc_id
-       |JOIN f fb ON prs.b = fb.doc_id""".stripMargin
+       |     % $k AS BIGINT) AS fold FROM documents),
+       | bf AS (SELECT bi, band, fold, CAST(count(*) AS BIGINT) AS mf
+       |   FROM buckets JOIN f USING (doc_id) GROUP BY bi, band, fold),
+       | pb AS (SELECT bi, band, CAST(sum(mf) AS BIGINT) AS m,
+       |     CAST(sum(mf * mf) AS BIGINT) AS sq FROM bf GROUP BY bi, band)
+       |SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS n_copairs,
+       |  CAST(sum((m * m - sq) // 2) AS BIGINT) AS n_cross_fold,
+       |  (CAST(sum((m * m - sq) // 2) AS BIGINT) * 1000000)
+       |    // CAST(sum(m * (m - 1) // 2) AS BIGINT) AS leak_micro
+       |FROM pb""".stripMargin
 
   /** Leakage-safe split: near-duplicate documents MUST land in the same
     * split — hashing each doc independently leaks near-copies of training

@@ -158,6 +158,7 @@ object StressProbe {
       "text_bpe_merges" -> (d => graft.ext.TextOps.bpeMerges(d).count()),
       "text_bpe_encode" -> (d => graft.ext.TextOps.bpeEncode(d).count()),
       "sample_kfold" -> (d => graft.ext.Pipelines.kfoldReport(d).count()),
+      "sample_kfold_leakage" -> (d => graft.ext.Pipelines.kfoldLeakage(d).count()),
       "pipeline_curriculum" -> (d => graft.ext.Pipelines.curriculumShards(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->

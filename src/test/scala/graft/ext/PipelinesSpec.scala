@@ -436,7 +436,7 @@ class PipelinesSpec extends AnyFunSuite {
     val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
     val r = Pipelines.kfoldLeakage(fx, k = 5).collect().head
     val (nPairs, nCross, micro) =
-      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_cross_fold"), r.getAs[Long]("leak_micro"))
+      (r.getAs[Long]("n_copairs"), r.getAs[Long]("n_cross_fold"), r.getAs[Long]("leak_micro"))
     assert(nPairs > 0 && nCross <= nPairs)
     // independent uniform folds → expected share (k-1)/k = 0.8; the fixture
     // lands near it (binomial spread on |pairs| samples)
