@@ -2203,6 +2203,13 @@ object SparkEntry {
     "orders_cohort_ltv" -> ((s, dir) =>
       graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
 
+    // Kaplan–Meier time-to-conversion survival (ext/Analytics
+    // .kaplanMeier): first signup → first purchase within a 48 h window,
+    // right-censored at window/corpus cutoff; exact integer fixed-point
+    // survival fold over the horizon-bounded step table (libm-free)
+    "events_survival_km" -> ((s, dir) =>
+      graft.ext.Analytics.kaplanMeier(t(s, dir, "events"))),
+
     // super-human event-rate / burst detection (ext/Stats.botRates): the
     // abuse gate before user events feed training — sustained milli-rate
     // and exact sliding-window peak burst, one user_id exchange
@@ -3606,6 +3613,7 @@ object SparkEntry {
     "events_markov_stationary" -> graft.ext.Analytics.markovStationarySqlDuck(),
     "orders_rfm" -> graft.ext.Analytics.rfmSqlDuck,
     "orders_cohort_ltv" -> graft.ext.Analytics.cohortLtvSqlDuck,
+    "events_survival_km" -> graft.ext.Analytics.kaplanMeierSqlDuck(),
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "quality_corpus_card" -> graft.ext.Pipelines.corpusCardSqlDuck,

@@ -1236,4 +1236,124 @@ object Analytics {
        |JOIN supp sb ON sb.brand = pairs.brand_b
        |CROSS JOIN n
        |ORDER BY brand_a, brand_b""".stripMargin
+
+  /** Kaplan–Meier product-limit survival for TIME-TO-CONVERSION: per user,
+    * the clock starts at the first `signup` event and "death" is the first
+    * `purchase` AT OR AFTER it, observed only inside a `horizonHours`
+    * window; users with no qualifying purchase are right-CENSORED at
+    * `min(horizon, corpus cutoff − signup)` — the standard
+    * administrative-censoring convention, and the reason KM beats the naive
+    * conversion CDF (late signups leave the risk set instead of biasing
+    * the tail). One output row per whole-hour step with ≥ 1 death:
+    * (t_hour, n_risk, n_deaths, surv_pico, survival), with
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) = P(still unconverted after t).
+    *
+    * Exactness (repo libm-free rule — no ln/exp): each factor is the exact
+    * floor `((n_i − d_i)·10^6) DIV n_i` in micro-units and the running
+    * product is the exact fixed-point fold `s ← (s·q_i) DIV 10^6` seeded at
+    * 10^12 pico-units — integer-only, bit-identical to the oracle's
+    * recursive-CTE fold (max intermediate 10^12·10^6 < 2^63; the factor
+    * product needs n_i ≤ 9.2·10^12 users — any corpus).
+    *
+    * Scale shape: two user-keyed aggregates + one user-keyed equi-join (the
+    * only corpus-sized shuffles, all on the same key so AQE reuses the
+    * partitioning), a broadcast 1-row max, then a per-HOUR rollup whose
+    * cardinality is ≤ horizon+1 — CONSTANT in corpus size — which is the
+    * bounded driver pull the fixed-point fold runs over (the same
+    * bounded-pull class as the quantile brackets). */
+  def kaplanMeier(events: DataFrame, horizonHours: Int = 48): DataFrame = {
+    require(horizonHours >= 1 && horizonHours <= 1000000,
+      s"horizonHours out of range: $horizonHours")
+    val spark = events.sparkSession
+    val hourUs = 3600000000L
+    val e = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val s0 = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("s0"))
+    val p0 = e.filter(col("event_type") === "purchase")
+      .join(s0, "user_id").filter(col("us") >= col("s0"))
+      .groupBy("user_id").agg(min(col("us")).as("p0"))
+    val mx = e.agg(max(col("us")).as("cmax"))
+    val tp = expr(s"(p0 - s0) DIV $hourUs")
+    val isDeath = col("p0").isNotNull && tp < horizonHours
+    val byHour = s0.join(p0, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(
+        when(isDeath, tp)
+          .otherwise(least(lit(horizonHours.toLong),
+            expr(s"(cmax - s0) DIV $hourUs"))).as("t_hour"),
+        when(isDeath, lit(1L)).otherwise(lit(0L)).as("death"))
+      .groupBy("t_hour")
+      .agg(sum(col("death")).as("n_deaths"), count(lit(1)).as("n_obs"))
+    // bounded driver pull: ≤ horizon+1 rows (hour steps, not data volume)
+    val steps = byHour.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val total = steps.map(_._3).sum
+    var atRisk = total
+    var s = 1000000000000L
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    steps.foreach { case (hr, d, nObs) =>
+      if (d > 0) {
+        val q = (atRisk - d) * 1000000L / atRisk
+        s = s * q / 1000000L
+        out += ((hr, atRisk, d, s))
+      }
+      atRisk -= nObs
+    }
+    import spark.implicits._
+    out.toSeq.toDF("t_hour", "n_risk", "n_deaths", "surv_pico")
+      .select(col("t_hour"), col("n_risk"), col("n_deaths"), col("surv_pico"),
+        (col("surv_pico").cast("double") / lit(1000000000000.0)).as("survival"))
+      .orderBy("t_hour")
+  }
+
+  /** Oracle twin of [[kaplanMeier]]: identical integer censoring/hour
+    * arithmetic; the fixed-point product fold as a recursive CTE over the
+    * death-hour steps. */
+  def kaplanMeierSqlDuck(horizonHours: Int = 48): String = {
+    val hourUs = 3600000000L
+    s"""WITH RECURSIVE s0 AS (SELECT user_id, min(epoch_us(ts)) AS s0
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND event_type = 'signup'
+       |  GROUP BY user_id),
+       | p0 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p0
+       |   FROM events e JOIN s0 ON e.user_id = s0.user_id
+       |   WHERE e.event_type = 'purchase' AND e.ts IS NOT NULL
+       |     AND epoch_us(e.ts) >= s0.s0
+       |   GROUP BY e.user_id),
+       | mx AS (SELECT max(epoch_us(ts)) AS cmax FROM events
+       |   WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       | obs AS (SELECT
+       |    CASE WHEN p0 IS NOT NULL AND (p0 - s0) // $hourUs < $horizonHours
+       |      THEN (p0 - s0) // $hourUs
+       |      ELSE least($horizonHours, (cmax - s0) // $hourUs) END AS t_hour,
+       |    CASE WHEN p0 IS NOT NULL AND (p0 - s0) // $hourUs < $horizonHours
+       |      THEN 1 ELSE 0 END AS death
+       |  FROM s0 LEFT JOIN p0 USING (user_id) CROSS JOIN mx),
+       | byday AS (SELECT t_hour AS t_day, CAST(sum(death) AS BIGINT) AS n_deaths,
+       |     CAST(count(*) AS BIGINT) AS n_obs
+       |   FROM obs GROUP BY t_hour),
+       | risk AS (SELECT t_day, n_deaths,
+       |    CAST((SELECT count(*) FROM obs) AS BIGINT)
+       |      - CAST(coalesce(sum(n_obs) OVER (ORDER BY t_day
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |        AS BIGINT) AS n_risk
+       |   FROM byday),
+       | dd AS (SELECT t_day, n_risk, n_deaths,
+       |     CAST(row_number() OVER (ORDER BY t_day) AS BIGINT) AS rn
+       |   FROM risk WHERE n_deaths > 0),
+       | km(rn, t_day, n_risk, n_deaths, s) AS (
+       |   SELECT rn, t_day, n_risk, n_deaths,
+       |     (1000000000000 * (((n_risk - n_deaths) * 1000000) // n_risk))
+       |       // 1000000 AS s
+       |   FROM dd WHERE rn = 1
+       |   UNION ALL
+       |   SELECT d.rn, d.t_day, d.n_risk, d.n_deaths,
+       |     (km.s * (((d.n_risk - d.n_deaths) * 1000000) // d.n_risk))
+       |       // 1000000
+       |   FROM km JOIN dd d ON d.rn = km.rn + 1)
+       |SELECT t_day AS t_hour, n_risk, n_deaths, CAST(s AS BIGINT) AS surv_pico,
+       |  CAST(s AS DOUBLE) / 1000000000000.0E0 AS survival
+       |FROM km ORDER BY t_hour""".stripMargin
+  }
 }

@@ -545,4 +545,51 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("kaplanMeier: hand-built conversion curve — censoring shrinks the " +
+    "risk set without a step") {
+    val hour = 3600000000L
+    // (user, event_type, hour); corpus max = h100 (u99's view).
+    // Horizon 48h → u1/u2 convert at t=5; u3's purchase at +60h is OUTSIDE
+    // the window (censored at 48); u4 never converts (censored at 48);
+    // u5 signs up at h80 → administratively censored at 100−80 = 20;
+    // u6's only purchase PRECEDES its signup (censored at 48);
+    // u7 has a purchase but NO signup → excluded from the study entirely.
+    val e = Seq(
+      (1L, "signup", 0L), (1L, "purchase", 5L),
+      (2L, "signup", 0L), (2L, "purchase", 5L),
+      (3L, "signup", 0L), (3L, "purchase", 60L),
+      (4L, "signup", 0L),
+      (5L, "signup", 80L),
+      (6L, "purchase", 1L), (6L, "signup", 2L),
+      (7L, "purchase", 3L),
+      (99L, "view", 100L))
+      .toDF("user_id", "event_type", "h")
+      .withColumn("ts", timestamp_micros(col("h") * hour))
+      .withColumn("event_id", col("user_id") * 1000 + col("h"))
+    val got = Analytics.kaplanMeier(e)
+      .select("t_hour", "n_risk", "n_deaths", "surv_pico")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // single step t=5: 6 at risk (u1..u6; u7 not enrolled), 2 deaths →
+    // q = floor(4e6/6) = 666666, s = 666666000000
+    assert(got == Seq((5L, 6L, 2L, 666666000000L)))
+    // censor times never appear as steps
+    assert(!got.exists(r => r._1 == 20L || r._1 == 48L))
+    // no-signup corpus → empty curve
+    val none = Seq((1L, "view", 1L)).toDF("user_id", "event_type", "h")
+      .withColumn("ts", timestamp_micros(col("h") * hour))
+      .withColumn("event_id", col("user_id"))
+    assert(Analytics.kaplanMeier(none).count() == 0L)
+    // exact integer fold → identical under repartition; fixture non-empty
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "events")
+    val x = Analytics.kaplanMeier(fx).collect().map(_.toString).toSeq
+    val y = Analytics.kaplanMeier(fx.repartition(13)).collect()
+      .map(_.toString).toSeq
+    assert(x == y && x.nonEmpty)
+    // survival is the pico fixed-point, monotone non-increasing
+    val s = Analytics.kaplanMeier(fx).select("surv_pico").as[Long]
+      .collect().toSeq
+    assert(s == s.sorted.reverse)
+  }
 }
