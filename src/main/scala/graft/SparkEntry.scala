@@ -2096,6 +2096,14 @@ object SparkEntry {
     "sample_kfold" -> ((s, dir) =>
       graft.ext.Pipelines.kfoldReport(t(s, dir, "documents"))),
 
+    // DSIR-style importance selection (ext/Pipelines.dsirSelect): hashed-
+    // bigram target-vs-raw ratio model (256 md5 buckets, add-1 smoothed),
+    // arithmetic-mean log-free scoring, deterministic top-100 — broadcast
+    // B-row model join, TakeOrdered, rank over the k survivors only
+    "sample_dsir" -> ((s, dir) =>
+      graft.ext.Pipelines.dsirSelect(t(s, dir, "documents"))
+        .orderBy("rank")),
+
     // the leakage hash folds DON'T prevent, measured: LSH co-bucket pairs
     // crossing fold boundaries (≈ (k-1)/k) via closed-form per-bucket fold
     // counts — NO pair materialization (the distinct-pair form probed 84x
@@ -3638,6 +3646,7 @@ object SparkEntry {
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),
     "sample_kfold" -> graft.ext.Pipelines.kfoldReportSqlDuck(),
+    "sample_dsir" -> graft.ext.Pipelines.dsirSelectSqlDuck(),
     "sample_kfold_leakage" -> graft.ext.Pipelines.kfoldLeakageSqlDuck(),
     "pipeline_curriculum" -> graft.ext.Pipelines.curriculumShardsSqlDuck(),
     "events_path_trigrams" -> graft.ext.Analytics.pathTrigramsSqlDuck(),

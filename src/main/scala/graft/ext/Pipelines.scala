@@ -1108,4 +1108,119 @@ object Pipelines {
        |  1000000 // sz.cluster_size AS weight_micro
        |FROM cl JOIN sz ON cl.cluster_id = sz.cluster_id
        |ORDER BY cl.doc_id""".stripMargin
+
+  /** DSIR-style data selection (Data Selection via Importance Resampling,
+    * Xie et al. 2023): score every document by how much more likely its
+    * HASHED-BIGRAM features are under a TARGET domain's feature
+    * distribution than under the raw corpus's, and keep the top-k. Features
+    * are bigrams hashed into `buckets` buckets by the repo's seedless
+    * md5-prefix family ([[splitByHash]]'s); both distributions are add-1
+    * smoothed over the bucket space.
+    *
+    * Log-free importance (repo libm-free rule): the paper scores docs by a
+    * log-likelihood ratio Σ log(p_t(f)/p_r(f)); like [[TextOps.surprisal]]
+    * does for perplexity, this takes the ARITHMETIC-mean analog — the mean
+    * over the doc's bigram occurrences of the per-bucket ratio — and
+    * selects deterministic top-k (the paper's Gumbel resampling collapses
+    * to top-k at temperature → 0). Each per-bucket ratio factorizes as
+    * `[(c_t+1)/(c_r+1)] · [(R+B)/(T+B)]`; the second term is a GLOBAL
+    * constant, so only the first is floor-quantized to micro-units
+    * (`(c_t+1)·10^6 DIV (c_r+1)` — exact while target occurrences
+    * ≤ 9.2·10^12, the same documented bound as surprisal) and summed as an
+    * exact BIGINT per doc; the constant re-enters once in the displayed
+    * score. Ranking compares `sum_ratio/n/10^6` doubles both engines derive
+    * from the same exact BIGINT pair via identical correctly-rounded
+    * divisions, doc_id breaking ties.
+    *
+    * Scale shape: ONE corpus-sized bigram projection (array zip_with, no
+    * per-token window), two bucket rollups that map-side combine into ≤ B
+    * rows, a broadcast B-row model join back onto the bigram stream, a
+    * doc-keyed rollup, top-k via TakeOrdered, and the rank computed over
+    * the k survivors by the [[Chunking.topNgrams]] broadcast-ahead idiom —
+    * no unpartitioned window anywhere. */
+  def dsirSelect(docs: DataFrame, targetSource: String = "src0",
+      buckets: Int = 256, k: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000000, s"buckets out of range: $buckets")
+    require(k >= 1 && k <= 100000, s"k out of range: $k")
+    val bg = graft.etl.CacheRegistry.persist(
+      docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("source"), TextOps.tokensArr("text").as("_t"))
+        .filter(size(col("_t")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("g"))
+        .select(col("doc_id"), col("source"),
+          pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("b")))
+    val raw = bg.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val tgt = bg.filter(col("source") === targetSource)
+      .groupBy("b").agg(count(lit(1)).as("c_t"))
+    val model = raw.join(tgt, Seq("b"), "left_outer")
+      .select(col("b"), expr(
+        "((coalesce(c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT))" +
+          " DIV (c_r + 1)").as("q"))
+    val totals = bg.agg(count(lit(1)).as("r_total"),
+      sum(when(col("source") === targetSource, lit(1L)).otherwise(lit(0L)))
+        .as("t_total"))
+    val scored = bg.join(broadcast(model), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_ratio"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_ratio"),
+        (col("sum_ratio").cast("double") / col("n_bigrams").cast("double") /
+          lit(1000000.0)).as("mr"),
+        col("r_total"), col("t_total"))
+    val topK = graft.etl.CacheRegistry.persist(
+      scored.orderBy(col("mr").desc, col("doc_id")).limit(k))
+    val ahead = broadcast(topK.select(col("mr").as("_bm"), col("doc_id").as("_bid")))
+    topK.join(ahead, col("_bm") > col("mr") ||
+        (col("_bm") === col("mr") && col("_bid") < col("doc_id")), "left_outer")
+      .groupBy(col("doc_id"), col("n_bigrams"), col("sum_ratio"), col("mr"),
+        col("r_total"), col("t_total"))
+      .agg((count(col("_bid")) + 1L).as("rank"))
+      .select(col("rank"), col("doc_id"), col("n_bigrams"), col("sum_ratio"),
+        (col("mr") * ((col("r_total") + buckets).cast("double") /
+          (col("t_total") + buckets).cast("double"))).as("score"))
+  }
+
+  /** Oracle twin of [[dsirSelect]]: lead-window bigrams, identical
+    * md5-bucket / smoothing / quantization integer arithmetic, plain
+    * row_number ranking (the semantics the broadcast-ahead form replaces). */
+  def dsirSelectSqlDuck(targetSource: String = "src0",
+      buckets: Int = 256, k: Int = 100): String =
+    s"""WITH tk AS (SELECT doc_id, source, ${TextOps.tokensSqlDuck("text")} AS tks
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       | pos AS (SELECT doc_id, source, unnest(tks) AS w1,
+       |     generate_subscripts(tks, 1) AS i
+       |   FROM tk WHERE len(tks) >= 2),
+       | bg0 AS (SELECT doc_id, source, w1,
+       |     lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+       |   FROM pos),
+       | bg AS (SELECT doc_id, source,
+       |    CAST(('0x' || substring(md5(w1 || ' ' || w2), 1, 8))::UBIGINT
+       |      % $buckets AS BIGINT) AS b
+       |   FROM bg0 WHERE w2 IS NOT NULL),
+       | raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM bg GROUP BY b),
+       | tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_t FROM bg
+       |   WHERE source = '$targetSource' GROUP BY b),
+       | model AS (SELECT raw.b,
+       |     ((coalesce(tgt.c_t, 0) + 1) * 1000000) // (raw.c_r + 1) AS q
+       |   FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+       | tot AS (SELECT CAST(count(*) AS BIGINT) AS r_total,
+       |    CAST(sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS t_total FROM bg),
+       | sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |     CAST(sum(q) AS BIGINT) AS sum_ratio
+       |   FROM bg JOIN model USING (b) GROUP BY doc_id),
+       | r AS (SELECT doc_id, n_bigrams, sum_ratio,
+       |    CAST(sum_ratio AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000.0E0
+       |      AS mr
+       |   FROM sc)
+       |SELECT CAST(row_number() OVER (ORDER BY mr DESC, doc_id) AS BIGINT)
+       |    AS rank,
+       |  doc_id, n_bigrams, sum_ratio,
+       |  mr * (CAST(tot.r_total + $buckets AS DOUBLE) /
+       |    CAST(tot.t_total + $buckets AS DOUBLE)) AS score
+       |FROM r CROSS JOIN tot
+       |ORDER BY mr DESC, doc_id LIMIT $k""".stripMargin
 }

@@ -469,4 +469,37 @@ class PipelinesSpec extends AnyFunSuite {
     val again = Pipelines.kfoldReport(fx.repartition(13), k = 5).collect()
     assert(rep.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("dsirSelect prefers documents whose bigrams match the target domain") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "tgt", "alpha beta alpha beta alpha beta"),
+      (2L, "tgt", "alpha beta gamma alpha beta"),
+      (10L, "raw", "alpha beta alpha beta"), // target-like content
+      (11L, "raw", "delta epsilon zeta delta epsilon"), // off-domain
+      (12L, "raw", "one")) // < 2 tokens: no bigrams, not scoreable
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("lang", lit("en"))
+    val out = Pipelines.dsirSelect(docs, targetSource = "tgt", k = 10)
+      .collect()
+    val rank = out.map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(!rank.contains(12L))
+    // the raw doc made of TARGET bigrams outranks the off-domain raw doc
+    assert(rank(10L) < rank(11L))
+    // ranks are dense 1..n and consistent with descending score
+    assert(out.map(_.getLong(0)).sorted.toSeq == (1L to out.length).toSeq)
+    val byRank = out.sortBy(_.getLong(0)).map(_.getDouble(4)).toSeq
+    assert(byRank == byRank.sorted.reverse)
+    // exact integer core → identical under repartition
+    val again = Pipelines.dsirSelect(docs.repartition(7), targetSource = "tgt",
+      k = 10).collect()
+    assert(out.sortBy(_.getLong(0)).map(_.toString).toSeq ==
+      again.sortBy(_.getLong(0)).map(_.toString).toSeq)
+    // fixture: top-100 populated, every rank unique
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val sel = Pipelines.dsirSelect(fx).collect()
+    assert(sel.length == 100 &&
+      sel.map(_.getLong(0)).distinct.length == 100)
+  }
 }
