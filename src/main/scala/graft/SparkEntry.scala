@@ -2564,6 +2564,25 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
 
+    // stream-stream FULL OUTER windowed join (EventStreams
+    // .clickPurchaseFullOuter): the last cell of the streaming join
+    // matrix — matches emit like the inner join; unmatched purchases
+    // finalize at p_ts < wm, unmatched clicks at c_ts + 1h < wm (the
+    // asymmetric two-sided cut the event-time range implies)
+    "events_stream_join_full" -> ((s, dir) => {
+      runNarrowStream(s, "stream_joinfull_verify")(
+        graft.streaming.EventStreams.clickPurchaseFullOuter(
+            graft.streaming.EventStreams.readEvents(s, dir))
+          .writeStream.format("memory").queryName("stream_joinfull_verify")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_joinfull_verify")
+        .select(coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"), col("user_id"))
+        .orderBy("purchase_id", "click_id", "user_id")
+    }),
+
     // TF-IDF-weighted shingle cosine pairs (ext/TextOps.tfidfCosinePairs):
     // pruned-inverted-index similarity join — integer tf·(idfScale DIV df)
     // weights, top-10 shingles per doc, exact BIGINT dots/norms, double
@@ -3744,6 +3763,29 @@ object SparkEntry {
         |CROSS JOIN wm
         |WHERE c.click_id IS NOT NULL OR epoch_us(p.p_ts) < wm.wm_us
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // full-outer finalization: matched rows always; null-click rows for
+    // purchases strictly below the final watermark (the left-outer cut);
+    // null-purchase rows for clicks whose whole forward match range
+    // [c_ts, c_ts+1h] is below it — the asymmetric two-sided contract
+    "events_stream_join_full" ->
+      """WITH c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+        |   FROM events WHERE event_type = 'click'),
+        | p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+        |   FROM events WHERE event_type = 'purchase'),
+        | wm AS (SELECT (least(
+        |     (SELECT max(epoch_us(c_ts)) // 1000 FROM c),
+        |     (SELECT max(epoch_us(p_ts)) // 1000 FROM p)) - 3600000) * 1000 AS wm_us)
+        |SELECT coalesce(p.purchase_id, -1) AS purchase_id,
+        |  coalesce(c.click_id, -1) AS click_id,
+        |  coalesce(p.p_user, c.c_user) AS user_id
+        |FROM p FULL JOIN c ON p.p_user = c.c_user
+        |  AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |CROSS JOIN wm
+        |WHERE (p.purchase_id IS NOT NULL AND c.click_id IS NOT NULL)
+        |   OR (c.click_id IS NULL AND epoch_us(p.p_ts) < wm.wm_us)
+        |   OR (p.purchase_id IS NULL
+        |       AND epoch_us(c.c_ts) + 3600000000 < wm.wm_us)
+        |ORDER BY purchase_id, click_id, user_id""".stripMargin,
     // streaming dedup with injected duplicate copies → exactly one row per
     // event id survives (the duplicates exist only on the Spark stream
     // side, so the base table IS the expected output)

@@ -475,6 +475,43 @@ object EventStreams {
       .select(col("purchase_id"), col("p_user").as("user_id"))
   }
 
+  /** Stream-stream FULL OUTER windowed join — the last cell of the
+    * streaming join matrix (inner [[clickPurchaseJoin]], left outer
+    * [[clickPurchaseLeftOuter]], left semi [[clickPurchaseSemi]],
+    * stream-static anti [[filterBlocklisted]]): matched (purchase, click)
+    * pairs emit like the inner join; purchases with no qualifying click
+    * AND clicks with no qualifying purchase each emit a null-padded row
+    * once the watermark proves absence is final. Both emissions are
+    * inherently late — absence only becomes a fact when the other side's
+    * event-time range has fully passed.
+    *
+    * Finalization contract (asymmetric, because the event-time range is):
+    * with global watermark `wm` = (min of the two sides' ms-floored max
+    * event time) − 1 h delay, an unmatched PURCHASE finalizes when
+    * `p_ts < wm` (its click window [p_ts−1h, p_ts] needs no future
+    * clicks), while an unmatched CLICK finalizes when `c_ts + 1h < wm`
+    * (it could still match purchases up to c_ts+1h). Proven against the
+    * batch twin in EventStreamsSpec and the events_stream_join_full
+    * oracle row. State on both sides stays watermark+range bounded,
+    * exactly as in the inner form. */
+  def clickPurchaseFullOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+  }
+
   /** Interval range join CHAINED into a windowed aggregation in ONE
     * streaming query — multiple stateful operators (Spark 3.5+): each
     * purchase anchor joins the same user's events in the following 10

@@ -139,6 +139,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-stream FULL OUTER join: matches + two-sided watermark-finalized nulls") {
+    import org.apache.spark.sql.functions._
+    val joined = EventStreams.clickPurchaseFullOuter(EventStreams.readEvents(spark, sf0001))
+    val q = joined.writeStream
+      .format("memory").queryName("ssfulljoin_test").outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssfulljoin_test")
+      .collect().map(_.toSeq).toSet
+
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val inner = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"))
+    val maxCms = clicks.agg(max(expr("unix_micros(c_ts) DIV 1000"))).head.getLong(0)
+    val maxPms = purchases.agg(max(expr("unix_micros(p_ts) DIV 1000"))).head.getLong(0)
+    val wmUs = (math.min(maxCms, maxPms) - 3600000L) * 1000L
+    // unmatched purchase finalizes when p_ts < wm (its click range is past)
+    val nullClick = purchases
+      .join(inner.select(col("purchase_id")), Seq("purchase_id"), "left_anti")
+      .filter(expr("unix_micros(p_ts)") < wmUs)
+      .select(col("purchase_id"), lit(null).cast("long").as("click_id"),
+        col("p_user").as("user_id"))
+    // unmatched click finalizes when c_ts + 1h < wm (it can still match
+    // purchases up to c_ts + 1h, so its absence is a fact one hour later)
+    val nullPurchase = clicks
+      .join(inner.select(col("click_id")), Seq("click_id"), "left_anti")
+      .filter(expr("unix_micros(c_ts) + 3600000000") < wmUs)
+      .select(lit(null).cast("long").as("purchase_id"), col("click_id"),
+        col("c_user").as("user_id"))
+    val batch = inner.unionByName(nullClick).unionByName(nullPurchase)
+      .collect().map(_.toSeq).toSet
+    assert(inner.count() > 0 && nullClick.count() > 0 && nullPurchase.count() > 0,
+      "fixture must exercise ALL THREE emission paths")
+    assert(streamed == batch)
+  }
+
   test("chained stateful ops: interval join + windowed agg equals the batch range join on finalized windows") {
     import org.apache.spark.sql.functions._
     val stream = EventStreams.rangeJoinCounts(EventStreams.readEvents(spark, sf0001))
