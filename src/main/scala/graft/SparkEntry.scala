@@ -1768,6 +1768,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(t(s, dir, "documents")).orderBy("doc_a", "doc_b")),
 
+    // sorted-neighborhood near-dup pairs (ext/Dedup.sortedNeighborhoodPairs,
+    // Hernández & Stolfo SIGMOD'95): normalized-prefix sort key via the
+    // range-bucketed global position, window-5 neighbor equi-join, exact
+    // Jaccard ≥ 0.5 verify — the linear-candidate blocking alternative
+    "dedup_sorted_neighborhood" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")),
+
     // EXACT simhash pairs at Hamming ≤ 3 by pigeonhole banding (ext/Dedup
     // .simhashHammingPairs, Manku et al. WWW'07): 4 bands of 4 bits — a
     // ≤3-bit difference must leave one band intact, so the (band, value)
@@ -3396,6 +3404,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashSqlDuck,
     "dedup_clusters" -> Dedup.clustersSqlDuck,
     "dedup_ngram_jaccard" -> Dedup.jaccardSqlDuck,
+    "dedup_sorted_neighborhood" -> Dedup.sortedNeighborhoodPairsSqlDuck(),
     "dedup_keep_first" -> Dedup.dropNearDuplicatesSqlDuck(),
     "dedup_keep_first_lsh" -> Dedup.dropNearDuplicatesLshSqlDuck(),
     "dedup_keep_first_lsh_rep" -> Dedup.dropNearDuplicatesLshRepSqlDuck(),

@@ -1214,4 +1214,72 @@ object Dedup {
        |FROM pr JOIN ps pa ON pr.src_a = pa.source
        |  JOIN ps pb ON pr.src_b = pb.source
        |ORDER BY src_a, src_b""".stripMargin
+
+  /** Sorted-neighborhood near-dup pairs (Hernández & Stolfo, SIGMOD'95 —
+    * the classic entity-resolution BLOCKING alternative to hash blocks and
+    * LSH): sort the corpus by a normalized blocking key (here the first
+    * `keyLen` chars of the token-normalized text), then compare each record
+    * only to its `window−1` successors in the sort order; exact token-set
+    * Jaccard ≥ `theta` verifies each candidate. Linear candidate count
+    * (n·(w−1)) by construction — the method's whole selling point — at the
+    * price of the documented miss class: near-dups whose keys sort far
+    * apart (e.g. a rotated first token) are invisible, which is why
+    * production stacks multi-pass SNM with different keys or falls back to
+    * [[lshCandidatePairs]].
+    *
+    * Scale shape: the global sort position comes from
+    * [[graft.etl.IngestOps.withGlobalPos]] (deterministic range buckets +
+    * ≤numParts driver scalars — no single-partition window); neighbor
+    * enumeration is ONE equi-join on position after a (w−1)-way offset
+    * explode of a SLIM (doc_id, pos) relation; token arrays join back by id
+    * only for the n·(w−1) candidates. Every join an equi-join. */
+  def sortedNeighborhoodPairs(docs: DataFrame, window: Int = 5,
+      theta: Double = 0.5, keyLen: Int = 16,
+      textCol: String = "text"): DataFrame = {
+    require(window >= 2 && window <= 1000, s"window out of range: $window")
+    require(keyLen >= 1 && keyLen <= 1000, s"keyLen out of range: $keyLen")
+    val t = graft.etl.CacheRegistry.persist(docs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"),
+        array_sort(array_distinct(TextOps.fastTokens(col(textCol)))).as("toks"),
+        substring(array_join(TextOps.fastTokens(col(textCol)), " "), 1, keyLen)
+          .as("snkey")))
+    val pos = graft.etl.IngestOps.withGlobalPos(t.select("doc_id", "snkey"),
+      col("snkey"), "_pos", order = Seq(col("snkey"), col("doc_id")))
+    val right = pos.select(col("doc_id").as("doc_b"), col("_pos").as("pb"))
+      .withColumn("_off", explode(array((1 until window).map(lit(_)): _*)))
+      .select(col("doc_b"), (col("pb") - col("_off")).as("pa"))
+    val cand = pos.select(col("doc_id").as("doc_a"), col("_pos").as("pa"))
+      .join(right, "pa")
+      .select(col("doc_a"), col("doc_b"))
+    cand
+      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("_i", intersectCount(col("ta"), col("tb")))
+      .withColumn("jaccard",
+        jaccardFromIntersect(col("_i"), size(col("ta")), size(col("tb"))))
+      .filter(col("jaccard") >= theta)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+  }
+
+  /** Oracle twin of [[sortedNeighborhoodPairs]]: plain row_number ranking
+    * (the semantics withGlobalPos replaces), position-band self-join, the
+    * shared Jaccard expression. */
+  def sortedNeighborhoodPairsSqlDuck(window: Int = 5, theta: Double = 0.5,
+      keyLen: Int = 16): String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_sort(list_distinct(${TextOps.tokensSqlDuck("text")})) AS toks,
+       |    substring(array_to_string(${TextOps.tokensSqlDuck("text")}, ' '),
+       |      1, $keyLen) AS snkey
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       | p AS (SELECT doc_id, toks,
+       |    CAST(row_number() OVER (ORDER BY snkey, doc_id) AS BIGINT) AS pos
+       |   FROM t),
+       | cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |     ${jaccardExprDuck("a.toks", "b.toks")} AS jaccard
+       |   FROM p a JOIN p b
+       |     ON b.pos > a.pos AND b.pos <= a.pos + ${window - 1})
+       |SELECT least(da, db) AS doc_a, greatest(da, db) AS doc_b, jaccard
+       |FROM cand WHERE jaccard >= $theta
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -497,4 +497,41 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.keepBestInCluster(fx.repartition(11)).collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("sortedNeighborhoodPairs: window bounds candidates; far-sorting " +
+    "near-dups are the documented miss") {
+    // keys sort as: "alpha beta gamma d" (d1, d2), then eight spacers
+    // (m00..m07), then "zeta beta gamma"-ish (d3). d1/d2 share all tokens
+    // → adjacent AND similar. d3 has the SAME token set as d4 ("beta gamma
+    // zeta" rotated) but its key starts with 'z' while d4's starts with 'b'
+    // — more than `window` apart in the sort, so SNM must NOT pair them.
+    val spacers = (0 until 8).map(i => (100L + i, s"m0$i filler$i unique$i"))
+    val d = docs(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta beta gamma"),
+      (4L, "beta gamma zeta")) ++ spacers: _*)
+    val got = Dedup.sortedNeighborhoodPairs(d, window = 3, theta = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)), s"adjacent near-dups must pair: $got")
+    assert(!got.contains((3L, 4L)),
+      s"rotated-key near-dups sort far apart — SNM's documented miss: $got")
+    // window-2 with identical texts: all three mutual pairs need w ≥ 3 —
+    // w = 2 only links sort-adjacent ones (two pairs of the triangle)
+    val tri = docs((10L, "one two three"), (11L, "one two three"),
+      (12L, "one two three"))
+    val w2 = Dedup.sortedNeighborhoodPairs(tri, window = 2, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((10L, 11L), (11L, 12L)))
+    val w3 = Dedup.sortedNeighborhoodPairs(tri, window = 3, theta = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3 == Set((10L, 11L), (11L, 12L), (10L, 12L)))
+    // fixture: deterministic under repartition (exact ranks + exact Jaccard)
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val x = Dedup.sortedNeighborhoodPairs(fx).collect().map(_.toString).sorted.toSeq
+    val y = Dedup.sortedNeighborhoodPairs(fx.repartition(9)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(x == y)
+  }
 }
