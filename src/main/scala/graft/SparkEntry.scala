@@ -2088,6 +2088,13 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
+    // positional PHRASE search (ext/TextOps.phraseSearch): consecutive-
+    // token matching via anchor-vote postings intersection — each matching
+    // posting votes for pos−off, full occurrences have all offsets; the
+    // operator BM25's bag-of-words scoring cannot express
+    "search_phrase" -> ((s, dir) =>
+      TextOps.phraseSearch(t(s, dir, "documents")).orderBy("phrase_id", "rank")),
+
     // the APPLY half of BPE (the actual 100 TB workload): encode the corpus
     // with the learned merges via ONE word-type equi-join + per-source sum
     "text_bpe_encode" -> ((s, dir) =>
@@ -3670,6 +3677,7 @@ object SparkEntry {
       graft.ext.Stats.chiSquareBalanceSqlDuck("documents", "lang", "source"),
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
     "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
+    "search_phrase" -> TextOps.phraseSearchSqlDuck(),
     "search_eval_ndcg" -> TextOps.searchEvalSqlDuck(),
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),

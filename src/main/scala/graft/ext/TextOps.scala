@@ -968,6 +968,91 @@ object TextOps {
         (col("score_nano").cast("double") / lit(1000000000.0)).as("score"))
   }
 
+  /** Positional PHRASE search — the retrieval operator BM25's bag-of-words
+    * scoring cannot express: a document matches only where the query's
+    * tokens appear CONSECUTIVELY. Implementation is the classic positional-
+    * postings intersection, join-shaped the way a distributed index runs
+    * it: each posting (doc, pos, term) that matches a phrase term at offset
+    * `off` votes for anchor `pos − off`; an anchor with votes from ALL
+    * offsets is a full occurrence (correct even for phrases with repeated
+    * words — for a fixed anchor each offset can only be matched by one
+    * position). Output: top-k docs per phrase by occurrence count,
+    * (phrase_id, rank, doc_id, n_hits).
+    *
+    * Scale shape: ONE posexplode projection of the corpus; the broadcast
+    * phrase-term join discards every posting whose term is not in any
+    * phrase (the selectivity a real inverted index gets from seek); the
+    * anchor rollup and hit rollup are map-side combinable; the rank window
+    * partitions by phrase over docs-with-hits only. All exact integers. */
+  def phraseSearch(docs: DataFrame,
+      phrases: Seq[(String, String)] = Seq(
+        "p_tablehash" -> "table hash",
+        "p_custjoin" -> "customer join",
+        "p_filterscan" -> "part filter scan"),
+      k: Int = 10, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty && phrases.map(_._1).distinct.size == phrases.size)
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.select(col("doc_id"),
+      posexplode(tokensArr(textCol)).as(Seq("pos", "term")))
+    val pt = phrases.flatMap { case (pid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).zipWithIndex
+          .map { case (w, i) => (pid, w, i) } }
+      .toDF("phrase_id", "term", "off")
+    val lens = phrases.map { case (pid, t) =>
+        (pid, t.split("\\s+").count(_.nonEmpty).toLong) }
+      .toDF("phrase_id", "plen")
+    val hits = pos.join(broadcast(pt), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("off")).as("anchor"))
+      .groupBy("phrase_id", "doc_id", "anchor")
+      .agg(count(lit(1)).as("nmatch"))
+      .join(broadcast(lens), "phrase_id")
+      .filter(col("nmatch") === col("plen"))
+      .groupBy("phrase_id", "doc_id").agg(count(lit(1)).as("n_hits"))
+    val w = Window.partitionBy("phrase_id")
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    hits.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("phrase_id", "rank", "doc_id", "n_hits")
+  }
+
+  /** Oracle twin of [[phraseSearch]]: 1-based generate_subscripts positions
+    * (anchor arithmetic is engine-internal — only full-match counts
+    * surface), same anchor-vote intersection. */
+  def phraseSearchSqlDuck(
+      phrases: Seq[(String, String)] = Seq(
+        "p_tablehash" -> "table hash",
+        "p_custjoin" -> "customer join",
+        "p_filterscan" -> "part filter scan"),
+      k: Int = 10): String = {
+    val ptRows = phrases.flatMap { case (pid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).zipWithIndex
+          .map { case (w, i) => s"('$pid', '$w', $i)" } }.mkString(", ")
+    val lenRows = phrases.map { case (pid, t) =>
+        s"('$pid', ${t.split("\\s+").count(_.nonEmpty)})" }.mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks FROM documents),
+       | pos AS (SELECT doc_id, unnest(tks) AS term,
+       |     generate_subscripts(tks, 1) - 1 AS pos FROM tk),
+       | pt(phrase_id, term, off) AS (VALUES $ptRows),
+       | pl(phrase_id, plen) AS (VALUES $lenRows),
+       | anchors AS (SELECT pt.phrase_id, pos.doc_id,
+       |     pos.pos - pt.off AS anchor, CAST(count(*) AS BIGINT) AS nmatch
+       |   FROM pos JOIN pt ON pos.term = pt.term GROUP BY 1, 2, 3),
+       | hits AS (SELECT a.phrase_id, a.doc_id,
+       |     CAST(count(*) AS BIGINT) AS n_hits
+       |   FROM anchors a JOIN pl USING (phrase_id)
+       |   WHERE a.nmatch = pl.plen GROUP BY 1, 2)
+       |SELECT phrase_id, rank, doc_id, n_hits FROM (
+       |  SELECT phrase_id, doc_id, n_hits,
+       |    CAST(row_number() OVER (PARTITION BY phrase_id
+       |      ORDER BY n_hits DESC, doc_id) AS BIGINT) AS rank
+       |  FROM hits)
+       |WHERE rank <= $k ORDER BY phrase_id, rank""".stripMargin
+  }
+
   /** Oracle twin of [[searchTopK]]: postings join + quantized sum as SQL. */
   def searchTopKSqlDuck(
       queries: Seq[(String, String)] = Seq(

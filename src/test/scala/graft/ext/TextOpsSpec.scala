@@ -388,4 +388,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(a == b)
     a.foreach(r => assert(r != null))
   }
+
+  test("phraseSearch: consecutive-token anchors, overlaps, repeated words") {
+    val d = docs(
+      (1L, "a b c a b"), // "a b" at 0 and 3 → 2 hits
+      (2L, "a c b a c"), // tokens present, never consecutive → 0 hits
+      (3L, "x a b x"), // 1 hit
+      (4L, "b b b"), // phrase "b b" overlapping: anchors 0,1 → 2 hits
+      (5L, "p q r p q r p q r")) // "p q r" → 3 hits
+    val out = TextOps.phraseSearch(d, phrases = Seq(
+        "ab" -> "a b", "bb" -> "b b", "pqr" -> "p q r"), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      ("ab", 1L, 1L, 2L), ("ab", 2L, 3L, 1L), // rank: hits desc, doc asc
+      ("bb", 1L, 4L, 2L),
+      ("pqr", 1L, 5L, 3L)))
+    // k truncates: three docs match "z", k = 2 keeps the two best
+    val d2 = docs((1L, "z z z"), (2L, "z z"), (3L, "z"))
+    val topped = TextOps.phraseSearch(d2, phrases = Seq("z" -> "z"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(topped == Set((1L, 1L), (2L, 2L)))
+    // exact integers → identical under repartition; fixture non-empty
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val x = TextOps.phraseSearch(fx).collect().map(_.toString).toSeq
+    val y = TextOps.phraseSearch(fx.repartition(7)).collect()
+      .map(_.toString).toSeq
+    assert(x == y && x.nonEmpty)
+  }
 }
