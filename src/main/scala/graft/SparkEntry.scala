@@ -2186,6 +2186,14 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.features(Multimodal.asMedia(t(s, dir, "documents"))).orderBy("doc_id")),
 
+    // perceptual average-hash near-dup pairs over the media payload
+    // (ext/Multimodal.phashPairs): aHash on the stub-resampled 32-pixel
+    // grid, pigeonhole (band, value) equi-join, exact XOR+popcount verify
+    // at Hamming ≤ 3 — the image-dedup stage, never all-pairs
+    "multimodal_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(Multimodal.asMedia(t(s, dir, "documents")))
+        .orderBy("doc_a", "doc_b")),
+
     "multimodal_decode" -> ((s, dir) => // stub codec is deterministic → oracle-checked
       Multimodal.decode(Multimodal.asMedia(t(s, dir, "documents"))).toDF.orderBy("doc_id")),
 
@@ -3620,6 +3628,7 @@ object SparkEntry {
     "text_top_ngrams" -> graft.ext.Chunking.topNgramsSqlDuck(),
     "pipeline_training_examples" -> graft.ext.Pipelines.trainingExamplesSqlDuck(),
     "multimodal_features" -> Multimodal.featuresSqlDuck,
+    "multimodal_phash_pairs" -> Multimodal.phashPairsSqlDuck(),
     "multimodal_decode" -> Multimodal.decodeSqlDuck,
     "multimodal_patches" -> Multimodal.patchesSqlDuck(),
     "multimodal_resize" -> Multimodal.resizeSqlDuck(),

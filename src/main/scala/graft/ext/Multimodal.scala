@@ -305,4 +305,96 @@ object Multimodal {
       |  CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS fake_height,
       |  source AS origin
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-payload perceptual hash record. */
+  final case class PHash(doc_id: Long, phash: Long)
+
+  /** Perceptual AVERAGE-hash (aHash) over the media payload: resample the
+    * byte stream to `n` "pixels" with the same nearest-neighbor index map
+    * as [[resize]], then set bit i iff pixel i is strictly above the mean
+    * (compared as `b_i·n > Σb` — no division, exact integers). This is the
+    * standard aHash algorithm with the pixel decode stubbed by the byte
+    * interpretation; a real image pipeline swaps the byte fetch for a
+    * grayscale pixel fetch and keeps every index/threshold step. Empty
+    * payloads have no pixels and are excluded. */
+  def perceptualHash(media: DataFrame, n: Int = 32): org.apache.spark.sql.Dataset[PHash] = {
+    import media.sparkSession.implicits._
+    require(n >= 2 && n <= 63, s"n must be in [2,63], got $n")
+    val idIdx = media.schema.fieldIndex("doc_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        if (bytes.isEmpty) Iterator.empty
+        else {
+          val px = Array.tabulate(n)(i =>
+            (bytes((i.toLong * bytes.length / n).toInt) & 0xff).toLong)
+          val sum = px.sum
+          var h = 0L
+          var i = 0
+          while (i < n) { if (px(i) * n > sum) h |= (1L << i); i += 1 }
+          Iterator.single(PHash(r.getLong(idIdx), h))
+        }
+      }
+    }
+  }
+
+  /** Perceptual-hash near-dup pairs at Hamming ≤ `maxHamming` — the
+    * image-dedup stage of a multimodal curation pipeline, with the same
+    * pigeonhole-banding completeness argument as
+    * [[Dedup.simhashHammingPairs]]: the 32-bit hash splits into
+    * `maxHamming+1` bands, a ≤ maxHamming-bit difference must leave one
+    * band intact, so the (band, value) equi-join misses nothing;
+    * XOR+popcount verifies each distinct candidate exactly. Never
+    * all-pairs: candidate volume is Σ per-bucket k², driven by true
+    * near-dups. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3, n: Int = 32): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0,31], got $maxHamming")
+    val bands = maxHamming + 1
+    val bandBitsList = {
+      val base = n / bands; val extra = n % bands
+      val lens = Seq.tabulate(bands)(b => base + (if (b < extra) 1 else 0))
+      lens.scanLeft(0)(_ + _).zip(lens).take(bands)
+    }
+    val sigs = graft.etl.CacheRegistry.persist(perceptualHash(media, n).toDF)
+    val banded = bandBitsList.zipWithIndex.map { case ((lo, len), b) =>
+      sigs.select(col("doc_id"), col("phash"), lit(b).as("band"),
+        (shiftright(col("phash"), lo) % (1L << len)).as("bval"))
+    }.reduce(_ unionByName _)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Oracle for [[phashPairs]]: the aHash derivation from the payload's hex
+    * rendering (shared resample index arithmetic), then the quadratic exact
+    * Hamming form — banding is a complete candidate generator, so the plain
+    * all-pairs filter is the same set. */
+  def phashPairsSqlDuck(maxHamming: Int = 3, n: Int = 32): String = {
+    val pair = s"substr(hx, CAST(((i * nb) // $n) * 2 + 1 AS BIGINT), 2)"
+    s"""WITH h AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hx,
+       |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb
+       |  FROM documents),
+       | s AS (SELECT doc_id, hx, nb,
+       |    CAST(list_sum(list_transform(generate_series(0, ${n - 1}),
+       |      i -> ${hexValDuck(pair)})) AS BIGINT) AS bsum
+       |   FROM h WHERE nb > 0),
+       | ph AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(0, ${n - 1}),
+       |      i -> CASE WHEN (${hexValDuck(pair)}) * $n > bsum
+       |        THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END))
+       |      AS BIGINT) AS phash
+       |   FROM s)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

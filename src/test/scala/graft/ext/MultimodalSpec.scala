@@ -100,4 +100,31 @@ class MultimodalSpec extends AnyFunSuite {
     val short = Multimodal.patches(mediaOf((3L, "ab"))).collect()
     assert(short.length == 8 && short.forall(_.n_px == 16))
   }
+
+  test("perceptualHash: known bits; phashPairs equals brute-force Hamming") {
+    // payload "ab" → 32 pixels: 16× 0x61 then 16× 0x62; mean strictly
+    // between → high 16 bits set, low 16 clear: 0xFFFF0000
+    val h = Multimodal.perceptualHash(mediaOf((1L, "ab"))).collect().head
+    assert(h.phash == 0xFFFF0000L)
+    // constant payload → no pixel strictly above the mean → hash 0
+    assert(Multimodal.perceptualHash(mediaOf((2L, "aaaa"))).collect()
+      .head.phash == 0L)
+    // empty payload has no pixels → excluded
+    assert(Multimodal.perceptualHash(mediaOf((3L, ""))).count() == 0L)
+    // identical payloads pair at Hamming 0
+    val twin = Multimodal.phashPairs(mediaOf((1L, "abc xyz"), (2L, "abc xyz")))
+      .collect()
+    assert(twin.length == 1 && twin.head.getLong(2) == 0L)
+    // banding is COMPLETE: pairs equal the brute-force ≤3-Hamming filter
+    // over the per-doc hashes on the fixture (which contains exact dups)
+    val sig = Multimodal.perceptualHash(media).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      hm = java.lang.Long.bitCount(sig(a) ^ sig(b)) if hm <= 3
+    } yield (a, b, hm.toLong)).toSet
+    val got = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
 }
