@@ -2088,6 +2088,13 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
+    // RAKE keyword extraction (ext/TextOps.rakeKeywords, Rose et al. 2010):
+    // stopword-delimited candidate phrases, deg/freq word scores in exact
+    // micro-units, corpus top-50 distinct phrases — per-doc running-count
+    // windows only, vocabulary-keyed rollups, TakeOrdered top-k
+    "text_rake_keywords" -> ((s, dir) =>
+      TextOps.rakeKeywords(t(s, dir, "documents")).orderBy("rank")),
+
     // positional PHRASE search (ext/TextOps.phraseSearch): consecutive-
     // token matching via anchor-vote postings intersection — each matching
     // posting votes for pos−off, full occurrences have all offsets; the
@@ -2233,6 +2240,13 @@ object SparkEntry {
     // (cohorts × ages) rollup only — never a window over raw orders
     "orders_cohort_ltv" -> ((s, dir) =>
       graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
+
+    // max drawdown per user over the cumulative value series (ext/
+    // Analytics.maxDrawdown): exact-cents prefix sum + running max, both
+    // windows and the rollup inside ONE user_id exchange
+    "events_max_drawdown" -> ((s, dir) =>
+      graft.ext.Analytics.maxDrawdown(t(s, dir, "events"))
+        .orderBy("user_id")),
 
     // Kaplan–Meier time-to-conversion survival (ext/Analytics
     // .kaplanMeier): first signup → first purchase within a 48 h window,
@@ -3666,6 +3680,8 @@ object SparkEntry {
     "orders_rfm" -> graft.ext.Analytics.rfmSqlDuck,
     "orders_cohort_ltv" -> graft.ext.Analytics.cohortLtvSqlDuck,
     "events_survival_km" -> graft.ext.Analytics.kaplanMeierSqlDuck(),
+    "events_max_drawdown" -> graft.ext.Analytics.maxDrawdownSqlDuck,
+    "text_rake_keywords" -> TextOps.rakeKeywordsSqlDuck(),
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "quality_corpus_card" -> graft.ext.Pipelines.corpusCardSqlDuck,

@@ -1237,6 +1237,54 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY brand_a, brand_b""".stripMargin
 
+  /** Maximum drawdown per user over the cumulative value series — the
+    * quant-style "largest peak-to-trough loss" statistic, here over each
+    * user's running event-value total: with P_t the exact-cents prefix sum
+    * in (ts, event_id) order, drawdown at t is `max_{s≤t} P_s − P_t` and
+    * the output is its per-user maximum (plus the peak and point count).
+    * Kadane-style sequential folding is unnecessary: two stacked running
+    * windows (prefix sum, then running max) express it declaratively.
+    *
+    * Exactness: the cents cast is the repo-wide DECIMAL(18,2)·100 idiom;
+    * everything after is BIGINT. Plan shape: ONE user_id exchange — both
+    * windows and the final rollup share the same partitioning and
+    * (us, event_id) intra-partition order, so Spark plans a single shuffle
+    * and sorts once. */
+  def maxDrawdown(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        (col("value").cast(DecimalType182) * 100).cast("long").as("cents"))
+      .withColumn("p", sum(col("cents")).over(w))
+      .withColumn("m", max(col("p")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("m") - col("p")).as("max_drawdown_cents"),
+        max(col("m")).as("peak_cents"),
+        count(lit(1)).as("n_points"))
+  }
+
+  /** Oracle twin of [[maxDrawdown]] — same cents idiom, same stacked
+    * running windows. */
+  def maxDrawdownSqlDuck: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL),
+      | p AS (SELECT user_id, us, event_id,
+      |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+      |  FROM e),
+      | m AS (SELECT user_id, p,
+      |    CAST(max(p) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS m
+      |  FROM p)
+      |SELECT user_id, CAST(max(m - p) AS BIGINT) AS max_drawdown_cents,
+      |  CAST(max(m) AS BIGINT) AS peak_cents,
+      |  CAST(count(*) AS BIGINT) AS n_points
+      |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Kaplan–Meier product-limit survival for TIME-TO-CONVERSION: per user,
     * the clock starts at the first `signup` event and "death" is the first
     * `purchase` AT OR AFTER it, observed only inside a `horizonHours`

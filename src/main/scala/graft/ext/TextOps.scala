@@ -968,6 +968,105 @@ object TextOps {
         (col("score_nano").cast("double") / lit(1000000000.0)).as("score"))
   }
 
+  /** RAKE keyword extraction (Rapid Automatic Keyword Extraction, Rose et
+    * al. 2010), word-level variant: candidate phrases are the maximal runs
+    * of non-stopword tokens (stopwords and document boundaries delimit),
+    * each word scores `deg(w)/freq(w)` where `freq` counts the word's
+    * occurrences in candidates and `deg` sums the lengths of the phrases
+    * those occurrences sit in, and a phrase scores the sum of its words'
+    * scores. Output: the corpus's top-`k` distinct phrases by score with
+    * occurrence counts — the unsupervised keyword list a corpus card or
+    * search-suggestion pipeline starts from.
+    *
+    * Exactness: per-word scores floor-quantize to micro-units
+    * (`deg·10^6 DIV freq`, exact while deg ≤ 9.2·10^12 — the surprisal
+    * bound class) and phrase scores are exact BIGINT sums of them; a given
+    * phrase TEXT always has one score (word scores are global), so the
+    * distinct-phrase rollup is well-defined.
+    *
+    * Scale shape: one posexplode projection; run ids from a PER-DOCUMENT
+    * running count (partitioned window — never global); phrase texts
+    * rebuilt from sort_array(collect_list(struct(pos, w))) so assembly is
+    * partitioning-invariant; word stats are vocabulary-keyed rollups; the
+    * global top-k is TakeOrdered with rank over the k survivors
+    * ([[Chunking.topNgrams]]'s idiom). */
+  def rakeKeywords(docs: DataFrame, k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 100000, s"k out of range: $k")
+    val stops = LangProfiles.head._2
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pt = graft.etl.CacheRegistry.persist(
+      docs.filter(col("doc_id").isNotNull)
+        .select(col("doc_id"), posexplode(tokensArr(textCol)).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isin(stops: _*).cast("int"))
+        .withColumn("run", sum(col("is_stop")).over(w))
+        .filter(col("is_stop") === 0)
+        .select(col("doc_id"), col("run"), col("pos"), col("w")))
+    val plen = pt.groupBy("doc_id", "run")
+      .agg(count(lit(1)).as("len"),
+        array_join(expr("transform(sort_array(collect_list(" +
+          "struct(pos, w))), x -> x.w)"), " ").as("phrase"))
+    val ws = pt.join(plen.select(col("doc_id"), col("run"), col("len")),
+        Seq("doc_id", "run"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+      .select(col("w"),
+        expr("(deg * CAST(1000000 AS BIGINT)) DIV freq").as("wscore"))
+    val psc = pt.join(ws, "w")
+      .groupBy("doc_id", "run").agg(sum(col("wscore")).as("score_micro"))
+    val agg = plen.join(psc, Seq("doc_id", "run"))
+      .groupBy("phrase")
+      .agg(max(col("len")).as("n_words"), max(col("score_micro")).as("score_micro"),
+        count(lit(1)).as("n_occurrences"))
+    val topK = graft.etl.CacheRegistry.persist(
+      agg.orderBy(col("score_micro").desc, col("phrase")).limit(k))
+    val ahead = broadcast(topK.select(col("score_micro").as("_bs"),
+      col("phrase").as("_bp")))
+    topK.join(ahead, col("_bs") > col("score_micro") ||
+        (col("_bs") === col("score_micro") && col("_bp") < col("phrase")),
+        "left_outer")
+      .groupBy(col("phrase"), col("n_words"), col("score_micro"),
+        col("n_occurrences"))
+      .agg((count(col("_bp")) + 1L).as("rank"))
+      .select("rank", "phrase", "n_words", "score_micro", "n_occurrences")
+  }
+
+  /** Oracle twin of [[rakeKeywords]]: 1-based subscripts, running stopword
+    * count for run ids, string_agg phrase assembly, identical integer
+    * scoring, plain row_number top-k. */
+  def rakeKeywordsSqlDuck(k: Int = 50): String = {
+    val stopsIn = LangProfiles.head._2.map(s => s"'$s'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, ${tokensSqlDuck("text")} AS tks
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       | pos AS (SELECT doc_id, unnest(tks) AS w,
+       |     generate_subscripts(tks, 1) AS pos FROM tk),
+       | m AS (SELECT doc_id, w, pos,
+       |    CASE WHEN w IN ($stopsIn) THEN 1 ELSE 0 END AS is_stop FROM pos),
+       | r AS (SELECT doc_id, w, pos, is_stop,
+       |    CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run FROM m),
+       | pt AS (SELECT doc_id, run, pos, w FROM r WHERE is_stop = 0),
+       | plen AS (SELECT doc_id, run, CAST(count(*) AS BIGINT) AS len,
+       |     string_agg(w, ' ' ORDER BY pos) AS phrase
+       |   FROM pt GROUP BY doc_id, run),
+       | ws AS (SELECT w, (CAST(sum(plen.len) AS BIGINT) * 1000000)
+       |      // CAST(count(*) AS BIGINT) AS wscore
+       |   FROM pt JOIN plen USING (doc_id, run) GROUP BY w),
+       | psc AS (SELECT pt.doc_id, pt.run,
+       |     CAST(sum(ws.wscore) AS BIGINT) AS score_micro
+       |   FROM pt JOIN ws USING (w) GROUP BY pt.doc_id, pt.run),
+       | agg AS (SELECT plen.phrase, max(plen.len) AS n_words,
+       |     max(psc.score_micro) AS score_micro,
+       |     CAST(count(*) AS BIGINT) AS n_occurrences
+       |   FROM plen JOIN psc USING (doc_id, run) GROUP BY plen.phrase)
+       |SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, phrase)
+       |    AS BIGINT) AS rank,
+       |  phrase, n_words, score_micro, n_occurrences
+       |FROM agg ORDER BY score_micro DESC, phrase LIMIT $k""".stripMargin
+  }
+
   /** Positional PHRASE search — the retrieval operator BM25's bag-of-words
     * scoring cannot express: a document matches only where the query's
     * tokens appear CONSECUTIVELY. Implementation is the classic positional-

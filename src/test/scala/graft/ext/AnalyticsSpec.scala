@@ -546,6 +546,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("maxDrawdown: peak-to-trough over the exact-cents prefix sum") {
+    val e = Seq(
+      // user 1: +5.00, −3.00, +1.00, −6.00 → prefix 500,200,300,−300;
+      // running max stays 500 → drawdowns 0,300,200,800
+      (1L, 1L, 10L, 5.0), (2L, 1L, 20L, -3.0),
+      (3L, 1L, 30L, 1.0), (4L, 1L, 40L, -6.0),
+      // user 2: monotone up → zero drawdown
+      (5L, 2L, 10L, 1.0), (6L, 2L, 20L, 2.0))
+      .toDF("event_id", "user_id", "us", "value")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Analytics.maxDrawdown(e)
+      .select("user_id", "max_drawdown_cents", "peak_cents", "n_points")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 800L, 500L, 4L), (2L, 0L, 300L, 2L)))
+    // single shuffle: both windows + rollup share the user_id exchange
+    val plan = Analytics.maxDrawdown(e).queryExecution.executedPlan
+    var exchanges = 0
+    graft.etl.PlanWalk.visit(plan) { p =>
+      if (p.getClass.getSimpleName.contains("ShuffleExchange")) exchanges += 1
+    }
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+    // exact integers → identical under repartition on the fixture
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "events")
+    val a = Analytics.maxDrawdown(fx).collect().map(_.toString).sorted.toSeq
+    val b = Analytics.maxDrawdown(fx.repartition(11)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("kaplanMeier: hand-built conversion curve — censoring shrinks the " +
     "risk set without a step") {
     val hour = 3600000000L

@@ -389,6 +389,31 @@ class TextOpsSpec extends AnyFunSuite {
     a.foreach(r => assert(r != null))
   }
 
+  test("rakeKeywords: stopword-delimited phrases, deg/freq scores, top-k") {
+    // 'the' is a stopword (LangProfiles head). d1 yields TWO occurrences
+    // of the phrase "big data": freq(big)=2, deg(big)=2+2=4 → wscore
+    // 2e6 each → phrase score 4e6. d2's "solo" scores 1e6 (freq 1, deg 1).
+    val d = docs(
+      (1L, "big data the big data"),
+      (2L, "solo"),
+      (3L, "the the")) // stopwords only → no candidate phrases
+    val got = TextOps.rakeKeywords(d, k = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (1L, "big data", 2L, 4000000L, 2L),
+      (2L, "solo", 1L, 1000000L, 1L)))
+    // k truncates
+    assert(TextOps.rakeKeywords(d, k = 1).count() == 1L)
+    // exact integers → identical under repartition; fixture non-empty
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val x = TextOps.rakeKeywords(fx).collect().map(_.toString).toSeq
+    val y = TextOps.rakeKeywords(fx.repartition(7)).collect()
+      .map(_.toString).toSeq
+    assert(x == y && x.length == 50)
+  }
+
   test("phraseSearch: consecutive-token anchors, overlaps, repeated words") {
     val d = docs(
       (1L, "a b c a b"), // "a b" at 0 and 3 → 2 hits
