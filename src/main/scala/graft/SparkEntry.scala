@@ -2088,6 +2088,13 @@ object SparkEntry {
     "search_bm25_topk" -> ((s, dir) =>
       TextOps.searchTopK(t(s, dir, "documents")).orderBy("query_id", "rank")),
 
+    // Reciprocal Rank Fusion (ext/TextOps.searchRrf, Cormack et al.
+    // SIGIR'09): BM25 list ⊕ distinct-term-overlap list, exact
+    // 1e6 DIV (60+rank) micro-unit fusion — rank-only hybrid retrieval,
+    // fusion join is list-sized (≤ depth per query), never corpus-sized
+    "search_rrf_fusion" -> ((s, dir) =>
+      TextOps.searchRrf(t(s, dir, "documents")).orderBy("query_id", "rank")),
+
     // RAKE keyword extraction (ext/TextOps.rakeKeywords, Rose et al. 2010):
     // stopword-delimited candidate phrases, deg/freq word scores in exact
     // micro-units, corpus top-50 distinct phrases — per-doc running-count
@@ -3703,6 +3710,7 @@ object SparkEntry {
     "sim_matryoshka_recall" -> Similarity.matryoshkaRecallSqlDuck(),
     "search_bm25_topk" -> TextOps.searchTopKSqlDuck(),
     "search_phrase" -> TextOps.phraseSearchSqlDuck(),
+    "search_rrf_fusion" -> TextOps.searchRrfSqlDuck(),
     "search_eval_ndcg" -> TextOps.searchEvalSqlDuck(),
     "text_bpe_merges" -> TextOps.bpeMergesSqlDuck(),
     "text_bpe_encode" -> TextOps.bpeEncodeSqlDuck(),

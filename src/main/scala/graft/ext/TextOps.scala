@@ -1153,19 +1153,18 @@ object TextOps {
   }
 
   /** Oracle twin of [[searchTopK]]: postings join + quantized sum as SQL. */
-  def searchTopKSqlDuck(
-      queries: Seq[(String, String)] = Seq(
-        "q_hash" -> "hash join stream",
-        "q_scan" -> "scan filter batch",
-        "q_sort" -> "window sort order"),
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String = {
+  /** The BM25 scoring chain as a reusable CTE body ending in
+    * `sc(query_id, doc_id, score_nano)` — shared by [[searchTopKSqlDuck]]
+    * and oracles that build ON the BM25 ranking (RRF fusion, nDCG). */
+  private[ext] def bm25CteDuck(
+      queries: Seq[(String, String)], k1: Double, b: Double): String = {
     val k1p1 = k1 + 1
     val oneMinusB = 1 - b
     val qRows = queries
       .flatMap { case (qid, text) =>
         text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
       .map { case (qid, t) => s"('$qid', '$t')" }.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term
+    s""" toks AS (SELECT doc_id, unnest(${tokensSqlDuck("text")}) AS term
        |    FROM documents),
        | tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
        |   FROM toks GROUP BY term, doc_id),
@@ -1188,7 +1187,16 @@ object TextOps {
        |   JOIN df ON df.term = tf.term
        |   JOIN dl ON dl.doc_id = tf.doc_id
        |   CROSS JOIN st
-       |   GROUP BY q.query_id, tf.doc_id)
+       |   GROUP BY q.query_id, tf.doc_id)""".stripMargin
+  }
+
+  def searchTopKSqlDuck(
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH${bm25CteDuck(queries, k1, b)}
        |SELECT query_id, rank, doc_id,
        |  CAST(score_nano AS DOUBLE) / 1000000000.0E0 AS score FROM (
        |  SELECT query_id, doc_id, score_nano,
@@ -1196,7 +1204,98 @@ object TextOps {
        |      ORDER BY score_nano DESC, doc_id) AS BIGINT) AS rank
        |  FROM sc)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09) of two
+    * retrieval rankings — the standard hybrid-search combiner (e.g.
+    * lexical BM25 + a second signal) that needs only RANKS, never score
+    * calibration: RRF(d) = Σ_rankings 1/(kRrf + rank_d), here in exact
+    * micro-units (`10^6 DIV (kRrf + rank)` — integer, so fusion is
+    * engine-invariant by construction). Ranking A is [[searchTopK]]'s BM25
+    * list; ranking B orders docs by distinct-query-term overlap (the
+    * judgment-free relevance proxy [[searchEval]] grades with). Both lists
+    * truncate at `depth` before fusion (standard RRF practice — a doc
+    * absent from a list contributes 0 from it); output is the fused top-k
+    * per query with both source ranks (0 = not on that list).
+    *
+    * Scale shape: BM25 reuses the postings chain; the overlap ranking is a
+    * broadcast query-term join + per-query WindowGroupLimit; fusion is one
+    * (query, doc)-keyed full-outer join of two ≤ depth-per-query lists —
+    * list-sized, never corpus-sized. */
+  def searchRrf(docs: DataFrame,
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, kRrf: Int = 60, depth: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && kRrf >= 1 && depth >= k,
+      s"bad params: k=$k kRrf=$kRrf depth=$depth")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bm = searchTopK(docs, queries, k = depth, textCol = textCol)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r1"))
+    val qTerms = queries
+      .flatMap { case (qid, text) =>
+        text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
+      .toDF("query_id", "term")
+    val rel = docs
+      .select(col("doc_id"), explode(array_distinct(tokensArr(textCol))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
+    val wOv = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
+    val ov = rel.withColumn("r2", row_number().over(wOv).cast("long"))
+      .filter(col("r2") <= depth)
+      .select("query_id", "doc_id", "r2")
+    val fused = bm.join(ov, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + r1)"), lit(0L)) +
+          coalesce(expr(s"CAST(1000000 AS BIGINT) DIV ($kRrf + r2)"), lit(0L)))
+          .as("rrf_micro"),
+        coalesce(col("r1"), lit(0L)).as("bm_rank"),
+        coalesce(col("r2"), lit(0L)).as("ov_rank"))
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf_micro", "bm_rank", "ov_rank")
   }
+
+  /** Oracle twin of [[searchRrf]]: the shared BM25 CTE, the overlap
+    * ranking, the same integer fusion. */
+  def searchRrfSqlDuck(
+      queries: Seq[(String, String)] = Seq(
+        "q_hash" -> "hash join stream",
+        "q_scan" -> "scan filter batch",
+        "q_sort" -> "window sort order"),
+      k: Int = 10, kRrf: Int = 60, depth: Int = 50,
+      k1: Double = 1.2, b: Double = 0.75): String =
+    s"""WITH${bm25CteDuck(queries, k1, b)},
+       | bm AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_nano DESC, doc_id) AS BIGINT) AS r1 FROM sc),
+       | bmk AS (SELECT * FROM bm WHERE r1 <= $depth),
+       | rel AS (SELECT q.query_id, d.doc_id,
+       |     CAST(count(*) AS BIGINT) AS rel
+       |   FROM (SELECT DISTINCT doc_id, term FROM toks) d
+       |   JOIN q ON d.term = q.term GROUP BY q.query_id, d.doc_id),
+       | ov AS (SELECT query_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, doc_id) AS BIGINT) AS r2 FROM rel),
+       | ovk AS (SELECT * FROM ov WHERE r2 <= $depth),
+       | fused AS (SELECT coalesce(b.query_id, o.query_id) AS query_id,
+       |     coalesce(b.doc_id, o.doc_id) AS doc_id,
+       |     coalesce(1000000 // ($kRrf + b.r1), 0)
+       |       + coalesce(1000000 // ($kRrf + o.r2), 0) AS rrf_micro,
+       |     coalesce(b.r1, 0) AS bm_rank, coalesce(o.r2, 0) AS ov_rank
+       |   FROM bmk b FULL JOIN ovk o
+       |     ON b.query_id = o.query_id AND b.doc_id = o.doc_id)
+       |SELECT query_id, rank, doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       |  bm_rank, ov_rank FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rank
+       |  FROM fused)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   // =====================================================================
   // Inverted-index posting lists

@@ -159,7 +159,15 @@ object StressProbe {
       "text_bpe_encode" -> (d => graft.ext.TextOps.bpeEncode(d).count()),
       "sample_kfold" -> (d => graft.ext.Pipelines.kfoldReport(d).count()),
       "sample_kfold_leakage" -> (d => graft.ext.Pipelines.kfoldLeakage(d).count()),
-      "pipeline_curriculum" -> (d => graft.ext.Pipelines.curriculumShards(d).count()))
+      "pipeline_curriculum" -> (d => graft.ext.Pipelines.curriculumShards(d).count()),
+      "sample_dsir" -> (d => graft.ext.Pipelines.dsirSelect(d).count()),
+      "dedup_sorted_neighborhood" -> (d =>
+        graft.ext.Dedup.sortedNeighborhoodPairs(d).count()),
+      "search_phrase" -> (d => graft.ext.TextOps.phraseSearch(d).count()),
+      "text_rake_keywords" -> (d => graft.ext.TextOps.rakeKeywords(d).count()),
+      "multimodal_phash_pairs" -> (d =>
+        graft.ext.Multimodal.phashPairs(graft.ext.Multimodal.asMedia(d)).count()),
+      "search_rrf_fusion" -> (d => graft.ext.TextOps.searchRrf(d).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),
@@ -208,7 +216,9 @@ object StressProbe {
         graft.ext.Analytics.markovStationary(e).count()),
       "sketch_hll_distinct" -> (e =>
         graft.ext.Sketch.hllDistinctByGroup(e, "event_type", "user_id").count()),
-      "events_winsorize" -> (e => graft.ext.Analytics.winsorize(e).count()))
+      "events_winsorize" -> (e => graft.ext.Analytics.winsorize(e).count()),
+      "events_survival_km" -> (e => graft.ext.Analytics.kaplanMeier(e).count()),
+      "events_max_drawdown" -> (e => graft.ext.Analytics.maxDrawdown(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

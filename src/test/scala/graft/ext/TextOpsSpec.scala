@@ -389,6 +389,39 @@ class TextOpsSpec extends AnyFunSuite {
     a.foreach(r => assert(r != null))
   }
 
+  test("searchRrf: exact reciprocal-rank fusion of BM25 and overlap lists") {
+    val qs = Seq("q" -> "hash join")
+    val d = docs(
+      (1L, "hash join hash join"), // top of BOTH lists
+      (2L, "hash alpha alpha alpha"), // overlap 1
+      (3L, "join beta beta")) // overlap 1
+    val out = TextOps.searchRrf(d, queries = qs, k = 10)
+      .collect().map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // d1: rank 1 on both lists → rrf = 2 · (10^6 DIV 61) = 2·16393
+    assert(out(1L) == ((1L, 32786L, 1L, 1L)))
+    // every doc fused carries both source ranks; absent = 0 never happens
+    // here (all three docs are on both depth-50 lists)
+    assert(out.size == 3 && out.values.forall(v => v._3 > 0 && v._4 > 0))
+    // depth truncation: at depth 1 only the head of each list survives
+    val d1 = TextOps.searchRrf(d, queries = qs, k = 1, depth = 1).collect()
+    assert(d1.length == 1 && d1.head.getLong(2) == 1L)
+    // fixture: dense ranks per query, fused score non-increasing
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val rows = TextOps.searchRrf(fx).collect()
+    val byQ = rows.groupBy(_.getString(0))
+    byQ.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      val scores = sorted.map(_.getLong(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+    val again = TextOps.searchRrf(fx.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == again)
+  }
+
   test("rakeKeywords: stopword-delimited phrases, deg/freq scores, top-k") {
     // 'the' is a stopword (LangProfiles head). d1 yields TWO occurrences
     // of the phrase "big data": freq(big)=2, deg(big)=2+2=4 → wscore
