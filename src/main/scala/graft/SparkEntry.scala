@@ -1888,6 +1888,14 @@ object SparkEntry {
     "sim_topk_bruteforce" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings")).orderBy("query_id", "rank")),
 
+    // k-NN label classification eval (ext/Similarity.knnClassify):
+    // majority vote over the exact-cosine top-10 of 64 broadcast query
+    // vectors, per-label accuracy — classification quality of the
+    // embedding space measured, not assumed; linear scoring, never
+    // all-pairs (the dedup_lsh_eval contract)
+    "sim_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(t(s, dir, "embeddings")).orderBy("label")),
+
     // dimension-truncation recall audit (ext/Similarity.matryoshkaRecall):
     // exact top-10 at 64 dims vs at the first 16 — measures whether a 4×
     // narrower index would hold recall, per query, before anyone ships it
@@ -3448,6 +3456,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> Similarity.cosinePairsSqlDuck(),
     "dedup_embedding_cosine_bucketed" -> Similarity.cosinePairsBucketedSqlDuck(),
     "sim_topk_bruteforce" -> Similarity.bruteForceTopKSqlDuck(),
+    "sim_knn_classify" -> Similarity.knnClassifySqlDuck(),
     "sim_ann_lsh" -> Similarity.annTopKSqlDuck(),
     "sim_ivf_topk" -> Similarity.ivfTopKSqlDuck(),
     "sim_pq_adc" -> Similarity.pqTopKSqlDuck(),

@@ -1121,4 +1121,75 @@ object Similarity {
        |WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** k-NN label classification eval: classify the first `nQueries` vectors
+    * by MAJORITY VOTE over their exact-cosine top-`k` neighbors (self
+    * excluded; vote ties break to the smallest label, rank ties to the
+    * smallest id — both engine-invariant) and report per-label accuracy
+    * against the stored labels. The fifth leg of the repo's evaluation
+    * harnesses (LSH pair eval, PQ/SRP recall@k, nDCG/MRR, and now
+    * classification quality of the embedding space itself) — the question
+    * "are these embeddings good enough to route/filter by label?" answered
+    * by measurement.
+    *
+    * EVAL-row scale contract (the dedup_lsh_eval precedent): the exact
+    * scoring is deliberately brute-force over a BROADCAST query sample —
+    * linear in the corpus (candidates stream once past nQueries·k state),
+    * never all-pairs; production classification at full-corpus query
+    * volume would swap [[bruteForceTopK]] for [[annTopK]]/[[ivfTopK]] and
+    * keep every vote/accuracy stage unchanged. */
+  def knnClassify(emb: DataFrame, nQueries: Int = 64, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nQueries >= 1 && k >= 1, s"bad params: nQueries=$nQueries k=$k")
+    val topk = bruteForceTopK(emb, nQueries, k)
+    val votes = topk
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("nl")), "neighbor_id")
+      .groupBy("query_id", "nl").agg(count(lit(1)).as("v"))
+    val w = Window.partitionBy("query_id").orderBy(col("v").desc, col("nl"))
+    val pred = votes.withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("query_id"), col("nl").as("pred"))
+    pred.join(emb.select(col("vec_id").as("query_id"),
+        col("label").cast("long").as("label")), "query_id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("label"), lit(1L)).otherwise(lit(0L)))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_queries").cast("double"))
+  }
+
+  /** Oracle twin of [[knnClassify]]: the shared exact-cosine ranking,
+    * the same majority vote and tie-breaks. */
+  def knnClassifySqlDuck(nQueries: Int = 64, k: Int = 10): String =
+    s"""WITH v AS (SELECT vec_id,
+       |    sqrt(${dotSqlDuck("embedding", "embedding")}) AS nrm,
+       |    embedding
+       |  FROM embeddings),
+       | scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    (${dotSqlDuck("q.embedding", "c.embedding")}) / (q.nrm * c.nrm) AS cos
+       |  FROM v q JOIN v c ON q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
+       | topk AS (SELECT query_id, neighbor_id FROM (
+       |   SELECT query_id, neighbor_id,
+       |     CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+       |   FROM scored) WHERE rank <= $k),
+       | votes AS (SELECT t.query_id, CAST(e.label AS BIGINT) AS nl,
+       |     CAST(count(*) AS BIGINT) AS v
+       |   FROM topk t JOIN embeddings e ON t.neighbor_id = e.vec_id
+       |   GROUP BY t.query_id, e.label),
+       | pred AS (SELECT query_id, nl AS pred FROM (
+       |   SELECT query_id, nl,
+       |     row_number() OVER (PARTITION BY query_id ORDER BY v DESC, nl) AS r
+       |   FROM votes) WHERE r = 1)
+       |SELECT CAST(e.label AS BIGINT) AS label,
+       |  CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS accuracy
+       |FROM pred p JOIN embeddings e ON p.query_id = e.vec_id
+       |GROUP BY e.label ORDER BY label""".stripMargin
 }

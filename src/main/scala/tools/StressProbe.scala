@@ -175,7 +175,8 @@ object StressProbe {
       "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()),
       "sim_hard_negatives" -> (e => graft.ext.Similarity.hardNegatives(e).count()),
       "sim_pq_adc" -> (e => graft.ext.Similarity.pqTopK(e).count()),
-      "sim_ivfpq_topk" -> (e => graft.ext.Similarity.ivfPqTopK(e).count()))
+      "sim_ivfpq_topk" -> (e => graft.ext.Similarity.ivfPqTopK(e).count()),
+      "sim_knn_classify" -> (e => graft.ext.Similarity.knnClassify(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "events_range_join" -> rangeJoinCount,
       "events_asof_join" -> asofCount,

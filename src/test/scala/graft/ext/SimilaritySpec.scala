@@ -301,4 +301,45 @@ class SimilaritySpec extends AnyFunSuite {
     val n0 = got.find(_._1 == 0L).get._2
     assert(n0 == (full & trunc).size.toLong)
   }
+
+  test("knnClassify: majority vote, smallest-label tie-break, per-label " +
+    "accuracy") {
+    def vec(x: Double, y: Double): Array[Float] = {
+      val a = new Array[Float](Similarity.Dim)
+      a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    // query 0 (label 1); neighbors 1,2 label 1 very close, 3 label 2 at
+    // cos 0.8, 4 label 2 orthogonal
+    val emb = Seq(
+      (0L, vec(1.0, 0.0), 1),
+      (1L, vec(1.0, 0.01), 1),
+      (2L, vec(1.0, -0.01), 1),
+      (3L, vec(0.8, 0.6), 2),
+      (4L, vec(0.0, 1.0), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r3 = Similarity.knnClassify(emb, nQueries = 1, k = 3)
+      .select("label", "n_queries", "n_correct")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r3 == Seq((1L, 1L, 1L))) // votes 2:1 for label 1 — correct
+    // vote TIE at k = 2 when neighbor 2 flips to label 2: top-2 = {1, 2}
+    // with labels {1, 2} → smallest label wins → still predicts 1
+    val flipped = emb.withColumn("label",
+      when(col("vec_id") === 2L, lit(2)).otherwise(col("label")))
+    val r2 = Similarity.knnClassify(flipped, nQueries = 1, k = 2)
+      .select("label", "n_correct").as[(Long, Long)].collect().toSeq
+    assert(r2 == Seq((1L, 1L)))
+    // fixture: every query classified exactly once; accuracies in [0, 1];
+    // exact ranking + integer votes → identical under repartition
+    val fx = graft.etl.IngestOps.table(spark, sf0001, "embeddings")
+    val out = Similarity.knnClassify(fx).collect()
+    val nq = fx.filter(col("vec_id") < 64).count()
+    assert(out.map(_.getAs[Long]("n_queries")).sum == nq)
+    out.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+    val again = Similarity.knnClassify(fx.repartition(9)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(out.map(_.toString).sorted.toSeq == again)
+  }
 }
