@@ -1027,6 +1027,17 @@ object SparkEntry {
       graft.ext.Sketch.kmvJaccard(shA, col("tok"), shB, col("tok"), 128)
     }),
 
+    // KMV set-difference estimate (ext/Sketch.kmvDifference — the
+    // DataSketches aNotB): |A\B| and |B\A| from the two k-minima sketches
+    // + the merged sketch's union estimate; exact differences as the
+    // differential check — the incremental-ingest pricing triage
+    "sketch_kmv_difference" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shA = Dedup.shingles(docs.filter(col("source") === "src0"), 3)
+      val shB = Dedup.shingles(docs.filter(col("source") === "src1"), 3)
+      graft.ext.Sketch.kmvDifference(shA, col("tok"), shB, col("tok"), 128)
+    }),
+
     // deterministic hash-min-k sample quantiles (ext/Sketch.sampleQuantiles):
     // the k=256 md5-minima of o_orderkey are a reproducible uniform sample;
     // the quantiles are exact order statistics of that sample — so the whole
@@ -1825,6 +1836,17 @@ object SparkEntry {
     "graph_kcore" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       graft.ext.Graph.kCore(docs,
+          Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
+        .orderBy("doc_id")
+    }),
+
+    // synchronous fixed-round label-propagation communities (ext/Graph
+    // .lpaCommunities, Raghavan et al. 2007): per-round edge→label
+    // equi-join + per-node argmax with smallest-label ties — splits a
+    // component along density where CC merges everything reachable
+    "graph_lpa_communities" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Graph.lpaCommunities(docs,
           Dedup.lshCandidatePairs(Dedup.minhashSignatures(docs)))
         .orderBy("doc_id")
     }),
@@ -3480,6 +3502,8 @@ object SparkEntry {
 
     "sketch_kmv_overlap" ->
       graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),
+    "sketch_kmv_difference" ->
+      graft.ext.Sketch.kmvDifferenceShinglesSqlDuck("src0", "src1", 3, 128),
 
     "events_quantile_selection" ->
       """WITH v AS (SELECT CAST(value AS DOUBLE) AS v FROM events
@@ -3689,6 +3713,7 @@ object SparkEntry {
     "graph_triangles" -> graft.ext.Graph.trianglesLshSqlDuck,
     "graph_link_prediction" -> graft.ext.Graph.linkPredictionLshSqlDuck(),
     "graph_kcore" -> graft.ext.Graph.kCoreLshSqlDuck(),
+    "graph_lpa_communities" -> graft.ext.Graph.lpaCommunitiesLshSqlDuck(),
     "events_changepoint_cusum" -> graft.ext.Stats.cusumChangepointsSqlDuck(),
     "events_seasonality" -> graft.ext.Stats.seasonalitySqlDuck(),
     "events_attribution" -> graft.ext.Analytics.attributionSqlDuck(),

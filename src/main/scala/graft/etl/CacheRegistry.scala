@@ -20,6 +20,18 @@ object CacheRegistry {
     p
   }
 
+  /** Persist `df` DISK_ONLY (serialized, zero heap residency) and track it.
+    * For relations that are LARGE relative to executor memory but reused
+    * across iterative rounds — e.g. the near-dup EDGE list, whose mega-hub
+    * buckets make it O(Σ bucket²): keeping it deserialized on-heap starves
+    * the per-round aggregation hash maps (observed as a 10× StressProbe
+    * OOM in graph LPA), while disk blocks cost one re-read per round. */
+  def persistDisk(df: DataFrame): DataFrame = synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    active += p
+    p
+  }
+
   /** Unpersist every tracked DataFrame (non-blocking) and clear the registry.
     * localCheckpoint'ed frames are deliberately NOT tracked: Dataset.unpersist
     * cannot free their blocks — the ContextCleaner does, once all references

@@ -305,4 +305,92 @@ object Graph {
        |SELECT id AS doc_id, r AS pr_scaled, CAST(r AS DOUBLE) / $scale AS pr
        |FROM r$iters ORDER BY doc_id""".stripMargin
   }
+
+  /** SYNCHRONOUS label-propagation communities (Raghavan et al. 2007) with
+    * a FIXED round count and deterministic tie-breaks: every node starts
+    * labeled with its own id; each round every node adopts the label most
+    * frequent among its neighbors, ties to the SMALLEST label. Fixed
+    * rounds + the smallest-label tie rule make the algorithm fully
+    * deterministic (classic LPA randomizes update order precisely to break
+    * the oscillations synchronous updates can fall into; here any residual
+    * oscillation is part of the pinned semantics, identical in the
+    * oracle). Communities differ from [[Dedup]]'s connected components:
+    * CC merges everything reachable, LPA splits a component along its
+    * density structure — on a near-dup graph that separates template
+    * families that merely touch.
+    *
+    * Scale shape: each round is ONE edge→label equi-join (shuffle keyed on
+    * the node id), a map-side-combinable (node, label) count, and a
+    * per-node WindowGroupLimit argmax — the canonical distributed LPA
+    * step; nothing quadratic, no driver state. Output: every document with
+    * its community label and the community size (docs outside the pair
+    * graph are their own singleton communities). */
+  def lpaCommunities(nodes: DataFrame, pairs: DataFrame, rounds: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rounds >= 1 && rounds <= 50, s"rounds out of range: $rounds")
+    // DISK_ONLY: on a near-dup graph the edge list is O(Σ bucket²) — kept
+    // deserialized on-heap across rounds it starves the aggregation maps
+    // (10× probe OOM'd before this); labels are |V|-sized and stay hot
+    val e = graft.etl.CacheRegistry.persistDisk(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"),
+          col("doc_a").as("dst"))))
+    // ROUND 1 CLOSED FORM: with every neighbor holding its own unique id as
+    // label, all per-label counts are 1 and the smallest-label tie rule
+    // makes the argmax exactly min(neighbor id) — ONE |V|-keyed aggregate.
+    // The generic (src, label) rollup here would carry |E| DISTINCT keys
+    // (labels still unique), which on a mega-bucket near-dup graph is
+    // O(Σ bucket²) aggregate state — the 10× probe OOM'd on exactly that
+    // before this rewrite. From round 2 on, labels have collapsed along
+    // cliques, so the (src, label) key space combines map-side to ~|V|.
+    var lab = graft.etl.CacheRegistry.persist(
+      e.groupBy("src").agg(min(col("dst")).as("label"))
+        .select(col("src").as("id"), col("label")))
+    for (_ <- 2 to rounds) {
+      // argmax as max(struct(count, −label)) — map-side combinable on both
+      // aggregates (the window row_number form sorts per node and buffers
+      // the whole (node, label) relation through one sort exchange)
+      lab = graft.etl.CacheRegistry.persist(
+        e.join(lab.select(col("id").as("dst"), col("label")), "dst")
+          .groupBy("src", "label").agg(count(lit(1)).as("c"))
+          .groupBy("src")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("src").as("id"), (-col("m.nl")).as("label")))
+    }
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("n"))
+    nodes.select(col(idCol).as("id"))
+      .join(lab, Seq("id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("community"),
+        coalesce(col("n"), lit(1L)).as("community_size"))
+  }
+
+  /** Oracle for [[lpaCommunities]] over the LSH candidate-pair graph: the
+    * propagation rounds unrolled as one CTE pair per round, identical
+    * argmax tie-breaks. */
+  def lpaCommunitiesLshSqlDuck(rounds: Int = 4): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"l${i - 1}"
+      s""" c$i AS (SELECT e.src, l.label, CAST(count(*) AS BIGINT) AS c
+         |   FROM e JOIN $prev l ON e.dst = l.id GROUP BY e.src, l.label),
+         | l$i AS (SELECT src AS id, label FROM (
+         |   SELECT src, label,
+         |     row_number() OVER (PARTITION BY src ORDER BY c DESC, label) AS r
+         |   FROM c$i) WHERE r = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Dedup.lshPairsCteDuck},
+       | e AS (SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
+       | l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+       |$roundCtes,
+       | sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+       |   FROM l$rounds GROUP BY label)
+       |SELECT d.doc_id, coalesce(l.label, d.doc_id) AS community,
+       |  coalesce(sz.n, 1) AS community_size
+       |FROM documents d
+       |LEFT JOIN l$rounds l ON d.doc_id = l.id
+       |LEFT JOIN sz ON l.label = sz.label
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

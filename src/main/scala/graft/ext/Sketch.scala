@@ -172,6 +172,99 @@ object Sketch {
        |    THEN CAST(exact_inter AS DOUBLE) / CAST(exact_union AS DOUBLE) END AS jaccard_exact
        |FROM kp, hits, ex""".stripMargin
 
+  /** KMV set-DIFFERENCE estimate (the DataSketches "aNotB" operation,
+    * Beyer et al. 2007 estimator family): from the two k-minima sketches
+    * alone, estimate |A\B| and |B\A| — the "how much of corpus A is NOT
+    * already in corpus B" triage that prices an incremental ingest before
+    * any full join runs. With M the k smallest of KA ∪ KB, the fraction of
+    * M seen only in KA estimates |A\B|/|A∪B|, and |A∪B| comes from the
+    * merged sketch's k-th minimum ((k−1)/frac(M_k)); when the merged
+    * sketch holds the WHOLE union (k_merged < k) the counts are exact by
+    * construction — one formula covers both regimes. Exact differences
+    * computed alongside as the differential check (the [[kmvJaccard]]
+    * convention: the estimate itself is what the oracle verifies).
+    *
+    * Scale: both inputs reduce map-side to k-sized sketches; the only
+    * full-data work is the two hash projections (and the deliberate exact
+    * twin, which production would drop). */
+  def kmvDifference(a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      k: Int): DataFrame = {
+    require(k > 1, "k must be > 1")
+    val ha = a.select(md5(aKey.cast("string")).as("h"))
+    val hb = b.select(md5(bKey.cast("string")).as("h"))
+    val ska = ha.agg(minKDistinct(k)(col("h")).as("ka"))
+    val skb = hb.agg(minKDistinct(k)(col("h")).as("kb"))
+    val ex = ha.distinct().withColumn("_ina", lit(1))
+      .join(hb.distinct().withColumn("_inb", lit(1)), Seq("h"), "full_outer")
+      .agg(
+        sum(when(col("_ina").isNotNull && col("_inb").isNull, 1L)
+          .otherwise(0L)).as("exact_a_not_b"),
+        sum(when(col("_inb").isNotNull && col("_ina").isNull, 1L)
+          .otherwise(0L)).as("exact_b_not_a"))
+    ska.crossJoin(skb).crossJoin(ex)
+      .withColumn("m", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
+      .withColumn("a_only", expr(
+        "size(filter(m, h -> array_contains(ka, h) AND NOT array_contains(kb, h)))")
+        .cast("long"))
+      .withColumn("b_only", expr(
+        "size(filter(m, h -> array_contains(kb, h) AND NOT array_contains(ka, h)))")
+        .cast("long"))
+      .withColumn("union_est",
+        when(size(col("m")) < k, size(col("m")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            hashFraction(element_at(col("m"), k))))
+      .select(lit(k.toLong).as("k"),
+        size(col("m")).cast("long").as("k_merged"),
+        col("a_only").as("a_only_hits"), col("b_only").as("b_only_hits"),
+        when(size(col("m")) > 0, col("union_est") * col("a_only").cast("double")
+          / size(col("m")).cast("double")).as("est_a_not_b"),
+        when(size(col("m")) > 0, col("union_est") * col("b_only").cast("double")
+          / size(col("m")).cast("double")).as("est_b_not_a"),
+        col("exact_a_not_b").cast("long").as("exact_a_not_b"),
+        col("exact_b_not_a").cast("long").as("exact_b_not_a"))
+  }
+
+  /** DuckDB oracle for [[kmvDifference]] over w-shingle sets of two
+    * sources — identical k-minima, merged-sample, and estimator
+    * arithmetic. */
+  def kmvDifferenceShinglesSqlDuck(srcA: String, srcB: String, w: Int,
+      k: Int): String =
+    s"""WITH ha AS (SELECT DISTINCT md5(s) AS h
+       |   FROM (${TextOps.shingleCtesDuck(w, s"WHERE source = '$srcA'")})
+       |   WHERE s IS NOT NULL),
+       | hb AS (SELECT DISTINCT md5(s) AS h
+       |   FROM (${TextOps.shingleCtesDuck(w, s"WHERE source = '$srcB'")})
+       |   WHERE s IS NOT NULL),
+       | ka AS (SELECT h FROM ha ORDER BY h LIMIT $k),
+       | kb AS (SELECT h FROM hb ORDER BY h LIMIT $k),
+       | m AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+       |       ORDER BY h LIMIT $k),
+       | kp AS (SELECT CAST(count(*) AS BIGINT) AS k_merged,
+       |        max(h) AS kth FROM m),
+       | ao AS (SELECT CAST(count(*) AS BIGINT) AS a_only FROM m
+       |        WHERE h IN (SELECT h FROM ka) AND h NOT IN (SELECT h FROM kb)),
+       | bo AS (SELECT CAST(count(*) AS BIGINT) AS b_only FROM m
+       |        WHERE h IN (SELECT h FROM kb) AND h NOT IN (SELECT h FROM ka)),
+       | ue AS (SELECT CASE WHEN kp.k_merged < $k THEN CAST(kp.k_merged AS DOUBLE)
+       |        ELSE ${(k - 1).toDouble} /
+       |          (('0x' || substring(kp.kth, 1, 8))::UBIGINT / 4294967296.0)
+       |        END AS union_est FROM kp),
+       | ex AS (SELECT
+       |   CAST((SELECT count(*) FROM ha
+       |         WHERE h NOT IN (SELECT h FROM hb)) AS BIGINT) AS exact_a_not_b,
+       |   CAST((SELECT count(*) FROM hb
+       |         WHERE h NOT IN (SELECT h FROM ha)) AS BIGINT) AS exact_b_not_a)
+       |SELECT CAST($k AS BIGINT) AS k, kp.k_merged,
+       |  ao.a_only AS a_only_hits, bo.b_only AS b_only_hits,
+       |  CASE WHEN kp.k_merged > 0 THEN
+       |    ue.union_est * CAST(ao.a_only AS DOUBLE) / CAST(kp.k_merged AS DOUBLE)
+       |  END AS est_a_not_b,
+       |  CASE WHEN kp.k_merged > 0 THEN
+       |    ue.union_est * CAST(bo.b_only AS DOUBLE) / CAST(kp.k_merged AS DOUBLE)
+       |  END AS est_b_not_a,
+       |  ex.exact_a_not_b, ex.exact_b_not_a
+       |FROM kp, ao, bo, ue, ex""".stripMargin
+
   /** Deterministic sample quantiles: the k rows with the smallest
     * `md5(key)` form a uniform, REPRODUCIBLE sample of the population (same
     * winners on any partitioning, any cluster, any engine — no RNG in the

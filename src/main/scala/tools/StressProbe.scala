@@ -167,7 +167,14 @@ object StressProbe {
       "text_rake_keywords" -> (d => graft.ext.TextOps.rakeKeywords(d).count()),
       "multimodal_phash_pairs" -> (d =>
         graft.ext.Multimodal.phashPairs(graft.ext.Multimodal.asMedia(d)).count()),
-      "search_rrf_fusion" -> (d => graft.ext.TextOps.searchRrf(d).count()))
+      "search_rrf_fusion" -> (d => graft.ext.TextOps.searchRrf(d).count()),
+      "graph_lpa_communities" -> (d => graft.ext.Graph.lpaCommunities(d,
+        graft.ext.Dedup.lshCandidatePairs(
+          graft.ext.Dedup.minhashSignatures(d))).count()),
+      "sketch_kmv_difference" -> (d => graft.ext.Sketch.kmvDifference(
+        graft.ext.Dedup.shingles(d.filter(col("source") === "src0"), 3), col("tok"),
+        graft.ext.Dedup.shingles(d.filter(col("source") === "src1"), 3), col("tok"),
+        128).count()))
     val embOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(
       "dedup_embedding_cosine_bucketed" ->
         (e => graft.ext.Similarity.cosinePairsBucketed(e).count()),

@@ -158,4 +158,30 @@ class GraphSpec extends AnyFunSuite {
     val path = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
     assert(Graph.linkPrediction(path, maxMiddleDeg = 2L).count() == 1L)
   }
+
+  test("lpaCommunities splits bridged cliques that CC would merge") {
+    // two triangles joined by ONE bridge edge 3–10: a single connected
+    // component, but LPA's density propagation settles into two
+    // communities (labels 1 and 3 after 4 synchronous rounds with
+    // smallest-label ties — hand-traced)
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("doc_a", "doc_b")
+    val got = Graph.lpaCommunities(nodes, pairs)
+      .select("doc_id", "community", "community_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 3L, 3L), (11L, 3L, 3L), (12L, 3L, 3L),
+      (99L, 99L, 1L))) // not in the pair graph → own singleton
+    // fixture: integer-deterministic → identical under repartition
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "documents")
+    val ps = Dedup.lshCandidatePairs(Dedup.minhashSignatures(fx))
+    val a = Graph.lpaCommunities(fx, ps).collect().map(_.toString).sorted.toSeq
+    val b = Graph.lpaCommunities(fx.repartition(9), ps).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }

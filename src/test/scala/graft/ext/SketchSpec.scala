@@ -226,4 +226,33 @@ class SketchSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_estimate")).toMap
     assert(again == got.map { case (g, r) => g -> r.getAs[Double]("hll_estimate") })
   }
+
+  test("kmvDifference: exact sides, sketch-covers-union exactness, zero " +
+    "difference on identical sets") {
+    def set(xs: Range) = xs.map(_.toLong).toDF("x")
+    val a = set(1 to 20)
+    val b = set(15 to 30)
+    // k = 64 > |union| = 30: the merged sketch holds the WHOLE union →
+    // estimates are exact by construction
+    val full = Sketch.kmvDifference(a, col("x"), b, col("x"), 64)
+      .collect().head
+    assert(full.getAs[Long]("k_merged") == 30L)
+    assert(full.getAs[Long]("exact_a_not_b") == 14L) // 1..14
+    assert(full.getAs[Long]("exact_b_not_a") == 10L) // 21..30
+    assert(full.getAs[Double]("est_a_not_b") == 14.0)
+    assert(full.getAs[Double]("est_b_not_a") == 10.0)
+    // identical sets → both differences zero (sketch and exact)
+    val same = Sketch.kmvDifference(a, col("x"), a, col("x"), 8)
+      .collect().head
+    assert(same.getAs[Long]("a_only_hits") == 0L &&
+      same.getAs[Double]("est_a_not_b") == 0.0 &&
+      same.getAs[Long]("exact_a_not_b") == 0L)
+    // k < union: estimate within a loose band of truth, partition-invariant
+    val sk = Sketch.kmvDifference(a, col("x"), b, col("x"), 8).collect().head
+    assert(sk.getAs[Long]("k_merged") == 8L)
+    assert(sk.getAs[Double]("est_a_not_b") >= 0.0)
+    val again = Sketch.kmvDifference(a.repartition(5), col("x"),
+      b.repartition(3), col("x"), 8).collect().head
+    assert(sk.toString == again.toString)
+  }
 }
