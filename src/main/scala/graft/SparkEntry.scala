@@ -1216,6 +1216,15 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Z-order pruning-effectiveness audit (etl/Layout.zorderPruningAudit):
+    // per-"file" min/max stats (what parquet footers store) under
+    // time-linear vs z-order layout, scanned-file count for the
+    // second-quartile rectangle — the measurement that justifies a 100 TB
+    // re-layout before running it; exact-ntile file cuts, no global window
+    "layout_zorder_pruning" -> ((s, dir) =>
+      graft.etl.Layout.zorderPruningAudit(t(s, dir, "events"))
+        .orderBy("layout")),
+
     // bucketing end-to-end (etl/Layout.writeBucketed): both fact tables
     // written bucketed+sorted on the join key, then joined WITHOUT any
     // Exchange on that key — the row itself asserts the plan (broadcast
@@ -3390,6 +3399,7 @@ object SparkEntry {
         |GROUP BY a.event_id, a.user_id
         |ORDER BY a.event_id""".stripMargin,
 
+    "layout_zorder_pruning" -> graft.etl.Layout.zorderPruningAuditSqlDuck(),
     "events_zorder_key" ->
       s"""WITH s AS (SELECT min(user_id) AS xmin, max(user_id) AS xmax,
          |    min(epoch_us(ts)) AS ymin, max(epoch_us(ts)) AS ymax FROM events),

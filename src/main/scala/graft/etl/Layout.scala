@@ -102,6 +102,102 @@ object Layout {
     sorted.drop("zkey").write.mode("overwrite").parquet(path)
   }
 
+  /** Z-order pruning-effectiveness AUDIT: measures, from statistics alone,
+    * how many "files" a rectangle predicate would actually scan under two
+    * physical layouts of the SAME rows — time-linear (the natural ingest
+    * order) vs [[zOrderKey]] order — by cutting each layout into `files`
+    * equal-count buckets, collecting per-bucket min/max of both predicate
+    * columns (exactly what parquet footers store), and counting buckets
+    * whose stats overlap the rectangle. This is the measurement that
+    * justifies [[writeZOrdered]] before anyone rewrites 100 TB: the linear
+    * layout prunes only on time (every time-slice file spans all users),
+    * the z-order layout prunes on both dimensions.
+    *
+    * The predicate is derived from the data's own bounds in exact BIGINT
+    * (`lo + span DIV 4 .. lo + span DIV 2` on each axis — the second
+    * quartile rectangle), so the audit is scale-invariant and both engines
+    * compute identical file sets. File assignment is the exact closed-form
+    * ntile over the [[IngestOps.withGlobalPos]] rank (no single-partition
+    * window); output is one row per layout with the scanned-file count and
+    * fraction. */
+  def zorderPruningAudit(events: DataFrame, files: Int = 64,
+      bits: Int = 10): DataFrame = {
+    require(files >= 2 && files <= 100000, s"files out of range: $files")
+    val e = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val keyed = CacheRegistry.persist(zOrderKey(e, "user_id", "us", bits))
+    val n = keyed.count()
+    def fileStats(key: Column, order: Seq[Column], layout: String): DataFrame =
+      IngestOps.withGlobalPos(keyed, key, "_pos", order = order)
+        .withColumn("file_id", IngestOps.ntileFromRank(col("_pos"), n, files))
+        .groupBy("file_id")
+        .agg(min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+          min(col("us")).as("smin"), max(col("us")).as("smax"))
+        .withColumn("layout", lit(layout))
+    val lin = fileStats(col("us"), Seq(col("us"), col("event_id")), "linear")
+    val zo = fileStats(col("zkey"), Seq(col("zkey"), col("event_id")), "zorder")
+    val bounds = keyed.agg(
+      min(col("user_id")).as("xlo"), max(col("user_id")).as("xhi"),
+      min(col("us")).as("tlo_all"), max(col("us")).as("thi_all"))
+    lin.unionByName(zo).crossJoin(broadcast(bounds))
+      .select(col("layout"), col("umin"), col("umax"), col("smin"), col("smax"),
+        expr("xlo + (xhi - xlo) DIV 4").as("ulo"),
+        expr("xlo + (xhi - xlo) DIV 2").as("uhi"),
+        expr("tlo_all + (thi_all - tlo_all) DIV 4").as("tlo"),
+        expr("tlo_all + (thi_all - tlo_all) DIV 2").as("thi"))
+      .withColumn("scanned",
+        when(col("umax") >= col("ulo") && col("umin") <= col("uhi") &&
+          col("smax") >= col("tlo") && col("smin") <= col("thi"), 1L)
+          .otherwise(0L))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"), sum(col("scanned")).as("n_scanned"))
+      .withColumn("scan_fraction",
+        col("n_scanned").cast("double") / col("n_files").cast("double"))
+  }
+
+  /** Oracle twin of [[zorderPruningAudit]]: plain ntile windows (the
+    * closed form's semantics), the shared Morton expression, identical
+    * integer predicate derivation. */
+  def zorderPruningAuditSqlDuck(files: Int = 64, bits: Int = 10): String = {
+    val nb = 1L << bits
+    s"""WITH s AS (SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+       |    min(epoch_us(ts)) AS ymin, max(epoch_us(ts)) AS ymax
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       | z AS (SELECT event_id, user_id, us,
+       |    ${graft.functions.MortonInterleave.sqlDuck("bx", "by", bits)} AS zkey
+       |  FROM (SELECT event_id, user_id, epoch_us(ts) AS us,
+       |      ((user_id - xmin) * $nb) // (xmax - xmin + 1) AS bx,
+       |      ((epoch_us(ts) - ymin) * $nb) // (ymax - ymin + 1) AS by
+       |    FROM events, s
+       |    WHERE user_id IS NOT NULL AND ts IS NOT NULL)),
+       | fl AS (
+       |  SELECT 'linear' AS layout,
+       |    ntile($files) OVER (ORDER BY us, event_id) AS f, user_id, us
+       |  FROM z
+       |  UNION ALL
+       |  SELECT 'zorder' AS layout,
+       |    ntile($files) OVER (ORDER BY zkey, event_id) AS f, user_id, us
+       |  FROM z),
+       | st AS (SELECT layout, f, min(user_id) AS umin, max(user_id) AS umax,
+       |    min(us) AS smin, max(us) AS smax
+       |  FROM fl GROUP BY layout, f),
+       | bounds AS (SELECT min(user_id) AS xlo, max(user_id) AS xhi,
+       |    min(us) AS tlo_all, max(us) AS thi_all FROM z),
+       | pred AS (SELECT xlo + (xhi - xlo) // 4 AS ulo,
+       |    xlo + (xhi - xlo) // 2 AS uhi,
+       |    tlo_all + (thi_all - tlo_all) // 4 AS tlo,
+       |    tlo_all + (thi_all - tlo_all) // 2 AS thi FROM bounds)
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN umax >= ulo AND umin <= uhi
+       |    AND smax >= tlo AND smin <= thi THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_scanned,
+       |  CAST(sum(CASE WHEN umax >= ulo AND umin <= uhi
+       |    AND smax >= tlo AND smin <= thi THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS scan_fraction
+       |FROM st CROSS JOIN pred
+       |GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   /** Final executed plan node names (descends AQE wrappers) for plan tests. */
   def finalPlanString(df: DataFrame): String = {
     val sb = new StringBuilder

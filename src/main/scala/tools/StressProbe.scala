@@ -226,7 +226,9 @@ object StressProbe {
         graft.ext.Sketch.hllDistinctByGroup(e, "event_type", "user_id").count()),
       "events_winsorize" -> (e => graft.ext.Analytics.winsorize(e).count()),
       "events_survival_km" -> (e => graft.ext.Analytics.kaplanMeier(e).count()),
-      "events_max_drawdown" -> (e => graft.ext.Analytics.maxDrawdown(e).count()))
+      "events_max_drawdown" -> (e => graft.ext.Analytics.maxDrawdown(e).count()),
+      "layout_zorder_pruning" -> (e =>
+        graft.etl.Layout.zorderPruningAudit(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

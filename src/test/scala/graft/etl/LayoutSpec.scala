@@ -87,4 +87,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
       s"no partition pruning in scan:\n$scan")
   }
+
+  test("zorderPruningAudit: z-order scans fewer files than the time-linear " +
+    "layout on a rectangle predicate") {
+    import spark.implicits._
+    // full 32×32 (user, time) grid: a time-linear layout makes every file
+    // span ALL users, so the user half of the rectangle prunes nothing;
+    // the z-order layout clusters both dimensions
+    val grid = for (u <- 0 until 32; t <- 0 until 32)
+      yield (u.toLong * 32 + t, u.toLong, t.toLong * 1000000L)
+    val e = grid.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val scanned = Layout.zorderPruningAudit(e, files = 16)
+      .select("layout", "n_scanned").as[(String, Long)].collect().toMap
+    assert(scanned("zorder") < scanned("linear"),
+      s"z-order must prune more: $scanned")
+    // fixture: deterministic under repartition, same inequality
+    val fx = IngestOps.table(spark, sf0001, "events")
+    val a = Layout.zorderPruningAudit(fx).collect().map(_.toString).sorted.toSeq
+    val b = Layout.zorderPruningAudit(fx.repartition(11)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    val fxScan = Layout.zorderPruningAudit(fx)
+      .select("layout", "n_scanned").as[(String, Long)].collect().toMap
+    assert(fxScan("zorder") <= fxScan("linear"), s"fixture: $fxScan")
+  }
 }
