@@ -139,6 +139,50 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint restart: a resumed windowed aggregation equals a one-shot run") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_restart_").toString
+    val evDir = s"$base/events.parquet"
+    val ev = graft.etl.IngestOps.table(spark, sf0001, "events")
+      .filter(col("ts").isNotNull)
+    // time-split halves so no late data crosses the restart boundary
+    val cutUs = ev
+      .agg(expr("min(unix_micros(ts)) + " +
+        "(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 2"))
+      .head.getLong(0)
+    ev.filter(unix_micros(col("ts")) <= cutUs)
+      .write.mode("overwrite").parquet(evDir)
+
+    // the memory sink cannot recover from a checkpoint — the restart claim
+    // needs the fault-tolerant FILE sink, whose _spark_metadata log is
+    // exactly what makes resumed output exactly-once
+    def runOnce(out: String, ck: String): Unit = {
+      val q = EventStreams.tumblingCounts(EventStreams.readEvents(spark, base))
+        .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // run 1: first half, checkpointed
+    runOnce(s"$base/out", s"$base/ck")
+    val rows1 = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSeq
+    // new files arrive; run 2 RESUMES from the same checkpoint + sink dir
+    ev.filter(unix_micros(col("ts")) > cutUs)
+      .write.mode("append").parquet(evDir)
+    runOnce(s"$base/out", s"$base/ck")
+    val union = spark.read.parquet(s"$base/out").collect().map(_.toSeq).toSeq
+    // one-shot over the full directory with a fresh checkpoint + sink
+    runOnce(s"$base/out_fresh", s"$base/ck_fresh")
+    val oneShot = spark.read.parquet(s"$base/out_fresh").collect().map(_.toSeq)
+
+    assert(rows1.nonEmpty && union.size > rows1.size,
+      "both runs must emit finalized windows")
+    // exactly-once resume: no window emitted twice, union equals one-shot
+    assert(union.size == union.toSet.size, "a window was emitted twice")
+    assert(union.toSet == oneShot.toSet)
+  }
+
   test("stream-stream FULL OUTER join: matches + two-sided watermark-finalized nulls") {
     import org.apache.spark.sql.functions._
     val joined = EventStreams.clickPurchaseFullOuter(EventStreams.readEvents(spark, sf0001))
