@@ -2287,6 +2287,14 @@ object SparkEntry {
     "orders_cohort_ltv" -> ((s, dir) =>
       graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
 
+    // incident × session interval-overlap join (ext/Temporal
+    // .incidentOverlap): top-24 busiest error-hours merged into incidents
+    // (scale-invariant burst definition), hour-bucketed overlap join
+    // against 30-min-gap sessions, exact overlap time per incident
+    "events_incident_overlap" -> ((s, dir) =>
+      graft.ext.Temporal.incidentOverlap(t(s, dir, "events"))
+        .orderBy("h_start")),
+
     // max drawdown per user over the cumulative value series (ext/
     // Analytics.maxDrawdown): exact-cents prefix sum + running max, both
     // windows and the rollup inside ONE user_id exchange
@@ -3732,6 +3740,7 @@ object SparkEntry {
     "orders_cohort_ltv" -> graft.ext.Analytics.cohortLtvSqlDuck,
     "events_survival_km" -> graft.ext.Analytics.kaplanMeierSqlDuck(),
     "events_max_drawdown" -> graft.ext.Analytics.maxDrawdownSqlDuck,
+    "events_incident_overlap" -> graft.ext.Temporal.incidentOverlapSqlDuck(),
     "text_rake_keywords" -> TextOps.rakeKeywordsSqlDuck(),
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,

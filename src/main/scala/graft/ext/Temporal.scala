@@ -190,4 +190,112 @@ object Temporal {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select(unix_micros(col("window.start")).as("w_us") +: keys.map(col) :+
         col("keep_id") :+ col("n_dups"): _*)
+
+  /** Incident × session INTERVAL-OVERLAP join — the interval-interval
+    * primitive the point-interval [[Ranges.bucketedRangeJoin]] doesn't
+    * cover: "incidents" are the corpus's `topHours` busiest error-hours
+    * (rank on the hourly error rollup — a deterministic, SCALE-INVARIANT
+    * burst definition; a relative threshold washes out as Poisson noise
+    * smooths at volume), consecutive hot hours merged into intervals by
+    * gaps-and-islands; each incident is then overlap-joined against the
+    * 30-min-gap [[sessionIntervals]] and rolled up to one row per
+    * incident: how many user sessions it touched and the exact total
+    * overlap time. The ops-triage question "who was on during the
+    * incident" as one declarative plan.
+    *
+    * Scale shape: the hourly rollup map-side combines to calendar-bounded
+    * rows; incident ranking is TakeOrdered over that rollup and the
+    * island ids come from [[graft.etl.IngestOps.withGlobalPos]] (no
+    * unpartitioned window anywhere); the overlap join buckets both sides
+    * by HOUR (sessions explode into their touched hours — bounded by the
+    * session gap — incidents into theirs) and joins on the hour key, so
+    * the only pairs ever materialized already overlap. Sessions are
+    * half-open [start, end+1µs); overlap_us is exact integer. */
+  def incidentOverlap(events: DataFrame, topHours: Int = 24,
+      gapUs: Long = 1800000000L): DataFrame = {
+    require(topHours >= 1 && topHours <= 100000, s"topHours: $topHours")
+    val hourUs = 3600000000L
+    val e = events.filter(col("ts").isNotNull)
+    val hot = graft.etl.CacheRegistry.persist(
+      e.filter(col("event_type") === "error")
+        .select(expr(s"unix_micros(ts) DIV $hourUs").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_err"))
+        .orderBy(col("n_err").desc, col("h")).limit(topHours))
+    val incidents = graft.etl.IngestOps.withGlobalPos(hot, col("h"), "_pos")
+      .withColumn("isl", col("h") - col("_pos"))
+      .groupBy("isl")
+      .agg(min(col("h")).as("h_start"), max(col("h")).as("h_end"),
+        sum(col("n_err")).as("n_errors"))
+      .select(col("h_start"), col("h_end"),
+        (col("h_end") - col("h_start") + 1).as("incident_hours"),
+        col("n_errors"),
+        (col("h_start") * hourUs).as("is_us"),
+        ((col("h_end") + 1) * hourUs).as("ie_us"))
+    val sess = sessionIntervals(e.filter(col("user_id").isNotNull), gapUs)
+      .select(col("user_id"), col("session_id"),
+        col("start_us"), (col("end_us") + 1).as("end_excl_us"))
+    val sessH = sess.withColumn("h",
+      explode(sequence(expr(s"start_us DIV $hourUs"),
+        expr(s"(end_excl_us - 1) DIV $hourUs"))))
+    val incH = incidents.withColumn("h",
+      explode(sequence(col("h_start"), col("h_end"))))
+    val pairs = sessH.join(incH, "h")
+      .select(col("user_id"), col("session_id"), col("h_start"),
+        col("incident_hours"), col("n_errors"),
+        (least(col("end_excl_us"), col("ie_us")) -
+          greatest(col("start_us"), col("is_us"))).as("overlap_us"))
+      .distinct()
+    pairs.groupBy("h_start", "incident_hours", "n_errors")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("overlap_us")).as("overlap_us_total"))
+  }
+
+  /** Oracle twin of [[incidentOverlap]]: plain window islands over the
+    * top-hour rollup, generate_series hour explode, the same half-open
+    * overlap arithmetic. */
+  def incidentOverlapSqlDuck(topHours: Int = 24,
+      gapUs: Long = 1800000000L): String = {
+    val hourUs = 3600000000L
+    s"""WITH hot AS (SELECT h, n_err FROM (
+       |    SELECT epoch_us(ts) // $hourUs AS h, CAST(count(*) AS BIGINT) AS n_err
+       |    FROM events WHERE ts IS NOT NULL AND event_type = 'error'
+       |    GROUP BY 1)
+       |  ORDER BY n_err DESC, h LIMIT $topHours),
+       | isl AS (SELECT h, n_err,
+       |    h - row_number() OVER (ORDER BY h) AS g FROM hot),
+       | inc AS (SELECT min(h) AS h_start, max(h) AS h_end,
+       |    max(h) - min(h) + 1 AS incident_hours,
+       |    CAST(sum(n_err) AS BIGINT) AS n_errors,
+       |    min(h) * $hourUs AS is_us, (max(h) + 1) * $hourUs AS ie_us
+       |  FROM isl GROUP BY g),
+       | ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+       |   WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+       | mk AS (SELECT user_id, event_id, us,
+       |    CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > $gapUs
+       |      THEN 1 ELSE 0 END AS nw
+       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       | sid AS (SELECT user_id, us,
+       |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM mk),
+       | sess AS (SELECT user_id, session_id, min(us) AS start_us,
+       |    max(us) + 1 AS end_excl_us
+       |  FROM sid GROUP BY user_id, session_id),
+       | sh AS (SELECT user_id, session_id, start_us, end_excl_us,
+       |    unnest(generate_series(start_us // $hourUs,
+       |      (end_excl_us - 1) // $hourUs)) AS h
+       |  FROM sess),
+       | ih AS (SELECT inc.*, unnest(generate_series(h_start, h_end)) AS h
+       |   FROM inc),
+       | pairs AS (SELECT DISTINCT sh.user_id, sh.session_id, ih.h_start,
+       |    ih.incident_hours, ih.n_errors,
+       |    least(sh.end_excl_us, ih.ie_us)
+       |      - greatest(sh.start_us, ih.is_us) AS overlap_us
+       |  FROM sh JOIN ih ON sh.h = ih.h)
+       |SELECT h_start, incident_hours, n_errors,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(overlap_us) AS BIGINT) AS overlap_us_total
+       |FROM pairs GROUP BY h_start, incident_hours, n_errors
+       |ORDER BY h_start""".stripMargin
+  }
 }

@@ -228,7 +228,9 @@ object StressProbe {
       "events_survival_km" -> (e => graft.ext.Analytics.kaplanMeier(e).count()),
       "events_max_drawdown" -> (e => graft.ext.Analytics.maxDrawdown(e).count()),
       "layout_zorder_pruning" -> (e =>
-        graft.etl.Layout.zorderPruningAudit(e).count()))
+        graft.etl.Layout.zorderPruningAudit(e).count()),
+      "events_incident_overlap" -> (e =>
+        graft.ext.Temporal.incidentOverlap(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =

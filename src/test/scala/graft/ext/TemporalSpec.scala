@@ -192,4 +192,41 @@ class TemporalSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(again === got)
   }
+
+  test("incidentOverlap: top-hour incidents, hour-bucketed session overlap") {
+    val H = 3600000000L
+    // errors (null user → no session of their own): 5 in hour 10, 4 in
+    // hour 11 (the top-2, consecutive → ONE merged incident [10h, 12h)),
+    // 3 in hour 20 (below the cut)
+    val errs = (0 until 5).map(k => (1000L + k, Option.empty[Long],
+        "error", 10 * H + k * 1000000L)) ++
+      (0 until 4).map(k => (1100L + k, Option.empty[Long],
+        "error", 11 * H + k * 1000000L)) ++
+      (0 until 3).map(k => (1200L + k, Option.empty[Long],
+        "error", 20 * H + k * 1000000L))
+    // user 1: session fully inside the incident → overlap = span + 1µs
+    val u1 = Seq((1L, Option(1L), "view", 10 * H + 100000000L),
+      (2L, Option(1L), "view", 10 * H + 200000000L))
+    // user 2: session at hour 5 → never joins
+    val u2 = Seq((3L, Option(2L), "view", 5 * H))
+    // user 3: session 9h50–10h20 (15-min steps) → clipped overlap 20min+1µs
+    val u3 = Seq((4L, Option(3L), "view", 9 * H + 3000000000L),
+      (5L, Option(3L), "view", 10 * H + 300000000L),
+      (6L, Option(3L), "view", 10 * H + 1200000000L))
+    val e = (errs ++ u1 ++ u2 ++ u3)
+      .toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = Temporal.incidentOverlap(e, topHours = 2)
+      .select("h_start", "incident_hours", "n_errors", "n_sessions",
+        "overlap_us_total")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L, 9L, 2L, 100000001L + 1200000001L)))
+    // fixture: deterministic under repartition, non-empty
+    val fx = graft.etl.IngestOps.table(spark, graft.SparkTestSession.sf0001,
+      "events")
+    val a = Temporal.incidentOverlap(fx).collect().map(_.toString).sorted.toSeq
+    val b = Temporal.incidentOverlap(fx.repartition(7)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
