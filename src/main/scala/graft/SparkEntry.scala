@@ -2287,6 +2287,19 @@ object SparkEntry {
     "orders_cohort_ltv" -> ((s, dir) =>
       graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
 
+    // Fano factor of hourly event counts per user (ext/Stats.fanoFactor):
+    // exact cross-multiplied integer moments over the corpus hour span —
+    // the arrival-process SHAPE signal botRates' thresholds don't see
+    "events_fano_factor" -> ((s, dir) =>
+      graft.ext.Stats.fanoFactor(t(s, dir, "events")).orderBy("user_id")),
+
+    // Herfindahl revenue concentration per nation (ext/Analytics
+    // .hhiConcentration): exact decimal revenue → micro-unit shares →
+    // integer HHI; supplier→nation broadcast, rollups only, no window
+    "orders_hhi_concentration" -> ((s, dir) =>
+      graft.ext.Analytics.hhiConcentration(t(s, dir, "lineitem"),
+        t(s, dir, "supplier"), t(s, dir, "nation")).orderBy("n_name")),
+
     // incident × session interval-overlap join (ext/Temporal
     // .incidentOverlap): top-24 busiest error-hours merged into incidents
     // (scale-invariant burst definition), hour-bucketed overlap join
@@ -3741,6 +3754,8 @@ object SparkEntry {
     "events_survival_km" -> graft.ext.Analytics.kaplanMeierSqlDuck(),
     "events_max_drawdown" -> graft.ext.Analytics.maxDrawdownSqlDuck,
     "events_incident_overlap" -> graft.ext.Temporal.incidentOverlapSqlDuck(),
+    "events_fano_factor" -> graft.ext.Stats.fanoFactorSqlDuck,
+    "orders_hhi_concentration" -> graft.ext.Analytics.hhiConcentrationSqlDuck,
     "text_rake_keywords" -> TextOps.rakeKeywordsSqlDuck(),
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,

@@ -1237,6 +1237,78 @@ object Analytics {
        |CROSS JOIN n
        |ORDER BY brand_a, brand_b""".stripMargin
 
+  /** Herfindahl–Hirschman revenue-concentration index per nation: each
+    * supplier's share of its nation's lineitem revenue, squared and
+    * summed — the antitrust-style concentration statistic (10 000 ≡ HHI 1.0
+    * in the conventional 0–10 000 scale; here micro-units of 1.0). Answers
+    * "is this nation's supply concentrated in a few suppliers" exactly.
+    *
+    * Exactness: revenue `extendedprice·(1−discount)` is the exact
+    * DECIMAL(18,2)² product (scale 4), summed per supplier and ×10⁴ into
+    * BIGINT quarter-basis units; shares floor-quantize to micro-units
+    * (`rev·10⁶ DIV total` — exact while a nation's revenue stays under
+    * 9.2·10¹² revenue units, the repo's documented quantization bound
+    * class) and HHI is the exact integer `Σ share² DIV 10⁶`. One final
+    * int/int double for display.
+    *
+    * Shape: one lineitem rollup keyed by supplier (map-side combinable),
+    * a broadcast supplier→nation join, a nation rollup — never a window. */
+  def hhiConcentration(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val rev = lineitem.filter(col("l_suppkey").isNotNull &&
+        col("l_extendedprice").isNotNull && col("l_discount").isNotNull)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType182) *
+          (lit(1).cast(DecimalType182) -
+            col("l_discount").cast(DecimalType182)) * 10000)
+          .cast("long").as("rev4"))
+      .groupBy("l_suppkey").agg(sum(col("rev4")).as("rev4"))
+    val byNation = rev
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey"))), "l_suppkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"),
+        col("n_name"))), "s_nationkey")
+    val totals = byNation.groupBy("n_name")
+      .agg(sum(col("rev4")).as("total4"), count(lit(1)).as("n_suppliers"))
+    byNation.join(totals, "n_name")
+      .select(col("n_name"), col("n_suppliers"), col("total4"),
+        expr("(rev4 * CAST(1000000 AS BIGINT)) DIV total4").as("share_micro"))
+      .groupBy("n_name", "n_suppliers", "total4")
+      .agg(expr("sum(share_micro * share_micro) DIV CAST(1000000 AS BIGINT)")
+        .as("hhi_micro"), max(col("share_micro")).as("top_share_micro"))
+      .select(col("n_name"), col("n_suppliers"), col("hhi_micro"),
+        col("top_share_micro"),
+        (col("hhi_micro").cast("double") / lit(1000000.0)).as("hhi"))
+  }
+
+  /** Oracle twin of [[hhiConcentration]] — identical decimal/integer
+    * share arithmetic. */
+  def hhiConcentrationSqlDuck: String =
+    """WITH rev AS (SELECT l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |      * 10000 AS BIGINT)) AS BIGINT) AS rev4
+      |  FROM lineitem
+      |  WHERE l_suppkey IS NOT NULL AND l_extendedprice IS NOT NULL
+      |    AND l_discount IS NOT NULL
+      |  GROUP BY l_suppkey),
+      | bn AS (SELECT n.n_name, rev.rev4
+      |   FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+      |   JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      | tot AS (SELECT n_name, CAST(sum(rev4) AS BIGINT) AS total4,
+      |    CAST(count(*) AS BIGINT) AS n_suppliers
+      |   FROM bn GROUP BY n_name),
+      | sh AS (SELECT bn.n_name, tot.n_suppliers, tot.total4,
+      |    (bn.rev4 * 1000000) // tot.total4 AS share_micro
+      |   FROM bn JOIN tot ON bn.n_name = tot.n_name)
+      |SELECT n_name, n_suppliers,
+      |  CAST(sum(share_micro * share_micro) // 1000000 AS BIGINT) AS hhi_micro,
+      |  CAST(max(share_micro) AS BIGINT) AS top_share_micro,
+      |  CAST(sum(share_micro * share_micro) // 1000000 AS DOUBLE) / 1000000.0
+      |    AS hhi
+      |FROM sh GROUP BY n_name, n_suppliers, total4
+      |ORDER BY n_name""".stripMargin
+
   /** Maximum drawdown per user over the cumulative value series — the
     * quant-style "largest peak-to-trough loss" statistic, here over each
     * user's running event-value total: with P_t the exact-cents prefix sum

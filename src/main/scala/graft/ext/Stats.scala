@@ -731,4 +731,51 @@ object Stats {
          |  CAST(min($c) AS VARCHAR) AS vmin, CAST(max($c) AS VARCHAR) AS vmax
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Fano factor (index of dispersion) of each user's hourly event counts
+    * over the corpus's full hour span — the burstiness statistic: 1 ≈
+    * Poisson (memoryless automation), ≫ 1 bursty human sessions, ≪ 1
+    * metronomic bots. Complements [[botRates]] (which thresholds rate and
+    * peak burst; Fano measures the SHAPE of the arrival process).
+    *
+    * F = Var(x)/E[x] over the span's hours including empty ones, which
+    * reduces to exact integer moments: with s = Σ counts, q = Σ counts²
+    * over ACTIVE hours (empty hours add 0 to both) and H = span hours,
+    * F = (q·H − s²) / (s·(H−1)) using the unbiased variance — computed by
+    * cross-multiplied BIGINTs and ONE final double division chain, the
+    * repo's exact-moment idiom (q ≤ s·max_count keeps everything inside
+    * BIGINT for any per-user volume under ~3·10⁹ events/hour).
+    *
+    * Shape: one (user, hour) rollup (map-side combinable), one user rollup,
+    * a broadcast 1-row span — single exchange end to end. */
+  def fanoFactor(events: DataFrame): DataFrame = {
+    val hourUs = 3600000000L
+    val e = events.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $hourUs").as("h"))
+    val span = e.agg((max(col("h")) - min(col("h")) + 1L).as("span_h"))
+    val perHour = e.groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+    perHour.groupBy("user_id")
+      .agg(count(lit(1)).as("active_hours"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("q"))
+      .crossJoin(broadcast(span))
+      .select(col("user_id"), col("active_hours"), col("s").as("n_events"),
+        col("span_h"),
+        ((col("q") * col("span_h") - col("s") * col("s")).cast("double") /
+          (col("s") * (col("span_h") - 1L)).cast("double")).as("fano"))
+  }
+
+  /** Oracle twin of [[fanoFactor]] — identical integer moments. */
+  def fanoFactorSqlDuck: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 3600000000 AS h
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      | sp AS (SELECT max(h) - min(h) + 1 AS span_h FROM e),
+      | ph AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS c
+      |   FROM e GROUP BY user_id, h),
+      | u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS active_hours,
+      |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
+      |   FROM ph GROUP BY user_id)
+      |SELECT user_id, active_hours, s AS n_events, sp.span_h,
+      |  CAST(q * sp.span_h - s * s AS DOUBLE)
+      |    / CAST(s * (sp.span_h - 1) AS DOUBLE) AS fano
+      |FROM u CROSS JOIN sp ORDER BY user_id""".stripMargin
 }

@@ -230,7 +230,8 @@ object StressProbe {
       "layout_zorder_pruning" -> (e =>
         graft.etl.Layout.zorderPruningAudit(e).count()),
       "events_incident_overlap" -> (e =>
-        graft.ext.Temporal.incidentOverlap(e).count()))
+        graft.ext.Temporal.incidentOverlap(e).count()),
+      "events_fano_factor" -> (e => graft.ext.Stats.fanoFactor(e).count()))
 
     val families: Seq[(String, org.apache.spark.sql.DataFrame,
         org.apache.spark.sql.DataFrame, Map[String, org.apache.spark.sql.DataFrame => Long])] =
@@ -264,7 +265,7 @@ object StressProbe {
       "q16_supplier_counts", "q20_excess_shipments",
       "sketch_sample_quantiles", "sketch_sample_quantiles_grouped",
       "orders_pareto_front", "orc_roundtrip", "csv_roundtrip",
-      "orders_cohort_ltv")
+      "orders_cohort_ltv", "orders_hhi_concentration")
 
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on

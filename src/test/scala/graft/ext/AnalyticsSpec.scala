@@ -546,6 +546,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("hhiConcentration: exact micro-unit shares, monopoly pins 1.0") {
+    val li = Seq(
+      (1L, 6.0, 0.5), // nation A supplier 1: rev 3.00 → rev4 30000
+      (2L, 1.0, 0.0), // nation A supplier 2: rev 1.00 → rev4 10000
+      (3L, 2.0, 0.0)) // nation B monopoly
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("s_suppkey", "s_nationkey")
+    val nat = Seq((0, "A"), (1, "B")).toDF("n_nationkey", "n_name")
+    val got = Analytics.hhiConcentration(li, sup, nat)
+      .select("n_name", "n_suppliers", "hhi_micro", "top_share_micro")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // A: shares 750000/250000 → hhi = (75e4² + 25e4²)/1e6 = 625000
+    assert(got == Seq(("A", 2L, 625000L, 750000L),
+      ("B", 1L, 1000000L, 1000000L)))
+    // fixture: exact integers → identical under repartition
+    val sf = graft.SparkTestSession.sf0001
+    val fx = Analytics.hhiConcentration(
+      graft.etl.IngestOps.table(spark, sf, "lineitem"),
+      graft.etl.IngestOps.table(spark, sf, "supplier"),
+      graft.etl.IngestOps.table(spark, sf, "nation"))
+    val a = fx.collect().map(_.toString).sorted.toSeq
+    val b = Analytics.hhiConcentration(
+      graft.etl.IngestOps.table(spark, sf, "lineitem").repartition(9),
+      graft.etl.IngestOps.table(spark, sf, "supplier"),
+      graft.etl.IngestOps.table(spark, sf, "nation"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("maxDrawdown: peak-to-trough over the exact-cents prefix sum") {
     val e = Seq(
       // user 1: +5.00, −3.00, +1.00, −6.00 → prefix 500,200,300,−300;

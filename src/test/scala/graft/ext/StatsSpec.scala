@@ -454,4 +454,29 @@ class StatsSpec extends AnyFunSuite {
       .collect().head.toString
     assert(x == y)
   }
+
+  test("fanoFactor: 0 for a metronome, N for an N-burst, exact moments") {
+    val H = 3600000000L
+    // corpus span = hours 0..9 (user 9 pins both ends with 1 event each)
+    val rows =
+      (0 until 10).map(h => (100L + h, 1L, h * H)) ++ // u1: 1/hour → F = 0
+      (0 until 10).map(k => (200L + k, 2L, 0L + k * 1000L)) ++ // u2: burst
+      Seq((300L, 9L, 0L), (301L, 9L, 9 * H)) // u9 span pins
+    val e = rows.toDF("event_id", "user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val f = Stats.fanoFactor(e)
+      .select("user_id", "fano").as[(Long, Double)].collect().toMap
+    assert(f(1L) == 0.0)
+    // u2: s=10, q=100, span=10 → (1000−100)/(10·9) = 10
+    assert(f(2L) == 10.0)
+    // u9: s=2, q=2 → (20−4)/(2·9)
+    assert(f(9L) == 16.0 / 18.0)
+    // fixture: deterministic under repartition
+    val fx = graft.etl.IngestOps.table(spark, SparkTestSession.sf0001,
+      "events")
+    val a = Stats.fanoFactor(fx).collect().map(_.toString).sorted.toSeq
+    val b = Stats.fanoFactor(fx.repartition(11)).collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
