@@ -37,6 +37,20 @@ object PlanAudit {
       "per-group count relation (|groups| rows) x 1-row min-scale aggregate"),
     "text_top_ngrams" -> ("BroadcastNestedLoopJoin",
       "triangular rank self-join over the k=100 survivors (k² bounded pairs) — replaced the r11 unpartitioned rank window; the distributed part is TakeOrderedAndProject"),
+    "events_fano_factor" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row corpus-hour-span aggregate"),
+    "layout_zorder_pruning" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row predicate-bounds aggregate onto the ≤2·files file-stats relation"),
+    "sample_dsir" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the 1-row (R,T) totals aggregate + the text_top_ngrams-style triangular rank self-join over the k=100 survivors; the distributed part is TakeOrderedAndProject"),
+    "search_rrf_fusion" -> ("BroadcastNestedLoopJoin",
+      "inherits searchTopK's crossJoin of the 1-row corpus-stats aggregate; the fusion join itself is a (query, doc)-keyed equi-join of ≤ depth-per-query lists"),
+    "sim_knn_classify" -> ("BroadcastNestedLoopJoin",
+      "broadcast 64-row query side vs streamed candidates — the sim_topk_bruteforce eval shape (the dedup_lsh_eval contract); production swaps in the ANN rankers"),
+    "sketch_kmv_difference" -> ("BroadcastNestedLoopJoin",
+      "crossJoin of the two 1-row k-minima sketches and the 1-row exact-difference aggregate"),
+    "text_rake_keywords" -> ("BroadcastNestedLoopJoin",
+      "triangular rank self-join over the k=50 surviving phrases — the text_top_ngrams idiom; the distributed part is TakeOrderedAndProject"),
     "q11_important_parts" -> ("BroadcastNestedLoopJoin",
       "crossJoin of the 1-row total-value aggregate (the TPC-H Q11 scalar-subquery shape)"),
     "events_winsorize" -> ("BroadcastNestedLoopJoin",
