@@ -2647,6 +2647,28 @@ object SparkEntry {
         .orderBy("us")
     }),
 
+    // open-order BACKLOG curve: every order is an interval
+    // [orderdate, last lineitem shipdate + 1 day) and the sweep-line
+    // concurrency (Temporal.intervalConcurrency — the distributed
+    // prefix-sum primitive, no pair enumeration, no single-reducer
+    // window) gives orders-in-flight at every boundary instant — the
+    // operations "how deep is the backlog" curve over the TPC-H facts
+    "orders_backlog_curve" -> ((s, dir) => {
+      val o = t(s, dir, "orders").filter(col("o_orderdate").isNotNull)
+        .select(col("o_orderkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"))
+      val ls = t(s, dir, "lineitem").filter(col("l_shipdate").isNotNull)
+        .select(col("l_orderkey").as("o_orderkey"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+        .groupBy("o_orderkey").agg(max(col("ship_us")).as("last_ship_us"))
+      val iv = o.join(ls, "o_orderkey")
+        .select(col("start_us"),
+          (col("last_ship_us") + lit(86400000000L)).as("end_excl_us"))
+        .filter(col("end_excl_us") > col("start_us"))
+      graft.ext.Temporal.intervalConcurrency(iv, "start_us", "end_excl_us")
+        .orderBy("us")
+    }),
+
     // 6th streaming oracle row: stream-stream LEFT OUTER windowed join
     // (streaming/EventStreams.clickPurchaseLeftOuter) under AvailableNow —
     // inner matches plus null-click rows for purchases the final watermark
@@ -3756,6 +3778,27 @@ object SparkEntry {
     "events_incident_overlap" -> graft.ext.Temporal.incidentOverlapSqlDuck(),
     "events_fano_factor" -> graft.ext.Stats.fanoFactorSqlDuck,
     "orders_hhi_concentration" -> graft.ext.Analytics.hhiConcentrationSqlDuck,
+    "orders_backlog_curve" ->
+      """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS start_us
+        |  FROM orders WHERE o_orderdate IS NOT NULL),
+        | ls AS (SELECT l_orderkey AS o_orderkey,
+        |    max(epoch_us(l_shipdate)) AS last_ship_us
+        |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY l_orderkey),
+        | iv AS (SELECT o.start_us,
+        |    ls.last_ship_us + 86400000000 AS end_excl_us
+        |  FROM o JOIN ls USING (o_orderkey)
+        |  WHERE ls.last_ship_us + 86400000000 > o.start_us),
+        | d AS (SELECT us, CAST(sum(dd) AS BIGINT) AS delta,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |    CAST(sum(CASE WHEN dd < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+        |  FROM (SELECT start_us AS us, 1 AS dd FROM iv
+        |        UNION ALL SELECT end_excl_us AS us, -1 AS dd FROM iv)
+        |  GROUP BY us)
+        |SELECT us, n_starts, n_ends, delta,
+        |  CAST(sum(delta) OVER (ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_active
+        |FROM d ORDER BY us""".stripMargin,
     "text_rake_keywords" -> TextOps.rakeKeywordsSqlDuck(),
     "events_bot_rates" -> graft.ext.Stats.botRatesSqlDuck(),
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,

@@ -265,7 +265,7 @@ object StressProbe {
       "q16_supplier_counts", "q20_excess_shipments",
       "sketch_sample_quantiles", "sketch_sample_quantiles_grouped",
       "orders_pareto_front", "orc_roundtrip", "csv_roundtrip",
-      "orders_cohort_ltv", "orders_hhi_concentration")
+      "orders_cohort_ltv", "orders_hhi_concentration", "orders_backlog_curve")
 
     // the all-pairs LSH form is probe-on-request only: its pair volume is
     // quadratic in duplicate density BY DESIGN (measured ~500x at 10x on

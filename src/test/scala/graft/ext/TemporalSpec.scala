@@ -193,6 +193,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("backlog curve composition: order intervals through the sweep line") {
+    val day = 86400000000L
+    // o1 [d0, d2-ship +1d) = [0, 3d); o2 [d1, 2d); o3 [5d, 7d)
+    val orders = Seq((1L, 0L), (2L, 1L), (3L, 5L))
+      .toDF("o_orderkey", "d")
+      .withColumn("start_us", col("d") * day).drop("d")
+    val li = Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 6L))
+      .toDF("o_orderkey", "sd")
+      .withColumn("ship_us", col("sd") * day).drop("sd")
+    val iv = orders.join(
+        li.groupBy("o_orderkey").agg(max(col("ship_us")).as("last")),
+        "o_orderkey")
+      .select(col("start_us"), (col("last") + day).as("end_excl_us"))
+    val got = Temporal.intervalConcurrency(iv, "start_us", "end_excl_us")
+      .select("us", "n_active").as[(Long, Long)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq((0L, 1L), (day, 2L), (2 * day, 1L), (3 * day, 0L),
+      (5 * day, 1L), (7 * day, 0L)))
+  }
+
   test("incidentOverlap: top-hour incidents, hour-bucketed session overlap") {
     val H = 3600000000L
     // errors (null user → no session of their own): 5 in hour 10, 4 in
