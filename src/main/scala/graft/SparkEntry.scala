@@ -2287,6 +2287,14 @@ object SparkEntry {
     "orders_cohort_ltv" -> ((s, dir) =>
       graft.ext.Analytics.cohortLtv(t(s, dir, "orders"))),
 
+    // vocabulary skew (ext/Stats.keySkew over the token stream): Gini of
+    // token frequencies + top-token share — the log-free Zipf witness a
+    // tokenizer audit wants before committing a vocab budget
+    "quality_token_skew" -> ((s, dir) =>
+      graft.ext.Stats.keySkew(
+        t(s, dir, "documents").select(
+          explode(graft.ext.TextOps.tokensArr("text")).as("tok")), "tok")),
+
     // Fano factor of hourly event counts per user (ext/Stats.fanoFactor):
     // exact cross-multiplied integer moments over the corpus hour span —
     // the arrival-process SHAPE signal botRates' thresholds don't see
@@ -3778,6 +3786,7 @@ object SparkEntry {
     "events_incident_overlap" -> graft.ext.Temporal.incidentOverlapSqlDuck(),
     "events_fano_factor" -> graft.ext.Stats.fanoFactorSqlDuck,
     "orders_hhi_concentration" -> graft.ext.Analytics.hhiConcentrationSqlDuck,
+    "quality_token_skew" -> graft.ext.Stats.keySkewTokensSqlDuck,
     "orders_backlog_curve" ->
       """WITH o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS start_us
         |  FROM orders WHERE o_orderdate IS NOT NULL),

@@ -732,6 +732,28 @@ object Stats {
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
+  /** [[keySkew]]'s oracle over the TOKEN stream of `documents` — the
+    * vocabulary-inequality (Zipf witness) variant: Gini of token
+    * frequencies, log-free. Engine side is keySkew over the exploded
+    * token column; Σ pos·cnt is invariant to within-tie permutation, so
+    * the loose tie order of the rank is immaterial (the keySkew
+    * precedent). */
+  def keySkewTokensSqlDuck: String =
+    s"""WITH tk AS (SELECT unnest(${TextOps.tokensSqlDuck("text")}) AS tok
+       |  FROM documents),
+       | c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |   FROM tk WHERE tok IS NOT NULL GROUP BY tok),
+       | r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, tok) AS pos
+       |   FROM c),
+       | a AS (SELECT CAST(sum(pos * cnt) AS BIGINT) AS s,
+       |   CAST(count(*) AS BIGINT) AS k, CAST(sum(cnt) AS BIGINT) AS t,
+       |   max(cnt) AS top_cnt FROM r)
+       |SELECT t AS n_rows, k AS n_keys, top_cnt,
+       |  CAST(top_cnt AS DOUBLE) / CAST(t AS DOUBLE) AS top_share,
+       |  (2.0 * CAST(s AS DOUBLE)) / (CAST(k AS DOUBLE) * CAST(t AS DOUBLE))
+       |    - (CAST(k AS DOUBLE) + 1.0) / CAST(k AS DOUBLE) AS gini
+       |FROM a""".stripMargin
+
   /** Fano factor (index of dispersion) of each user's hourly event counts
     * over the corpus's full hour span — the burstiness statistic: 1 ≈
     * Poisson (memoryless automation), ≫ 1 bursty human sessions, ≪ 1
