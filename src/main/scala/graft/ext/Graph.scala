@@ -311,7 +311,10 @@ object Graph {
     * labeled with its own id; each round every node adopts the label most
     * frequent among its neighbors, ties to the SMALLEST label. Fixed
     * rounds + the smallest-label tie rule make the algorithm fully
-    * deterministic (classic LPA randomizes update order precisely to break
+    * deterministic. Multigraph inputs are collapsed to the simple graph
+    * (duplicate pairs vote once) — required for the round-1 closed form
+    * and the natural per-neighbor LPA semantics
+    * (classic LPA randomizes update order precisely to break
     * the oscillations synchronous updates can fall into; here any residual
     * oscillation is part of the pinned semantics, identical in the
     * oracle). Communities differ from [[Dedup]]'s connected components:
@@ -331,10 +334,16 @@ object Graph {
     // DISK_ONLY: on a near-dup graph the edge list is O(Σ bucket²) — kept
     // deserialized on-heap across rounds it starves the aggregation maps
     // (10× probe OOM'd before this); labels are |V|-sized and stay hot
+    // distinct: the round-1 closed form below (min-neighbor) equals the
+    // frequency argmax ONLY on a duplicate-free edge list, and round 2+'s
+    // count-based argmax would weight multi-edges; collapse any multigraph
+    // input to its simple graph so both rounds share one contract (the
+    // symmetrized list is about to shuffle for the persist anyway)
     val e = graft.etl.CacheRegistry.persistDisk(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"))))
+          col("doc_a").as("dst")))
+        .distinct())
     // ROUND 1 CLOSED FORM: with every neighbor holding its own unique id as
     // label, all per-label counts are 1 and the smallest-label tie rule
     // makes the argmax exactly min(neighbor id) — ONE |V|-keyed aggregate.
@@ -380,8 +389,9 @@ object Graph {
          |   FROM c$i) WHERE r = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${Dedup.lshPairsCteDuck},
-       | e AS (SELECT a AS src, b AS dst FROM prs
-       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
+       | e AS (SELECT DISTINCT src, dst FROM (
+       |   SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs)),
        | l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
        |$roundCtes,
        | sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n

@@ -180,7 +180,7 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(idIdx)
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        if (bytes.isEmpty) Iterator.empty
+        if (bytes == null || bytes.isEmpty) Iterator.empty
         else for {
           pr <- (0 until gridH / patchH).iterator
           pc <- (0 until gridW / patchW).iterator
@@ -325,7 +325,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](payloadIdx)
-        if (bytes.isEmpty) Iterator.empty
+        if (bytes == null || bytes.isEmpty) Iterator.empty
         else {
           val px = Array.tabulate(n)(i =>
             (bytes((i.toLong * bytes.length / n).toInt) & 0xff).toLong)

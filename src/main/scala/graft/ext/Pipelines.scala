@@ -400,17 +400,21 @@ object Pipelines {
     // Loser id sets are DISTINCT and ⊆ the incoming batch — the increment
     // is the small side of this pipeline by contract (daily batch vs
     // standing corpus), so they broadcast to the anti-joins instead of
-    // shuffling the multi-million-row sim relation by id.
-    val crossLosers = broadcast(sim.filter(col("ex_a") =!= col("ex_b"))
+    // shuffling the multi-million-row sim relation by id. The hints sit ON
+    // the join operands (a hint under the final union is not part of a
+    // join relation — Catalyst eliminates it with a HintErrorLogger
+    // warning and the anti-join falls back to a shuffle).
+    val crossLosers = sim.filter(col("ex_a") =!= col("ex_b"))
       .select(when(col("ex_a"), col("doc_b")).otherwise(col("doc_a")).as("doc_id"))
-      .distinct())
+      .distinct()
     // batch keep-first among the cross survivors: same pairs relation,
     // restricted to incoming×incoming with neither end a cross-loser
-    val batchLosers = broadcast(sim.filter(!col("ex_a") && !col("ex_b"))
-      .join(crossLosers.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .join(crossLosers.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .select(col("doc_b").as("doc_id")).distinct())
-    incoming.join(crossLosers.unionByName(batchLosers), Seq("doc_id"), "left_anti")
+    val batchLosers = sim.filter(!col("ex_a") && !col("ex_b"))
+      .join(broadcast(crossLosers.select(col("doc_id").as("doc_a"))), Seq("doc_a"), "left_anti")
+      .join(broadcast(crossLosers.select(col("doc_id").as("doc_b"))), Seq("doc_b"), "left_anti")
+      .select(col("doc_b").as("doc_id")).distinct()
+    incoming.join(broadcast(crossLosers.unionByName(batchLosers)),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Oracle twin over the fixture split (`existing` = source `exSource`).

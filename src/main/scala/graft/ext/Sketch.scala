@@ -197,10 +197,12 @@ object Sketch {
     val ex = ha.distinct().withColumn("_ina", lit(1))
       .join(hb.distinct().withColumn("_inb", lit(1)), Seq("h"), "full_outer")
       .agg(
-        sum(when(col("_ina").isNotNull && col("_inb").isNull, 1L)
-          .otherwise(0L)).as("exact_a_not_b"),
-        sum(when(col("_inb").isNotNull && col("_ina").isNull, 1L)
-          .otherwise(0L)).as("exact_b_not_a"))
+        // coalesce: on empty inputs sum() is NULL while the DuckDB oracle's
+        // count(*) subqueries return 0 — pin the degenerate case to 0L
+        coalesce(sum(when(col("_ina").isNotNull && col("_inb").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("exact_a_not_b"),
+        coalesce(sum(when(col("_inb").isNotNull && col("_ina").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("exact_b_not_a"))
     ska.crossJoin(skb).crossJoin(ex)
       .withColumn("m", expr(s"slice(array_sort(array_union(ka, kb)), 1, $k)"))
       .withColumn("a_only", expr(

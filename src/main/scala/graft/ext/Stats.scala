@@ -782,8 +782,12 @@ object Stats {
       .crossJoin(broadcast(span))
       .select(col("user_id"), col("active_hours"), col("s").as("n_events"),
         col("span_h"),
-        ((col("q") * col("span_h") - col("s") * col("s")).cast("double") /
-          (col("s") * (col("span_h") - 1L)).cast("double")).as("fano"))
+        // span_h = 1 (whole corpus in one hour) makes the denominator 0:
+        // Spark's non-ANSI Divide yields NULL, DuckDB's IEEE double division
+        // yields Inf/NaN — pin both engines to NULL (the funnelRates guard)
+        when(col("span_h") > 1L,
+          (col("q") * col("span_h") - col("s") * col("s")).cast("double") /
+            (col("s") * (col("span_h") - 1L)).cast("double")).as("fano"))
   }
 
   /** Oracle twin of [[fanoFactor]] — identical integer moments. */
@@ -797,7 +801,8 @@ object Stats {
       |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS q
       |   FROM ph GROUP BY user_id)
       |SELECT user_id, active_hours, s AS n_events, sp.span_h,
-      |  CAST(q * sp.span_h - s * s AS DOUBLE)
-      |    / CAST(s * (sp.span_h - 1) AS DOUBLE) AS fano
+      |  CASE WHEN sp.span_h > 1 THEN
+      |    CAST(q * sp.span_h - s * s AS DOUBLE)
+      |      / CAST(s * (sp.span_h - 1) AS DOUBLE) END AS fano
       |FROM u CROSS JOIN sp ORDER BY user_id""".stripMargin
 }
