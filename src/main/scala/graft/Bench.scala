@@ -230,8 +230,73 @@ object Bench {
     // Sorting the top-level items makes the digest a function of the
     // MULTISET — the semantic content; any real change to an operand or
     // aggregate still changes it.
-    sortBracketSpans(sortBracketSpans(stripped, "multicommutativeop("),
-      "functions=[")
+    //
+    // A THIRD session-order dependence (r13, diffed via the saved
+    // sim_pq_adc texts of a subset vs a full run): Spark's canonicalizer
+    // orders a commutative BINARY op's two children by hashCode, and
+    // MultiCommutativeOp's hashCode includes its `Class[_]` member — a
+    // per-JVM identity hash — so `(lit * multicommutativeop(...))` and
+    // `(multicommutativeop(...) * lit)` flip between sessions (observed on
+    // the whole PQ/quantize family: every floor(chain * 1e6) site). Other
+    // operand types hash structurally and are stable; the normalization
+    // therefore sorts ONLY pairs where a side is a multicommutativeop.
+    val sorted = sortBracketSpans(sortBracketSpans(stripped,
+      "multicommutativeop("), "functions=[")
+    sortCommutativePairs(sortCommutativePairs(sorted, " * "), " + ")
+  }
+
+  /** For every balanced `(...)` group whose content splits at top level on
+    * `sep` into EXACTLY two items, at least one being a
+    * `multicommutativeop(...)` chain, emit the two items sorted — the
+    * JVM-stable order for the one operand class whose hashCode is
+    * identity-based (see stripPlanText). Groups are processed innermost
+    * first so nested flips normalize before the outer pair is compared. */
+  private[graft] def sortCommutativePairs(text: String, sep: String): String = {
+    def process(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '(') {
+          var d = 0
+          var j = i
+          var end = -1
+          while (j < s.length && end < 0) {
+            val c = s.charAt(j)
+            if (c == '(') d += 1
+            else if (c == ')') { d -= 1; if (d == 0) end = j }
+            j += 1
+          }
+          if (end < 0) { sb.append(s.substring(i)); i = s.length }
+          else {
+            var inner = process(s.substring(i + 1, end))
+            // top-level split on sep
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            var dp = 0
+            var last = 0
+            var k = 0
+            while (k < inner.length) {
+              val c = inner.charAt(k)
+              if (c == '(' || c == '[') dp += 1
+              else if (c == ')' || c == ']') dp -= 1
+              else if (dp == 0 && inner.startsWith(sep, k)) {
+                parts += inner.substring(last, k); last = k + sep.length
+                k += sep.length - 1
+              }
+              k += 1
+            }
+            parts += inner.substring(last)
+            if (parts.length == 2 &&
+                (parts(0).startsWith("multicommutativeop(") ||
+                 parts(1).startsWith("multicommutativeop(")))
+              inner = parts.sorted.mkString(sep)
+            sb.append('(').append(inner).append(')')
+            i = end + 1
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    process(text)
   }
 
   /** Sort the top-level comma-separated items inside every balanced span

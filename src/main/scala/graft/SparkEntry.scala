@@ -2019,6 +2019,12 @@ object SparkEntry {
     "text_dedup_segments_global" -> ((s, dir) =>
       TextOps.dedupSegmentsGlobal(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // SUBSTRING-level exact dedup with keep-first (Lee et al. 2022
+    // ExactSubstr as a distributed shingle-run sweep): any ≥8-token span
+    // repeated anywhere in the corpus survives only at its first occurrence
+    "text_dedup_substrings" -> ((s, dir) =>
+      TextOps.dedupSubstrings(t(s, dir, "documents")).orderBy("doc_id")),
+
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -3560,6 +3566,8 @@ object SparkEntry {
     "text_dedup_segments" -> TextOps.dedupSegmentsSqlDuck(),
 
     "text_dedup_segments_global" -> TextOps.dedupSegmentsGlobalSqlDuck(),
+
+    "text_dedup_substrings" -> TextOps.dedupSubstringsSqlDuck(),
 
     "sketch_kmv_overlap" ->
       graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),

@@ -822,15 +822,9 @@ object Similarity {
   val PqK = 16
   val PqSubDim: Int = Dim / PqM
 
-  /** Squared L2 distance between `eCol`'s subspace slice starting at
-    * 0-based `off` and the constant sub-centroid `c` — an explicit
-    * left-associated (e−c)² term chain, mirrored token-for-token by the
-    * oracle SQL so assignment argmins agree bit-exactly. */
-  private def pqSubD2(eCol: String, off: Int, c: Array[Double]): Column =
-    c.indices.map { i =>
-      val e = element_at(col(eCol), off + i + 1).cast("double")
-      (e - lit(c(i))) * (e - lit(c(i)))
-    }.reduceLeft(_ + _)
+  // (the former explicit pqSubD2 term-chain builder lives on only inside
+  // the compiled-loop expressions PqEncodeCodes / PqQueryDists, which keep
+  // its exact left-associated arithmetic — see their numeric contracts)
 
   /** `_codes` = all m per-subspace nearest codes in ONE compiled loop
     * ([[graft.functions.PqEncodeCodes]] — identical arithmetic and
@@ -904,18 +898,23 @@ object Similarity {
         posexplode(col("_codes")).as(Seq("s", "code")))
 
   /** ADC distance table: (query_id, s, code, d2m) — nQueries · m · PqK rows,
-    * each subspace distance floor-quantized to micro-unit BIGINTs. */
+    * each subspace distance floor-quantized to micro-unit BIGINTs. One
+    * compiled-loop expression ([[graft.functions.PqQueryDists]], flat index
+    * s·PqK + code) replaces the former explode(array(m·k structs of
+    * unrolled chains)) whose Generate stage blew the 64 KB codegen limit —
+    * and, failed compiles being un-cached, re-paid a multi-second Janino
+    * failure on EVERY execution (the dominant cost of the whole PQ bench
+    * family; arithmetic bit-identical, see the expression's contract). */
   private def pqQueryTable(emb: DataFrame, cents: Array[Array[Array[Double]]],
-      nQueries: Int): DataFrame = {
-    val qstructs = for (s <- 0 until PqM; j <- 0 until PqK) yield struct(
-      lit(s).as("s"), lit(j).as("code"),
-      floor(pqSubD2("embedding", s * PqSubDim, cents(s)(j)) * lit(Quant))
-        .cast("long").as("d2m"))
+      nQueries: Int): DataFrame =
     emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), explode(array(qstructs: _*)).as("q"))
-      .select(col("query_id"), col("q.s").as("s"), col("q.code").as("code"),
-        col("q.d2m").as("d2m"))
-  }
+      .select(col("vec_id").as("query_id"),
+        posexplode(graft.functions.PqQueryDists.dists(col("embedding"), cents, Quant))
+          .as(Seq("idx", "d2m")))
+      .select(col("query_id"),
+        expr(s"CAST(idx DIV $PqK AS INT)").as("s"),
+        pmod(col("idx"), lit(PqK)).cast("int").as("code"),
+        col("d2m"))
 
   def pqTopK(emb: DataFrame, nQueries: Int = 8, k: Int = 10,
       iters: Int = 2): DataFrame = {

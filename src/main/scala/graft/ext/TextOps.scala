@@ -385,6 +385,147 @@ object TextOps {
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Exact SUBSTRING-level dedup with keep-first discipline — the
+    * suffix-array family of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", ExactSubstr), re-expressed as a
+    * distributed shingle-run analysis instead of a monolithic suffix
+    * array:
+    *
+    *  1. every sliding w-token shingle (doc-local position kept) streams
+    *     into a corpus-wide aggregation that finds each shingle text's
+    *     GLOBAL FIRST occurrence (lexicographic min of (doc_id, pos) — a
+    *     map-side-combinable min(struct), never a per-key sort);
+    *  2. every NON-first occurrence of a shingle seen ≥ 2 times marks its
+    *     w positions as duplicated (the keep-first rule: the first copy of
+    *     any repeated span survives, matching the paper's "keep one
+    *     occurrence" and [[dedupSegments]]' within-doc keep-first);
+    *  3. marked intervals merge per doc via a ±1 boundary difference
+    *     array and a per-doc running sum — the sweep-line idiom, no
+    *     interval pair enumeration;
+    *  4. output per doc: kept token count, the LONGEST duplicated run
+    *     (gaps-and-islands over covered positions), and the rewritten
+    *     text.
+    *
+    * Variable length ℓ ∈ {w..∞} comes from the standard reduction the
+    * suffix-array family rests on: a repeated substring of ℓ ≥ w tokens
+    * repeats all of its ℓ−w+1 constituent w-shingles CONSECUTIVELY, so the
+    * covered-position union (and hence `longest_dup_run`) recovers every
+    * maximal repeated span of length ≥ w exactly — no per-ℓ passes.
+    *
+    * Scale shape: one n-row shingle stream; ONE (shingle)-keyed
+    * aggregation with map-side partial min; one equi-join back (AQE
+    * skew-split absorbs boilerplate mega-shingles, same adjudication as
+    * [[dupFraction]]); then only doc_id-keyed shuffles (bounded by the
+    * longest document). Nothing quadratic, no driver state; the paper's
+    * O(corpus) suffix array never materializes.
+    *
+    * Cross-engine exactness: all BIGINT counts, integer position
+    * arithmetic, and a lexicographic (doc_id, pos) min that DuckDB
+    * reproduces as a two-level min — no floats anywhere. Zero-token docs
+    * produce no row (the [[dedupSegmentsGlobal]] contract). */
+  def dedupSubstrings(docs: DataFrame, w: Int = 8,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w > 0, "w must be positive")
+    val t = graft.etl.CacheRegistry.persist(docs
+      .select(col("doc_id"), fastTokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0))
+    val tokpos = t.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val parts = (1 to w).map(j => s"element_at(toks, i + ${j - 1})")
+      .mkString(", ' ', ")
+    val sh = t.filter(col("n") >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), i -> concat($parts))"
+      )).as(Seq("spos", "s")))
+    // global first occurrence per shingle text: lexicographic min — the
+    // keep-first anchor. min(struct) combines map-side, so a mega-repeated
+    // boilerplate shingle costs one partial row per task, not a sort.
+    val first = sh.groupBy("s")
+      .agg(min(struct(col("doc_id"), col("spos"))).as("f"))
+    val dup = sh.join(first, Seq("s"))
+      .filter(!(col("doc_id") === col("f.doc_id") && col("spos") === col("f.spos")))
+      .select("doc_id", "spos")
+    // boundary difference array: +1 at span start, −1 one past span end;
+    // per-doc running sum > 0 = position inside some non-first repeat
+    val deltas = dup.select(col("doc_id"), col("spos").as("pos"), lit(1L).as("dlt"))
+      .unionByName(dup.select(col("doc_id"), (col("spos") + w).as("pos"),
+        lit(-1L).as("dlt")))
+      .groupBy("doc_id", "pos").agg(sum("dlt").as("dlt"))
+    val wCov = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cv = graft.etl.CacheRegistry.persist(
+      tokpos.join(deltas, Seq("doc_id", "pos"), "left")
+        .withColumn("cov", sum(coalesce(col("dlt"), lit(0L))).over(wCov)))
+    // gaps-and-islands: consecutive covered positions share pos − rank
+    val isl = cv.filter(col("cov") > 0L)
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+    val longest = isl.groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").cast("long").as("longest_dup_run"))
+    val keptAgg = cv.filter(col("cov") === 0L)
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_kept"),
+        array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("text_deduped"))
+    t.select(col("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .join(longest, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("longest_dup_run"), lit(0L)).as("longest_dup_run"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
+  /** DuckDB oracle for [[dedupSubstrings]] — same shingles, the
+    * lexicographic first-occurrence min as a two-level min (min doc, then
+    * min pos within it), the same difference-array sweep, islands, and
+    * ordered reassembly. */
+  def dedupSubstringsSqlDuck(w: Int = 8): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSqlDuck("text")} AS toks,
+       |    len(${tokensSqlDuck("text")}) AS n
+       |  FROM documents WHERE len(${tokensSqlDuck("text")}) > 0),
+       | tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) - 1 AS pos FROM t),
+       | sh AS (SELECT doc_id, i - 1 AS spos,
+       |    array_to_string(list_slice(toks, i, i + ${w - 1}), ' ') AS s
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, n - ${w - 1})) AS i
+       |        FROM t WHERE n >= $w)),
+       | f1 AS (SELECT s, min(doc_id) AS fdoc FROM sh GROUP BY s),
+       | f2 AS (SELECT sh.s, f1.fdoc, min(sh.spos) AS fpos
+       |   FROM sh JOIN f1 ON sh.s = f1.s AND sh.doc_id = f1.fdoc
+       |   GROUP BY sh.s, f1.fdoc),
+       | dup AS (SELECT sh.doc_id, sh.spos FROM sh JOIN f2 ON sh.s = f2.s
+       |   WHERE NOT (sh.doc_id = f2.fdoc AND sh.spos = f2.fpos)),
+       | dg AS (SELECT doc_id, pos, CAST(sum(dlt) AS BIGINT) AS dlt FROM (
+       |     SELECT doc_id, spos AS pos, 1 AS dlt FROM dup
+       |     UNION ALL SELECT doc_id, spos + $w AS pos, -1 AS dlt FROM dup)
+       |   GROUP BY doc_id, pos),
+       | cv AS (SELECT tok.doc_id, tok.pos, tok.tok,
+       |    sum(coalesce(dg.dlt, 0)) OVER (PARTITION BY tok.doc_id
+       |      ORDER BY tok.pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov
+       |  FROM tok LEFT JOIN dg ON tok.doc_id = dg.doc_id AND tok.pos = dg.pos),
+       | isl AS (SELECT doc_id, pos - row_number() OVER (
+       |     PARTITION BY doc_id ORDER BY pos) AS grp
+       |   FROM cv WHERE cov > 0),
+       | runs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+       |   FROM isl GROUP BY doc_id, grp),
+       | longest AS (SELECT doc_id, max(run) AS longest_dup_run
+       |   FROM runs GROUP BY doc_id),
+       | keptagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    array_to_string(list(tok ORDER BY pos), ' ') AS text_deduped
+       |   FROM cv WHERE cov = 0 GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_tokens,
+       |  coalesce(k.n_kept, 0) AS n_kept,
+       |  coalesce(l.longest_dup_run, 0) AS longest_dup_run,
+       |  coalesce(k.text_deduped, '') AS text_deduped
+       |FROM t LEFT JOIN keptagg k ON t.doc_id = k.doc_id
+       |LEFT JOIN longest l ON t.doc_id = l.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Gopher-style rule-bundle quality filter (Rae et al. 2021 §A1.1,
     * MassiveText; the same rule family FineWeb/RefinedWeb reuse) adapted to
     * this corpus's signals: per-doc boolean rules over exact integer counts,

@@ -99,6 +99,8 @@ object StressProbe {
       "text_dedup_segments" -> (d => graft.ext.TextOps.dedupSegments(d).count()),
       "text_dedup_segments_global" -> (d =>
         graft.ext.TextOps.dedupSegmentsGlobal(d).count()),
+      "text_dedup_substrings" -> (d =>
+        graft.ext.TextOps.dedupSubstrings(d).count()),
       "sample_token_budget" -> (d =>
         graft.ext.Pipelines.mixByTokenBudget(d, "source", "doc_id", 800L).count()),
       "sample_temperature_mix" -> (d =>
@@ -182,6 +184,7 @@ object StressProbe {
       "dedup_semantic" -> (e => graft.ext.Similarity.semanticDedup(e).count()),
       "sim_hard_negatives" -> (e => graft.ext.Similarity.hardNegatives(e).count()),
       "sim_pq_adc" -> (e => graft.ext.Similarity.pqTopK(e).count()),
+      "sim_pq_recall" -> (e => graft.ext.Similarity.pqRecall(e).count()),
       "sim_ivfpq_topk" -> (e => graft.ext.Similarity.ivfPqTopK(e).count()),
       "sim_knn_classify" -> (e => graft.ext.Similarity.knnClassify(e).count()))
     val evOps: Map[String, org.apache.spark.sql.DataFrame => Long] = Map(

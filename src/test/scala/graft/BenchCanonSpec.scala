@@ -34,6 +34,28 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(Bench.stripPlanText(a).contains("DataFilters: [truncated]"))
   }
 
+  test("sortCommutativePairs: the lit-vs-chain binary flip normalizes; unrelated binaries untouched") {
+    // the r13 flap shape: Spark orders Multiply's children by hashCode and
+    // MultiCommutativeOp hashes its Class member by JVM identity, so the
+    // same plan prints either order in different sessions
+    val a = "FLOOR((1000000.0 * multicommutativeop(p, q, class Add, None)))"
+    val b = "FLOOR((multicommutativeop(p, q, class Add, None) * 1000000.0))"
+    assert(Bench.sortCommutativePairs(a, " * ") ==
+      Bench.sortCommutativePairs(b, " * "))
+    // a binary pair with NO multicommutativeop side keeps source order —
+    // structural hashes are already JVM-stable, churn must stay bounded
+    val keep = "((none#x * 2.0) + f(none#x))"
+    assert(Bench.sortCommutativePairs(keep, " * ") == keep)
+    // nested: the inner pair normalizes before the outer compare
+    val n1 = "((2.0 * multicommutativeop(a, b)) * multicommutativeop(c, d))"
+    val n2 = "((multicommutativeop(a, b) * 2.0) * multicommutativeop(c, d))"
+    assert(Bench.sortCommutativePairs(n1, " * ") ==
+      Bench.sortCommutativePairs(n2, " * "))
+    // three-way top-level splits (non-binary) are left alone
+    val tri = "(a * b * multicommutativeop(c, d))"
+    assert(Bench.sortCommutativePairs(tri, " * ") == tri)
+  }
+
   test("sortBracketSpans: nested spans sort before the outer order is decided; non-span text untouched") {
     val x = "multicommutativeop(multicommutativeop(b, a), c)"
     val y = "multicommutativeop(c, multicommutativeop(a, b))"

@@ -174,6 +174,48 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.getString(3) == out(1L)._3)
   }
 
+  test("dedupSubstrings: keep-first across docs; overlap merge; short/empty docs") {
+    val d = docs(
+      (1L, "a b c d a b"), // "a b" repeats within doc: second copy removed
+      (2L, "a b"),         // same shingle, later doc: whole doc removed
+      (3L, "x"),           // shorter than w: no shingles, kept whole
+      (4L, ""))            // zero tokens: no row
+    val out = TextOps.dedupSubstrings(d, w = 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((6L, 4L, 2L, "a b c d")))
+    assert(out(2L) == ((2L, 0L, 2L, "")))   // keep-first: doc 1's copy survives
+    assert(out(3L) == ((1L, 1L, 0L, "x")))
+    assert(!out.contains(4L))
+  }
+
+  test("dedupSubstrings: consecutive dup shingles merge into one maximal span (the l >= w reduction)") {
+    // "p q r" three times: every shingle after pos 2 is a repeat, so the
+    // covered union is one 6-token run [3..8] — the length-6 repeated span
+    // detected purely from w=2 shingle runs
+    val d = docs((1L, "p q r p q r p q r"))
+    val r = TextOps.dedupSubstrings(d, w = 2).collect().head
+    assert(r.getLong(1) == 9L && r.getLong(2) == 3L)
+    assert(r.getLong(3) == 6L)
+    assert(r.getString(4) == "p q r")
+  }
+
+  test("dedupSubstrings differential vs dedupSegments at l = w: segment-aligned repeats agree") {
+    // single-doc corpus whose only repeat is exactly one w-aligned disjoint
+    // segment: the sliding-shingle sweep must remove exactly what the
+    // disjoint-segment keep-first rule removes
+    val text = "t1 t2 t3 t4 u1 u2 u3 u4 t1 t2 t3 t4 v1 v2 v3 v4"
+    val d = docs((1L, text))
+    val sub = TextOps.dedupSubstrings(d, w = 4).collect().head
+    val seg = TextOps.dedupSegments(d, w = 4).collect().head
+    assert(sub.getString(4) == seg.getString(3))
+    assert(sub.getLong(2) == seg.getLong(2) * 4) // n_kept tokens = kept segs * w
+    // and a no-repeat doc passes through both untouched
+    val clean = docs((1L, "one two three four five six seven eight"))
+    assert(TextOps.dedupSubstrings(clean, w = 4).collect().head.getString(4)
+      == TextOps.dedupSegments(clean, w = 4).collect().head.getString(3))
+  }
+
   test("dedupSegmentsGlobal: corpus-wide boilerplate removed everywhere; all-boilerplate doc empties") {
     // "cookie banner text here" appears in 3 docs (>= minRep) -> removed
     // from ALL of them, including doc 4 which is nothing but the banner
