@@ -1448,6 +1448,29 @@ object SparkEntry {
         .orderBy("hr", "event_type")
     }),
 
+    // UPDATE output mode end-to-end (the one OutputMode not previously
+    // demonstrated): the fixture replays as time-range-staged files, one
+    // per micro-batch; every interim emission is captured with its batch
+    // id via foreachBatch, and the LAST emission per (hr, event_type) —
+    // update mode's final upsert — must equal the batch aggregate exactly
+    // (contiguous in-order ranges: the watermark drops nothing)
+    "events_stream_tumbling_update" -> ((s, dir) => {
+      val (schema, em) =
+        graft.streaming.EventStreams.tumblingUpdateEmissions(s, dir)
+      val rows = em.map { case (bid, r) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bid) }
+      val df = s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava),
+        schema.add("batch_id", "long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("hr", "event_type").orderBy(col("batch_id").desc)
+      df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("n"), dstr(col("sum_value")).as("sum_value"))
+        .orderBy("hr", "event_type")
+    }),
+
     // exact distinct users per hour as a TWO-stateful-operator streaming
     // pipeline (streaming/EventStreams.distinctUsers): watermarked dedup on
     // (window, user) → windowed count, append mode — a window emits once
@@ -2027,6 +2050,40 @@ object SparkEntry {
 
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Unicode NFC normalization (graft.functions.UnicodeNormalize — Spark
+    // has no built-in): the fixture text is ASCII, so each doc gets a
+    // DECOMPOSED-form suffix (combining diaeresis/acute/ring built from
+    // identical code points on both engines); NFC must compose all four
+    // marks (n_nfc = n_raw − 4) and the normalized bytes must md5-match
+    // DuckDB's nfc_normalize
+    "text_unicode_nfc" -> ((s, dir) => {
+      val suffix = " naïve café Å" + "ngström"
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(suffix)).as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_raw"),
+          length(graft.functions.UnicodeNormalize.nfc(col("raw")))
+            .cast("long").as("n_nfc"),
+          md5(graft.functions.UnicodeNormalize.nfc(col("raw"))).as("md5_nfc"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization (the crawl-pipeline dedup-key step): the fixture
+    // has no URL column, so each doc derives a deterministic adversarial
+    // URL — uppercased scheme/host, default port, doubled slashes, ./ and
+    // ../ segments, tracking params, fragment — IDENTICALLY on both
+    // engines, and the canonicalizer must reduce it to normal form
+    "text_url_canonicalize" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .selectExpr("doc_id",
+          """concat('HTTPS://Example.COM:443//', source, '/./Docs/',
+            | CAST(doc_id AS STRING), '/../', lang,
+            | '/Page/?utm_source=x&zz=9&b=', CAST(doc_id % 7 AS STRING),
+            | '&a=1&gclid=g#frag') AS url_raw""".stripMargin)
+        .select(col("doc_id"), col("url_raw"),
+          TextOps.urlCanonicalize("url_raw").as("url_canon"))
+        .orderBy("doc_id")),
 
     "text_tfidf" -> ((s, dir) =>
       TextOps.tfidfTopTerms(t(s, dir, "documents")).orderBy("doc_id", "rank")),
@@ -3569,6 +3626,27 @@ object SparkEntry {
 
     "text_dedup_substrings" -> TextOps.dedupSubstringsSqlDuck(),
 
+    "text_unicode_nfc" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' nai' || chr(776) || 've cafe' || chr(769) || ' A' ||
+        |  chr(778) || 'ngstro' || chr(776) || 'm' AS raw
+        | FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+        |  md5(nfc_normalize(raw)) AS md5_nfc
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_url_canonicalize" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  'HTTPS://Example.COM:443//' || source || '/./Docs/' ||
+         |  CAST(doc_id AS VARCHAR) || '/../' || lang ||
+         |  '/Page/?utm_source=x&zz=9&b=' || CAST(doc_id % 7 AS VARCHAR) ||
+         |  '&a=1&gclid=g#frag' AS url_raw
+         | FROM documents)
+         |SELECT doc_id, url_raw,
+         |  ${TextOps.urlCanonSqlDuck("url_raw")} AS url_canon
+         |FROM r ORDER BY doc_id""".stripMargin,
+
     "sketch_kmv_overlap" ->
       graft.ext.Sketch.kmvJaccardShinglesSqlDuck("src0", "src1", 3, 128),
     "sketch_kmv_difference" ->
@@ -3699,6 +3777,15 @@ object SparkEntry {
         |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
 
     "events_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
+        |FROM events GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY hr, event_type""".stripMargin,
+    // update mode's final per-key upsert = the complete aggregate (nothing
+    // is late in the staged in-order replay), so the oracle is the same
+    // batch SQL as events_stream_tumbling
+    "events_stream_tumbling_update" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value

@@ -311,9 +311,9 @@ object Graph {
     * labeled with its own id; each round every node adopts the label most
     * frequent among its neighbors, ties to the SMALLEST label. Fixed
     * rounds + the smallest-label tie rule make the algorithm fully
-    * deterministic. Multigraph inputs are collapsed to the simple graph
-    * (duplicate pairs vote once) — required for the round-1 closed form
-    * and the natural per-neighbor LPA semantics
+    * deterministic. REQUIRES a duplicate-free undirected pair list
+    * (multigraphs would break the round-1 closed form and weight round-2+
+    * votes) — see the contract note at the edge build below
     * (classic LPA randomizes update order precisely to break
     * the oscillations synchronous updates can fall into; here any residual
     * oscillation is part of the pinned semantics, identical in the
@@ -334,16 +334,18 @@ object Graph {
     // DISK_ONLY: on a near-dup graph the edge list is O(Σ bucket²) — kept
     // deserialized on-heap across rounds it starves the aggregation maps
     // (10× probe OOM'd before this); labels are |V|-sized and stay hot
-    // distinct: the round-1 closed form below (min-neighbor) equals the
-    // frequency argmax ONLY on a duplicate-free edge list, and round 2+'s
-    // count-based argmax would weight multi-edges; collapse any multigraph
-    // input to its simple graph so both rounds share one contract (the
-    // symmetrized list is about to shuffle for the persist anyway)
+    // CONTRACT: `pairs` must be a duplicate-free undirected pair list
+    // (doc_a < doc_b, no repeats) — the round-1 closed form below
+    // (min-neighbor) equals the frequency argmax ONLY then, and round 2+'s
+    // count-based argmax would weight multi-edges. The repo's caller
+    // guarantees it ([[Dedup.lshCandidatePairs]] ends in distinct()); a
+    // defensive distinct() here would re-shuffle the O(Σ bucket²) edge
+    // list — the op's biggest relation — to protect against a misuse this
+    // codebase never performs (measured ~+1 s at sf0.1 when tried).
     val e = graft.etl.CacheRegistry.persistDisk(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst")))
-        .distinct())
+          col("doc_a").as("dst"))))
     // ROUND 1 CLOSED FORM: with every neighbor holding its own unique id as
     // label, all per-label counts are 1 and the smallest-label tie rule
     // makes the argmax exactly min(neighbor id) — ONE |V|-keyed aggregate.
@@ -389,9 +391,8 @@ object Graph {
          |   FROM c$i) WHERE r = 1)""".stripMargin
     }.mkString(",\n")
     s"""WITH ${Dedup.lshPairsCteDuck},
-       | e AS (SELECT DISTINCT src, dst FROM (
-       |   SELECT a AS src, b AS dst FROM prs
-       |   UNION ALL SELECT b AS src, a AS dst FROM prs)),
+       | e AS (SELECT a AS src, b AS dst FROM prs
+       |   UNION ALL SELECT b AS src, a AS dst FROM prs),
        | l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
        |$roundCtes,
        | sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n

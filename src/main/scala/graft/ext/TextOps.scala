@@ -526,6 +526,92 @@ object TextOps {
        |LEFT JOIN longest l ON t.doc_id = l.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** URL canonicalization for web-corpus curation — the dedup-key step
+    * every crawl pipeline runs before exact/near dedup (two crawls of one
+    * page differ only in tracking params, casing, default ports, and dot
+    * segments; canonicalizing first is what makes URL-keyed dedup and
+    * per-site caps meaningful). Rules (RFC 3986 normalization + the
+    * standard tracking-param strip):
+    *   1. fragment dropped;
+    *   2. scheme and host lowercased (path/query casing preserved);
+    *   3. default port stripped (http:80, https:443);
+    *   4. path: runs of '/' collapse, '/./' resolves, 'seg/../' resolves
+    *      (4 fixed passes — depth ≥ 5 chains stay unresolved identically
+    *      on both engines);
+    *   5. trailing slash dropped (except the root path);
+    *   6. query: params split on '&', empties and the utm_-prefixed,
+    *      gclid and fbclid tracking params dropped, the rest BYTE-SORTED
+    *      and rejoined ('?' dropped when none survive).
+    *
+    * Contract: absolute http(s) URLs (scheme required). Engine and oracle
+    * run the SAME function-by-function string surgery (instr/substr
+    * positions, fixed-pass regex folds, lambda filter + binary sort) — no
+    * engine-specific parsing anywhere; scale shape: pure per-row string
+    * algebra, map-only, pipelined into the scan. */
+  def urlCanonicalize(urlCol: String): Column = expr(urlCanonExpr(urlCol))
+
+  /** The Spark SQL text of the canonicalization: each named step textually
+    * substituted bottom-up (Spark has no scalar WITH; Catalyst CSE
+    * collapses the duplicated sub-expressions, and everything stays
+    * codegen'd scalar string algebra). */
+  private def urlCanonExpr(u: String): String = {
+    val nf = s"(CASE WHEN instr($u, '#') > 0 THEN substr($u, 1, instr($u, '#') - 1) ELSE $u END)"
+    val scheme = s"lower(substr($nf, 1, instr($nf, '://') - 1))"
+    val rest = s"substr($nf, instr($nf, '://') + 3)"
+    val slash = s"instr($rest, '/')"
+    val hostport = s"lower(CASE WHEN $slash > 0 THEN substr($rest, 1, $slash - 1) ELSE $rest END)"
+    val host =
+      s"""(CASE WHEN $scheme = 'https' AND $hostport LIKE '%:443' THEN substr($hostport, 1, length($hostport) - 4)
+         | WHEN $scheme = 'http' AND $hostport LIKE '%:80' THEN substr($hostport, 1, length($hostport) - 3)
+         | ELSE $hostport END)""".stripMargin
+    val pathq = s"(CASE WHEN $slash > 0 THEN substr($rest, $slash) ELSE '/' END)"
+    val qpos = s"instr($pathq, '?')"
+    val path0 = s"(CASE WHEN $qpos > 0 THEN substr($pathq, 1, $qpos - 1) ELSE $pathq END)"
+    val p1 = s"regexp_replace($path0, '/{2,}', '/')"
+    val dot = (1 to 4).foldLeft(p1)((acc, _) => s"regexp_replace($acc, '/\\\\./', '/')")
+    val ddot = (1 to 4).foldLeft(dot)((acc, _) => s"regexp_replace($acc, '/[^/]+/\\\\.\\\\./', '/')")
+    val path = s"(CASE WHEN length($ddot) > 1 AND $ddot LIKE '%/' THEN substr($ddot, 1, length($ddot) - 1) ELSE $ddot END)"
+    val rawq = s"(CASE WHEN $qpos > 0 THEN substr($pathq, $qpos + 1) ELSE '' END)"
+    val keptq = s"""array_join(array_sort(filter(split($rawq, '&'), p ->
+      | p != '' AND NOT startswith(p, 'utm_')
+      | AND NOT startswith(p, 'gclid=') AND NOT startswith(p, 'fbclid='))), '&')""".stripMargin
+    s"""CASE WHEN instr($nf, '://') = 0 THEN NULL ELSE
+       | concat($scheme, '://', $host, $path,
+       |   CASE WHEN $keptq = '' THEN '' ELSE concat('?', $keptq) END)
+       |END""".stripMargin
+  }
+
+  /** DuckDB twin of [[urlCanonExpr]] — same instr/substr positions, same
+    * fixed-pass regex folds, same lambda filter and byte sort. Dialect
+    * deltas only: instr→strpos, split→string_split, array_*→list_*,
+    * startswith→starts_with, != → <>. */
+  def urlCanonSqlDuck(u: String): String = {
+    val nf = s"(CASE WHEN strpos($u, '#') > 0 THEN substr($u, 1, strpos($u, '#') - 1) ELSE $u END)"
+    val scheme = s"lower(substr($nf, 1, strpos($nf, '://') - 1))"
+    val rest = s"substr($nf, strpos($nf, '://') + 3)"
+    val slash = s"strpos($rest, '/')"
+    val hostport = s"lower(CASE WHEN $slash > 0 THEN substr($rest, 1, $slash - 1) ELSE $rest END)"
+    val host =
+      s"""(CASE WHEN $scheme = 'https' AND $hostport LIKE '%:443' THEN substr($hostport, 1, length($hostport) - 4)
+         | WHEN $scheme = 'http' AND $hostport LIKE '%:80' THEN substr($hostport, 1, length($hostport) - 3)
+         | ELSE $hostport END)""".stripMargin
+    val pathq = s"(CASE WHEN $slash > 0 THEN substr($rest, $slash) ELSE '/' END)"
+    val qpos = s"strpos($pathq, '?')"
+    val path0 = s"(CASE WHEN $qpos > 0 THEN substr($pathq, 1, $qpos - 1) ELSE $pathq END)"
+    val p1 = s"regexp_replace($path0, '/{2,}', '/', 'g')"
+    val dot = (1 to 4).foldLeft(p1)((acc, _) => s"regexp_replace($acc, '/\\./', '/', 'g')")
+    val ddot = (1 to 4).foldLeft(dot)((acc, _) => s"regexp_replace($acc, '/[^/]+/\\.\\./', '/', 'g')")
+    val path = s"(CASE WHEN length($ddot) > 1 AND $ddot LIKE '%/' THEN substr($ddot, 1, length($ddot) - 1) ELSE $ddot END)"
+    val rawq = s"(CASE WHEN $qpos > 0 THEN substr($pathq, $qpos + 1) ELSE '' END)"
+    val keptq = s"""array_to_string(list_sort(list_filter(string_split($rawq, '&'), p ->
+      | p <> '' AND NOT starts_with(p, 'utm_')
+      | AND NOT starts_with(p, 'gclid=') AND NOT starts_with(p, 'fbclid='))), '&')""".stripMargin
+    s"""CASE WHEN strpos($nf, '://') = 0 THEN NULL ELSE
+       | $scheme || '://' || $host || $path ||
+       |   CASE WHEN $keptq = '' THEN '' ELSE '?' || $keptq END
+       |END""".stripMargin
+  }
+
   /** Gopher-style rule-bundle quality filter (Rae et al. 2021 §A1.1,
     * MassiveText; the same rule family FineWeb/RefinedWeb reuse) adapted to
     * this corpus's signals: per-doc boolean rules over exact integer counts,

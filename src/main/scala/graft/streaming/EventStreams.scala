@@ -47,6 +47,75 @@ object EventStreams {
         sum(col("value").cast(DecimalType(18, 2))).as("sum_value"))
       .select(col("window.start").as("hr"), col("event_type"), col("n"), col("sum_value"))
 
+  /** UPDATE output mode end-to-end — the one OutputMode the public surface
+    * had not yet demonstrated (complete: events_stream_tumbling; append:
+    * every watermarked row). Update mode re-emits a key's aggregate-so-far
+    * whenever a batch changes it — the low-latency dashboard shape, where
+    * downstream upserts by key instead of waiting for window finalization.
+    *
+    * Demonstrating it needs MULTIPLE micro-batches (a single batch emits
+    * each key once and update degenerates to complete), so the fixture is
+    * staged as `parts` contiguous time-range files (repartitionByRange on
+    * ts), file modification times pinned in range order so
+    * FileStreamSource's modTime-ordered listing replays them oldest-first
+    * with maxFilesPerTrigger=1. Contiguous in-order ranges mean NO event is
+    * ever late: the 1-hour watermark drops nothing, so the LAST emission
+    * per key must equal the batch aggregate EXACTLY — that is the driver
+    * oracle row; hours straddling a file boundary re-emit, which the spec
+    * asserts. Every batch's emissions are captured with their batch id via
+    * foreachBatch (driver-resident but bounded by hours × event_types per
+    * batch — the same bound as the memory-sink rows; the production sink
+    * is an idempotent key-upsert).
+    *
+    * Returns (schema of the aggregate, (batchId, row) emissions). */
+  def tumblingUpdateEmissions(spark: SparkSession, dir: String,
+      parts: Int = 4): (StructType, Seq[(Long, org.apache.spark.sql.Row)]) = {
+    require(parts >= 2, "need >= 2 files for real update re-emission")
+    val staged = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_upd_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    graft.etl.IngestOps.table(spark, dir, "events")
+      .repartitionByRange(parts, col("ts"))
+      .write.mode("overwrite").parquet(s"$staged/events.parquet")
+    // pin modTimes in file-name (= range) order: FileStreamSource processes
+    // in modTime order, and a same-second write could otherwise replay a
+    // later range first, making an entire earlier range "late" vs the
+    // watermark
+    val partFiles = new java.io.File(s"$staged/events.parquet")
+      .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - partFiles.length * 2000L
+    partFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(base + i * 1000L)
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(s"$staged/events.parquet").schema
+    val src = graft.etl.IngestOps.normalizeEventTs(
+      spark.readStream.schema(fileSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/events.parquet"))
+    val agg = tumblingCounts(src)
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, org.apache.spark.sql.Row)]
+    // narrow state like SparkEntry.runNarrowStream: at fixture volumes the
+    // per-partition state-store open/commit dominates (and this run pays it
+    // once per staged file)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          val rows = b.collect()
+          buf.synchronized { buf ++= rows.map(r => (id, r)) }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(300000) finally if (q.isActive) q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (agg.schema, buf.synchronized(buf.toSeq))
+  }
+
   /** Sliding 1-hour windows every 30 minutes (each event in 2 overlapping
     * windows) — the streaming twin of the batch events_sliding_agg query.
     * State: one row per open (window, event_type); expired by the

@@ -101,6 +101,12 @@ object StressProbe {
         graft.ext.TextOps.dedupSegmentsGlobal(d).count()),
       "text_dedup_substrings" -> (d =>
         graft.ext.TextOps.dedupSubstrings(d).count()),
+      "text_unicode_nfc" -> (d => d.selectExpr("doc_id",
+          "concat(text, ' naïve café') AS raw")
+        .select(graft.functions.UnicodeNormalize.nfc(col("raw"))).count()),
+      "text_url_canonicalize" -> (d => d.selectExpr("doc_id",
+          "concat('HTTPS://Example.COM:443//', source, '/./Docs/', CAST(doc_id AS STRING), '/../', lang, '/Page/?utm_source=x&b=1&a=2#f') AS url_raw")
+        .select(graft.ext.TextOps.urlCanonicalize("url_raw")).count()),
       "sample_token_budget" -> (d =>
         graft.ext.Pipelines.mixByTokenBudget(d, "source", "doc_id", 800L).count()),
       "sample_temperature_mix" -> (d =>

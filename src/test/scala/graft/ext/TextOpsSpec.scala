@@ -174,6 +174,40 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.getString(3) == out(1L)._3)
   }
 
+  test("urlCanonicalize: scheme/host case, default port, dot segments, tracking params, fragment") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      (1L, "HTTPS://Example.COM:443//a/./b/c/../d/?utm_source=x&b=2&a=1#frag"),
+      (2L, "http://Host.net:80/path/"),          // default port + trailing slash
+      (3L, "https://h.io"),                      // no path at all -> root
+      (4L, "https://h.io/?utm_campaign=c&gclid=g&fbclid=f"), // all params tracked
+      (5L, "https://h.io:8443/x?z=1&y=2"),       // NON-default port kept, params sorted
+      (6L, "not a url")                          // no scheme -> null
+    ).toDF("doc_id", "url")
+    val got = urls.select(col("doc_id"), TextOps.urlCanonicalize("url").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://example.com/a/b/d?a=1&b=2")
+    assert(got(2L) == "http://host.net/path")
+    assert(got(3L) == "https://h.io/")
+    assert(got(4L) == "https://h.io/")
+    assert(got(5L) == "https://h.io:8443/x?y=2&z=1")
+    assert(got(6L) == null)
+  }
+
+  test("UnicodeNormalize: NFC composes combining marks; NFKC additionally folds compatibility forms") {
+    import org.apache.spark.sql.functions.{col, length}
+    import graft.functions.UnicodeNormalize
+    // decomposed e + U+0301, ligature U+FB01 (fi), circled one U+2460
+    val d = Seq((1L, "café ﬁle ①")).toDF("doc_id", "s")
+    val r = d.select(
+      length(col("s")).as("raw"),
+      UnicodeNormalize.nfc(col("s")).as("nfc"),
+      UnicodeNormalize.nfkc(col("s")).as("nfkc")).collect().head
+    assert(r.getInt(0) == 11) // 5 (cafe+mark) + 1 + 3 (fi-ligature,l,e) + 1 + 1
+    assert(r.getString(1) == "café ﬁle ①") // é composed; fi/1 untouched
+    assert(r.getString(2) == "café file 1")          // NFKC folds both
+  }
+
   test("dedupSubstrings: keep-first across docs; overlap merge; short/empty docs") {
     val d = docs(
       (1L, "a b c d a b"), // "a b" repeats within doc: second copy removed

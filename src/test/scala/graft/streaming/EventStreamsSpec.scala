@@ -29,6 +29,57 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("UPDATE mode: a key re-emits its growing aggregate across batches (MemoryStream)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = EventStreams.tumblingCounts(ms.toDF.toDF("ts", "event_type", "value"))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, org.apache.spark.sql.Row)]
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val rows = b.collect(); buf.synchronized { buf ++= rows.map(r => (id, r)) }; ()
+      }.start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      ms.addData((t(0), "click", 1.0)); q.processAllAvailable()
+      ms.addData((t(10), "click", 2.0)); q.processAllAvailable() // same hour again
+    } finally q.stop()
+    val clicks = buf.synchronized(buf.toList)
+      .filter(_._2.getString(1) == "click").sortBy(_._1)
+    // the 10:00 window emitted once per batch with the growing aggregate —
+    // the observable difference between update and complete/append
+    assert(clicks.map(_._2.getLong(2)) == List(1L, 2L))
+  }
+
+  test("UPDATE mode: staged-replay final per-key upsert equals the batch aggregate") {
+    val (schema, em) = EventStreams.tumblingUpdateEmissions(spark, sf0001)
+    assert(em.nonEmpty)
+    // multiple micro-batches actually ran
+    assert(em.map(_._1).distinct.size >= 2,
+      s"expected >= 2 micro-batches, got batch ids ${em.map(_._1).distinct}")
+    val hrIdx = schema.fieldIndex("hr")
+    val tyIdx = schema.fieldIndex("event_type")
+    val nIdx = schema.fieldIndex("n")
+    val svIdx = schema.fieldIndex("sum_value")
+    val perKey = em.groupBy { case (_, r) => (r.get(hrIdx), r.get(tyIdx)) }
+    // final state: last emission per key == batch aggregate
+    val finalState = perKey.map { case (k, es) =>
+      val last = es.maxBy(_._1)._2
+      (k._1.toString, k._2.toString) ->
+        ((last.getLong(nIdx), last.getDecimal(svIdx).toPlainString))
+    }
+    val batch = SparkEntryBatch.tumbling(sf0001)
+      .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    // key rendering differs (timestamp vs formatted string) — align counts
+    assert(finalState.size == batch.size)
+    assert(finalState.values.toSeq.sorted == batch.values.toSeq.sorted)
+  }
+
   test("streaming sliding windows equal the batch sliding aggregation (AvailableNow)") {
     val stream = EventStreams.slidingCounts(EventStreams.readEvents(spark, sf0001))
     val q = stream.writeStream
