@@ -19,6 +19,10 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Dirs already staged by [[tumblingUpdateEmissions]] this JVM. */
+  private val stagedDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Streaming source over the events fixture. FileStreamSource needs an
     * explicit schema, so take the file's OWN schema from a cheap batch
     * footer read (fixtures have shipped ts as TIMESTAMP(NANOS)-as-long,
@@ -73,19 +77,23 @@ object EventStreams {
     require(parts >= 2, "need >= 2 files for real update re-emission")
     val staged = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_upd_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-    graft.etl.IngestOps.table(spark, dir, "events")
-      .repartitionByRange(parts, col("ts"))
-      .write.mode("overwrite").parquet(s"$staged/events.parquet")
-    // pin modTimes in file-name (= range) order: FileStreamSource processes
-    // in modTime order, and a same-second write could otherwise replay a
-    // later range first, making an entire earlier range "late" vs the
-    // watermark
-    val partFiles = new java.io.File(s"$staged/events.parquet")
-      .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
-    val base = System.currentTimeMillis() - partFiles.length * 2000L
-    partFiles.zipWithIndex.foreach { case (f, i) =>
-      f.setLastModified(base + i * 1000L)
+      s"graft_upd_${Integer.toHexString(dir.hashCode)}_$parts").getAbsolutePath
+    // stage once per (dir, parts) per JVM — the fixture is immutable, and
+    // bench/verify re-enter this query several times per session
+    if (stagedDirs.add(staged)) {
+      graft.etl.IngestOps.table(spark, dir, "events")
+        .repartitionByRange(parts, col("ts"))
+        .write.mode("overwrite").parquet(s"$staged/events.parquet")
+      // pin modTimes in file-name (= range) order: FileStreamSource
+      // processes in modTime order, and a same-second write could otherwise
+      // replay a later range first, making an entire earlier range "late"
+      // vs the watermark
+      val partFiles = new java.io.File(s"$staged/events.parquet")
+        .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - partFiles.length * 2000L
+      partFiles.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 1000L)
+      }
     }
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$staged/events.parquet").schema
