@@ -15,6 +15,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Machine state BEFORE any of our own work. `load_start` (below) is
+    // captured after the sf0.001 warmup pass, so it ALWAYS reads back our
+    // own multi-minute local[32] warmup (~3-5) — three r13 runs chased a
+    // "load_start < 2" that is unsatisfiable by construction. load_entry
+    // is the controllable external-contention signal (cumulative steal on
+    // this host: ~0.3%).
+    val loadEntry = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -180,7 +187,7 @@ object Bench {
     val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
     val failedJson = failed.take(8).map("\"" + _ + "\"").mkString(",")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -2051,6 +2051,12 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Model-based quality filtering dataflow (FineWeb-Edu §3.2): linear
+    // probe over engineered integer features, exact micro-unit score,
+    // threshold keep — a trained probe's weights drop in unchanged
+    "quality_classifier_score" -> ((s, dir) =>
+      TextOps.classifierScore(t(s, dir, "documents")).orderBy("doc_id")),
+
     // Unicode NFC normalization (graft.functions.UnicodeNormalize — Spark
     // has no built-in): the fixture text is ASCII, so each doc gets a
     // DECOMPOSED-form suffix (combining diaeresis/acute/ring built from
@@ -3625,6 +3631,8 @@ object SparkEntry {
     "text_dedup_segments_global" -> TextOps.dedupSegmentsGlobalSqlDuck(),
 
     "text_dedup_substrings" -> TextOps.dedupSubstringsSqlDuck(),
+
+    "quality_classifier_score" -> TextOps.classifierScoreSqlDuck(),
 
     "text_unicode_nfc" ->
       """WITH r AS (SELECT doc_id,

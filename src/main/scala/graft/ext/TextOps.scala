@@ -526,6 +526,78 @@ object TextOps {
        |LEFT JOIN longest l ON t.doc_id = l.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Model-based quality filtering, the FineWeb-Edu shape (Penedo et al.
+    * 2024 §3.2: score every document with a learned classifier, keep above
+    * a threshold): a LINEAR PROBE over engineered integer features. The
+    * weights here are a deterministic stub — a trained probe's weights
+    * drop in unchanged — because the contribution is the DATAFLOW: feature
+    * extraction fused into one map-only pass over the token array,
+    * broadcast-free scoring (weights are plan literals), and an exact
+    * integer score both engines reproduce bit-for-bit (no sigmoid — the
+    * decision threshold is monotone in the linear score, so production
+    * keep/drop semantics are identical and the score stays oracle-exact).
+    *
+    * Features (all exact BIGINT): token count saturated at 1000; stopword,
+    * alpha and distinct-token ratios in ppm (×10⁶ DIV). Zero-token docs
+    * score bias-only with zero features. Max |term| ≈ 10³ × 10⁶ — far
+    * inside i64. Scale: map-only, pipelined into the scan, like
+    * [[gopherRules]]. */
+  def classifierScore(docs: DataFrame, thresholdMicro: Long = 0L,
+      textCol: String = "text"): DataFrame = {
+    val enStops = LangProfiles.head._2
+    // stub probe weights, micro-units: favors stopword-bearing mid-length
+    // prose with diverse vocabulary — the engineered-feature analogue of
+    // the published educational-quality probe
+    val (bias, wLen, wStop, wAlpha, wUniq) = (-480000000L, 700L, 800L, 300L, 400L)
+    docs
+      .select(col("doc_id"), fastTokens(col(textCol)).as("_toks"),
+        stopwordCount(textCol, enStops).as("_nstop"),
+        alphaCount(textCol).as("_nalpha"), charCount(textCol).as("_nchars"))
+      .withColumn("n_tok", size(col("_toks")).cast("long"))
+      .withColumn("f_len", least(col("n_tok"), lit(1000L)))
+      .withColumn("f_stop_ppm", when(col("n_tok") > 0L,
+        expr("(_nstop * 1000000L) DIV n_tok")).otherwise(0L))
+      .withColumn("f_alpha_ppm", when(col("_nchars") > 0L,
+        expr("(_nalpha * 1000000L) DIV _nchars")).otherwise(0L))
+      .withColumn("f_uniq_ppm", when(col("n_tok") > 0L,
+        expr(s"(CAST(size(array_distinct(_toks)) AS BIGINT) * 1000000L) DIV n_tok"))
+        .otherwise(0L))
+      .withColumn("score_micro",
+        lit(bias) + lit(wLen) * col("f_len") + lit(wStop) * col("f_stop_ppm") +
+          lit(wAlpha) * col("f_alpha_ppm") + lit(wUniq) * col("f_uniq_ppm"))
+      .select(col("doc_id"), col("n_tok"), col("f_len"), col("f_stop_ppm"),
+        col("f_alpha_ppm"), col("f_uniq_ppm"), col("score_micro"),
+        (col("score_micro") >= thresholdMicro).cast("int").as("keep"))
+  }
+
+  /** Oracle twin of [[classifierScore]] — same tokenization, same ppm
+    * features, same literal weights, same integer score. */
+  def classifierScoreSqlDuck(thresholdMicro: Long = 0L): String = {
+    val enStops = LangProfiles.head._2
+    s"""SELECT doc_id, n_tok, f_len, f_stop_ppm, f_alpha_ppm, f_uniq_ppm,
+       |  score_micro,
+       |  CAST(CASE WHEN score_micro >= $thresholdMicro THEN 1 ELSE 0 END AS INT) AS keep
+       |FROM (
+       |  SELECT doc_id, n_tok, f_len, f_stop_ppm, f_alpha_ppm, f_uniq_ppm,
+       |    -480000000 + 700 * f_len + 800 * f_stop_ppm
+       |      + 300 * f_alpha_ppm + 400 * f_uniq_ppm AS score_micro
+       |  FROM (
+       |    SELECT doc_id, n_tok,
+       |      least(n_tok, 1000) AS f_len,
+       |      CASE WHEN n_tok > 0 THEN (n_stop * 1000000) // n_tok ELSE 0 END AS f_stop_ppm,
+       |      CASE WHEN n_chars > 0 THEN (n_alpha * 1000000) // n_chars ELSE 0 END AS f_alpha_ppm,
+       |      CASE WHEN n_tok > 0 THEN (n_uniq * 1000000) // n_tok ELSE 0 END AS f_uniq_ppm
+       |    FROM (
+       |      SELECT doc_id,
+       |        CAST(len(${tokensSqlDuck("text")}) AS BIGINT) AS n_tok,
+       |        CAST(${stopCountSqlDuck("text", enStops)} AS BIGINT) AS n_stop,
+       |        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+       |        CAST(length(text) AS BIGINT) AS n_chars,
+       |        CAST(len(list_distinct(${tokensSqlDuck("text")})) AS BIGINT) AS n_uniq
+       |      FROM documents)))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** URL canonicalization for web-corpus curation — the dedup-key step
     * every crawl pipeline runs before exact/near dedup (two crawls of one
     * page differ only in tracking params, casing, default ports, and dot

@@ -174,6 +174,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(again.getString(3) == out(1L)._3)
   }
 
+  test("classifierScore: hand-computed integer features and linear score; zero-token doc scores bias-only") {
+    // "The cat the hat": n_tok=4, stops=2 ('the' twice), alpha=12,
+    // chars=15, distinct=3 -> f_len=4, f_stop=500000, f_alpha=800000,
+    // f_uniq=750000; score = bias + 700*4 + 800*5e5 + 300*8e5 + 400*75e4
+    val d = docs((1L, "The cat the hat"), (2L, "!!!"))
+    val out = TextOps.classifierScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("f_len") == 4L)
+    assert(r1.getAs[Long]("f_stop_ppm") == 500000L)
+    assert(r1.getAs[Long]("f_alpha_ppm") == 800000L)
+    assert(r1.getAs[Long]("f_uniq_ppm") == 750000L)
+    val expected = -480000000L + 700L * 4 + 800L * 500000 + 300L * 800000 + 400L * 750000
+    assert(r1.getAs[Long]("score_micro") == expected)
+    assert(r1.getAs[Int]("keep") == (if (expected >= 0) 1 else 0))
+    // no tokens: every feature 0, score = bias, dropped
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("n_tok") == 0L && r2.getAs[Long]("score_micro") == -480000000L)
+    assert(r2.getAs[Int]("keep") == 0)
+  }
+
   test("urlCanonicalize: scheme/host case, default port, dot segments, tracking params, fragment") {
     import org.apache.spark.sql.functions.col
     val urls = Seq(
