@@ -22,6 +22,8 @@ object Bench {
     // is the controllable external-contention signal (cumulative steal on
     // this host: ~0.3%).
     val loadEntry = loadavg()
+    val stealEntry = stealJiffies()
+    val wallEntry = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -186,8 +188,9 @@ object Bench {
     val omitted = results.size - kept
     val omittedSec = fmt(desc.drop(kept).map(_._2).sum)
     val failedJson = failed.take(8).map("\"" + _ + "\"").mkString(",")
+    val (stealS, stealPct) = stealSeconds(stealEntry, wallEntry)
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","steal_s":$stealS,"steal_pct":$stealPct,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }
@@ -345,6 +348,32 @@ object Bench {
     }
     sb.append(text.substring(i))
     sb.toString
+  }
+
+  /** Cumulative hypervisor steal jiffies (field 9 of /proc/stat's cpu
+    * line), or -1 when unavailable. Load averages can NOT see steal — an
+    * external host-level neighbor delays our runnable threads without any
+    * process showing in ps — so the run-scoped steal delta is the one
+    * OBJECTIVE external-contention record (r13: run totals crept
+    * 181→214 s across an evening at load_entry ≤ 0.7 while the steal
+    * counter accumulated ~700 s of stolen CPU per hour). */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+")(8).toLong
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** (stolen seconds, % of total CPU capacity) across the run so far. */
+  private def stealSeconds(entry: Long, wallEntryNanos: Long): (String, String) = {
+    val now = stealJiffies()
+    if (entry < 0 || now < 0) ("-1", "-1")
+    else {
+      val s = (now - entry) / 100.0
+      val wall = (System.nanoTime() - wallEntryNanos) / 1e9
+      val cap = wall * Runtime.getRuntime.availableProcessors()
+      (f"$s%.1f", if (cap > 0) f"${100.0 * s / cap}%.2f" else "-1")
+    }
   }
 
   /** 1/5/15-minute load averages from /proc/loadavg — recorded at bench
