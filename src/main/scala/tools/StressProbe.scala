@@ -160,6 +160,8 @@ object StressProbe {
       "pipeline_source_cap" -> (d => graft.ext.Pipelines.sourceCap(d).count()),
       "pipeline_shuffle_order" -> (d => graft.ext.Pipelines.shuffleOrder(d).count()),
       "text_gopher_rules" -> (d => graft.ext.TextOps.gopherRules(d).count()),
+      "quality_classifier_score" -> (d =>
+        graft.ext.TextOps.classifierScore(d).count()),
       "text_dup_fraction" -> (d => graft.ext.TextOps.dupFraction(d).count()),
       "dedup_keep_best" -> (d => graft.ext.Dedup.keepBestInCluster(d).count()),
       "search_eval_ndcg" -> (d => graft.ext.TextOps.searchEval(d).count()),
