@@ -40,6 +40,10 @@ object Bench {
       // them whole; canonicalPlanText additionally collapses any list that
       // still truncates
       .config("spark.sql.maxMetadataStringLength", "100000")
+      // StageStore read-back parallelism: the 4 MB default open-cost packs
+      // a small staged relation's files into 1-2 splits, serializing every
+      // downstream map stage; on local disk/tmpfs the real open cost is ~0
+      .config("spark.sql.files.openCostInBytes", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -228,6 +232,10 @@ object Bench {
       // unclosed "...": its cut point tracks pre-normalization exprId
       // widths, so the fragment is session-dependent garbage — collapse it
       .replaceAll("(DataFilters|PartitionFilters|PushedFilters): \\[[^\\]]*?\\.\\.\\.", "$1: [truncated]")
+      // StageStore paths carry a per-JVM root (uuid) and a semanticHash
+      // segment that can differ across JVMs when the staged plan contains
+      // identity-hashed nodes — both are session tokens, not plan content
+      .replaceAll("graft_stage_[^\\]\\s,)]*", "graft_stage_x")
     // Two session-order-dependent ORDERINGS survive the token stripping
     // (both reproduced by flapping digests on the cluster-chain family,
     // diffed via SPARK_GRAFT_FP_TEXT_DIR):
@@ -295,9 +303,13 @@ object Bench {
               k += 1
             }
             parts += inner.substring(last)
+            // contains, not startsWith (ADVICE r13): the identity-hashed
+            // MultiCommutativeOp can sit behind a wrapper — cast(...), a
+            // unary minus — and the wrapped pair flips between sessions
+            // exactly like the bare one
             if (parts.length == 2 &&
-                (parts(0).startsWith("multicommutativeop(") ||
-                 parts(1).startsWith("multicommutativeop(")))
+                (parts(0).contains("multicommutativeop(") ||
+                 parts(1).contains("multicommutativeop(")))
               inner = parts.sorted.mkString(sep)
             sb.append('(').append(inner).append(')')
             i = end + 1

@@ -44,20 +44,63 @@ object SparkEntry {
     IngestOps.table(s, dir, name)
 
   /** Harness for the streaming oracle rows: stop any prior run of `name`,
-    * run the query to completion with NARROW state (8 shuffle/state
+    * run the query to completion with NARROW state (few shuffle/state
     * partitions — at fixture state volumes the per-partition state-store
     * open/commit overhead dominates the actual work: the outer join
     * measured 7.8 s at 32 partitions vs 2.7 s at 8; fresh checkpoint each
-    * run, so the setting binds), and restore the session default only
-    * after the run drains (every micro-batch plans against the live conf). */
+    * run, so the setting binds) and the checkpoint + state store on tmpfs
+    * (see [[streamCheckpointParent]]), restoring the session default only
+    * after the run drains (every micro-batch plans against the live conf).
+    * Partition count is a harness knob (`spark.graft.stream.partitions`),
+    * NOT an operator property: every stateful result here is
+    * partition-count independent, and a real cluster run would size state
+    * partitions to its executor count as usual. */
   private def runNarrowStream(s: SparkSession, name: String)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     s.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // 4 measured best over the whole 19-query family at fixture volumes
+    // (sum-of-min 25.8 s vs 28.2 at 8 vs 26.8 at 2, quiet local[32]):
+    // fewer per-partition state-store open/commits than 8 without the
+    // parallelism loss 2 showed on the scan-heavy rows
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
+    val ck = streamCheckpointParent(s)
     try start.awaitTermination(300000)
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      releaseStreamCheckpoint(s, ck)
+    }
   }
+
+  /** Point the run's streaming checkpoint (offset/commit logs + the
+    * HDFS-backed state store's per-(partition, store, batch) delta + CRC
+    * files) at a FRESH directory on tmpfs when /dev/shm is writable.
+    * Spark's default temp checkpoint lands in java.io.tmpdir, which on
+    * this host is disk-backed — the state store's many tiny synchronous
+    * file ops there are a real slice of the ~1-3 s per-query micro-batch
+    * floor. Fresh-per-run keeps re-execution semantics identical to the
+    * temp-dir default (no offset resume); the caller deletes it via
+    * [[releaseStreamCheckpoint]] (bounded: fixture-scale state). */
+  private def streamCheckpointParent(s: SparkSession): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) {
+      val d = java.nio.file.Files
+        .createTempDirectory(shm.toPath, "graft_ck_").toString
+      s.conf.set("spark.sql.streaming.checkpointLocation", d)
+      Some(d)
+    } else None
+  }
+
+  private def releaseStreamCheckpoint(s: SparkSession, ck: Option[String]): Unit =
+    ck.foreach { d =>
+      s.conf.unset("spark.sql.streaming.checkpointLocation")
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(new java.io.File(d))
+    }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -1455,6 +1498,10 @@ object SparkEntry {
     // update mode's final upsert — must equal the batch aggregate exactly
     // (contiguous in-order ranges: the watermark drops nothing)
     "events_stream_tumbling_update" -> ((s, dir) => {
+      // driver-resident emissions: bounded by (open hours × event_types) ×
+      // micro-batches — the same bound as a memory sink of the aggregate,
+      // a verification-harness pull, not the production path (which is the
+      // streaming tumblingCounts itself with an idempotent key-upsert sink)
       val (schema, em) =
         graft.streaming.EventStreams.tumblingUpdateEmissions(s, dir)
       val rows = em.map { case (bid, r) =>

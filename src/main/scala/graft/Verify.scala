@@ -18,6 +18,10 @@ object Verify {
       // plan-asserts the rewrite happened)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.graft.rangejoin.bucketUs", "600000000")
+      // StageStore read-back parallelism: the 4 MB default open-cost packs
+      // a small staged relation's files into 1-2 splits, serializing every
+      // downstream map stage; on local disk/tmpfs the real open cost is ~0
+      .config("spark.sql.files.openCostInBytes", "16384")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -106,14 +106,20 @@ object Dedup {
     * to the unsalted join, but a bucket of size k costs k²/saltBuckets per
     * reducer instead of k² on one. Shuffle volume grows only on the tiny
     * bucket relation (NumBands rows per doc × saltBuckets). */
-  /** (doc_id, bi, band) membership rows — NumBands per doc. */
+  /** (doc_id, bi, band) membership rows — NumBands per doc. Staged through
+    * [[graft.etl.StageStore]]: the bucket relation is the second shared
+    * intermediate of the near-dup family (cluster labels, bucket
+    * representatives, incremental pipelines all start from it), and it is
+    * small (NumBands rows per doc) — one write, many scans. */
   def bandBuckets(sigs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("bi"), col(s"band$b").as("band")))
-    sigs.select(col("doc_id") +: explode(array(bandStructs: _*)).as("b") +:
-        carry.map(col): _*)
-      .select(col("doc_id") +: col("b.bi").as("bi") +: col("b.band").as("band") +:
-        carry.map(col): _*)
+    graft.etl.StageStore.materialize(
+      sigs.select(col("doc_id") +: explode(array(bandStructs: _*)).as("b") +:
+          carry.map(col): _*)
+        .select(col("doc_id") +: col("b.bi").as("bi") +: col("b.band").as("band") +:
+          carry.map(col): _*),
+      "band_buckets")
   }
 
   val DefaultSaltBuckets = 16
@@ -130,8 +136,15 @@ object Dedup {
     lshCandidatePairs(sigs, cfg.lshSaltBuckets)
 
   def lshCandidatePairs(sigs: DataFrame, saltBuckets: Int = DefaultSaltBuckets): DataFrame =
-    lshCandidatePairsFromBuckets(
-      graft.etl.CacheRegistry.persist(bandBuckets(sigs)), saltBuckets)
+    // the candidate-pair relation is THE shared intermediate of the
+    // near-dup family (keep-first, clustering, LPA, link prediction, the
+    // recall eval) and each consumer is a separate action — stage it once
+    // per (plan, salt) per JVM instead of re-running tokenize → minhash →
+    // salted self-join → distinct for every consumer
+    graft.etl.StageStore.materialize(
+      lshCandidatePairsFromBuckets(
+        graft.etl.CacheRegistry.persist(bandBuckets(sigs)), saltBuckets),
+      s"lsh_pairs_$saltBuckets")
 
   /** Salted within-bucket pair generation over a PRE-BUILT (doc_id, bi,
     * band) relation — callers that already hold the bucket relation (e.g.
@@ -408,14 +421,19 @@ object Dedup {
           >= reqOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
-      .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
-      .withColumn("_i", intersectCount(col("ta"), col("tb")))
-      .withColumn("jaccard",
-        jaccardFromIntersect(col("_i"), size(col("ta")), size(col("tb"))))
-      .filter(col("jaccard") >= theta)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // staged: the exact-pair relation is consumed both as its own operator
+    // and as [[lshEval]]'s ground truth — identical (plan, θ, w) ⇒ one
+    // computation per JVM (jaccard is a double; parquet round-trip exact)
+    graft.etl.StageStore.materialize(
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+        .withColumn("_i", intersectCount(col("ta"), col("tb")))
+        .withColumn("jaccard",
+          jaccardFromIntersect(col("_i"), size(col("ta")), size(col("tb"))))
+        .filter(col("jaccard") >= theta)
+        .select(col("doc_a"), col("doc_b"), col("jaccard")),
+      "jacc_prefix")
   }
 
   /** Oracle for [[jaccardPrefixJoin]]: the quadratic exact form — every

@@ -207,10 +207,26 @@ object Similarity {
     * are tiny driver arrays (k×Dim / m×PqK×subDim doubles), so the map is
     * bounded by the number of distinct (dataset, params) pairs. */
   private object TrainerMemo {
-    private val m = scala.collection.concurrent.TrieMap.empty[(Int, String), AnyRef]
-    def apply[T <: AnyRef](emb: DataFrame, tag: String)(train: => T): T =
-      m.getOrElseUpdate((emb.queryExecution.analyzed.semanticHash(), tag), train)
-        .asInstanceOf[T]
+    private val m = scala.collection.concurrent.TrieMap
+      .empty[(Int, String), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, AnyRef)]
+    /** Lookup CONFIRMS the stored plan with `sameResult` (ADVICE r13): a
+      * 32-bit semanticHash collision between two distinct relations must
+      * retrain rather than silently return the other relation's arrays.
+      * On a confirmed collision the second relation trains uncached every
+      * call — correct, just unmemoized (two colliding fixtures in one JVM
+      * has never been observed; correctness beats the lost memo). */
+    def apply[T <: AnyRef](emb: DataFrame, tag: String)(train: => T): T = {
+      val plan = emb.queryExecution.analyzed
+      val key = (plan.semanticHash(), tag)
+      m.get(key) match {
+        case Some((p, v)) if p.sameResult(plan) => v.asInstanceOf[T]
+        case Some(_) => train // collision: compute directly, keep the entry
+        case None =>
+          val v = train
+          m.putIfAbsent(key, (plan, v))
+          v
+      }
+    }
   }
 
   /** k-means-lite coarse quantizer: deterministic init from the first k

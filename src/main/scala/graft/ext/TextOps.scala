@@ -542,13 +542,26 @@ object TextOps {
     * score bias-only with zero features. Max |term| ≈ 10³ × 10⁶ — far
     * inside i64. Scale: map-only, pipelined into the scan, like
     * [[gopherRules]]. */
+  /** Linear-probe weights in micro-units, the seam a REAL trained probe
+    * drops into (ClassifierScoreSpec proves supplied-vs-default weights
+    * produce the identical plan and scores): one coefficient per engineered
+    * feature of [[classifierScore]], all exact integers so the score stays
+    * oracle-exact at any weight values. [[ProbeWeights.Stub]] is the
+    * deterministic default the oracle SQL mirrors. */
+  final case class ProbeWeights(bias: Long, wLen: Long, wStop: Long,
+    wAlpha: Long, wUniq: Long)
+  object ProbeWeights {
+    /** Stub weights: favor stopword-bearing mid-length prose with diverse
+      * vocabulary — the engineered-feature analogue of the published
+      * educational-quality probe (Penedo et al. 2024). */
+    val Stub: ProbeWeights = ProbeWeights(-480000000L, 700L, 800L, 300L, 400L)
+  }
+
   def classifierScore(docs: DataFrame, thresholdMicro: Long = 0L,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      weights: ProbeWeights = ProbeWeights.Stub): DataFrame = {
     val enStops = LangProfiles.head._2
-    // stub probe weights, micro-units: favors stopword-bearing mid-length
-    // prose with diverse vocabulary — the engineered-feature analogue of
-    // the published educational-quality probe
-    val (bias, wLen, wStop, wAlpha, wUniq) = (-480000000L, 700L, 800L, 300L, 400L)
+    val ProbeWeights(bias, wLen, wStop, wAlpha, wUniq) = weights
     docs
       .select(col("doc_id"), fastTokens(col(textCol)).as("_toks"),
         stopwordCount(textCol, enStops).as("_nstop"),

@@ -23,6 +23,16 @@ object EventStreams {
   private val stagedDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Parquet footer schemas by path — the fixtures are immutable and every
+    * streaming query re-reads the same footer once per invocation (19
+    * queries × 2 bench samples), so the driver-side footer read is memoized
+    * per JVM. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def footerSchema(spark: SparkSession, path: String): StructType =
+    schemaMemo.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+
   /** Streaming source over the events fixture. FileStreamSource needs an
     * explicit schema, so take the file's OWN schema from a cheap batch
     * footer read (fixtures have shipped ts as TIMESTAMP(NANOS)-as-long,
@@ -31,7 +41,7 @@ object EventStreams {
     * points agree by construction. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val fileSchema = footerSchema(spark, s"$dir/events.parquet")
     graft.etl.IngestOps.normalizeEventTs(
       spark.readStream
         .schema(fileSchema)
@@ -75,28 +85,48 @@ object EventStreams {
   def tumblingUpdateEmissions(spark: SparkSession, dir: String,
       parts: Int = 4): (StructType, Seq[(Long, org.apache.spark.sql.Row)]) = {
     require(parts >= 2, "need >= 2 files for real update re-emission")
-    val staged = new java.io.File(
-      sys.props("java.io.tmpdir"),
+    // staging prefers tmpfs: the stage is written once but READ by every
+    // micro-batch replay in the JVM, and /dev/shm is RAM on this host
+    val stageRoot = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+      else sys.props("java.io.tmpdir")
+    }
+    val staged = new java.io.File(stageRoot,
       s"graft_upd_${Integer.toHexString(dir.hashCode)}_$parts").getAbsolutePath
     // stage once per (dir, parts) per JVM — the fixture is immutable, and
-    // bench/verify re-enter this query several times per session
+    // bench/verify re-enter this query several times per session. Publish
+    // to stagedDirs only AFTER the write + modTime pinning succeed: a
+    // failure mid-stage must not poison every later call with a partial
+    // stage (the key is removed on exception so the next call retries).
     if (stagedDirs.add(staged)) {
-      graft.etl.IngestOps.table(spark, dir, "events")
-        .repartitionByRange(parts, col("ts"))
-        .write.mode("overwrite").parquet(s"$staged/events.parquet")
-      // pin modTimes in file-name (= range) order: FileStreamSource
-      // processes in modTime order, and a same-second write could otherwise
-      // replay a later range first, making an entire earlier range "late"
-      // vs the watermark
-      val partFiles = new java.io.File(s"$staged/events.parquet")
-        .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
-      val base = System.currentTimeMillis() - partFiles.length * 2000L
-      partFiles.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(base + i * 1000L)
+      try {
+        graft.etl.IngestOps.table(spark, dir, "events")
+          .repartitionByRange(parts, col("ts"))
+          .write.mode("overwrite").parquet(s"$staged/events.parquet")
+        // pin modTimes in file-name (= range) order: FileStreamSource
+        // processes in modTime order, and a same-second write could otherwise
+        // replay a later range first, making an entire earlier range "late"
+        // vs the watermark. setLastModified returning false (some
+        // filesystems ignore it) would silently break that in-order replay
+        // contract, so it is asserted.
+        val partFiles = new java.io.File(s"$staged/events.parquet")
+          .listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        val base = System.currentTimeMillis() - partFiles.length * 2000L
+        partFiles.zipWithIndex.foreach { case (f, i) =>
+          require(f.setLastModified(base + i * 1000L),
+            s"setLastModified unsupported on $stageRoot — staged replay " +
+              "order would be undefined")
+        }
+      } catch {
+        case e: Throwable => stagedDirs.remove(staged); throw e
       }
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val fileSchema = spark.read.parquet(s"$staged/events.parquet").schema
+    // The staged file was WRITTEN from the normalized table, so its ts is
+    // TIMESTAMP(µs) — unlike the raw fixture, no nanosAsLong flag is needed
+    // to read it (and none is left set session-wide; the flag changes how
+    // every other parquet read in the session types nanos columns).
+    val fileSchema = footerSchema(spark, s"$staged/events.parquet")
     val src = graft.etl.IngestOps.normalizeEventTs(
       spark.readStream.schema(fileSchema)
         .option("maxFilesPerTrigger", "1")
@@ -109,8 +139,17 @@ object EventStreams {
     // once per staged file)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // fresh checkpoint + state store on tmpfs (same rationale as
+    // SparkEntry.streamCheckpointParent: the state store's tiny synchronous
+    // file ops on a disk-backed java.io.tmpdir are a real slice of the
+    // per-query floor), deleted after the run
+    val ck =
+      if (new java.io.File("/dev/shm").canWrite)
+        Some(java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("/dev/shm"), "graft_ck_upd_").toString)
+      else None
     try {
-      val q = agg.writeStream
+      val w0 = agg.writeStream
         .outputMode("update")
         .foreachBatch { (b: DataFrame, id: Long) =>
           val rows = b.collect()
@@ -118,9 +157,17 @@ object EventStreams {
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = ck.fold(w0)(d => w0.option("checkpointLocation", d)).start()
       try q.awaitTermination(300000) finally if (q.isActive) q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      ck.foreach { d =>
+        def del(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(del)); f.delete(); ()
+        }
+        del(new java.io.File(d))
+      }
+    }
     (agg.schema, buf.synchronized(buf.toSeq))
   }
 

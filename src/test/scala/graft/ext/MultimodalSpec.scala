@@ -127,4 +127,76 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == brute && got.nonEmpty)
   }
+
+  // ---- REAL image decode tier (javax.imageio; VERDICT r13 #3) ----------
+
+  /** Deterministic grayscale fixture: px(x,y) = (7x + 13y) mod 256 on all
+    * three channels, encoded losslessly. Luma-milli of a gray level v is
+    * exactly 1000·v (299+587+114 = 1000). */
+  private def fixtureBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (7 * x + 13 * y) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def mediaOfBytes(rows: (Long, Array[Byte])*) = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("test").as("origin"),
+        lit("image").as("mime"), length(col("payload")).cast("long").as("declared_len")))
+  }
+
+  test("decodeImages: PNG and BMP fixtures decode to real pixels with exact luma stats") {
+    val (w, h) = (16, 9)
+    // golden, computed from the generating formula (lossless formats, gray
+    // ⇒ luma-milli = 1000·v): the codec must reproduce it exactly
+    val vals = for (y <- 0 until h; x <- 0 until w) yield (7 * x + 13 * y) % 256
+    val expSum = 1000L * vals.map(_.toLong).sum
+    val expMin = 1000L * vals.min
+    val expMax = 1000L * vals.max
+    for (fmt <- Seq("png", "bmp")) {
+      val out = Multimodal.decodeImages(
+        mediaOfBytes((1L, fixtureBytes(fmt, w, h)))).collect()
+      assert(out.length == 1, fmt)
+      val d = out.head
+      assert(d.format == fmt && d.width == w && d.height == h &&
+        d.n_px == w.toLong * h, fmt)
+      assert(d.luma_milli_sum == expSum, s"$fmt sum")
+      assert(d.luma_milli_min == expMin && d.luma_milli_max == expMax, fmt)
+    }
+  }
+
+  test("decodeImages: non-image payloads are sniffed out, never mis-decoded") {
+    val textPayload = "just some text".getBytes("UTF-8")
+    val truncatedPng = fixtureBytes("png", 8, 8).take(10) // magic ok, body gone
+    val out = Multimodal.decodeImages(mediaOfBytes(
+      (1L, textPayload), (2L, truncatedPng), (3L, fixtureBytes("png", 4, 4))))
+      .collect()
+    assert(out.map(_.doc_id).toSeq == Seq(3L))
+    // the stub tier still covers ALL payloads — the twins coexist
+    assert(Multimodal.decode(mediaOfBytes((1L, textPayload))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("payload"))).count() == 1L)
+  }
+
+  test("resizeImages: nearest-neighbor pixel resize matches the hand index map") {
+    val (w, h, ow, oh) = (16, 9, 8, 4)
+    val bytes = fixtureBytes("png", w, h)
+    val out = Multimodal.resizeImages(mediaOfBytes((1L, bytes)), ow, oh).collect()
+    assert(out.length == 1)
+    // golden from the generating formula through the same index map
+    val lum = for (y <- 0 until oh; x <- 0 until ow) yield
+      1000L * ((7 * (x * w / ow) + 13 * (y * h / oh)) % 256)
+    assert(out.head.luma_milli_sum == lum.sum)
+    assert(out.head.head_hex ==
+      lum.take(8).map(l => f"${l / 1000}%02x").mkString)
+    assert(out.head.out_w == ow && out.head.out_h == oh)
+  }
 }

@@ -64,20 +64,27 @@ class EventStreamsSpec extends AnyFunSuite {
     val nIdx = schema.fieldIndex("n")
     val svIdx = schema.fieldIndex("sum_value")
     val perKey = em.groupBy { case (_, r) => (r.get(hrIdx), r.get(tyIdx)) }
+    // normalize the streaming hr (a collected Timestamp instant) to the
+    // batch side's date_format rendering so the comparison is PER KEY —
+    // a value-multiset compare would pass two keys with swapped
+    // aggregates (ADVICE r13)
+    val hrFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
     // final state: last emission per key == batch aggregate
     val finalState = perKey.map { case (k, es) =>
       val last = es.maxBy(_._1)._2
-      (k._1.toString, k._2.toString) ->
+      (hrFmt.format(k._1.asInstanceOf[java.sql.Timestamp].toInstant),
+        k._2.toString) ->
         ((last.getLong(nIdx), last.getDecimal(svIdx).toPlainString))
     }
+    // batch hr is already date_format'd to 'yyyy-MM-dd HH:mm:ss'
     val batch = SparkEntryBatch.tumbling(sf0001)
       .selectExpr("hr", "event_type", "n", "CAST(sum_value AS STRING) AS sv")
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getString(3))))
       .toMap
-    // key rendering differs (timestamp vs formatted string) — align counts
     assert(finalState.size == batch.size)
-    assert(finalState.values.toSeq.sorted == batch.values.toSeq.sorted)
+    assert(finalState == batch)
   }
 
   test("streaming sliding windows equal the batch sliding aggregation (AvailableNow)") {
