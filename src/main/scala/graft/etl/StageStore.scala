@@ -28,7 +28,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * all fixture-scale relations here.
   */
 object StageStore {
-  private final case class Entry(plan: LogicalPlan, path: String)
+  private final case class Entry(plans: Seq[LogicalPlan], path: String)
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   /** Store root; None (→ memoization disabled, identity) when /dev/shm is
@@ -58,15 +58,30 @@ object StageStore {
     * first if this (plan, tag) has not been staged yet. Falls back to `df`
     * itself when tmpfs is unavailable, when the stage write fails, or when
     * a semanticHash collision is detected (`sameResult` mismatch). */
-  def materialize(df: DataFrame, tag: String): DataFrame = root match {
-    case None => df
+  def materialize(df: DataFrame, tag: String): DataFrame =
+    materializeBy(tag, Seq(df))(df).getOrElse(df)
+
+  /** Input-keyed form for operators whose OUTPUT plan is not a stable key —
+    * e.g. an iterative computation whose result is a chain of
+    * localCheckpoints (fresh RDD ids every call): key on the analyzed
+    * plans of the deterministic INPUTS instead, and run `compute` (which
+    * must be a pure function of those inputs) only on a miss. Returns None
+    * when staging is unavailable/failed — the caller falls back to its
+    * direct computation. */
+  def materializeBy(tag: String, keys: Seq[DataFrame])(compute: => DataFrame):
+      Option[DataFrame] = root match {
+    case None => None
     case Some(dir) =>
-      val spark = df.sparkSession
-      val plan = df.queryExecution.analyzed
-      val key = s"${tag}_${plan.semanticHash()}"
+      val spark = keys.head.sparkSession
+      val plans = keys.map(_.queryExecution.analyzed)
+      val key = s"${tag}_${plans.map(_.semanticHash()).mkString("_")}"
       val entry: Option[Entry] = synchronized {
         memo.get(key) match {
-          case e: Entry => if (e.plan.sameResult(plan)) Some(e) else None
+          case e: Entry =>
+            if (e.plans.size == plans.size &&
+                e.plans.zip(plans).forall { case (a, b) => a.sameResult(b) })
+              Some(e)
+            else None // 32-bit collision: compute directly, keep the entry
           case null =>
             try {
               val path = new java.io.File(dir, key).getAbsolutePath
@@ -81,15 +96,15 @@ object StageStore {
               val parts =
                 try spark.conf.get("spark.sql.shuffle.partitions").toInt
                 catch { case _: Throwable => 32 }
-              df.repartition(parts).write.mode("overwrite").parquet(path)
+              compute.repartition(parts).write.mode("overwrite").parquet(path)
               if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) println(
                 f"[StageStore] wrote $key in ${(System.nanoTime() - t0) / 1e9}%.2f s")
-              val e = Entry(plan, path)
+              val e = Entry(plans, path)
               memo.put(key, e)
               Some(e)
             } catch { case _: Throwable => None } // stage write failed: direct
         }
       }
-      entry.fold(df)(e => spark.read.parquet(e.path))
+      entry.map(e => spark.read.parquet(e.path))
   }
 }

@@ -812,7 +812,17 @@ object Dedup {
     * through the bucket node). Labels decrease monotonically to the
     * component minimum; rounds ≈ component diameter (cliques: 2). */
   def clusterByBuckets(docs: DataFrame, memberships: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20): DataFrame =
+    // staged by INPUT plans (the loop's result is a localCheckpoint chain —
+    // fresh RDD ids every call, no stable output key): five public
+    // operators (clusters, keep-best, leakage-safe splits, dedup weights,
+    // the corpus card) run this exact CC on the same memberships
+    graft.etl.StageStore.materializeBy(s"cc_$maxIters", Seq(docs, memberships)) {
+      clusterByBucketsCompute(docs, memberships, maxIters)
+    }.getOrElse(clusterByBucketsCompute(docs, memberships, maxIters))
+
+  private def clusterByBucketsCompute(docs: DataFrame, memberships: DataFrame,
+      maxIters: Int): DataFrame = {
     val m = graft.etl.CacheRegistry.persist(
       memberships.select(col("doc_id"),
         concat_ws(":", col("bi"), col("band")).as("bucket")))
