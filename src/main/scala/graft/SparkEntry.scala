@@ -2630,6 +2630,14 @@ object SparkEntry {
       graft.ext.Pipelines.sourceOverlap(t(s, dir, "documents"))
         .orderBy("source_a", "source_b")),
 
+    // cross-source contamination card (ext/TextOps.contaminationCard): each
+    // source treated as an eval set in turn — per (candidate, benchmark)
+    // source pair, contaminated-doc count, distinct leaked shingles, and
+    // rate; the audit read before configuring text_decontaminate
+    "quality_contamination_card" -> ((s, dir) =>
+      TextOps.contaminationCard(t(s, dir, "documents"))
+        .orderBy("cand_source", "bench_source")),
+
     // duplicate-aware sampling weights (ext/Pipelines.dedupWeights): every
     // doc carries 1e6 DIV |near-dup cluster| µ-weight — each cluster
     // contributes one unit of sampling mass however many copies it has;
@@ -3963,6 +3971,7 @@ object SparkEntry {
     "sample_dedup_weights" -> graft.ext.Pipelines.dedupWeightsSqlDuck,
     "quality_corpus_card" -> graft.ext.Pipelines.corpusCardSqlDuck,
     "quality_source_overlap" -> graft.ext.Pipelines.sourceOverlapSqlDuck,
+    "quality_contamination_card" -> TextOps.contaminationCardSqlDuck(),
     "orders_brand_rules" -> graft.ext.Analytics.brandRulesSqlDuck(),
 
     // independent recomputation of the bucketed-layout join: DuckDB joins

@@ -315,6 +315,42 @@ object TextOps {
     candidates.join(bad, Seq("doc_id"), "left_anti")
   }
 
+  /** Cross-source contamination card — the audit BEHIND [[decontaminate]]:
+    * treating every source as a benchmark/eval set in turn, how many of
+    * each other source's documents share at least one w-token shingle with
+    * it, and how many distinct shingles leak. The per-(candidate,
+    * benchmark) contamination rate is what a curator reads before wiring a
+    * decontamination pass: which training source leaks into which eval
+    * set, and whether the leak is a few ubiquitous shingles or broad.
+    *
+    * Shape: ONE distinct (doc, source, shingle-hash) projection; the
+    * benchmark side reduced to distinct (hash, source) FIRST, so a
+    * ubiquitous shingle fans out once per source that carries it (bounded
+    * by |sources|, never by docs); one hash-keyed equi-join; then a single
+    * grouped two-way distinct-count (Expand ×2, both map-side partial)
+    * into the |sources|²-bounded card. No all-pairs stage, no driver
+    * state — every shuffle is keyed on the shingle hash or the card key. */
+  def contaminationCard(docs: DataFrame, w: Int = 5): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    val perSrc = src.groupBy("source").agg(count(lit(1)).cast("long").as("n_docs"))
+    val sh = Dedup.shingles(docs, w)
+      .select(col("doc_id"), md5(col("tok")).as("h")).distinct()
+      .join(src, "doc_id")
+    val bench = sh.select(col("h"), col("source").as("bench_source")).distinct()
+    val hits = sh.join(bench, "h")
+      .filter(col("source") =!= col("bench_source"))
+      .select(col("doc_id"), col("source").as("cand_source"), col("bench_source"), col("h"))
+    hits.groupBy("cand_source", "bench_source")
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_contaminated"),
+        countDistinct(col("h")).cast("long").as("n_shared_shingles"))
+      .join(broadcast(perSrc.select(col("source").as("cand_source"), col("n_docs"))),
+        "cand_source")
+      .select(col("cand_source"), col("bench_source"), col("n_docs"),
+        col("n_contaminated"), col("n_shared_shingles"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("contamination_rate"))
+  }
+
   /** Within-document repeated-segment removal — the C4/FineWeb
     * line-deduplication cleaning step, adapted to consecutive `w`-token
     * segments (the fixture corpus carries no newlines; for real corpora
@@ -818,6 +854,28 @@ object TextOps {
        |WHERE source <> '$benchSource'
        |  AND doc_id NOT IN (SELECT doc_id FROM bad)
        |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for [[contaminationCard]] — same distinct projections,
+    * same hash join, same two distinct counts and rate division. */
+  def contaminationCardSqlDuck(w: Int = 5): String =
+    s"""WITH shs AS (SELECT DISTINCT doc_id, source, md5(s) AS h
+       |   FROM (${shingleCtesDuck(w, "")}) WHERE s IS NOT NULL),
+       | bench AS (SELECT DISTINCT h, source AS bench_source FROM shs),
+       | hits AS (SELECT shs.doc_id, shs.source AS cand_source, bench_source, h
+       |   FROM shs JOIN bench USING (h)
+       |   WHERE shs.source <> bench_source),
+       | card AS (SELECT cand_source, bench_source,
+       |     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_contaminated,
+       |     CAST(count(DISTINCT h) AS BIGINT) AS n_shared_shingles
+       |   FROM hits GROUP BY 1, 2),
+       | ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |   FROM documents GROUP BY source)
+       |SELECT cand_source, bench_source, n_docs, n_contaminated,
+       |  n_shared_shingles,
+       |  CAST(n_contaminated AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |    AS contamination_rate
+       |FROM card JOIN ps ON ps.source = card.cand_source
+       |ORDER BY cand_source, bench_source""".stripMargin
 
   /** DuckDB oracle for [[dedupSegments]] — same segmentation arithmetic and
     * the same keep-first rule via DuckDB's indexed lambda (`i` is 1-based

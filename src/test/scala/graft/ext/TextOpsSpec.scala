@@ -337,6 +337,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(2L, 3L))
   }
 
+  test("contaminationCard: hand-computed per-(cand, bench) leakage cells") {
+    // 2-shingles: d1={pq,qr} d2={xy} (source A); d3={pq,qz} (B);
+    // d4={qr,rx,xy} (C). Expected nonzero cells:
+    //   A→B: d1 shares pq          → (1 doc, 1 shingle), n_docs(A)=2
+    //   A→C: d1 (qr), d2 (xy)      → (2 docs, 2 shingles)
+    //   B→A: d3 shares pq          → (1, 1), n_docs(B)=1
+    //   C→A: d4 shares qr, xy      → (1, 2), n_docs(C)=1
+    // B↔C share nothing → no rows.
+    val d = Seq(
+      (1L, "p q r", "A"), (2L, "x y", "A"),
+      (3L, "p q z", "B"), (4L, "q r x y", "C"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.contaminationCard(d, w = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "A"), ("C", "A")))
+    assert(out(("A", "B")) == ((2L, 1L, 1L, 0.5)))
+    assert(out(("A", "C")) == ((2L, 2L, 2L, 1.0)))
+    assert(out(("B", "A")) == ((1L, 1L, 1L, 1.0)))
+    assert(out(("C", "A")) == ((1L, 1L, 2L, 1.0)))
+  }
+
   test("searchTopK: single-term query matches the hand-computed BM25 score") {
     // 3 docs, dl 2/2/4; 'cat' appears in doc 1 (tf 1) and doc 3 (tf 2)
     val d = docs(
