@@ -26,7 +26,7 @@ object Bench {
     val wallEntry = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -44,7 +44,9 @@ object Bench {
       // a small staged relation's files into 1-2 splits, serializing every
       // downstream map stage; on local disk/tmpfs the real open cost is ~0
       .config("spark.sql.files.openCostInBytes", "16384")
-      .getOrCreate()
+    // shuffle files / DISK_ONLY blocks / spills on tmpfs (NVMe stand-in;
+    // SPARK_GRAFT_NO_SHM_LOCAL=1 reverts) — see etl.ScratchDirs
+    val spark = graft.etl.ScratchDirs.withLocalDir(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Deterministic query order (Map iteration order is hash-random), and a

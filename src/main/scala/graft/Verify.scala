@@ -7,7 +7,7 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -22,7 +22,9 @@ object Verify {
       // a small staged relation's files into 1-2 splits, serializing every
       // downstream map stage; on local disk/tmpfs the real open cost is ~0
       .config("spark.sql.files.openCostInBytes", "16384")
-      .getOrCreate()
+    // shuffle files / DISK_ONLY blocks / spills on tmpfs (NVMe stand-in;
+    // SPARK_GRAFT_NO_SHM_LOCAL=1 reverts) — see etl.ScratchDirs
+    val spark = graft.etl.ScratchDirs.withLocalDir(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local iteration aid (the driver never sets it): restrict the dump —

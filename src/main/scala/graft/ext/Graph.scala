@@ -19,6 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Symmetrized (src, dst) edge list of an undirected pair relation,
+    * staged ONCE per JVM via [[graft.etl.StageStore]] when tmpfs is
+    * available: PageRank, k-core, LPA and link prediction all consume this
+    * exact relation, and the iterative ones re-scan it every round — a
+    * vectorized parquet scan off tmpfs beats re-deserializing a
+    * java-serialized DISK_ONLY block each time (measured on LPA: the
+    * per-round InMemoryTableScan of 8.8M cached rows dominated the round).
+    * Falls back to the previous DISK_ONLY persist when staging is
+    * unavailable (same safety rationale: the edge list is O(Σ bucket²) —
+    * deserialized on-heap it starves the aggregation maps; the 10× probe
+    * OOM'd before DISK_ONLY). */
+  private def symEdges(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"),
+        col("doc_a").as("dst")))
+    graft.etl.StageStore.materializeBy("graph_sym_edges", Seq(sym))(sym)
+      .getOrElse(graft.etl.CacheRegistry.persistDisk(sym))
+  }
+
   /** Damped PageRank with a FIXED iteration count over an undirected pair
     * graph (each pair contributes both directed edges).
     *
@@ -44,10 +63,7 @@ object Graph {
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100 && scale > 0)
     val ids = graft.etl.CacheRegistry.persist(nodes.select(col(idCol).as("id")))
-    val edges = graft.etl.CacheRegistry.persist(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"))))
+    val edges = symEdges(pairs)
     val deg = graft.etl.CacheRegistry.persist(
       edges.groupBy("src").agg(count(lit(1)).as("d")))
     val n = ids.count()
@@ -125,10 +141,7 @@ object Graph {
   def kCore(nodes: DataFrame, pairs: DataFrame, k: Int = 2, rounds: Int = 3,
       idCol: String = "doc_id"): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1; got k=$k rounds=$rounds")
-    val e = graft.etl.CacheRegistry.persist(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"))))
+    val e = symEdges(pairs)
     var alive = graft.etl.CacheRegistry.persist(
       e.select(col("src").as("id")).distinct())
     for (_ <- 1 to rounds) {
@@ -211,10 +224,7 @@ object Graph {
       maxMiddleDeg: Long = 64L): DataFrame = {
     require(topK > 0, s"topK must be > 0, got $topK")
     require(maxMiddleDeg >= 1, s"maxMiddleDeg must be >= 1, got $maxMiddleDeg")
-    val e = graft.etl.CacheRegistry.persist(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"))))
+    val e = symEdges(pairs)
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     // wedges centered only on low-degree middles: edge (m→x) survives iff
     // deg(m) <= cap, so the self-join's key distribution is cap-bounded
@@ -342,10 +352,7 @@ object Graph {
     // defensive distinct() here would re-shuffle the O(Σ bucket²) edge
     // list — the op's biggest relation — to protect against a misuse this
     // codebase never performs (measured ~+1 s at sf0.1 when tried).
-    val e = graft.etl.CacheRegistry.persistDisk(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"),
-          col("doc_a").as("dst"))))
+    val e = symEdges(pairs)
     // ROUND 1 CLOSED FORM: with every neighbor holding its own unique id as
     // label, all per-label counts are 1 and the smallest-label tie rule
     // makes the argmax exactly min(neighbor id) — ONE |V|-keyed aggregate.
