@@ -369,6 +369,40 @@ object Dedup {
     * Plan: two token-keyed shuffles (df + prefix join) and two id-keyed
     * array join-backs — every join an equi-join, nothing quadratic in the
     * corpus. */
+  /** The three deterministic relations every prefix-filter similarity join
+    * rebuilds — distinct (doc, w-shingle), per-doc sorted shingle sets, and
+    * per-doc rarity-ranked arrays — staged once per (docs, w) via
+    * [[graft.etl.StageStore]]: [[jaccardPrefixJoin]] and
+    * [[containmentPrefixJoin]] consume the identical triple (θ only shapes
+    * the downstream prefix/verify stages), so the explode+distinct shuffle
+    * and the two collect aggregations run once per JVM, not once per
+    * operator. All three are deterministic (sort_array pins set and rank
+    * order; ties impossible — shingles are distinct per doc) and parquet-
+    * exact. Falls back to the previous per-op persist when staging is
+    * unavailable. */
+  private def prefixJoinRelations(docs: DataFrame, textCol: String,
+      shingleW: Int): (DataFrame, DataFrame, DataFrame) = {
+    val tok0 =
+      if (shingleW <= 1)
+        docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.fastTokens(col(textCol)))).as("tok"))
+      else shingles(docs, shingleW, textCol).distinct()
+    def staged(tag: String)(df: => DataFrame): DataFrame =
+      graft.etl.StageStore.materializeBy(s"${tag}_$shingleW", Seq(tok0))(df)
+        .getOrElse(graft.etl.CacheRegistry.persist(df))
+    val tok = staged("pj_tok")(tok0)
+    val t = staged("pj_sets")(
+      tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks")))
+    val ranked = staged("pj_ranked") {
+      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      tok.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
+        .select(col("doc_id"), expr("transform(_ord, x -> x.tok)").as("rtoks"))
+    }
+    (tok, t, ranked)
+  }
+
   def jaccardPrefixJoin(docs: DataFrame, cfg: graft.etl.EngineConfig): DataFrame =
     jaccardPrefixJoin(docs, "text", cfg.prefixJoinTheta, cfg.prefixJoinShingleW)
 
@@ -383,20 +417,9 @@ object Dedup {
     // shingleW = 1 degenerates to unigram sets for corpora where that is
     // the intended granularity. Docs with fewer than w tokens have no
     // shingles and are excluded (no similarity evidence).
-    val tok =
-      if (shingleW <= 1)
-        docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.fastTokens(col(textCol)))).as("tok"))
-      else shingles(docs, shingleW, textCol).distinct()
-    val t = graft.etl.CacheRegistry.persist(
-      tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks")))
-    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
     // per-doc tokens re-sorted by global rarity; the (df, tok) struct sort
     // is the total order, no global rank assignment (and no global window)
-    val ranked = tok.join(dfreq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
-      .select(col("doc_id"), expr("transform(_ord, x -> x.tok)").as("rtoks"))
+    val (_, t, ranked) = prefixJoinRelations(docs, textCol, shingleW)
     val pre = ranked
       .select(col("doc_id"), size(col("rtoks")).as("n"),
         posexplode(expr(
@@ -476,18 +499,7 @@ object Dedup {
   def containmentPrefixJoin(docs: DataFrame, textCol: String = "text",
       theta: Double = 0.8, shingleW: Int = 3): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, "theta must be in (0, 1]")
-    val tok =
-      if (shingleW <= 1)
-        docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.fastTokens(col(textCol)))).as("tok"))
-      else shingles(docs, shingleW, textCol).distinct()
-    val t = graft.etl.CacheRegistry.persist(
-      tok.groupBy("doc_id").agg(sort_array(collect_set(col("tok"))).as("toks")))
-    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ranked = tok.join(dfreq, "tok")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("_ord"))
-      .select(col("doc_id"), expr("transform(_ord, x -> x.tok)").as("rtoks"))
+    val (tok, t, ranked) = prefixJoinRelations(docs, textCol, shingleW)
     // A exposes its prefix (|A| − ⌈θ|A|⌉ + 1 rarest shingles); B exposes all
     val pre = ranked.select(col("doc_id"), size(col("rtoks")).as("n"),
       explode(expr(
