@@ -96,7 +96,14 @@ object StageStore {
               val parts =
                 try spark.conf.get("spark.sql.shuffle.partitions").toInt
                 catch { case _: Throwable => 32 }
-              compute.repartition(parts).write.mode("overwrite").parquet(path)
+              // tagged job group: the stage write is the ONE intentional
+              // construction-time action in the codebase — laziness-guard
+              // specs (DedupSpec) filter it by this id when asserting an
+              // operator's construction launches no accidental jobs
+              spark.sparkContext.setJobGroup("graft-stage-write",
+                s"StageStore write $key")
+              try compute.repartition(parts).write.mode("overwrite").parquet(path)
+              finally spark.sparkContext.clearJobGroup()
               if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) println(
                 f"[StageStore] wrote $key in ${(System.nanoTime() - t0) / 1e9}%.2f s")
               val e = Entry(plans, path)
@@ -105,6 +112,13 @@ object StageStore {
             } catch { case _: Throwable => None } // stage write failed: direct
         }
       }
-      entry.map(e => spark.read.parquet(e.path))
+      entry.map { e =>
+        // the read-back's footer schema inference is a (tiny) job too —
+        // same intentional-action tag as the write, same spec filter
+        spark.sparkContext.setJobGroup("graft-stage-write",
+          s"StageStore read ${e.path}")
+        try spark.read.parquet(e.path)
+        finally spark.sparkContext.clearJobGroup()
+      }
   }
 }

@@ -679,7 +679,14 @@ object Dedup {
             .otherwise(jaccardFromIntersect(
               intersectCount(col("ta0"), col("tb0")),
               col("na0"), col("nb0"))) >= threshold)
-    val losers = sim.select(col("doc_b").as("doc_id")).distinct()
+    // the losers id-set is deterministic per (docs, params) and consumed
+    // once per invocation by several callers (the standalone operator, the
+    // curation pipelines) — staged so repeat invocations in a JVM scan it
+    // instead of re-running the pair enumeration + verify
+    def losers0 = sim.select(col("doc_b").as("doc_id")).distinct()
+    val losers = graft.etl.StageStore.materializeBy(
+      s"nd_losers_${textCol}_${threshold}_${maxDocFreq}_${minBlockForCap}_$nSalts",
+      Seq(docs))(losers0).getOrElse(losers0)
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
@@ -716,7 +723,11 @@ object Dedup {
         col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
       .filter(jaccardFromIntersect(intersectCount(col("ta"), col("tb")),
         col("na"), col("nb")) >= threshold)
-    val losers = sim.select(col("doc_b").as("doc_id")).distinct()
+    // staged for the same reason as the blocking form's losers set
+    def losers0 = sim.select(col("doc_b").as("doc_id")).distinct()
+    val losers = graft.etl.StageStore.materializeBy(
+      s"ndlsh_losers_${textCol}_$threshold", Seq(docs))(losers0)
+      .getOrElse(losers0)
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -177,7 +177,11 @@ class DedupSpec extends AnyFunSuite {
       jobs.clear()
       Dedup.dropNearDuplicates(d, 0.8) // construction only — no action
       flushBus("flush-post") // after this lands, jobs holds every construction job
-      assert(jobs.toArray.toSeq == Seq("flush-post"),
+      // the StageStore losers-set write is the one INTENTIONAL
+      // construction-time action (tagged with its own job group); this
+      // guard is against accidental eager actions, so filter it out
+      assert(jobs.toArray.toSeq.filterNot(_ == "graft-stage-write")
+          == Seq("flush-post"),
         s"construction must run no job, saw: ${jobs.toArray.mkString("; ")}")
     } finally sc.removeSparkListener(listener)
   }
