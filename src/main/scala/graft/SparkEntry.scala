@@ -1481,6 +1481,21 @@ object SparkEntry {
     // result space is (hours × event_types) — bounded by time span, not
     // corpus size; the production sink is foreachBatch→ndjson
     // (EventStreams.writeNdjsonStream).
+    // streaming DOCUMENT ingestion (streaming/DocStreams): gate → exact
+    // fingerprint dedup (stateful, keyed (source, fp)) → per-source
+    // admitted counts in complete mode — the corpus-side streaming shape;
+    // oracle = the same gates + count(DISTINCT md5(text)) per source
+    "docs_stream_curate" -> ((s, dir) => {
+      runNarrowStream(s, "stream_docs_curate_verify")(
+        graft.streaming.DocStreams.curatedSourceCounts(
+            graft.streaming.DocStreams.readDocuments(s, dir))
+          .writeStream.format("memory").queryName("stream_docs_curate_verify")
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+      s.table("stream_docs_curate_verify").orderBy("source")
+    }),
+
     "events_stream_tumbling" -> ((s, dir) => {
       runNarrowStream(s, "stream_tumbling_verify")(
         graft.streaming.EventStreams.tumblingCounts(
@@ -3846,6 +3861,22 @@ object SparkEntry {
         |  event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS sum_value
         |FROM w GROUP BY ws, event_type ORDER BY w_start, event_type""".stripMargin,
+
+    // batch twin of the streaming ingestion rollup: same gate arithmetic
+    // as curateCorpusSqlDuck's q CTE, count(DISTINCT fingerprint) per
+    // source = the stateful (source, fp) dropDuplicates + count
+    "docs_stream_curate" ->
+      s"""WITH q AS (SELECT source, lang, text,
+        |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS alpha_ratio
+        |  FROM documents)
+        |SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_admitted
+        |FROM q
+        |WHERE lang = 'en' AND n_tokens >= 10 AND n_tokens <= 100000
+        |  AND alpha_ratio >= 0.5
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "events_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,
