@@ -230,6 +230,15 @@ object Bench {
       .replaceAll("@[0-9a-fA-F]+", "@x")
       .replaceAll("\\[id=\\d+\\]", "[id=x]")
       .replaceAll("Broadcast\\((\\d+)\\)", "Broadcast(x)")
+      // a query that materializes its own cache during CONSTRUCTION (the
+      // curriculum family's driver-loop argmax pulls) embeds the executed
+      // child plan inside InMemoryRelation — including whole-stage-codegen
+      // ids (`*(N)`) and AQE stage numbers (`BroadcastQueryStage N`,
+      // `ShuffleQueryStage N`, `TableCacheQueryStage N`), both numbered by
+      // SESSION-GLOBAL counters (r14: pipeline_curriculum digest flapped
+      // between full runs on exactly these tokens)
+      .replaceAll("\\*\\(\\d+\\)", "*(x)")
+      .replaceAll("QueryStage \\d+", "QueryStage x")
       // a metadata list that still hit maxMetadataStringLength ends in an
       // unclosed "...": its cut point tracks pre-normalization exprId
       // widths, so the fragment is session-dependent garbage — collapse it

@@ -34,6 +34,19 @@ class BenchCanonSpec extends AnyFunSuite {
     assert(Bench.stripPlanText(a).contains("DataFilters: [truncated]"))
   }
 
+  test("stripPlanText normalizes codegen-stage and AQE query-stage counters") {
+    // the r14 flap shape: a query that materializes its own cache during
+    // construction embeds the EXECUTED child plan (InMemoryRelation), whose
+    // whole-stage-codegen ids and AQE stage numbers come from
+    // session-global counters
+    val a = "*(5) BroadcastHashJoin :- BroadcastQueryStage 4 +- ShuffleQueryStage 3 +- TableCacheQueryStage 1 +- *(2) Filter isnotnull(w1#x)"
+    val b = "*(2) BroadcastHashJoin :- BroadcastQueryStage 3 +- ShuffleQueryStage 7 +- TableCacheQueryStage 2 +- *(1) Filter isnotnull(w1#x)"
+    assert(Bench.stripPlanText(a) == Bench.stripPlanText(b))
+    // the operator names themselves survive — only the counters collapse
+    assert(Bench.stripPlanText(a).contains("BroadcastQueryStage x"))
+    assert(Bench.stripPlanText(a).contains("*(x) Filter"))
+  }
+
   test("sortCommutativePairs: the lit-vs-chain binary flip normalizes; unrelated binaries untouched") {
     // the r13 flap shape: Spark orders Multiply's children by hashCode and
     // MultiCommutativeOp hashes its Class member by JVM identity, so the
