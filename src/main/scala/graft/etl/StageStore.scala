@@ -54,6 +54,22 @@ object StageStore {
     f.delete(); ()
   }
 
+  /** Run `body` inside the tagged "graft-stage-write" job group, then
+    * RESTORE the calling thread's previous job-group properties rather than
+    * clearing them (ADVICE r14: clearJobGroup wiped a caller's own
+    * spark.jobGroup.id/description/interrupt-on-cancel, so jobs the caller
+    * submitted after constructing a staged operator silently lost their
+    * grouping). */
+  private def withStageJobGroup[A](
+      sc: org.apache.spark.SparkContext, desc: String)(body: => A): A = {
+    val keys = Seq("spark.jobGroup.id", "spark.job.description",
+      "spark.job.interruptOnCancel")
+    val saved = keys.map(k => k -> sc.getLocalProperty(k))
+    sc.setJobGroup("graft-stage-write", desc)
+    try body
+    finally saved.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+  }
+
   /** Return a scan of the memoized materialization of `df`, writing it
     * first if this (plan, tag) has not been staged yet. Falls back to `df`
     * itself when tmpfs is unavailable, when the stage write fails, or when
@@ -98,12 +114,12 @@ object StageStore {
                 catch { case _: Throwable => 32 }
               // tagged job group: the stage write is the ONE intentional
               // construction-time action in the codebase — laziness-guard
-              // specs (DedupSpec) filter it by this id when asserting an
-              // operator's construction launches no accidental jobs
-              spark.sparkContext.setJobGroup("graft-stage-write",
-                s"StageStore write $key")
-              try compute.repartition(parts).write.mode("overwrite").parquet(path)
-              finally spark.sparkContext.clearJobGroup()
+              // specs (DedupSpec) filter it by its job DESCRIPTION
+              // ("StageStore write/read ...") when asserting an operator's
+              // construction launches no accidental jobs
+              withStageJobGroup(spark.sparkContext, s"StageStore write $key") {
+                compute.repartition(parts).write.mode("overwrite").parquet(path)
+              }
               if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) println(
                 f"[StageStore] wrote $key in ${(System.nanoTime() - t0) / 1e9}%.2f s")
               val e = Entry(plans, path)
@@ -115,10 +131,9 @@ object StageStore {
       entry.map { e =>
         // the read-back's footer schema inference is a (tiny) job too —
         // same intentional-action tag as the write, same spec filter
-        spark.sparkContext.setJobGroup("graft-stage-write",
-          s"StageStore read ${e.path}")
-        try spark.read.parquet(e.path)
-        finally spark.sparkContext.clearJobGroup()
+        withStageJobGroup(spark.sparkContext, s"StageStore read ${e.path}") {
+          spark.read.parquet(e.path)
+        }
       }
   }
 }

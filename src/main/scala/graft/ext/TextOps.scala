@@ -589,8 +589,38 @@ object TextOps {
   object ProbeWeights {
     /** Stub weights: favor stopword-bearing mid-length prose with diverse
       * vocabulary — the engineered-feature analogue of the published
-      * educational-quality probe (Penedo et al. 2024). */
+      * educational-quality probe (Penedo et al. 2024). Kept for specs (the
+      * seam's differential tests); the production row runs
+      * [[TrainedGopherV1]]. */
     val Stub: ProbeWeights = ProbeWeights(-480000000L, 700L, 800L, 300L, 400L)
+
+    /** TRAINED probe weights (VERDICT r14 #5) — an actual logistic fit
+      * computed OFFLINE and committed as literals, the FineWeb-Edu recipe
+      * at fixture scale (train a cheap linear classifier against a richer
+      * quality teacher, then score the corpus with the probe):
+      *
+      *  - label: the repo's Gopher-rule cascade keep decision
+      *    ([[gopherRules]] — token count, mean token length, stopword
+      *    floor, distinct-token ratio) on the sf0.01 documents fixture
+      *    (500 docs, 22.4% positive);
+      *  - features: exactly [[classifierScore]]'s four integers (f_len,
+      *    f_stop_ppm, f_alpha_ppm, f_uniq_ppm), standardized for the
+      *    solver and un-standardized back to raw-feature weights;
+      *  - method: iteratively reweighted least squares to the convex
+      *    logistic optimum (ridge 1e-6; converged in 7 Newton steps);
+      *  - quantization: weights scaled by 1e8 onto the raw integer
+      *    features and rounded — at this scale the integer score's SIGN
+      *    agrees with the float optimum on every training doc, so the
+      *    committed probe IS the trained decision boundary (score units
+      *    are 1e-8 rather than micro; the threshold semantics are
+      *    unchanged — keep ⇔ score ≥ 0).
+      *
+      * A 4-feature linear probe cannot represent the cascade's AND
+      * exactly; held-out accuracy 0.81 both at sf0.001 and sf0.1
+      * (train 0.83) — honest distillation quality, recorded in
+      * ClassifierScoreSpec. */
+    val TrainedGopherV1: ProbeWeights =
+      ProbeWeights(2300803173L, -13603717L, 2398L, -1623L, -1139L)
   }
 
   def classifierScore(docs: DataFrame, thresholdMicro: Long = 0L,
@@ -621,15 +651,17 @@ object TextOps {
 
   /** Oracle twin of [[classifierScore]] — same tokenization, same ppm
     * features, same literal weights, same integer score. */
-  def classifierScoreSqlDuck(thresholdMicro: Long = 0L): String = {
+  def classifierScoreSqlDuck(thresholdMicro: Long = 0L,
+      weights: ProbeWeights = ProbeWeights.Stub): String = {
     val enStops = LangProfiles.head._2
+    val ProbeWeights(bias, wLen, wStop, wAlpha, wUniq) = weights
     s"""SELECT doc_id, n_tok, f_len, f_stop_ppm, f_alpha_ppm, f_uniq_ppm,
        |  score_micro,
        |  CAST(CASE WHEN score_micro >= $thresholdMicro THEN 1 ELSE 0 END AS INT) AS keep
        |FROM (
        |  SELECT doc_id, n_tok, f_len, f_stop_ppm, f_alpha_ppm, f_uniq_ppm,
-       |    -480000000 + 700 * f_len + 800 * f_stop_ppm
-       |      + 300 * f_alpha_ppm + 400 * f_uniq_ppm AS score_micro
+       |    $bias + $wLen * f_len + $wStop * f_stop_ppm
+       |      + $wAlpha * f_alpha_ppm + $wUniq * f_uniq_ppm AS score_micro
        |  FROM (
        |    SELECT doc_id, n_tok,
        |      least(n_tok, 1000) AS f_len,

@@ -38,8 +38,31 @@ object DocStreams {
     spark.readStream
       .schema(schema)
       .option("basePath", dir)
-      // glob form: FileStreamSource rejects a bare file path
-      .parquet(s"$dir/documents.parque[t]")
+      // glob form: FileStreamSource rejects a bare file path; composed via
+      // the shared metachar-guarded helper (ADVICE r14)
+      .parquet(EventStreams.fileGlob(dir, "documents.parquet"))
+  }
+
+  /** The map-only admission gates — identical expressions to the batch
+    * curation path, shared by both dedup variants so "batch output is the
+    * oracle by construction" holds for each. */
+  private def gated(docs: DataFrame, lang: String, minTokens: Long,
+      maxTokens: Long, minAlphaRatio: Double): DataFrame = {
+    // the fixture carries its own n_chars; the gate recomputes all three
+    // counters from text, so clashing input columns are projected away
+    val computed = Set("n_tokens", "n_chars", "n_alpha", "alpha_ratio")
+    val keep = docs.columns.filterNot(computed.contains)
+    docs
+      .select(keep.map(col) :+
+        graft.ext.TextOps.tokenCount("text").as("n_tokens") :+
+        graft.ext.TextOps.charCount("text").as("n_chars") :+
+        graft.ext.TextOps.alphaCount("text").as("n_alpha"): _*)
+      .withColumn("alpha_ratio",
+        when(col("n_chars") > 0,
+          col("n_alpha").cast("double") / col("n_chars")).otherwise(lit(0.0)))
+      .filter(col("lang") === lang &&
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
+        col("alpha_ratio") >= minAlphaRatio)
   }
 
   /** Gate → fingerprint-dedup → per-source admitted counts. Complete
@@ -47,18 +70,39 @@ object DocStreams {
   def curatedSourceCounts(docs: DataFrame,
       lang: String = "en", minTokens: Long = 10, maxTokens: Long = 100000,
       minAlphaRatio: Double = 0.5): DataFrame =
-    docs
-      .select(col("source"), col("lang"), col("text"),
-        graft.ext.TextOps.tokenCount("text").as("n_tokens"),
-        graft.ext.TextOps.charCount("text").as("n_chars"),
-        graft.ext.TextOps.alphaCount("text").as("n_alpha"))
-      .withColumn("alpha_ratio",
-        when(col("n_chars") > 0,
-          col("n_alpha").cast("double") / col("n_chars")).otherwise(lit(0.0)))
-      .filter(col("lang") === lang &&
-        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens &&
-        col("alpha_ratio") >= minAlphaRatio)
+    gated(docs, lang, minTokens, maxTokens, minAlphaRatio)
       .select(col("source"), md5(col("text")).as("fp"))
       .dropDuplicates("source", "fp")
       .groupBy("source").agg(count(lit(1)).as("n_admitted"))
+
+  /** Deterministic ingest-time axis for the retention-window dedup: the
+    * fixture has no arrival timestamp, so one is derived from doc_id (one
+    * doc per minute from the epoch) — a stand-in for the crawl's real
+    * fetch time, deterministic so the oracle and every replay agree. */
+  def withIngestTs(docs: DataFrame): DataFrame =
+    docs.withColumn("ingest_ts",
+      timestamp_micros(col("doc_id") * lit(60000000L)))
+
+  /** BOUNDED-STATE variant of the exact fingerprint dedup (VERDICT r14 #4)
+    * — the production shape [[curatedSourceCounts]]'s scaladoc promises:
+    * `dropDuplicatesWithinWatermark` over the ingest-time axis keeps one
+    * state row per (source, fp) only within the retention window — the
+    * engine evicts a key once the watermark passes its ingest_ts +
+    * retention, so state is bounded by (arrival rate × retention), not by
+    * corpus lifetime. The semantic tradeoff is explicit: a duplicate
+    * re-arriving AFTER retention is re-admitted (the standard
+    * retention-window dedup contract; an external fingerprint store is the
+    * alternative for exact forever-dedup, as the unbounded variant
+    * documents). Append mode emits each admitted (source, fp) exactly once
+    * per retention window; with duplicates arriving inside the window
+    * (DocStreamsSpec and the oracle row drive real ones) the emitted set
+    * equals the batch DISTINCT over the gated docs. */
+  def curatedDedupBounded(docs: DataFrame, retention: String = "30 minutes",
+      lang: String = "en", minTokens: Long = 10, maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5): DataFrame =
+    gated(withIngestTs(docs), lang, minTokens, maxTokens, minAlphaRatio)
+      .select(col("source"), md5(col("text")).as("fp"), col("ingest_ts"))
+      .withWatermark("ingest_ts", retention)
+      .dropDuplicatesWithinWatermark("source", "fp")
+      .select(col("source"), col("fp"))
 }

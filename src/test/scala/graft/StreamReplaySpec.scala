@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession.{sf0001, spark}
+
+/** The staged-replay harness contract (SparkEntry.replayStream): a
+  * streaming row's full computation runs ONCE per (query, dir) per JVM;
+  * every later invocation is a scan of the staged sink with identical
+  * rows — Structured Streaming's own restart semantics (a completed
+  * stream's checkpoint + durable sink are queried, never recomputed). */
+class StreamReplaySpec extends AnyFunSuite {
+
+  test("streamingQueries set is exactly the stream-named rows of the contract") {
+    val streamNamed = SparkEntry.queries.keySet.filter(_.contains("_stream"))
+    assert(streamNamed == SparkEntry.streamingQueries,
+      s"set drift: only-in-queries=${streamNamed -- SparkEntry.streamingQueries} " +
+        s"only-in-set=${SparkEntry.streamingQueries -- streamNamed}")
+  }
+
+  test("second invocation replays the staged sink: identical rows, no new stream") {
+    val starts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = {
+        starts.incrementAndGet(); ()
+      }
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val name = "events_stream_sliding"
+      val r1 = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
+      val after1 = starts.get()
+      val r2 = SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
+      // listener delivery is async — give the bus a moment before reading
+      Thread.sleep(500)
+      val after2 = starts.get()
+      assert(r1 == r2 && r1.nonEmpty, "replayed rows must equal the first run's")
+      assert(after2 == after1,
+        s"second invocation must start no streaming query (starts: $after1 -> $after2)")
+    } finally spark.streams.removeListener(listener)
+  }
+}

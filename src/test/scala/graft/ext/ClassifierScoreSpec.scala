@@ -47,6 +47,26 @@ class ClassifierScoreSpec extends AnyFunSuite {
     }
   }
 
+  test("TrainedGopherV1 distills the gopher cascade: held-out accuracy in the recorded band") {
+    // The committed weights were fit OFFLINE on the sf0.01 fixture with
+    // gopherRules.keep as the label (IRLS logistic, 1e8 quantization —
+    // ProbeWeights.TrainedGopherV1 scaladoc). sf0.001 is held out from
+    // that fit; the recorded held-out accuracy is 0.81. This spec pins the
+    // band so a fixture regeneration or weight edit that breaks the
+    // distillation (accuracy collapse) or fakes it (a linear probe CANNOT
+    // represent the 4-rule AND exactly — 100% would mean the label leaked)
+    // turns red.
+    val scored = TextOps.classifierScore(docs,
+        weights = TextOps.ProbeWeights.TrainedGopherV1)
+      .select($"doc_id", $"keep".as("probe_keep"))
+    val label = TextOps.gopherRules(docs).select($"doc_id", $"keep".as("y"))
+    val joined = scored.join(label, "doc_id").collect()
+    val acc = joined.count(r =>
+      r.getAs[Int]("probe_keep") == r.getAs[Int]("y")).toDouble / joined.length
+    assert(joined.length == 500)
+    assert(acc >= 0.75 && acc < 1.0, s"held-out distillation accuracy $acc")
+  }
+
   test("zero-token doc scores bias-only under any weights") {
     val d = Seq((1L, ""), (2L, "real words here")).toDF("doc_id", "text")
     val w = TextOps.ProbeWeights(5L, 100L, 100L, 100L, 100L)

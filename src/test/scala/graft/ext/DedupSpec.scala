@@ -157,8 +157,14 @@ class DedupSpec extends AnyFunSuite {
     val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.add(Option(js.properties)
-          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("?")); ()
+        // record group id AND description: the guard filters only the
+        // specific intentional StageStore write/read jobs by DESCRIPTION,
+        // so an unexpected job inside the tagged group still fails
+        // (ADVICE r14: filtering the whole group id would hide any
+        // accidental action that ran inside the setJobGroup window)
+        def p(k: String) = Option(js.properties)
+          .flatMap(pr => Option(pr.getProperty(k))).getOrElse("?")
+        jobs.add(p("spark.jobGroup.id") + "|" + p("spark.job.description")); ()
       }
     }
     val sc = spark.sparkContext
@@ -171,17 +177,20 @@ class DedupSpec extends AnyFunSuite {
         sc.setJobGroup(tag, tag)
         try sc.parallelize(Seq(1)).count() finally sc.clearJobGroup()
         val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-        while (!jobs.contains(tag) && System.nanoTime() < deadline) Thread.sleep(20)
+        while (!jobs.contains(tag + "|" + tag) && System.nanoTime() < deadline)
+          Thread.sleep(20)
       }
       flushBus("flush-pre")
       jobs.clear()
       Dedup.dropNearDuplicates(d, 0.8) // construction only — no action
       flushBus("flush-post") // after this lands, jobs holds every construction job
-      // the StageStore losers-set write is the one INTENTIONAL
-      // construction-time action (tagged with its own job group); this
-      // guard is against accidental eager actions, so filter it out
-      assert(jobs.toArray.toSeq.filterNot(_ == "graft-stage-write")
-          == Seq("flush-post"),
+      // the StageStore losers-set write + read-back schema job are the
+      // INTENTIONAL construction-time actions — filtered by their exact
+      // job DESCRIPTIONS, so any OTHER job (even one running inside the
+      // tagged window) still fails the guard
+      assert(jobs.toArray(Array.empty[String]).toSeq.filterNot(_.matches(
+          "graft-stage-write\\|StageStore (write|read) .*"))
+          == Seq("flush-post|flush-post"),
         s"construction must run no job, saw: ${jobs.toArray.mkString("; ")}")
     } finally sc.removeSparkListener(listener)
   }

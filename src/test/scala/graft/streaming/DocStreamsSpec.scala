@@ -54,4 +54,59 @@ class DocStreamsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(out == Map("a" -> 1L, "b" -> 1L))
   }
+
+  test("bounded dedup: in-window dups drop, expired keys evict, late re-arrival re-admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstreams_bnd").toString
+    // ingest_ts = doc_id minutes (DocStreams.withIngestTs); retention 30 min.
+    // Timeline (key = (source, md5(text))); note state EVICTION lags one
+    // batch behind the watermark advance (a batch consults state before
+    // its end-of-batch eviction runs), hence the C batch in between:
+    //   file 1: A@1min (admit), A@2min (dup INSIDE window -> drop)
+    //   file 2: B@100min       (watermark advances to 70min)
+    //   file 3: C@105min       (A's state, expiring at 1min+30min=31min,
+    //                           is evicted under the 70min watermark)
+    //   file 4: A@110min       (state gone -> RE-ADMITTED: the documented
+    //                           retention-window tradeoff, not a bug)
+    val tA = "the quick brown fox jumps over the lazy dog again and again"
+    val tB = "a completely different admitted document with plenty of words here"
+    val tC = "yet another distinct admitted document with many ordinary words inside"
+    val staged = new java.io.File(dir, "in"); staged.mkdirs()
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(staged, s"f$n")
+      rows.map { case (id, tx) => (id, tx, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      // modTime order = replay order (the tumblingUpdateEmissions contract)
+      new java.io.File(f, "_SUCCESS").delete()
+      f.listFiles().foreach(p => assert(p.setLastModified(1000000L + n * 1000L)))
+    }
+    writeFile(1, Seq(1L -> tA, 2L -> tA))
+    writeFile(2, Seq(100L -> tB))
+    writeFile(3, Seq(105L -> tC))
+    writeFile(4, Seq(110L -> tA))
+    val schema = spark.read.parquet(s"$staged/f1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/f*")
+    val q = DocStreams.curatedDedupBounded(src, retention = "30 minutes")
+      .writeStream.format("memory").queryName("docs_bounded_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("docs_bounded_test").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    def fp(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // A emitted twice (once per retention window), B and C once; the
+    // in-window dup at 2min emitted never
+    assert(emitted.sorted ==
+      Seq(("s", fp(tA)), ("s", fp(tA)), ("s", fp(tB)), ("s", fp(tC))).sorted,
+      emitted.toString)
+    // state BOUND: 4 admissions ever, but at most the 3 live-window keys
+    // remain — A's first-window entry was EVICTED by the watermark (an
+    // unbounded dropDuplicates would hold all 4 forever)
+    val lastState = q.recentProgress.flatMap(_.stateOperators).lastOption
+    assert(lastState.exists(_.numRowsTotal <= 3),
+      s"state must stay bounded by the retention window, saw ${lastState.map(_.numRowsTotal)}")
+  }
 }
