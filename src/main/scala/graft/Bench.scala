@@ -14,7 +14,44 @@ object Bench {
     f"$s%d.$r%03d"
   }
 
+  /** FIFTH fingerprint session dependence, the ROOT of the r14 driver-vs-
+    * builder bimodal digests (28/261 queries, VERDICT r14 #3): Spark's
+    * canonicalizer orders commutative operands and comparison directions by
+    * hashCode, and EVERY canonicalized attribute's ExprId embeds
+    * `NamedExpression.jvmId` — a UUID randomized per JVM (normalized attrs
+    * are rebuilt as `ExprId(ordinal)` whose apply() fills in that module
+    * val). So any hash-ordering decision whose operands differ only
+    * through attributes is a cross-JVM coin flip — two stable digest
+    * states per query, reproduced at will in subset runs (q19's
+    * `isnotnull(x) AND multicommutativeop(...)` pair, url_canonicalize's
+    * lambda-side `'' = array_join(...)`, and the multi-distinct
+    * RewriteDistinctAggregates group-id assignment in the contamination
+    * card all diffed to exactly this). Fingerprinting is a TOOL concern,
+    * so the tool pins the UUID to a constant before any plan work —
+    * within a JVM nothing changes (all ExprIds share one module UUID
+    * either way); across JVMs hash-ordering becomes deterministic.
+    * Best-effort: if the reflective pin ever fails, the textual sorts in
+    * [[stripPlanText]] still bound the damage to multicommutativeop
+    * orderings. */
+  def pinCanonicalJvmId(): Boolean =
+    try {
+      val pinned = java.util.UUID.fromString("00000000-0000-4000-8000-000000000000")
+      val m = org.apache.spark.sql.catalyst.expressions.NamedExpression
+      val f = m.getClass.getDeclaredField("jvmId")
+      // a Scala object val compiles to a STATIC final — core reflection
+      // refuses those, so the write goes through Unsafe (jdk.unsupported,
+      // on the default module path). Called before any plan work, so no
+      // JIT has baked the old value into compiled code yet — and the
+      // read-back below verifies rather than assumes.
+      val uf = Class.forName("sun.misc.Unsafe").getDeclaredField("theUnsafe")
+      uf.setAccessible(true)
+      val unsafe = uf.get(null).asInstanceOf[sun.misc.Unsafe]
+      unsafe.putObject(unsafe.staticFieldBase(f), unsafe.staticFieldOffset(f), pinned)
+      org.apache.spark.sql.catalyst.expressions.ExprId(0).jvmId == pinned
+    } catch { case _: Throwable => false }
+
   def main(args: Array[String]): Unit = {
+    pinCanonicalJvmId()
     // Machine state BEFORE any of our own work. `load_start` (below) is
     // captured after the sf0.001 warmup pass, so it ALWAYS reads back our
     // own multi-minute local[32] warmup (~3-5) — three r13 runs chased a
@@ -302,9 +339,12 @@ object Bench {
       // ids (`*(N)`) and AQE stage numbers (`BroadcastQueryStage N`,
       // `ShuffleQueryStage N`, `TableCacheQueryStage N`), both numbered by
       // SESSION-GLOBAL counters (r14: pipeline_curriculum digest flapped
-      // between full runs on exactly these tokens)
-      .replaceAll("\\*\\(\\d+\\)", "*(x)")
-      .replaceAll("QueryStage \\d+", "QueryStage x")
+      // between full runs on exactly these tokens). Anchored to the tree-
+      // art/operator position and the four stage-node names (ADVICE r14)
+      // so a literal "*(7)" inside expression/string content is preserved.
+      .replaceAll("(?m)^([\\s:+\\-|]*)\\*\\(\\d+\\)", "$1*(x)")
+      .replaceAll("(Broadcast|Shuffle|TableCache|Result)QueryStage \\d+",
+        "$1QueryStage x")
       // a metadata list that still hit maxMetadataStringLength ends in an
       // unclosed "...": its cut point tracks pre-normalization exprId
       // widths, so the fragment is session-dependent garbage — collapse it
@@ -335,9 +375,28 @@ object Bench {
     // the whole PQ/quantize family: every floor(chain * 1e6) site). Other
     // operand types hash structurally and are stable; the normalization
     // therefore sorts ONLY pairs where a side is a multicommutativeop.
-    val sorted = sortBracketSpans(sortBracketSpans(stripped,
+    // Scan-metadata filter lists print the split conjunction in the SAME
+    // hash-decided order as the Filter node's AND chain, so a
+    // multicommutativeop-driven pair flip reorders them too (q19's
+    // DataFilters flipped with its Filter). A conjunction is a set —
+    // sort the items.
+    val filterSorted = Seq("DataFilters: [", "PartitionFilters: [",
+      "PushedFilters: [").foldLeft(stripped)(sortBracketSpans)
+    val sorted = sortBracketSpans(sortBracketSpans(filterSorted,
       "multicommutativeop("), "functions=[")
-    sortCommutativePairs(sortCommutativePairs(sorted, " * "), " + ")
+    // Commutative binary pairs where a side is a multicommutativeop chain
+    // (the one JVM-random-hash operand class left after the jvmId pin):
+    // arithmetic since r13; AND/OR/= since r15 (q19 diffed to exactly an
+    // `isnotnull(x) AND multicommutativeop(...)` flip), plus comparison
+    // DIRECTION normalization (q11's `(5*x) < multicommutativeop(...)` ↔
+    // `multicommutativeop(...) > (5*x)`: Canonicalize picks the direction
+    // by hashCode, so the swap flips the operator too).
+    val pairSorted = Seq(" * ", " + ", " AND ", " OR ", " = ")
+      .foldLeft(sorted)(sortCommutativePairs)
+    Seq(" < " -> " > ", " <= " -> " >= ")
+      .foldLeft(pairSorted) { case (t, (lt, gt)) =>
+        normalizeComparisonPairs(normalizeComparisonPairs(t, lt, gt), gt, lt)
+      }
   }
 
   /** For every balanced `(...)` group whose content splits at top level on
@@ -389,6 +448,64 @@ object Bench {
                  parts(1).contains("multicommutativeop(")))
               inner = parts.sorted.mkString(sep)
             sb.append('(').append(inner).append(')')
+            i = end + 1
+          }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    process(text)
+  }
+
+  /** Comparison-direction normalization for pairs with a
+    * multicommutativeop side: Spark's Canonicalize picks between `a OP b`
+    * and `b FLIP(OP) a` by operand hashCode, and multicommutativeop's
+    * Class-identity hash makes that a per-JVM coin flip. Canonical form:
+    * textually-smaller operand FIRST, operator flipped when the operands
+    * swap (so semantics-preserving: `(5*x) < M` and `M > (5*x)` both
+    * normalize to `(5*x) < M`). Same balanced-group scan as
+    * [[sortCommutativePairs]]. */
+  private[graft] def normalizeComparisonPairs(text: String, sep: String,
+      flip: String): String = {
+    def process(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '(') {
+          var d = 0
+          var j = i
+          var end = -1
+          while (j < s.length && end < 0) {
+            val c = s.charAt(j)
+            if (c == '(') d += 1
+            else if (c == ')') { d -= 1; if (d == 0) end = j }
+            j += 1
+          }
+          if (end < 0) { sb.append(s.substring(i)); i = s.length }
+          else {
+            val inner = process(s.substring(i + 1, end))
+            val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+            var dp = 0
+            var last = 0
+            var k = 0
+            while (k < inner.length) {
+              val c = inner.charAt(k)
+              if (c == '(' || c == '[') dp += 1
+              else if (c == ')' || c == ']') dp -= 1
+              else if (dp == 0 && inner.startsWith(sep, k)) {
+                parts += inner.substring(last, k); last = k + sep.length
+                k += sep.length - 1
+              }
+              k += 1
+            }
+            parts += inner.substring(last)
+            val out =
+              if (parts.length == 2 && parts(0) > parts(1) &&
+                  (parts(0).contains("multicommutativeop(") ||
+                   parts(1).contains("multicommutativeop(")))
+                parts(1) + flip + parts(0)
+              else inner
+            sb.append('(').append(out).append(')')
             i = end + 1
           }
         } else { sb.append(s.charAt(i)); i += 1 }

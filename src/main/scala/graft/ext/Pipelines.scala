@@ -946,11 +946,23 @@ object Pipelines {
     * labels' size rollup, and 1-row aggregates crossJoined (adjudicated
     * BNLJ shape — |rows|=1 everywhere past the scans). */
   def corpusCard(docs: DataFrame): DataFrame = {
-    val base = docs.agg(
+    // distinct counts as separate 1-row aggregates crossJoined (the same
+    // adjudicated 1-row-BNLJ shape as the cluster block below) instead of
+    // multi-countDistinct in one aggregate: RewriteDistinctAggregates
+    // binds its Expand group ids in identity-hash map order (jvm-random,
+    // r15 fingerprint finding), and the separate rollups shuffle narrow
+    // single-column distinct projections instead of Expand-doubling the
+    // full scan
+    val counts = docs.agg(
       count(lit(1)).as("n_docs"),
-      countDistinct(col("source")).as("n_sources"),
-      countDistinct(col("lang")).as("n_langs"),
       sum(size(TextOps.fastTokens(col("text"))).cast("long")).as("n_tokens"))
+    val nSources = docs.select(col("source")).distinct()
+      .agg(count(lit(1)).as("n_sources"))
+    val nLangs = docs.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("n_langs"))
+    val base = counts
+      .crossJoin(broadcast(nSources))
+      .crossJoin(broadcast(nLangs))
     val cl = Dedup.clusterByBuckets(docs,
       Dedup.bandBuckets(Dedup.minhashSignatures(docs)))
     val dup = cl.groupBy("cluster_id").agg(count(lit(1)).as("sz"))

@@ -340,9 +340,28 @@ object TextOps {
     val hits = sh.join(bench, "h")
       .filter(col("source") =!= col("bench_source"))
       .select(col("doc_id"), col("source").as("cand_source"), col("bench_source"), col("h"))
-    hits.groupBy("cand_source", "bench_source")
-      .agg(countDistinct(col("doc_id")).cast("long").as("n_contaminated"),
-        countDistinct(col("h")).cast("long").as("n_shared_shingles"))
+    // Two SEPARATE single-distinct rollups joined on the (candidate,
+    // benchmark) key instead of one multi-countDistinct aggregate: Spark's
+    // RewriteDistinctAggregates assigns the Expand group ids by an
+    // identity-hash map order (jvm-random — the r15 fingerprint
+    // adjudication diffed the gid 1↔2 binding flapping across same-code
+    // JVMs), and at scale the Expand form doubles the first shuffle's rows
+    // while these rollups shuffle narrower distinct projections. The join
+    // is inner: every (cand, bench) pair has ≥1 doc and ≥1 shingle by
+    // construction.
+    // the shingle-join relation feeds both rollups — staged once so the
+    // second consumer scans the materialization instead of re-joining
+    // (the StageStore fan-out contract)
+    val hitsOnce = graft.etl.StageStore.materialize(hits, "contam_hits")
+    val nDocs = hitsOnce.select(col("cand_source"), col("bench_source"), col("doc_id"))
+      .distinct()
+      .groupBy("cand_source", "bench_source")
+      .agg(count(lit(1)).as("n_contaminated"))
+    val nSh = hitsOnce.select(col("cand_source"), col("bench_source"), col("h"))
+      .distinct()
+      .groupBy("cand_source", "bench_source")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    nDocs.join(nSh, Seq("cand_source", "bench_source"))
       .join(broadcast(perSrc.select(col("source").as("cand_source"), col("n_docs"))),
         "cand_source")
       .select(col("cand_source"), col("bench_source"), col("n_docs"),

@@ -77,11 +77,14 @@ object DocStreams {
 
   /** Deterministic ingest-time axis for the retention-window dedup: the
     * fixture has no arrival timestamp, so one is derived from doc_id (one
-    * doc per minute from the epoch) — a stand-in for the crawl's real
-    * fetch time, deterministic so the oracle and every replay agree. */
+    * doc per minute, starting one day after the epoch) — a stand-in for
+    * the crawl's real fetch time, deterministic so the oracle and every
+    * replay agree. The one-day base keeps every ingest_ts strictly ABOVE
+    * the stream's initial watermark (epoch): doc_id 0 AT the epoch was
+    * dropped by the late-row filter at sf0.01 (r15). */
   def withIngestTs(docs: DataFrame): DataFrame =
     docs.withColumn("ingest_ts",
-      timestamp_micros(col("doc_id") * lit(60000000L)))
+      timestamp_micros(col("doc_id") * lit(60000000L) + lit(86400000000L)))
 
   /** BOUNDED-STATE variant of the exact fingerprint dedup (VERDICT r14 #4)
     * — the production shape [[curatedSourceCounts]]'s scaladoc promises:

@@ -6,6 +6,7 @@ import org.apache.spark.sql.SparkSession
   * session-order-dependent token that survives the stripping. */
 object PlanText {
   def main(args: Array[String]): Unit = {
+    graft.Bench.pinCanonicalJvmId() // same digest convention as Bench
     val name = args(0)
     val out = args(1)
     val spark = SparkSession.builder().master("local[8]")

@@ -39,8 +39,8 @@ class BenchCanonSpec extends AnyFunSuite {
     // construction embeds the EXECUTED child plan (InMemoryRelation), whose
     // whole-stage-codegen ids and AQE stage numbers come from
     // session-global counters
-    val a = "*(5) BroadcastHashJoin :- BroadcastQueryStage 4 +- ShuffleQueryStage 3 +- TableCacheQueryStage 1 +- *(2) Filter isnotnull(w1#x)"
-    val b = "*(2) BroadcastHashJoin :- BroadcastQueryStage 3 +- ShuffleQueryStage 7 +- TableCacheQueryStage 2 +- *(1) Filter isnotnull(w1#x)"
+    val a = "*(5) BroadcastHashJoin\n:- BroadcastQueryStage 4\n+- ShuffleQueryStage 3\n   +- TableCacheQueryStage 1\n      +- *(2) Filter isnotnull(w1#x)"
+    val b = "*(2) BroadcastHashJoin\n:- BroadcastQueryStage 3\n+- ShuffleQueryStage 7\n   +- TableCacheQueryStage 2\n      +- *(1) Filter isnotnull(w1#x)"
     assert(Bench.stripPlanText(a) == Bench.stripPlanText(b))
     // the operator names themselves survive — only the counters collapse
     assert(Bench.stripPlanText(a).contains("BroadcastQueryStage x"))
@@ -67,6 +67,46 @@ class BenchCanonSpec extends AnyFunSuite {
     // three-way top-level splits (non-binary) are left alone
     val tri = "(a * b * multicommutativeop(c, d))"
     assert(Bench.sortCommutativePairs(tri, " * ") == tri)
+  }
+
+  test("r15 flap shapes: AND pair, comparison direction, and filter-list order normalize") {
+    // the q19 shape: a binary And with a multicommutativeop side (operand
+    // order = hashCode order, jvm-random via the Class identity hash)
+    val a1 = "Filter (multicommutativeop(p, q, class Or, None) AND isnotnull(none#xL))"
+    val a2 = "Filter (isnotnull(none#xL) AND multicommutativeop(p, q, class Or, None))"
+    assert(Bench.stripPlanText(a1) == Bench.stripPlanText(a2))
+    // the q11 shape: Canonicalize picks the comparison DIRECTION by
+    // hashCode, so the operand swap flips the operator with it
+    val c1 = "Join ((5 * none#x) < multicommutativeop(4, cast(none#xL), class Multiply, None))"
+    val c2 = "Join (multicommutativeop(4, cast(none#xL), class Multiply, None) > (5 * none#x))"
+    assert(Bench.stripPlanText(c1) == Bench.stripPlanText(c2))
+    // a comparison with deterministic-hash operands keeps source order
+    // (and its direction): churn stays bounded
+    val keep = "Filter (none#x < 30.0)"
+    assert(Bench.stripPlanText(keep) == keep)
+    // the scan-metadata twin of the And flip: DataFilters mirrors the
+    // split conjunction order — a set, so items sort
+    val f1 = "FileScan parquet [x] DataFilters: [multicommutativeop(p, q), isnotnull(none#xL)], Format: Parquet"
+    val f2 = "FileScan parquet [x] DataFilters: [isnotnull(none#xL), multicommutativeop(p, q)], Format: Parquet"
+    assert(Bench.stripPlanText(f1) == Bench.stripPlanText(f2))
+  }
+
+  test("anchored counter rewrites leave literal lookalikes inside expression content") {
+    // ADVICE r14: a literal *(7) in a string payload or a non-stage
+    // "QueryStage 9" fragment must survive — only tree-position codegen
+    // ids and the four AQE stage-node names collapse
+    val s = "Project [concat(a#x, *(7)) AS b#x]\n   +- *(3) Filter startswith(c#x, QueryStage 9)"
+    val out = Bench.stripPlanText(s)
+    assert(out.contains("*(7))"), out)
+    assert(out.contains("QueryStage 9"), out)
+    assert(out.contains("+- *(x) Filter"), out)
+  }
+
+  test("pinCanonicalJvmId fixes the module UUID the canonicalizer hashes through") {
+    assert(Bench.pinCanonicalJvmId(), "reflective pin must succeed on this JVM")
+    val pinned = java.util.UUID.fromString("00000000-0000-4000-8000-000000000000")
+    // fresh ExprIds (what canonicalization mints per fingerprint) carry it
+    assert(org.apache.spark.sql.catalyst.expressions.ExprId(0).jvmId == pinned)
   }
 
   test("sortBracketSpans: nested spans sort before the outer order is decided; non-span text untouched") {
