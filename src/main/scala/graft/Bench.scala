@@ -331,6 +331,13 @@ object Bench {
       .replaceAll("plan_id=\\d+", "plan_id=x")
       .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-fA-F]+", "\\$\\$Lambda\\$x")
       .replaceAll("@[0-9a-fA-F]+", "@x")
+      // JVM array toString ("[D@hex", "[F@hex", "[Ljava.lang.String;@hex")
+      // opens a bracket that never closes — it would permanently skew the
+      // depth counters every span/pair sort below relies on, leaving any
+      // containing DataFilters/multicommutativeop span unsorted (the
+      // sim_ann residual of the r15 full-run cross-check). Rewrite to a
+      // balanced token.
+      .replaceAll("\\[+(?:[ZBCSIJFD]|L[\\w.$]+;)@x", "arr@x")
       .replaceAll("\\[id=\\d+\\]", "[id=x]")
       .replaceAll("Broadcast\\((\\d+)\\)", "Broadcast(x)")
       // a query that materializes its own cache during CONSTRUCTION (the
@@ -375,15 +382,6 @@ object Bench {
     // the whole PQ/quantize family: every floor(chain * 1e6) site). Other
     // operand types hash structurally and are stable; the normalization
     // therefore sorts ONLY pairs where a side is a multicommutativeop.
-    // Scan-metadata filter lists print the split conjunction in the SAME
-    // hash-decided order as the Filter node's AND chain, so a
-    // multicommutativeop-driven pair flip reorders them too (q19's
-    // DataFilters flipped with its Filter). A conjunction is a set —
-    // sort the items.
-    val filterSorted = Seq("DataFilters: [", "PartitionFilters: [",
-      "PushedFilters: [").foldLeft(stripped)(sortBracketSpans)
-    val sorted = sortBracketSpans(sortBracketSpans(filterSorted,
-      "multicommutativeop("), "functions=[")
     // Commutative binary pairs where a side is a multicommutativeop chain
     // (the one JVM-random-hash operand class left after the jvmId pin):
     // arithmetic since r13; AND/OR/= since r15 (q19 diffed to exactly an
@@ -392,11 +390,23 @@ object Bench {
     // `multicommutativeop(...) > (5*x)`: Canonicalize picks the direction
     // by hashCode, so the swap flips the operator too).
     val pairSorted = Seq(" * ", " + ", " AND ", " OR ", " = ")
-      .foldLeft(sorted)(sortCommutativePairs)
-    Seq(" < " -> " > ", " <= " -> " >= ")
+      .foldLeft(stripped)(sortCommutativePairs)
+    val cmpSorted = Seq(" < " -> " > ", " <= " -> " >= ")
       .foldLeft(pairSorted) { case (t, (lt, gt)) =>
         normalizeComparisonPairs(normalizeComparisonPairs(t, lt, gt), gt, lt)
       }
+    // Span-item sorts run LAST: the pair/comparison passes above rewrite
+    // item TEXT (a flipped comparison changes its first characters), so
+    // sorting items first would bake a pre-canonical order (the r15
+    // sim_ann residual — two runs sorted the same multiset differently
+    // because their items' direction tokens still differed at sort time).
+    // Scan-metadata filter lists (DataFilters etc.) print the split
+    // conjunction in the same hash-decided order as the Filter node's AND
+    // chain; a conjunction is a set — sort the items.
+    val filterSorted = Seq("DataFilters: [", "PartitionFilters: [",
+      "PushedFilters: [").foldLeft(cmpSorted)(sortBracketSpans)
+    sortBracketSpans(sortBracketSpans(filterSorted,
+      "multicommutativeop("), "functions=[")
   }
 
   /** For every balanced `(...)` group whose content splits at top level on
