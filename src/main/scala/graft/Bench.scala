@@ -47,7 +47,14 @@ object Bench {
       uf.setAccessible(true)
       val unsafe = uf.get(null).asInstanceOf[sun.misc.Unsafe]
       unsafe.putObject(unsafe.staticFieldBase(f), unsafe.staticFieldOffset(f), pinned)
-      org.apache.spark.sql.catalyst.expressions.ExprId(0).jvmId == pinned
+      // verify at FIELD level (reflective read): a getter read-back can lie
+      // in a WARM JVM, where the JIT may already have constant-folded the
+      // trusted static final into compiled ExprId.apply sites (observed in
+      // the shared test-suite JVM). Bench/FpDiag/PlanText call this before
+      // any Spark code runs, so no compiled reader exists yet and the field
+      // value is the one every later ExprId mint observes.
+      f.setAccessible(true)
+      f.get(m) == pinned
     } catch { case _: Throwable => false }
 
   def main(args: Array[String]): Unit = {
