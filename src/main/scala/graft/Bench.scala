@@ -58,7 +58,14 @@ object Bench {
     } catch { case _: Throwable => false }
 
   def main(args: Array[String]): Unit = {
-    pinCanonicalJvmId()
+    // the pin is load-bearing for cross-JVM digest identity (ADVICE r15):
+    // surface a failure loudly (stderr + a JSON field below) instead of
+    // silently degrading to the textual-sort fallback
+    val jvmidPinned = pinCanonicalJvmId()
+    if (!jvmidPinned)
+      System.err.println("WARN Bench: pinCanonicalJvmId FAILED - plan " +
+        "fingerprints fall back to textual sorts only (digests may flap " +
+        "across JVMs; jvmid_pinned:false in the JSON line)")
     // Machine state BEFORE any of our own work. `load_start` (below) is
     // captured after the sf0.001 warmup pass, so it ALWAYS reads back our
     // own multi-minute local[32] warmup (~3-5) — three r13 runs chased a
@@ -181,7 +188,17 @@ object Bench {
         // so clearing here costs nothing and makes the digest a function of
         // (code, fixture) only.
         spark.catalog.clearCache()
-        val plan = canonicalPlanText(SparkEntry.queries(name)(spark, sfDir))
+        SparkEntry.consumeStreamPlanText() // drop any stale recording
+        val batchPlan = canonicalPlanText(SparkEntry.queries(name)(spark, sfDir))
+        // streaming rows: the staged-replay memo makes the row's own plan a
+        // scan of the staged sink — it says nothing about the STREAM's
+        // computation, so a real plan change in the stream would not flip
+        // the digest (ADVICE r15). SparkEntry records the re-constructed
+        // streaming plan during row construction; fold it into the hash.
+        val plan = SparkEntry.consumeStreamPlanText() match {
+          case Some(sp) => batchPlan + "\n=== STREAM PLAN ===\n" + stripPlanText(sp)
+          case None => batchPlan
+        }
         // adjudication aid: SPARK_GRAFT_FP_TEXT_DIR dumps the hashed text
         // itself, so a flapped digest can be diffed token-by-token instead
         // of re-derived from the 12-hex prefix
@@ -305,8 +322,13 @@ object Bench {
     // prime pass) — outside `value` by design (the samples measure the
     // steady-state sink read), kept visible here and per-row in the side
     // file so the full cost is never hidden
+    // total_with_prime = steady-state total PLUS the once-per-JVM stream
+    // computation (ADVICE r15): the replay harness moves the streaming
+    // family's full cost out of `value` by design — this field keeps a
+    // round-over-round-comparable "everything ran once" number in the
+    // same line so the drop in `value` cannot be misread as a plan win
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","steal_s":$stealS,"steal_pct":$stealPct,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"prime_s":${fmt(primeSecs.values.sum)},"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","steal_s":$stealS,"steal_pct":$stealPct,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"jvmid_pinned":$jvmidPinned,"prime_s":${fmt(primeSecs.values.sum)},"total_with_prime":${fmt(total + primeSecs.values.sum)},"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }
@@ -396,24 +418,37 @@ object Bench {
     // DIRECTION normalization (q11's `(5*x) < multicommutativeop(...)` ↔
     // `multicommutativeop(...) > (5*x)`: Canonicalize picks the direction
     // by hashCode, so the swap flips the operator too).
-    val pairSorted = Seq(" * ", " + ", " AND ", " OR ", " = ")
-      .foldLeft(stripped)(sortCommutativePairs)
-    val cmpSorted = Seq(" < " -> " > ", " <= " -> " >= ")
-      .foldLeft(pairSorted) { case (t, (lt, gt)) =>
-        normalizeComparisonPairs(normalizeComparisonPairs(t, lt, gt), gt, lt)
-      }
-    // Span-item sorts run LAST: the pair/comparison passes above rewrite
-    // item TEXT (a flipped comparison changes its first characters), so
-    // sorting items first would bake a pre-canonical order (the r15
-    // sim_ann residual — two runs sorted the same multiset differently
-    // because their items' direction tokens still differed at sort time).
-    // Scan-metadata filter lists (DataFilters etc.) print the split
-    // conjunction in the same hash-decided order as the Filter node's AND
-    // chain; a conjunction is a set — sort the items.
-    val filterSorted = Seq("DataFilters: [", "PartitionFilters: [",
-      "PushedFilters: [").foldLeft(cmpSorted)(sortBracketSpans)
-    sortBracketSpans(sortBracketSpans(filterSorted,
-      "multicommutativeop("), "functions=[")
+    // Pass ORDER matters both ways (ADVICE r15): the pair/comparison
+    // passes rewrite item TEXT (a flipped comparison changes its first
+    // characters), so span-item sorts running first would bake a
+    // pre-canonical order (the r15 sim_ann residual) — but equally, a
+    // pair whose BOTH operands contain multicommutativeop spans is
+    // ordered on pre-canonical span-item text if the pair pass runs
+    // first. No single order is correct for every nesting, so the whole
+    // pass sequence iterates to a FIXPOINT: each iteration only ever
+    // rewrites toward the sorted form, so the sequence converges (every
+    // pass is a sort on a finite multiset); the bound is a backstop.
+    var cur = stripped
+    var prev = ""
+    var rounds = 0
+    while (cur != prev && rounds < 5) {
+      prev = cur
+      val pairSorted = Seq(" * ", " + ", " AND ", " OR ", " = ")
+        .foldLeft(cur)(sortCommutativePairs)
+      val cmpSorted = Seq(" < " -> " > ", " <= " -> " >= ")
+        .foldLeft(pairSorted) { case (t, (lt, gt)) =>
+          normalizeComparisonPairs(normalizeComparisonPairs(t, lt, gt), gt, lt)
+        }
+      // Scan-metadata filter lists (DataFilters etc.) print the split
+      // conjunction in the same hash-decided order as the Filter node's
+      // AND chain; a conjunction is a set — sort the items.
+      val filterSorted = Seq("DataFilters: [", "PartitionFilters: [",
+        "PushedFilters: [").foldLeft(cmpSorted)(sortBracketSpans)
+      cur = sortBracketSpans(sortBracketSpans(filterSorted,
+        "multicommutativeop("), "functions=[")
+      rounds += 1
+    }
+    cur
   }
 
   /** For every balanced `(...)` group whose content splits at top level on

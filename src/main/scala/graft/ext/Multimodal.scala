@@ -512,4 +512,135 @@ object Multimodal {
        |WHERE bit_count(xor(a.phash, b.phash)) <= $maxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // ------------------------------------------------------------------
+  // AUDIO tier (VERDICT r15 wishlist #3): WAV/PCM is a pure JDK parse —
+  // RIFF chunk walk + little-endian PCM16 — so unlike image decode it
+  // needs no codec library at all and the REAL decode path is itself
+  // oracle-checkable: the fixture payloads are genuine RIFF/WAVE bytes
+  // synthesized deterministically from (doc_id, n_chars), and the DuckDB
+  // oracle computes the expected features in CLOSED FORM from the same
+  // parameters — a header-layout, endianness, or chunk-walk bug makes the
+  // parsed features diverge from the closed form and turns the row red.
+  // Same plumbing contract as the image tier: binary payload column,
+  // partition-parallel batch transform, no driver involvement, no UDFs
+  // in the SQL sense (typed Dataset transform).
+  // ------------------------------------------------------------------
+
+  /** A synthesized audio document: genuine RIFF/WAVE PCM16 mono bytes. */
+  final case class WavDoc(doc_id: Long, payload: Array[Byte])
+
+  /** Parsed WAV features — all integer-exact (no float in the contract):
+    * duration in µs (floor), peak |sample|, Σ|sample| (loudness proxy). */
+  final case class WavFeatures(
+      doc_id: Long, sample_rate: Long, n_channels: Long, bits: Long,
+      n_samples: Long, duration_us: Long, peak_abs: Long, sum_abs: Long)
+
+  /** Deterministic waveform sample i of doc d — shared by the synthesizer
+    * and the oracle's closed form: a 16-bit sawtooth seeded by doc_id. */
+  private def sampleVal(docId: Long, i: Long): Int =
+    (((docId * 31 + i * 17) % 65536) - 32768).toInt
+
+  /** Synthesize one genuine PCM16 mono WAV per document: sample rate
+    * 8/12/16 kHz by doc_id, 64..254 samples by n_chars, sawtooth payload.
+    * Partition-parallel; payload is 44-byte canonical header + data. */
+  def synthWavPcm16(docs: DataFrame): org.apache.spark.sql.Dataset[WavDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val n = (64 + (nChars % 191)).toInt
+        val dataLen = n * 2
+        val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(sr)
+          .putInt(sr * 2) // byte rate = sr * channels * bits/8
+          .putShort(2)    // block align
+          .putShort(16)   // bits per sample
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) { b.putShort(sampleVal(id, i).toShort); i += 1 }
+        WavDoc(id, b.array())
+      })
+  }
+
+  /** REAL WAV decode: RIFF chunk walk (not fixed offsets — a valid WAV may
+    * carry LIST/fact chunks before data), PCM16 only, integer features.
+    * Malformed or non-WAV payloads yield None and are filtered — the same
+    * reject-don't-misparse stance as [[sniffImageFormat]]. */
+  def decodeWav(media: org.apache.spark.sql.Dataset[WavDoc]
+      ): org.apache.spark.sql.Dataset[WavFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(d => parseWav(d.doc_id, d.payload)))
+  }
+
+  private[ext] def parseWav(id: Long, bytes: Array[Byte]): Option[WavFeatures] = {
+    if (bytes.length < 44) return None
+    val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def ascii(off: Int, s: String) =
+      (0 until s.length).forall(j => bytes(off + j) == s.charAt(j).toByte)
+    if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var pos = 12
+    var sr = 0L; var channels = 0L; var bits = 0L
+    var dataOff = -1; var dataLen = 0
+    var fmtSeen = false
+    while (pos + 8 <= bytes.length && dataOff < 0) {
+      val cid = new String(bytes, pos, 4, "US-ASCII")
+      val clen = b.getInt(pos + 4)
+      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      cid match {
+        case "fmt " =>
+          if (clen < 16) return None
+          val audioFormat = b.getShort(pos + 8)
+          if (audioFormat != 1) return None // PCM only
+          channels = b.getShort(pos + 10).toLong
+          sr = b.getInt(pos + 12).toLong
+          bits = b.getShort(pos + 22).toLong
+          fmtSeen = true
+        case "data" => dataOff = pos + 8; dataLen = clen
+        case _ => () // skip LIST/fact/...
+      }
+      pos += 8 + clen + (clen & 1) // chunks are word-aligned
+    }
+    if (!fmtSeen || dataOff < 0 || sr <= 0 || channels <= 0 || bits != 16)
+      return None
+    val bytesPerFrame = (channels * 2).toInt
+    val nSamples = dataLen / bytesPerFrame
+    var i = 0
+    var sumAbs = 0L; var peak = 0L
+    while (i < nSamples) {
+      // mono feature contract: channel 0 of each frame
+      val v = b.getShort(dataOff + i * bytesPerFrame).toLong
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    Some(WavFeatures(id, sr, channels, 16L, nSamples.toLong,
+      nSamples.toLong * 1000000L / sr, peak, sumAbs))
+  }
+
+  /** Closed-form oracle for the synth→decode round trip: the features the
+    * parse MUST produce, derived from (doc_id, n_chars) without touching
+    * bytes — divergence means the RIFF layout or the parse is wrong. */
+  def wavFeaturesSqlDuck: String =
+    """WITH p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+      |           64 + (n_chars % 191) AS n FROM documents),
+      | idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+      | vals AS (SELECT doc_id, ((doc_id*31 + i*17) % 65536) - 32768 AS v FROM idx),
+      | agg AS (SELECT doc_id, max(abs(v)) AS peak_abs, sum(abs(v)) AS sum_abs,
+      |         count(*) AS n_samples FROM vals GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(p.sr AS BIGINT) AS sample_rate,
+      |  CAST(1 AS BIGINT) AS n_channels, CAST(16 AS BIGINT) AS bits,
+      |  CAST(a.n_samples AS BIGINT) AS n_samples,
+      |  CAST(a.n_samples * 1000000 // p.sr AS BIGINT) AS duration_us,
+      |  CAST(a.peak_abs AS BIGINT) AS peak_abs,
+      |  CAST(a.sum_abs AS BIGINT) AS sum_abs
+      |FROM p JOIN agg a USING(doc_id) ORDER BY p.doc_id""".stripMargin
 }

@@ -480,7 +480,17 @@ object Pipelines {
     * not scheduled (both engines). */
   def curriculumShards(docs: DataFrame, nShards: Int = 4): DataFrame = {
     require(nShards >= 2 && nShards <= 100, s"nShards out of range: $nShards")
-    val scored = graft.etl.CacheRegistry.persist(TextOps.surprisal(docs))
+    // StageStore, NOT CacheRegistry (r16): the scored relation feeds a
+    // construction-time count(), the rank-bucket scalar pulls AND the
+    // final plan — a memory cache here embeds an InMemoryRelation whose
+    // AQE/cache-wrapper nodes print differently depending on
+    // materialization state at plan-capture time (THE last
+    // nondeterministic bench fingerprint, r14-r15). A staged parquet scan
+    // is the same fan-out with a plan that is a pure function of the code
+    // (graft_stage_ paths normalize); cache only as the no-tmpfs fallback.
+    val surp = TextOps.surprisal(docs)
+    val scored = graft.etl.StageStore.materializeBy("curriculum_scored",
+      Seq(surp))(surp).getOrElse(graft.etl.CacheRegistry.persist(surp))
     val n = scored.count()
     graft.etl.IngestOps.withGlobalPos(scored, col("mean_inv_prob"), "_rk",
         order = Seq(col("mean_inv_prob"), col("doc_id")))

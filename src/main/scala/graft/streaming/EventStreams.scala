@@ -111,18 +111,44 @@ object EventStreams {
     else emissionsMemo.computeIfAbsent((dir, parts),
       _ => computeTumblingUpdateEmissions(spark, dir, parts))
 
+  /** Deterministic per-(dir, parts) stage path. The dir is embedded as a
+    * sanitized TOKEN, not a 32-bit hash: colliding dir hashes would make
+    * two fixture dirs share a stage, and `stagedDirs` would then serve the
+    * first dir's rows for the second — silent wrong results (the ADVICE
+    * r15 class of bug, fixed for SparkEntry.replayStream the same round). */
+  private def stagedUpdatePath(stageRoot: String, dir: String, parts: Int): String =
+    new java.io.File(stageRoot,
+      s"graft_upd_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$parts").getAbsolutePath
+
+  private def updateStageRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+    else sys.props("java.io.tmpdir")
+  }
+
+  /** Plan-only reconstruction of the update-mode stream (the exact
+    * DataFrame [[computeTumblingUpdateEmissions]] executes), for the bench
+    * fingerprint: the emissions memo means a fingerprinted invocation never
+    * re-executes the stream, so its digest must come from a re-CONSTRUCTED
+    * plan (ADVICE r15 — same rationale as SparkEntry.recordStreamPlan).
+    * None until the stage exists (first execution stages it). */
+  def tumblingUpdateStreamPlan(spark: SparkSession, dir: String,
+      parts: Int = 4): Option[DataFrame] = {
+    val staged = stagedUpdatePath(updateStageRoot, dir, parts)
+    if (!new java.io.File(s"$staged/events.parquet").isDirectory) None
+    else Some(tumblingCounts(graft.etl.IngestOps.normalizeEventTs(
+      spark.readStream.schema(footerSchema(spark, s"$staged/events.parquet"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$staged/events.parquet"))))
+  }
+
   private def computeTumblingUpdateEmissions(spark: SparkSession, dir: String,
       parts: Int): (StructType, Seq[(Long, org.apache.spark.sql.Row)]) = {
     require(parts >= 2, "need >= 2 files for real update re-emission")
     // staging prefers tmpfs: the stage is written once but READ by every
     // micro-batch replay in the JVM, and /dev/shm is RAM on this host
-    val stageRoot = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
-      else sys.props("java.io.tmpdir")
-    }
-    val staged = new java.io.File(stageRoot,
-      s"graft_upd_${Integer.toHexString(dir.hashCode)}_$parts").getAbsolutePath
+    val stageRoot = updateStageRoot
+    val staged = stagedUpdatePath(stageRoot, dir, parts)
     // stage once per (dir, parts) per JVM — the fixture is immutable, and
     // bench/verify re-enter this query several times per session. Publish
     // to stagedDirs only AFTER the write + modTime pinning succeed: a

@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * LAST query; all run in the given order, like Bench's sorted order). */
 object FpDiag {
   def main(args: Array[String]): Unit = {
-    graft.Bench.pinCanonicalJvmId() // same digest convention as Bench
+    if (!graft.Bench.pinCanonicalJvmId()) // same digest convention as Bench
+      System.err.println("WARN: pinCanonicalJvmId FAILED - digests may flap across JVMs")
     val out = args(0)
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

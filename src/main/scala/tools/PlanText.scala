@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * session-order-dependent token that survives the stripping. */
 object PlanText {
   def main(args: Array[String]): Unit = {
-    graft.Bench.pinCanonicalJvmId() // same digest convention as Bench
+    if (!graft.Bench.pinCanonicalJvmId()) // same digest convention as Bench
+      System.err.println("WARN: pinCanonicalJvmId FAILED - digests may flap across JVMs")
     val name = args(0)
     val out = args(1)
     val spark = SparkSession.builder().master("local[8]")

@@ -44,4 +44,24 @@ class StreamReplaySpec extends AnyFunSuite {
         s"second invocation must start no streaming query (starts: $after1 -> $after2)")
     } finally spark.streams.removeListener(listener)
   }
+
+  test("streaming rows record the STREAM plan for the fingerprint (ADVICE r15)") {
+    // even on a memo hit (the stream already replayed above or in another
+    // test) the row must re-construct and record the streaming plan —
+    // otherwise the bench digest hashes only the staged parquet scan and a
+    // real change in the stream's computation would not flip it
+    SparkEntry.consumeStreamPlanText() // drain any prior recording
+    SparkEntry.queries("events_stream_sliding")(spark, sf0001).count()
+    val sp = SparkEntry.consumeStreamPlanText()
+    assert(sp.nonEmpty, "streaming row must record its stream plan text")
+    assert(sp.get.contains("StreamingRelation") || sp.get.contains("streaming"),
+      s"recorded text must be the STREAMING plan, got head: ${sp.get.take(200)}")
+    assert(SparkEntry.consumeStreamPlanText().isEmpty,
+      "consume must drain the recording (one-shot handoff)")
+    // a batch row records nothing — a stale stream plan folded into a batch
+    // row's digest would couple unrelated fingerprints
+    SparkEntry.queries("q1_pricing_summary")(spark, sf0001).count()
+    assert(SparkEntry.consumeStreamPlanText().isEmpty,
+      "batch rows must not leave a stream-plan recording")
+  }
 }

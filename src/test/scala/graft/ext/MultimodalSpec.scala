@@ -199,4 +199,61 @@ class MultimodalSpec extends AnyFunSuite {
       lum.take(8).map(l => f"${l / 1000}%02x").mkString)
     assert(out.head.out_w == ow && out.head.out_h == oh)
   }
+
+  test("parseWav: canonical 44-byte golden fixture decodes exactly") {
+    // hand-laid bytes straight from the RIFF/WAVE spec: 8 kHz mono PCM16,
+    // 4 samples [0, 1000, -1000, 32767] — pins absolute byte layout
+    // (endianness, offsets) independent of the synthesizer
+    val samples = Seq[Short](0, 1000, -1000, 32767)
+    val b = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(8)
+    samples.foreach(b.putShort)
+    val out = Multimodal.parseWav(7L, b.array())
+    assert(out.contains(Multimodal.WavFeatures(
+      7L, 8000L, 1L, 16L, 4L, 500L, 32767L, 34767L)))
+  }
+
+  test("parseWav: chunk walk skips LIST chunks; rejects wrong magic and non-PCM") {
+    // a LIST chunk (odd length, so the word-align padding is exercised)
+    // between fmt and data must be skipped, not misparsed
+    val b = java.nio.ByteBuffer.allocate(44 + 5 + 8 + 1 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 5 + 8 + 1 + 4).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(16000).putInt(32000).putShort(2).putShort(16)
+    b.put("LIST".getBytes).putInt(5).put(Array[Byte](1, 2, 3, 4, 5)).put(0.toByte)
+    b.put("data".getBytes).putInt(4).putShort(100).putShort(-100)
+    val out = Multimodal.parseWav(1L, b.array())
+    assert(out.contains(Multimodal.WavFeatures(
+      1L, 16000L, 1L, 16L, 2L, 125L, 100L, 200L)))
+    // rejects: wrong magic, truncated, non-PCM format code
+    assert(Multimodal.parseWav(1L, "notawavfileatall".getBytes ++ new Array[Byte](40)).isEmpty)
+    assert(Multimodal.parseWav(1L, Array[Byte](1, 2, 3)).isEmpty)
+    val nonPcm = b.array().clone()
+    nonPcm(20) = 3 // IEEE float format code
+    assert(Multimodal.parseWav(1L, nonPcm).isEmpty)
+  }
+
+  test("synthWavPcm16 -> decodeWav round trip matches the closed form on the fixture") {
+    val docs = graft.etl.IngestOps.table(spark, sf0001, "documents")
+    val feats = Multimodal.decodeWav(Multimodal.synthWavPcm16(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    val params = docs.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(feats.size == params.length)
+    params.foreach { case (id, nChars) =>
+      val sr = 8000 + (id % 3) * 4000
+      val n = 64 + (nChars % 191)
+      val vals = (0L until n).map(i => ((id * 31 + i * 17) % 65536) - 32768)
+      val f = feats(id)
+      assert(f.sample_rate == sr && f.n_samples == n &&
+        f.duration_us == n * 1000000L / sr &&
+        f.peak_abs == vals.map(math.abs).max &&
+        f.sum_abs == vals.map(math.abs).sum, s"doc $id: $f")
+    }
+  }
 }

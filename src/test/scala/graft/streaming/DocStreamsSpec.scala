@@ -109,4 +109,60 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(lastState.exists(_.numRowsTotal <= 3),
       s"state must stay bounded by the retention window, saw ${lastState.map(_.numRowsTotal)}")
   }
+
+  test("streaming LSH near-dup: cross-batch bucket match drops, eviction re-admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstreams_nd").toString
+    // Same DISTINCT token set => identical MinHash signatures => all band
+    // buckets collide; tB/tC are disjoint vocabularies. ingest_ts = doc_id
+    // minutes; retention 30 min. Timeline (forced one-file micro-batches):
+    //   f1: doc 1 tA (registers), doc 3 tA' (same token set, SAME batch ->
+    //       within-batch match against the batch min)
+    //   f2: doc 5 tA'' (match via STATE - the cross-batch membership test)
+    //   f3: doc 200 tB (new buckets; watermark -> 170 min after the batch)
+    //   f4: doc 205 tC (tA's reps, expiring at 1+30 min, evict under the
+    //       170 min watermark - eviction lags one batch)
+    //   f5: doc 210 tA (state gone -> RE-ADMITTED: retention tradeoff)
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tA2 = "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"
+    val tA3 = "beta alpha gamma delta epsilon zeta eta theta iota kappa kappa beta"
+    val tB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tC = "phi chi psi omega aleph bet gimel dalet he vav"
+    val staged = new java.io.File(dir, "in"); staged.mkdirs()
+    def writeFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(staged, s"f$n")
+      rows.map { case (id, tx) => (id, tx, "en", "s") }
+        .toDF("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      new java.io.File(f, "_SUCCESS").delete()
+      f.listFiles().foreach(p => assert(p.setLastModified(1000000L + n * 1000L)))
+    }
+    writeFile(1, Seq(1L -> tA, 3L -> tA2))
+    writeFile(2, Seq(5L -> tA3))
+    writeFile(3, Seq(200L -> tB))
+    writeFile(4, Seq(205L -> tC))
+    writeFile(5, Seq(210L -> tA))
+    val schema = spark.read.parquet(s"$staged/f1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/f*")
+    val q = DocStreams.neardupBandVerdicts(src, retentionMin = 30L)
+      .writeStream.format("memory").queryName("docs_neardup_test")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val verdicts = spark.table("docs_neardup_test").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    // every gated doc gets one verdict per band
+    assert(verdicts.length == 6 * graft.ext.Dedup.NumBands, verdicts.mkString(","))
+    val admitted = verdicts.groupBy(_._1)
+      .collect { case (id, vs) if vs.forall(!_._3) => id }.toSet
+    assert(admitted == Set(1L, 200L, 205L, 210L),
+      s"admitted=$admitted (3 within-batch drop, 5 cross-batch state drop, " +
+        "210 re-admitted after eviction)")
+    // state BOUND: 4 registrants ever, but tA's first-window buckets were
+    // evicted - at most the 3 live docs' bands remain
+    val lastState = q.recentProgress.flatMap(_.stateOperators).lastOption
+    assert(lastState.exists(_.numRowsTotal <= 3L * graft.ext.Dedup.NumBands),
+      s"state must stay bounded, saw ${lastState.map(_.numRowsTotal)}")
+  }
 }
