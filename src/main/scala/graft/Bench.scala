@@ -389,6 +389,14 @@ object Bench {
       // segment that can differ across JVMs when the staged plan contains
       // identity-hashed nodes — both are session tokens, not plan content
       .replaceAll("graft_stage_[^\\]\\s,)]*", "graft_stage_x")
+      // logical streaming plans (hashed since r16 for the streaming rows)
+      // print per-INSTANCE java.util.UUIDs on nodes like EventTimeWatermark
+      // — a fresh random id every construction, never plan content (16/21
+      // streaming digests flapped on exactly this token in the r16 A/B
+      // cross-JVM check)
+      .replaceAll(
+        "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+        "uuid-x")
     // Two session-order-dependent ORDERINGS survive the token stripping
     // (both reproduced by flapping digests on the cluster-chain family,
     // diffed via SPARK_GRAFT_FP_TEXT_DIR):

@@ -2513,6 +2513,14 @@ object SparkEntry {
       Multimodal.decodeWav(Multimodal.synthWavPcm16(t(s, dir, "documents")))
         .toDF.orderBy("doc_id")),
 
+    // per-window loudness profile over the same REAL-parsed WAV payloads:
+    // exact integer window energy (Σ sample²) + peak per 50-sample frame —
+    // the silence-detection primitive; map-only (frame indices derive from
+    // sample position, no shuffle at any scale)
+    "audio_loudness_windows" -> ((s, dir) =>
+      Multimodal.loudnessFrames(Multimodal.synthWavPcm16(t(s, dir, "documents")))
+        .toDF.orderBy("doc_id", "frame_idx")),
+
     // ViT-style patch grid (ext/Multimodal.patches): payload → 16×8
     // resample → 4×4 patches with exact byte sums and integer-milli means
     // — the patch-embedding preprocessing interface with the indexing and
@@ -4089,6 +4097,7 @@ object SparkEntry {
     "multimodal_phash_pairs" -> Multimodal.phashPairsSqlDuck(),
     "multimodal_decode" -> Multimodal.decodeSqlDuck,
     "audio_wav_features" -> Multimodal.wavFeaturesSqlDuck,
+    "audio_loudness_windows" -> Multimodal.loudnessFramesSqlDuck(),
     "multimodal_patches" -> Multimodal.patchesSqlDuck(),
     "multimodal_resize" -> Multimodal.resizeSqlDuck(),
     "multimodal_frame_sample" -> Multimodal.frameSampleSqlDuck(),

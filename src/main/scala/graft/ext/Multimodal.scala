@@ -580,7 +580,12 @@ object Multimodal {
     media.mapPartitions(_.flatMap(d => parseWav(d.doc_id, d.payload)))
   }
 
-  private[ext] def parseWav(id: Long, bytes: Array[Byte]): Option[WavFeatures] = {
+  /** Parsed header + channel-0 PCM samples — the shared core of the two
+    * feature extractors. */
+  private[ext] final case class WavPcm(
+      sampleRate: Long, channels: Long, samples: Array[Short])
+
+  private[ext] def parseWavPcm(bytes: Array[Byte]): Option[WavPcm] = {
     if (bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii(off: Int, s: String) =
@@ -612,19 +617,67 @@ object Multimodal {
       return None
     val bytesPerFrame = (channels * 2).toInt
     val nSamples = dataLen / bytesPerFrame
+    // mono feature contract: channel 0 of each frame
+    val out = new Array[Short](nSamples)
     var i = 0
-    var sumAbs = 0L; var peak = 0L
-    while (i < nSamples) {
-      // mono feature contract: channel 0 of each frame
-      val v = b.getShort(dataOff + i * bytesPerFrame).toLong
-      val a = math.abs(v)
-      sumAbs += a
-      if (a > peak) peak = a
-      i += 1
-    }
-    Some(WavFeatures(id, sr, channels, 16L, nSamples.toLong,
-      nSamples.toLong * 1000000L / sr, peak, sumAbs))
+    while (i < nSamples) { out(i) = b.getShort(dataOff + i * bytesPerFrame); i += 1 }
+    Some(WavPcm(sr, channels, out))
   }
+
+  private[ext] def parseWav(id: Long, bytes: Array[Byte]): Option[WavFeatures] =
+    parseWavPcm(bytes).map { w =>
+      var i = 0
+      var sumAbs = 0L; var peak = 0L
+      while (i < w.samples.length) {
+        val a = math.abs(w.samples(i).toLong)
+        sumAbs += a
+        if (a > peak) peak = a
+        i += 1
+      }
+      WavFeatures(id, w.sampleRate, w.channels, 16L, w.samples.length.toLong,
+        w.samples.length.toLong * 1000000L / w.sampleRate, peak, sumAbs)
+    }
+
+  /** One fixed-length analysis window of a decoded payload: exact integer
+    * energy (Σ sample², the RMS numerator) + window peak — the
+    * silence-detection / loudness-profile primitive (a consumer thresholds
+    * sum_sq/n to find silent or clipped spans). Last window may be
+    * partial (`n` < frameLen). */
+  final case class WavFrame(
+      doc_id: Long, frame_idx: Long, n: Long, sum_sq: Long, peak_abs: Long)
+
+  /** Per-window loudness profile over REAL parsed WAV payloads: the frame
+    * explode is a narrow per-row transform (no shuffle — window indices
+    * derive from sample position), so the whole profile is map-only at any
+    * scale. */
+  def loudnessFrames(media: org.apache.spark.sql.Dataset[WavDoc],
+      frameLen: Int = 50): org.apache.spark.sql.Dataset[WavFrame] = {
+    require(frameLen > 0, s"frameLen must be positive: $frameLen")
+    import media.sparkSession.implicits._
+    media.flatMap { d =>
+      parseWavPcm(d.payload).toSeq.flatMap { w =>
+        w.samples.iterator.zipWithIndex
+          .map { case (v, i) => (i / frameLen, v.toLong) }.toSeq
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (f, vs) =>
+            WavFrame(d.doc_id, f.toLong, vs.size.toLong,
+              vs.map(t => t._2 * t._2).sum, vs.map(t => math.abs(t._2)).max)
+          }
+      }
+    }
+  }
+
+  /** Closed-form oracle for [[loudnessFrames]] over the synthesized
+    * fixture — window grouping by i DIV frameLen on the same waveform. */
+  def loudnessFramesSqlDuck(frameLen: Int = 50): String =
+    s"""WITH p AS (SELECT doc_id, 64 + (n_chars % 191) AS n FROM documents),
+      | idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
+      | vals AS (SELECT doc_id, i // $frameLen AS f,
+      |   ((doc_id*31 + i*17) % 65536) - 32768 AS v FROM idx)
+      |SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v*v) AS BIGINT) AS sum_sq,
+      |  CAST(max(abs(v)) AS BIGINT) AS peak_abs
+      |FROM vals GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin
 
   /** Closed-form oracle for the synth→decode round trip: the features the
     * parse MUST produce, derived from (doc_id, n_chars) without touching

@@ -128,4 +128,14 @@ class BenchCanonSpec extends AnyFunSuite {
     val z = "functions=[f(a, [b, c]), g(d)]"
     assert(Bench.sortBracketSpans(z, "functions=[") == "functions=[f(a, [b, c]), g(d)]")
   }
+
+  test("stripPlanText normalizes per-instance stream-node UUIDs (r16 A/B flap)") {
+    val a = Bench.stripPlanText(
+      "+- ~EventTimeWatermark d41a6ca7-f0c8-4087-b042-31783c0e2549, none#7: timestamp, 1 hours")
+    val b = Bench.stripPlanText(
+      "+- ~EventTimeWatermark 3d1dcc17-6720-4826-8b36-737491962423, none#9: timestamp, 1 hours")
+    assert(a == b && a.contains("uuid-x"))
+    // a fixpoint-iterated pass sequence must also be idempotent
+    assert(Bench.stripPlanText(a) == a)
+  }
 }

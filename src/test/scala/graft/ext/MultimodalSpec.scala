@@ -238,6 +238,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(1L, nonPcm).isEmpty)
   }
 
+  test("loudnessFrames: windows tile the samples, partial last window, exact energy") {
+    import graft.SparkTestSession.spark.implicits._
+    // 7 samples, frameLen 3 -> windows of 3, 3, 1 with hand-computed energy
+    val samples = Seq[Short](1, -2, 3, 100, -100, 50, -7)
+    val b = java.nio.ByteBuffer.allocate(44 + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + 14).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(14)
+    samples.foreach(b.putShort)
+    val ds = graft.SparkTestSession.spark
+      .createDataset(Seq(Multimodal.WavDoc(9L, b.array())))
+    val out = Multimodal.loudnessFrames(ds, frameLen = 3)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(out == Seq(
+      Multimodal.WavFrame(9L, 0L, 3L, 1L + 4L + 9L, 3L),
+      Multimodal.WavFrame(9L, 1L, 3L, 10000L + 10000L + 2500L, 100L),
+      Multimodal.WavFrame(9L, 2L, 1L, 49L, 7L)), out.toString)
+  }
+
   test("synthWavPcm16 -> decodeWav round trip matches the closed form on the fixture") {
     val docs = graft.etl.IngestOps.table(spark, sf0001, "documents")
     val feats = Multimodal.decodeWav(Multimodal.synthWavPcm16(docs))
