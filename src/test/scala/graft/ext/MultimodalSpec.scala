@@ -238,6 +238,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.parseWav(1L, nonPcm).isEmpty)
   }
 
+  test("parseWav: stereo frames extract channel 0 (the mono feature contract)") {
+    // 3 stereo frames; channel-1 values are decoys that must not leak into
+    // the features — n_samples counts FRAMES, not interleaved values
+    val frames = Seq[(Short, Short)]((10, 9999), (-20, -9999), (30, 1234))
+    val dataLen = frames.length * 4
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(8000).putInt(32000).putShort(4).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    frames.foreach { case (l, r) => b.putShort(l).putShort(r) }
+    val out = Multimodal.parseWav(3L, b.array())
+    assert(out.contains(Multimodal.WavFeatures(
+      3L, 8000L, 2L, 16L, 3L, 375L, 30L, 60L)), out.toString)
+  }
+
   test("loudnessFrames: windows tile the samples, partial last window, exact energy") {
     import graft.SparkTestSession.spark.implicits._
     // 7 samples, frameLen 3 -> windows of 3, 3, 1 with hand-computed energy
