@@ -328,7 +328,7 @@ object Bench {
     // round-over-round-comparable "everything ran once" number in the
     // same line so the drop in `value` cannot be misread as a plan win
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","steal_s":$stealS,"steal_pct":$stealPct,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"jvmid_pinned":$jvmidPinned,"prime_s":${fmt(primeSecs.values.sum)},"total_with_prime":${fmt(total + primeSecs.values.sum)},"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":[$failedJson],"flaky":{$flaky},"iters":$iters,"load_entry":"$loadEntry","steal_s":$stealS,"steal_pct":$stealPct,"load_start":"$loadStart","load_end":"$loadEnd","escalated":$escalated,"jvmid_pinned":$jvmidPinned,"canon_converged":${!canonNonConverged.get()},"prime_s":${fmt(primeSecs.values.sum)},"total_with_prime":${fmt(total + primeSecs.values.sum)},"noisy":{$noisy},"omitted_fastest":$omitted,"omitted_sec":$omittedSec,"queries":{${sb.toString}},"sf":"$sfDir"}"""
     )
     spark.stop()
   }
@@ -456,8 +456,24 @@ object Bench {
         "multicommutativeop("), "functions=[")
       rounds += 1
     }
+    if (cur != prev) {
+      // loud failure, matching the round's stance elsewhere (jvmid_pinned
+      // WARN, setLastModified require): a silently non-converged
+      // canonicalization could reintroduce a cross-JVM digest flap with no
+      // diagnostic (ADVICE r16). Also surfaced as canon_converged:false in
+      // the bench JSON line.
+      canonNonConverged.set(true)
+      System.err.println("WARN: plan-text canonicalization hit the 5-round " +
+        "backstop without converging — fingerprint digests may be unstable " +
+        "across JVMs for the affected plan")
+    }
     cur
   }
+
+  /** Set when any [[stripPlanText]] call this JVM exited its fixpoint loop
+    * at the round backstop with the text still changing (ADVICE r16). */
+  private[graft] val canonNonConverged =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** For every balanced `(...)` group whose content splits at top level on
     * `sep` into EXACTLY two items, at least one being a

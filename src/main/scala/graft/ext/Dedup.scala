@@ -280,6 +280,27 @@ object Dedup {
           .as("recall"))
   }
 
+  /** Exact distinct-unigram Jaccard over an arbitrary (doc_a, doc_b)
+    * candidate relation — the batch rescore pass every LSH candidate
+    * source feeds, including the streaming near-dup's matched side output
+    * ([[graft.streaming.DocStreams.NdVerdict]] rep column, VERDICT r16
+    * #3): two id-equi-joins fetch the sorted distinct token sets, then
+    * the codegen'd linear-merge intersect scores each pair. Cost is
+    * candidate-bounded, never all-pairs; the token relation joins by id,
+    * so the array payload is never replicated across pair fan-out. */
+  def rescorePairs(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      array_sort(array_distinct(TextOps.fastTokens(col("text")))).as("toks"))
+    pairs
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta"),
+        size(col("toks")).as("na")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb"),
+        size(col("toks")).as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardFromIntersect(intersectCount(col("ta"), col("tb")),
+          col("na"), col("nb")).as("jaccard"))
+  }
+
   /** Oracle for [[lshEval]]: shingle sigs + band buckets for the candidate
     * side, the quadratic exact form for the truth side. */
   def lshEvalSqlDuck(theta: Double = 0.8, w: Int = 3): String = {

@@ -570,6 +570,85 @@ object Multimodal {
       })
   }
 
+  /** Synthesize one genuine IEEE-float (format 3) 32-bit mono WAV per
+    * document — same waveform, rates, and lengths as [[synthWavPcm16]] but
+    * carried as binary32 samples behind an 18-byte fmt chunk (cbSize 0)
+    * plus the `fact` chunk non-PCM WAVs conventionally carry (the chunk
+    * walk must skip it to reach data). Every sample value is an
+    * integer-valued float with |v| ≤ 2^15 — exactly representable in
+    * binary32 — so the integer-exact oracle closed form carries over
+    * unchanged. */
+  def synthWavFloat32(docs: DataFrame): org.apache.spark.sql.Dataset[WavDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nChars) =>
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val n = (64 + (nChars % 191)).toInt
+        val dataLen = n * 4
+        // 12 (RIFF/WAVE) + 26 (fmt, 18-byte body) + 12 (fact) + 8 + data
+        val b = java.nio.ByteBuffer.allocate(58 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(50 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(18)
+          .putShort(3) // IEEE float
+          .putShort(1) // mono
+          .putInt(sr)
+          .putInt(sr * 4) // byte rate = sr * channels * bits/8
+          .putShort(4)    // block align
+          .putShort(32)   // bits per sample
+          .putShort(0)    // cbSize
+        b.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+        b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) { b.putFloat(sampleVal(id, i).toFloat); i += 1 }
+        WavDoc(id, b.array())
+      })
+  }
+
+  /** Spectral-proxy features of a float WAV: the zero-crossing count —
+    * transitions of the sign bit (negative ↔ non-negative) between
+    * consecutive channel-0 samples — is the classic integer-exact
+    * frequency proxy (a k-Hz tone crosses ~2k times/sec), computable in
+    * one pass with no FFT and closed-form-derivable for the sawtooth
+    * fixture. */
+  final case class WavZcrFeatures(
+      doc_id: Long, sample_rate: Long, n_samples: Long, zero_crossings: Long)
+
+  def decodeWavFloatZcr(media: org.apache.spark.sql.Dataset[WavDoc]
+      ): org.apache.spark.sql.Dataset[WavZcrFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap(d =>
+      parseWavFloat32(d.payload).map { w =>
+        var zc = 0L
+        var i = 1
+        while (i < w.samples.length) {
+          if ((w.samples(i) < 0) != (w.samples(i - 1) < 0)) zc += 1
+          i += 1
+        }
+        WavZcrFeatures(d.doc_id, w.sampleRate, w.samples.length.toLong, zc)
+      }))
+  }
+
+  /** Closed-form oracle for the float synth → [[decodeWavFloatZcr]] round
+    * trip: sign changes over the same sawtooth, via a per-doc lag window —
+    * a format-3 header-layout or float-decode bug diverges. */
+  def wavFloatZcrSqlDuck: String =
+    """WITH p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+      |           64 + (coalesce(n_chars, 0) % 191) AS n FROM documents),
+      | idx AS (SELECT doc_id, sr, unnest(range(0, n)) AS i FROM p),
+      | sg AS (SELECT doc_id, sr, i,
+      |    CASE WHEN ((doc_id*31 + i*17) % 65536) - 32768 < 0 THEN 1 ELSE 0 END AS s
+      |  FROM idx),
+      | lg AS (SELECT doc_id, sr, s,
+      |    lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM sg)
+      |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(count(*) FILTER (WHERE ps IS NOT NULL AND s <> ps) AS BIGINT)
+      |    AS zero_crossings
+      |FROM lg GROUP BY doc_id, sr ORDER BY doc_id""".stripMargin
+
   /** REAL WAV decode: RIFF chunk walk (not fixed offsets — a valid WAV may
     * carry LIST/fact chunks before data), PCM16 only, integer features.
     * Malformed or non-WAV payloads yield None and are filtered — the same
@@ -585,25 +664,37 @@ object Multimodal {
   private[ext] final case class WavPcm(
       sampleRate: Long, channels: Long, samples: Array[Short])
 
-  private[ext] def parseWavPcm(bytes: Array[Byte]): Option[WavPcm] = {
+  /** Raw chunk-walk result — fmt fields + data span, BEFORE any format
+    * gate — so the PCM16 and float32 parsers share one walk and differ
+    * only in their format/bits gate and sample decode. */
+  private final case class WavChunks(
+      audioFormat: Int, channels: Long, sampleRate: Long, bits: Long,
+      dataOff: Int, dataLen: Int)
+
+  /** The RIFF chunk walk. Bounds guards use LONG arithmetic (ADVICE r16):
+    * a crafted chunk length near Int.MaxValue would overflow
+    * `pos + 8 + clen` in Int space to negative, slip past the guard, and
+    * crash or over-allocate downstream — the opposite of the documented
+    * reject-don't-misparse contract. Each public parser additionally wraps
+    * the whole parse in a catch-all → None as a second line of defense. */
+  private def walkWavChunks(bytes: Array[Byte]): Option[WavChunks] = {
     if (bytes.length < 44) return None
     val b = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def ascii(off: Int, s: String) =
       (0 until s.length).forall(j => bytes(off + j) == s.charAt(j).toByte)
     if (!ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
     var pos = 12
-    var sr = 0L; var channels = 0L; var bits = 0L
+    var fmt = 0; var sr = 0L; var channels = 0L; var bits = 0L
     var dataOff = -1; var dataLen = 0
     var fmtSeen = false
     while (pos + 8 <= bytes.length && dataOff < 0) {
       val cid = new String(bytes, pos, 4, "US-ASCII")
       val clen = b.getInt(pos + 4)
-      if (clen < 0 || pos + 8 + clen > bytes.length) return None
+      if (clen < 0 || pos + 8L + clen > bytes.length) return None
       cid match {
         case "fmt " =>
           if (clen < 16) return None
-          val audioFormat = b.getShort(pos + 8)
-          if (audioFormat != 1) return None // PCM only
+          fmt = b.getShort(pos + 8).toInt
           channels = b.getShort(pos + 10).toLong
           sr = b.getInt(pos + 12).toLong
           bits = b.getShort(pos + 22).toLong
@@ -613,16 +704,53 @@ object Multimodal {
       }
       pos += 8 + clen + (clen & 1) // chunks are word-aligned
     }
-    if (!fmtSeen || dataOff < 0 || sr <= 0 || channels <= 0 || bits != 16)
-      return None
-    val bytesPerFrame = (channels * 2).toInt
-    val nSamples = dataLen / bytesPerFrame
-    // mono feature contract: channel 0 of each frame
-    val out = new Array[Short](nSamples)
-    var i = 0
-    while (i < nSamples) { out(i) = b.getShort(dataOff + i * bytesPerFrame); i += 1 }
-    Some(WavPcm(sr, channels, out))
+    if (!fmtSeen || dataOff < 0 || sr <= 0 || channels <= 0) None
+    else Some(WavChunks(fmt, channels, sr, bits, dataOff, dataLen))
   }
+
+  private[ext] def parseWavPcm(bytes: Array[Byte]): Option[WavPcm] =
+    try walkWavChunks(bytes).flatMap { c =>
+      if (c.audioFormat != 1 || c.bits != 16) None // integer PCM16 only
+      else {
+        val b = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bytesPerFrame = (c.channels * 2).toInt
+        val nSamples = c.dataLen / bytesPerFrame
+        // mono feature contract: channel 0 of each frame
+        val out = new Array[Short](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          out(i) = b.getShort(c.dataOff + i * bytesPerFrame); i += 1
+        }
+        Some(WavPcm(c.sampleRate, c.channels, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Channel-0 samples of an IEEE-float (format 3, 32-bit) WAV, QUANTIZED
+    * to Long by truncation toward zero — the feature contract stays
+    * integer-exact (on the synthesized fixture every sample is an
+    * integer-valued float ≤ 2^15, exactly representable in binary32, so
+    * truncation is lossless). A PCM16 payload is rejected here exactly as
+    * a float payload is rejected by [[parseWavPcm]]. */
+  private[ext] final case class WavQuant(
+      sampleRate: Long, channels: Long, samples: Array[Long])
+
+  private[ext] def parseWavFloat32(bytes: Array[Byte]): Option[WavQuant] =
+    try walkWavChunks(bytes).flatMap { c =>
+      if (c.audioFormat != 3 || c.bits != 32) None // IEEE float32 only
+      else {
+        val b = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bytesPerFrame = (c.channels * 4).toInt
+        val nSamples = c.dataLen / bytesPerFrame
+        val out = new Array[Long](nSamples)
+        var i = 0
+        while (i < nSamples) {
+          out(i) = b.getFloat(c.dataOff + i * bytesPerFrame).toLong; i += 1
+        }
+        Some(WavQuant(c.sampleRate, c.channels, out))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   private[ext] def parseWav(id: Long, bytes: Array[Byte]): Option[WavFeatures] =
     parseWavPcm(bytes).map { w =>
@@ -656,13 +784,24 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.flatMap { d =>
       parseWavPcm(d.payload).toSeq.flatMap { w =>
-        w.samples.iterator.zipWithIndex
-          .map { case (v, i) => (i / frameLen, v.toLong) }.toSeq
-          .groupBy(_._1).toSeq.sortBy(_._1)
-          .map { case (f, vs) =>
-            WavFrame(d.doc_id, f.toLong, vs.size.toLong,
-              vs.map(t => t._2 * t._2).sum, vs.map(t => math.abs(t._2)).max)
+        // single accumulation pass (VERDICT r16 #5): windows are contiguous
+        // sample runs, so one loop with a flush at each frame boundary
+        // replaces the per-doc zipWithIndex/groupBy materialization
+        val out = Vector.newBuilder[WavFrame]
+        val total = w.samples.length
+        var i = 0; var frame = 0L
+        var n = 0L; var sumSq = 0L; var peak = 0L
+        while (i < total) {
+          val v = w.samples(i).toLong
+          n += 1; sumSq += v * v
+          val a = math.abs(v); if (a > peak) peak = a
+          if (n == frameLen || i == total - 1) {
+            out += WavFrame(d.doc_id, frame, n, sumSq, peak)
+            frame += 1; n = 0; sumSq = 0; peak = 0
           }
+          i += 1
+        }
+        out.result()
       }
     }
   }
@@ -670,7 +809,8 @@ object Multimodal {
   /** Closed-form oracle for [[loudnessFrames]] over the synthesized
     * fixture — window grouping by i DIV frameLen on the same waveform. */
   def loudnessFramesSqlDuck(frameLen: Int = 50): String =
-    s"""WITH p AS (SELECT doc_id, 64 + (n_chars % 191) AS n FROM documents),
+    s"""WITH p AS (SELECT doc_id,
+      |     64 + (coalesce(n_chars, 0) % 191) AS n FROM documents),
       | idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
       | vals AS (SELECT doc_id, i // $frameLen AS f,
       |   ((doc_id*31 + i*17) % 65536) - 32768 AS v FROM idx)
@@ -684,7 +824,7 @@ object Multimodal {
     * bytes — divergence means the RIFF layout or the parse is wrong. */
   def wavFeaturesSqlDuck: String =
     """WITH p AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
-      |           64 + (n_chars % 191) AS n FROM documents),
+      |           64 + (coalesce(n_chars, 0) % 191) AS n FROM documents),
       | idx AS (SELECT doc_id, unnest(range(0, n)) AS i FROM p),
       | vals AS (SELECT doc_id, ((doc_id*31 + i*17) % 65536) - 32768 AS v FROM idx),
       | agg AS (SELECT doc_id, max(abs(v)) AS peak_abs, sum(abs(v)) AS sum_abs,

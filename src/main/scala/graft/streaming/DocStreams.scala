@@ -83,7 +83,10 @@ object DocStreams {
     * the stream's initial watermark (epoch): doc_id 0 AT the epoch was
     * dropped by the late-row filter at sf0.01 (r15). */
   def withIngestTs(docs: DataFrame): DataFrame =
-    docs.withColumn("ingest_ts",
+    // a caller-supplied arrival axis wins (the r17 out-of-order spec
+    // injects one); the doc_id derivation is the fixture default
+    if (docs.columns.contains("ingest_ts")) docs
+    else docs.withColumn("ingest_ts",
       timestamp_micros(col("doc_id") * lit(60000000L) + lit(86400000000L)))
 
   /** BOUNDED-STATE variant of the exact fingerprint dedup (VERDICT r14 #4)
@@ -121,10 +124,47 @@ object DocStreams {
 
   /** Per-(doc, band) membership verdict emitted by the stateful op:
     * `matched` = the bucket already held an earlier representative when
-    * this doc arrived. A doc is ADMITTED iff no band matched — a
-    * stateless per-doc rollup any sink consumer can run (the oracle row
-    * does exactly that over the durable sink). */
-  case class NdVerdict(doc_id: Long, source: String, bi: Int, matched: Boolean)
+    * this doc arrived, `rep` = that representative's doc_id (the candidate
+    * side output — a matched row IS an LSH candidate pair (rep, doc_id),
+    * so a downstream batch pass can exact-rescore precisely the pairs the
+    * stream dropped on; VERDICT r16 #3). A doc is ADMITTED iff no band
+    * matched — a stateless per-doc rollup any sink consumer can run (the
+    * oracle row does exactly that over the durable sink). An unmatched
+    * row's rep is the doc itself (it registered or re-registered). */
+  case class NdVerdict(
+      doc_id: Long, source: String, bi: Int, matched: Boolean, rep: Long)
+
+  /** Gate → MinHash sign → explode to band-bucket rows: the shared map-only
+    * front of the stateful near-dup stream ([[neardupBandVerdicts]]) and
+    * the stream-vs-standing-corpus membership join
+    * ([[streamVsCorpusNeardup]]). Same hash construction as the batch LSH
+    * family ([[graft.ext.Dedup.minhashSignatures]] /
+    * [[graft.ext.Dedup.bandBuckets]]), so stream-side buckets are
+    * join-compatible with batch-built corpus buckets. */
+  private def bandRows(docs: DataFrame, lang: String, minTokens: Long,
+      maxTokens: Long, minAlphaRatio: Double
+      ): org.apache.spark.sql.Dataset[NdBandRow] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    import graft.ext.Dedup.{NumHashes, NumBands, RowsPerBand}
+    val g = gated(withIngestTs(docs), lang, minTokens, maxTokens, minAlphaRatio)
+    val sigCols = (0 until NumHashes).map(i =>
+      array_min(transform(col("_toks"),
+        t => md5(concat(lit(s"mh$i"), t)))).as(s"s$i"))
+    val sigs = g
+      .withColumn("_toks", array_distinct(graft.ext.TextOps.fastTokens(col("text"))))
+      .select(col("doc_id") +: col("source") +: col("ingest_ts") +: sigCols: _*)
+    val bandStructs = (0 until NumBands).map { b =>
+      val cs = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
+      struct(lit(b).as("bi"), md5(concat(cs: _*)).as("band"))
+    }
+    sigs
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("source"), col("ingest_ts"),
+        col("b.bi").as("bi"), col("b.band").as("band"))
+      .as[NdBandRow]
+  }
 
   /** Streaming near-duplicate detection (VERDICT r15 #2): the batch
     * incremental pipeline's LSH-bucket membership check
@@ -142,9 +182,16 @@ object DocStreams {
     * documents).
     *
     * Contracts, mirrored from [[curatedDedupBounded]]:
-    *  - arrival order = ingest order (monotone doc_id, the fixture's
-    *    deterministic axis) — within a batch the min doc_id registers, so
-    *    micro-batch boundaries never change verdicts;
+    *  - registration is keyed on (ingest_ts, doc_id), NOT on bare doc_id
+    *    (VERDICT r16 #2): the bucket's representative is the doc that
+    *    INGESTED first, with doc_id only as the total-order tiebreaker, so
+    *    the contract survives out-of-order arrival within the watermark —
+    *    within a batch the min (ingest_ts, doc_id) registers regardless of
+    *    the order rows physically arrived (the buffered minBy is
+    *    arrival-order-independent), and an out-of-order earlier-ingested
+    *    doc arriving in a LATER batch takes the registration over. On the
+    *    fixture's derived axis ingest_ts is monotone in doc_id, so the
+    *    closed-form min-doc_id oracle is unchanged;
     *  - state is BOUNDED by (bucket arrival rate × retention): a
     *    representative evicts via event-time timeout once the watermark
     *    passes its ingest_ts + retention, and a doc arriving after that
@@ -167,26 +214,13 @@ object DocStreams {
       ): org.apache.spark.sql.Dataset[NdVerdict] = {
     val session = docs.sparkSession
     import session.implicits._
-    import graft.ext.Dedup.{NumHashes, NumBands, RowsPerBand}
-    val g = gated(withIngestTs(docs), lang, minTokens, maxTokens, minAlphaRatio)
-    val sigCols = (0 until NumHashes).map(i =>
-      array_min(transform(col("_toks"),
-        t => md5(concat(lit(s"mh$i"), t)))).as(s"s$i"))
-    val sigs = g
-      .withColumn("_toks", array_distinct(graft.ext.TextOps.fastTokens(col("text"))))
-      .select(col("doc_id") +: col("source") +: col("ingest_ts") +: sigCols: _*)
-    val bandStructs = (0 until NumBands).map { b =>
-      val cs = (b * RowsPerBand until (b + 1) * RowsPerBand).map(i => col(s"s$i"))
-      struct(lit(b).as("bi"), md5(concat(cs: _*)).as("band"))
-    }
-    val rows = sigs
-      .withWatermark("ingest_ts", s"$retentionMin minutes")
-      .select(col("doc_id"), col("source"), col("ingest_ts"),
-        explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("source"), col("ingest_ts"),
-        col("b.bi").as("bi"), col("b.band").as("band"))
-      .as[NdBandRow]
+    val rows = bandRows(
+        withIngestTs(docs).withWatermark("ingest_ts", s"$retentionMin minutes"),
+        lang, minTokens, maxTokens, minAlphaRatio)
     val retentionMs = retentionMin * 60000L
+    // (ingest_ts, doc_id) total order — the registration key
+    def keyLt(aMs: Long, aId: Long, bMs: Long, bId: Long): Boolean =
+      aMs < bMs || (aMs == bMs && aId < bId)
     rows.groupByKey(r => (r.bi, r.band))
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append,
@@ -201,16 +235,111 @@ object DocStreams {
             val vs = values.toVector
             val wm = state.getCurrentWatermarkMs()
             val live = state.getOption.filter(_.repMs + retentionMs > wm)
-            val first = vs.minBy(_.doc_id)
+            val first = vs.minBy(r => (r.ingest_ts.getTime, r.doc_id))
+            val firstMs = first.ingest_ts.getTime
             val rep = live match {
-              case Some(st) if st.rep <= first.doc_id => st
-              case _ => NdBucketState(first.doc_id, first.ingest_ts.getTime)
+              case Some(st) if !keyLt(firstMs, first.doc_id, st.repMs, st.rep) => st
+              case _ => NdBucketState(first.doc_id, firstMs)
             }
             state.update(rep)
             // strictly beyond the watermark (Spark rejects a stale timeout)
             state.setTimeoutTimestamp(math.max(rep.repMs + retentionMs, wm + 1))
             vs.iterator.map(v =>
-              NdVerdict(v.doc_id, v.source, v.bi, matched = v.doc_id > rep.rep))
+              NdVerdict(v.doc_id, v.source, v.bi,
+                matched = keyLt(rep.repMs, rep.rep, v.ingest_ts.getTime, v.doc_id),
+                rep = rep.rep))
           })
+  }
+
+  // ---- stream-vs-STANDING-corpus dedup (VERDICT r16 #1) ----------------
+  // The nightly-ingest shape: a new-crawl STREAM deduplicated against a
+  // STATIC standing corpus ("yesterday's corpus"). Both tiers are
+  // STATELESS stream-static joins — corpus membership lives in the static
+  // relation, not in streaming state — and the static side is prepared
+  // ONCE (distinct + persist) so micro-batches hit executor cache blocks,
+  // never the corpus files: the corpus-side scan+shuffle runs exactly one
+  // time per JVM however many batches the stream runs (DocStreamsSpec
+  // proves this with a row-counting accumulator spliced into the static
+  // plan). With `broadcastStatic` (default) each batch's join is a
+  // broadcast hash join on the slim persisted relation — right while the
+  // distinct fingerprint/bucket table fits the broadcast budget; at true
+  // 100 TB corpus size pass false and the join becomes a shuffled
+  // stream-static hash join whose static side still reads cache, or swap
+  // the static relation for an external fingerprint store (the same
+  // tradeoff curatedDedupBounded documents).
+
+  /** Splice a materialization probe into `df`: every row the plan actually
+    * COMPUTES bumps the accumulator, a cache hit computes nothing — so
+    * after a k-batch streaming run, probe == count(df) proves the static
+    * side materialized once, not k times. Test seam (None in production
+    * rows — a lambda in the plan would also defeat whole-stage codegen). */
+  private def probed(df: DataFrame,
+      scanProbe: Option[org.apache.spark.util.LongAccumulator]): DataFrame =
+    scanProbe.fold(df)(acc =>
+      df.mapPartitions(it => it.map { r => acc.add(1L); r })(
+        org.apache.spark.sql.Encoders.row(df.schema)))
+
+  /** The standing corpus's distinct content fingerprints, persisted — the
+    * static side of [[streamVsCorpusExact]]. One distinct-shuffle over the
+    * corpus per JVM; the persisted relation is one short row per distinct
+    * text. Callers unpersist when the stream is done. */
+  def corpusFingerprints(corpus: DataFrame,
+      scanProbe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    probed(corpus.select(md5(col("text")).as("fp")).distinct(), scanProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** EXACT tier: gate the stream, fingerprint, and LEFT-ANTI join the
+    * standing corpus's fingerprints — admitted = crawl docs whose exact
+    * content is not already in the corpus. Stream-static left-anti with
+    * the stream on the left is natively supported and STATELESS: no
+    * watermark, no state store, per-batch cost = gate (map-only) + the
+    * membership join. */
+  def streamVsCorpusExact(docs: DataFrame, corpusFps: DataFrame,
+      broadcastStatic: Boolean = true,
+      lang: String = "en", minTokens: Long = 10, maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5): DataFrame = {
+    val statics = if (broadcastStatic) broadcast(corpusFps) else corpusFps
+    gated(docs, lang, minTokens, maxTokens, minAlphaRatio)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      .join(statics, Seq("fp"), "left_anti")
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** The standing corpus's distinct LSH band buckets, persisted — the
+    * static side of [[streamVsCorpusNeardup]]. Built with the BATCH family
+    * machinery ([[graft.ext.Dedup.minhashSignatures]] → [[graft.ext.Dedup.bandBuckets]],
+    * which stages the bucket relation through StageStore), then
+    * distinct'd to the (bi, band) membership set: NumBands short rows per
+    * corpus doc before dedup, independent of document size. */
+  def corpusBandBuckets(corpus: DataFrame,
+      scanProbe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
+    probed(
+      graft.ext.Dedup.bandBuckets(graft.ext.Dedup.minhashSignatures(corpus))
+        .select(col("bi"), col("band")).distinct(),
+      scanProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** NEAR-dup tier: the stream's band-bucket rows ([[bandRows]] — same
+    * gate + hash construction as the stateful variant) LEFT-OUTER joined
+    * against the corpus's bucket membership set; `matched` = this band's
+    * bucket already exists in the standing corpus. Admission (no band
+    * matched) is the same stateless per-doc sink rollup as
+    * [[neardupBandVerdicts]] — kept out of the stream so the stateless
+    * stream-static shape needs no watermark and no streaming aggregation.
+    * Unlike the stateful variant, within-STREAM near-dups pass (two new
+    * crawl docs near-dup of each other but of nothing in the corpus both
+    * admit) — this tier answers exactly "is it new vs the corpus"; chain
+    * the stateful tier downstream when within-stream dedup is also
+    * wanted. */
+  def streamVsCorpusNeardup(docs: DataFrame, corpusBuckets: DataFrame,
+      broadcastStatic: Boolean = true,
+      lang: String = "en", minTokens: Long = 10, maxTokens: Long = 100000,
+      minAlphaRatio: Double = 0.5): DataFrame = {
+    val membership = corpusBuckets.withColumn("_hit", lit(1))
+    val statics = if (broadcastStatic) broadcast(membership) else membership
+    bandRows(docs, lang, minTokens, maxTokens, minAlphaRatio)
+      .join(statics, Seq("bi", "band"), "left_outer")
+      .select(col("doc_id"), col("source"), col("bi"),
+        col("_hit").isNotNull.as("matched"))
   }
 }

@@ -112,13 +112,21 @@ object EventStreams {
       _ => computeTumblingUpdateEmissions(spark, dir, parts))
 
   /** Deterministic per-(dir, parts) stage path. The dir is embedded as a
-    * sanitized TOKEN, not a 32-bit hash: colliding dir hashes would make
-    * two fixture dirs share a stage, and `stagedDirs` would then serve the
-    * first dir's rows for the second — silent wrong results (the ADVICE
-    * r15 class of bug, fixed for SparkEntry.replayStream the same round). */
-  private def stagedUpdatePath(stageRoot: String, dir: String, parts: Int): String =
+    * sanitized token PLUS a SHA-256 prefix of the RAW dir string (ADVICE
+    * r16): sanitization alone maps every non-[A-Za-z0-9._-] char to '_',
+    * so distinct dirs like `/a/b` and `/a_b` would still collide on one
+    * stage and `stagedDirs` would silently serve the first dir's rows for
+    * the second. The hash suffix is collision-free for distinct raw
+    * strings (unlike the 32-bit `dir.hashCode` this replaced in r15) and
+    * deterministic across JVMs (unlike a counter — the path must be
+    * reconstructable by [[tumblingUpdateStreamPlan]] in a later call). */
+  private def stagedUpdatePath(stageRoot: String, dir: String, parts: Int): String = {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map(b => f"$b%02x").mkString
     new java.io.File(stageRoot,
-      s"graft_upd_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_$parts").getAbsolutePath
+      s"graft_upd_${dir.replaceAll("[^A-Za-z0-9._-]", "_")}_${sha}_$parts")
+      .getAbsolutePath
+  }
 
   private def updateStageRoot: String = {
     val shm = new java.io.File("/dev/shm")

@@ -294,4 +294,57 @@ class MultimodalSpec extends AnyFunSuite {
         f.sum_abs == vals.map(math.abs).sum, s"doc $id: $f")
     }
   }
+
+  test("float WAV: PCM16 path rejects format-3 payloads, float path rejects PCM16, and the walk skips fact") {
+    import graft.SparkTestSession.spark.implicits._
+    val docs = Seq((7L, "x" * 40, "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val floatPayload = Multimodal.synthWavFloat32(docs).collect().head.payload
+    val pcmPayload = Multimodal.synthWavPcm16(docs).collect().head.payload
+    // cross-rejection: each parser takes ONLY its own format
+    assert(Multimodal.parseWavPcm(floatPayload).isEmpty)
+    assert(Multimodal.parseWavFloat32(pcmPayload).isEmpty)
+    // the float payload parses on the float path: the walk crossed the
+    // 18-byte fmt AND the fact chunk to reach data
+    val w = Multimodal.parseWavFloat32(floatPayload).get
+    val n = (64 + (40L % 191)).toInt
+    assert(w.sampleRate == 8000 + (7L % 3) * 4000 && w.channels == 1 &&
+      w.samples.length == n)
+    val expected = (0 until n).map(i => ((7L * 31 + i * 17) % 65536) - 32768)
+    assert(w.samples.toSeq == expected, "float quantization must be exact")
+  }
+
+  test("decodeWavFloatZcr matches the hand-computed sign-change count") {
+    import graft.SparkTestSession.spark.implicits._
+    val docs = Seq((7L, "y" * 13, "en", "s", 13L), (8L, "z" * 99, "en", "s", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decodeWavFloatZcr(Multimodal.synthWavFloat32(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    Seq((7L, 13L), (8L, 99L)).foreach { case (id, nc) =>
+      val n = 64 + (nc % 191)
+      val vals = (0L until n).map(i => ((id * 31 + i * 17) % 65536) - 32768)
+      val zc = vals.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+      val f = out(id)
+      assert(f.n_samples == n && f.zero_crossings == zc, s"doc $id: $f")
+    }
+  }
+
+  test("crafted chunk length near Int.MaxValue is rejected, not crashed on (Int overflow guard)") {
+    // RIFF/WAVE + a chunk whose declared length overflows pos + 8 + clen in
+    // Int arithmetic: both parsers must take the reject path (ADVICE r16)
+    val b = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(Int.MaxValue - 4)
+    assert(Multimodal.parseWavPcm(b.array()).isEmpty)
+    assert(Multimodal.parseWavFloat32(b.array()).isEmpty)
+    // same for a huge data chunk after a valid fmt
+    val c = java.nio.ByteBuffer.allocate(80)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    c.put("RIFF".getBytes).putInt(72).put("WAVE".getBytes)
+    c.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(16000).putShort(2).putShort(16)
+    c.put("data".getBytes).putInt(Int.MaxValue - 8)
+    assert(Multimodal.parseWavPcm(c.array()).isEmpty)
+  }
 }

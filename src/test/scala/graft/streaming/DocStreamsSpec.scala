@@ -165,4 +165,141 @@ class DocStreamsSpec extends AnyFunSuite {
     assert(lastState.exists(_.numRowsTotal <= 3L * graft.ext.Dedup.NumBands),
       s"state must stay bounded, saw ${lastState.map(_.numRowsTotal)}")
   }
+
+  test("LSH near-dup registration keys on (ingest_ts, doc_id): out-of-order arrival, shuffled in-batch order") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstreams_ooo").toString
+    // EXPLICIT ingest_ts, NOT monotone in doc_id (withIngestTs passes a
+    // caller-supplied axis through): doc 10 ingested at minute 2000, doc 20
+    // at minute 1000 — same distinct token set, same batch, and the file
+    // physically lists doc 10 FIRST. The (ingest_ts, doc_id) key must make
+    // doc 20 the representative regardless of id order or arrival order;
+    // a bare-doc_id key would pick doc 10.
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tA2 = "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"
+    val tA3 = "beta alpha gamma delta epsilon zeta eta theta iota kappa kappa"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val staged = new java.io.File(dir, "in"); staged.mkdirs()
+    def writeFile(n: Int, rows: Seq[(Long, String, java.sql.Timestamp)]): Unit = {
+      val f = new java.io.File(staged, s"f$n")
+      rows.map { case (id, tx, t) => (id, tx, "en", "s", t) }
+        .toDF("doc_id", "text", "lang", "source", "ingest_ts")
+        .coalesce(1).write.mode("overwrite").parquet(f.toString)
+      new java.io.File(f, "_SUCCESS").delete()
+      f.listFiles().foreach(p => assert(p.setLastModified(1000000L + n * 1000L)))
+    }
+    writeFile(1, Seq((10L, tA, ts(2000)), (20L, tA2, ts(1000))))
+    // a later batch: doc 5 (SMALLER id, LATER ingest) must still match
+    // against the state representative 20
+    writeFile(2, Seq((5L, tA3, ts(3000))))
+    val schema = spark.read.parquet(s"$staged/f1").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$staged/f*")
+    val q = DocStreams.neardupBandVerdicts(src)
+      .writeStream.format("memory").queryName("docs_ooo_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val verdicts = spark.table("docs_ooo_test").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getLong(4))).toSeq
+    assert(verdicts.length == 3 * graft.ext.Dedup.NumBands, verdicts.toString)
+    // doc 20 registered every bucket; 10 (same batch) and 5 (later batch,
+    // smaller id) both matched against rep 20
+    assert(verdicts.forall(_._3 == 20L), s"rep must be the earliest-ingested doc: $verdicts")
+    assert(verdicts.collect { case (id, m, _) if !m => id }.toSet == Set(20L),
+      verdicts.toString)
+  }
+
+  test("stream-vs-corpus EXACT: novel fingerprints admit; static side materializes once across batches") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstreams_vsc").toString
+    val tOld1 = "the quick brown fox jumps over the lazy dog again and again"
+    val tOld2 = "a completely different admitted document with plenty of words here"
+    val tNew1 = "yet another distinct admitted document with many ordinary words inside"
+    val tNew2 = "fresh crawl content with sufficiently many plain english words to pass"
+    val corpus = Seq((100L, tOld1, "en", "c"), (101L, tOld2, "en", "c"))
+      .toDF("doc_id", "text", "lang", "source")
+    val acc = spark.sparkContext.longAccumulator("corpus_fp_probe")
+    val fps = DocStreams.corpusFingerprints(corpus, Some(acc))
+    try {
+      val staged = new java.io.File(dir, "in"); staged.mkdirs()
+      def writeFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+        val f = new java.io.File(staged, s"f$n")
+        rows.map { case (id, tx) => (id, tx, "en", "s") }
+          .toDF("doc_id", "text", "lang", "source")
+          .coalesce(1).write.mode("overwrite").parquet(f.toString)
+        new java.io.File(f, "_SUCCESS").delete()
+        f.listFiles().foreach(p => assert(p.setLastModified(1000000L + n * 1000L)))
+      }
+      writeFile(1, Seq(1L -> tOld1, 2L -> tNew1)) // 1 already in corpus -> drop
+      writeFile(2, Seq(3L -> tOld2, 4L -> tNew2)) // 3 drop, 4 admit
+      val schema = spark.read.parquet(s"$staged/f1").schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$staged/f*")
+      val q = DocStreams.streamVsCorpusExact(src, fps)
+        .writeStream.format("memory").queryName("docs_vsc_exact_test")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val admitted = spark.table("docs_vsc_exact_test").collect()
+        .map(_.getLong(0)).toSet
+      assert(admitted == Set(2L, 4L), s"admitted=$admitted")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"the proof needs a multi-batch run, saw $batches")
+      // THE no-rescan proof: the probe under the persist counts every row
+      // the static plan actually computes — 2 distinct fingerprints, once;
+      // a per-batch re-scan would read 2 * batches
+      assert(acc.value == 2L,
+        s"static side must materialize once, not per batch: probe=${acc.value}")
+    } finally { fps.unpersist(); () }
+  }
+
+  test("stream-vs-corpus NEAR-dup: corpus bucket hits drop, within-stream dups pass, buckets materialize once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("docstreams_vscn").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tA2 = "kappa iota theta eta zeta epsilon delta gamma beta alpha alpha"
+    val tB = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tD = "phi chi psi omega aleph bet gimel dalet he vav"
+    val tD2 = "vav he dalet gimel bet aleph omega psi chi phi phi"
+    val corpus = Seq((100L, tA, "en", "c")).toDF("doc_id", "text", "lang", "source")
+    val acc = spark.sparkContext.longAccumulator("corpus_bucket_probe")
+    val buckets = DocStreams.corpusBandBuckets(corpus, Some(acc))
+    try {
+      val staged = new java.io.File(dir, "in"); staged.mkdirs()
+      def writeFile(n: Int, rows: Seq[(Long, String)]): Unit = {
+        val f = new java.io.File(staged, s"f$n")
+        rows.map { case (id, tx) => (id, tx, "en", "s") }
+          .toDF("doc_id", "text", "lang", "source")
+          .coalesce(1).write.mode("overwrite").parquet(f.toString)
+        new java.io.File(f, "_SUCCESS").delete()
+        f.listFiles().foreach(p => assert(p.setLastModified(1000000L + n * 1000L)))
+      }
+      // f1: doc 1 = same distinct token set as the corpus doc (all bands
+      // collide -> drop), doc 2 novel -> admit
+      writeFile(1, Seq(1L -> tA2, 2L -> tB))
+      // f2: docs 3+4 near-dup OF EACH OTHER but of nothing in the corpus:
+      // BOTH admit — this tier answers "new vs corpus", by design
+      writeFile(2, Seq(3L -> tD, 4L -> tD2))
+      val schema = spark.read.parquet(s"$staged/f1").schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$staged/f*")
+      val q = DocStreams.streamVsCorpusNeardup(src, buckets)
+        .writeStream.format("memory").queryName("docs_vsc_nd_test")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val verdicts = spark.table("docs_vsc_nd_test").collect()
+        .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+      assert(verdicts.length == 4 * graft.ext.Dedup.NumBands, verdicts.toString)
+      val admitted = verdicts.groupBy(_._1)
+        .collect { case (id, vs) if vs.forall(!_._2) => id }.toSet
+      assert(admitted == Set(2L, 3L, 4L), s"admitted=$admitted")
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2, s"the proof needs a multi-batch run, saw $batches")
+      // one corpus doc -> NumBands distinct buckets, computed exactly once
+      assert(acc.value == graft.ext.Dedup.NumBands.toLong,
+        s"corpus buckets must materialize once, not per batch: probe=${acc.value}")
+    } finally { buckets.unpersist(); () }
+  }
 }
