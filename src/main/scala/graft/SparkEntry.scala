@@ -169,6 +169,7 @@ object SparkEntry {
     "docs_stream_curate", "docs_stream_dedup_bounded",
     "docs_stream_neardup_lsh", "docs_stream_neardup_rescore",
     "docs_stream_vs_corpus_exact", "docs_stream_vs_corpus_neardup",
+    "docs_stream_vs_corpus_rescore",
     "events_stream_tumbling", "events_stream_tumbling_update",
     "events_stream_distinct_users", "events_stream_range_join",
     "events_stream_funnel", "events_stream_funnel_o1",
@@ -1691,6 +1692,27 @@ object SparkEntry {
         .filter(col("_m") === 0)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // precision seam of the CORPUS tier: corpus buckets carry their
+    // representative (min corpus doc_id), so a matched stream row is a
+    // concrete (corpus doc, stream doc) candidate pair — rescored with
+    // the same exact-Jaccard pass as the stateful tier's seam. A
+    // re-crawled corpus doc legitimately pairs with itself (jaccard 1.0)
+    // when it is its own bucket's representative. Shares the stream +
+    // staged sink with docs_stream_vs_corpus_neardup.
+    "docs_stream_vs_corpus_rescore" -> ((s, dir) => {
+      val buckets = graft.streaming.DocStreams.corpusBandBuckets(
+        t(s, dir, "documents").filter(pmod(col("doc_id"), lit(2)) === 0))
+      val replayed =
+        try replayStream(s, dir, "stream_docs_vscorpus_nd_verify", "append")(
+          graft.streaming.DocStreams.streamVsCorpusNeardup(
+            graft.streaming.DocStreams.readDocuments(s, dir), buckets))
+        finally buckets.unpersist(false)
+      val cands = replayed.filter(col("matched"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+      Dedup.rescorePairs(cands, t(s, dir, "documents"))
+        .orderBy("doc_a", "doc_b")
     }),
 
     "events_stream_tumbling" -> ((s, dir) => {
@@ -4170,6 +4192,33 @@ object SparkEntry {
         |SELECT g.doc_id, g.source FROM g
         |WHERE g.doc_id NOT IN (SELECT doc_id FROM matched)
         |ORDER BY g.doc_id""".stripMargin,
+
+    // corpus-tier candidate rescore: candidates = (corpus bucket rep,
+    // matched stream doc) pairs, rep = min even doc_id per bucket;
+    // self-pairs (a re-crawled corpus doc meeting its own bucket) are
+    // legitimate and score 1.0
+    "docs_stream_vs_corpus_rescore" ->
+      s"""WITH gd AS (SELECT doc_id, source, text,
+        |    CAST(len(${TextOps.tokensSqlDuck("text")}) AS BIGINT) AS n_tokens,
+        |    CASE WHEN length(text) > 0
+        |      THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text)
+        |      ELSE 0.0 END AS alpha_ratio
+        |  FROM documents WHERE lang = 'en'),
+        | g AS (SELECT doc_id, source, text FROM gd
+        |  WHERE n_tokens >= 10 AND n_tokens <= 100000 AND alpha_ratio >= 0.5),
+        | ${graft.ext.Dedup.toksCteDuck("documents")}, ${graft.ext.Dedup.sigsCteDuck},
+        | ${graft.ext.Dedup.bucketsCteDuck},
+        | sb AS (SELECT b.doc_id, b.bi, b.band FROM buckets b JOIN g USING (doc_id)),
+        | cb AS (SELECT bi, band, min(doc_id) AS rep FROM buckets
+        |   WHERE doc_id % 2 = 0 GROUP BY bi, band),
+        | cands AS (SELECT DISTINCT c.rep AS doc_a, s.doc_id AS doc_b
+        |   FROM sb s JOIN cb c ON s.bi = c.bi AND s.band = c.band),
+        | dt AS (SELECT doc_id, list_distinct(${TextOps.tokensSqlDuck("text")}) AS toks
+        |   FROM documents)
+        |SELECT c.doc_a, c.doc_b,
+        |  ${graft.ext.Dedup.jaccardExprDuck("a.toks", "b.toks")} AS jaccard
+        |FROM cands c JOIN dt a ON c.doc_a = a.doc_id JOIN dt b ON c.doc_b = b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "events_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type,

@@ -305,17 +305,21 @@ object DocStreams {
       .select(col("doc_id"), col("source"))
   }
 
-  /** The standing corpus's distinct LSH band buckets, persisted — the
-    * static side of [[streamVsCorpusNeardup]]. Built with the BATCH family
-    * machinery ([[graft.ext.Dedup.minhashSignatures]] → [[graft.ext.Dedup.bandBuckets]],
-    * which stages the bucket relation through StageStore), then
-    * distinct'd to the (bi, band) membership set: NumBands short rows per
-    * corpus doc before dedup, independent of document size. */
+  /** The standing corpus's LSH band buckets, persisted — the static side
+    * of [[streamVsCorpusNeardup]]. Built with the BATCH family machinery
+    * ([[graft.ext.Dedup.minhashSignatures]] → [[graft.ext.Dedup.bandBuckets]],
+    * which stages the bucket relation through StageStore), then rolled up
+    * to one row per (bi, band) carrying the bucket REPRESENTATIVE (min
+    * corpus doc_id) — membership needs only the key, but the rep makes a
+    * matched stream row a concrete (corpus doc, stream doc) candidate
+    * pair for the downstream exact rescore, the same precision seam the
+    * stateful tier exposes. NumBands short rows per corpus doc before the
+    * rollup, independent of document size. */
   def corpusBandBuckets(corpus: DataFrame,
       scanProbe: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame =
     probed(
       graft.ext.Dedup.bandBuckets(graft.ext.Dedup.minhashSignatures(corpus))
-        .select(col("bi"), col("band")).distinct(),
+        .groupBy(col("bi"), col("band")).agg(min(col("doc_id")).as("rep")),
       scanProbe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -335,11 +339,10 @@ object DocStreams {
       broadcastStatic: Boolean = true,
       lang: String = "en", minTokens: Long = 10, maxTokens: Long = 100000,
       minAlphaRatio: Double = 0.5): DataFrame = {
-    val membership = corpusBuckets.withColumn("_hit", lit(1))
-    val statics = if (broadcastStatic) broadcast(membership) else membership
+    val statics = if (broadcastStatic) broadcast(corpusBuckets) else corpusBuckets
     bandRows(docs, lang, minTokens, maxTokens, minAlphaRatio)
       .join(statics, Seq("bi", "band"), "left_outer")
       .select(col("doc_id"), col("source"), col("bi"),
-        col("_hit").isNotNull.as("matched"))
+        col("rep").isNotNull.as("matched"), col("rep"))
   }
 }

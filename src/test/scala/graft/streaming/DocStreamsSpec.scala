@@ -290,11 +290,16 @@ class DocStreamsSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
       val verdicts = spark.table("docs_vsc_nd_test").collect()
-        .map(r => (r.getLong(0), r.getBoolean(3))).toSeq
+        .map(r => (r.getLong(0), r.getBoolean(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
       assert(verdicts.length == 4 * graft.ext.Dedup.NumBands, verdicts.toString)
       val admitted = verdicts.groupBy(_._1)
         .collect { case (id, vs) if vs.forall(!_._2) => id }.toSet
       assert(admitted == Set(2L, 3L, 4L), s"admitted=$admitted")
+      // a matched row names its corpus-side candidate: doc 1's hits all
+      // carry the corpus doc 100 as the bucket representative
+      assert(verdicts.collect { case (1L, true, rep) => rep }
+        .forall(_.contains(100L)), verdicts.toString)
       val batches = q.recentProgress.count(_.numInputRows > 0)
       assert(batches >= 2, s"the proof needs a multi-batch run, saw $batches")
       // one corpus doc -> NumBands distinct buckets, computed exactly once
