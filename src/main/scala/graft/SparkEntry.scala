@@ -292,7 +292,7 @@ object SparkEntry {
     // then the sink's ACTUAL bytes read back line-by-line — each line must
     // byte-match the oracle's independent JSON rendering of the same row
     "convert_e2e" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_convert_e2e_" +
+      val out = s"${graft.etl.ScratchDirs.scratchOutputDir}/graft_convert_e2e_" +
         new java.io.File(dir).getName
       graft.etl.Convert.run(s, graft.etl.EngineConfig(
         inputDir = dir, sheetName = Some("orders"), format = "ndjson",
@@ -313,7 +313,7 @@ object SparkEntry {
     // equal the oracle's 2 + Σ|element| + (n−1) — so the framing is also
     // byte-checked by DuckDB, not just driver-asserted.
     "jsonarray_e2e" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonarray_e2e_" +
+      val out = s"${graft.etl.ScratchDirs.scratchOutputDir}/graft_jsonarray_e2e_" +
         new java.io.File(dir).getName + ".json"
       val res = graft.etl.Convert.run(s, graft.etl.EngineConfig(
         inputDir = dir, sheetName = Some("orders"), format = "json",
@@ -332,7 +332,11 @@ object SparkEntry {
       val orderCols = t(s, dir, "orders").columns
       val schema = org.apache.spark.sql.types.StructType(orderCols.map(c =>
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
-      val parsed = s.read.option("multiLine", "true").schema(schema).json(out)
+      // persisted (r17): the multiLine single-file parse is inherently one
+      // task; unpersisted it ran once for the framing require and again
+      // for every downstream action over the returned relation
+      val parsed = graft.etl.CacheRegistry.persist(
+        s.read.option("multiLine", "true").schema(schema).json(out))
       require(parsed.count() == res.rowsWritten,
         s"element count ${parsed.count()} != rowsWritten ${res.rowsWritten}")
       parsed
@@ -348,7 +352,7 @@ object SparkEntry {
     // oracle's independent all-string rendering of the same table. This is
     // the query that oracle-checks the xlsx source+sink pair end-to-end.
     "xlsx_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_xlsx_roundtrip_" +
+      val out = s"${graft.etl.ScratchDirs.scratchOutputDir}/graft_xlsx_roundtrip_" +
         new java.io.File(dir).getName
       val orders = IngestOps.allString(t(s, dir, "orders"))
       graft.sources.XlsxSink.write(orders.repartition(4), out,
@@ -363,7 +367,7 @@ object SparkEntry {
     // independent all-string render (shared oracle discipline; proves the
     // second columnar format end-to-end, not just parquet)
     "orc_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_" +
+      val out = s"${graft.etl.ScratchDirs.scratchOutputDir}/graft_orc_roundtrip_" +
         new java.io.File(dir).getName
       val orders = IngestOps.allString(t(s, dir, "orders"))
       orders.repartition(4).write.mode("overwrite").orc(out)
@@ -376,7 +380,7 @@ object SparkEntry {
     // quote/escape fidelity in the text path; emptyValue pinned so "" stays
     // "" instead of null on the way back
     "csv_roundtrip" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      val out = s"${graft.etl.ScratchDirs.scratchOutputDir}/graft_csv_roundtrip_" +
         new java.io.File(dir).getName
       val orders = IngestOps.allString(t(s, dir, "orders"))
       orders.repartition(4).write.mode("overwrite")
@@ -1412,6 +1416,12 @@ object SparkEntry {
         s"o_bkt_$sfx", "okey")
       val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // this row ASSERTS the shuffle-free SortMergeJoin (the bucketed
+      // write-once/join-many contract) — pin the planner to SMJ locally so
+      // a session-level preferSortMergeJoin=false (r17 session default,
+      // guide §3.1) can't flip the strategy under the assertion
+      val prevSMJ = s.conf.get("spark.sql.join.preferSortMergeJoin")
+      s.conf.set("spark.sql.join.preferSortMergeJoin", "true")
       try {
         val j = s.table(s"li_bkt_$sfx").join(s.table(s"o_bkt_$sfx"), "okey")
           .groupBy("o_orderpriority")
@@ -1431,7 +1441,10 @@ object SparkEntry {
         require(merge, "bucketed join did not plan as SortMergeJoin")
         require(!keyShuffle, "bucketed join still shuffles on the bucket key")
         j
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s.conf.set("spark.sql.join.preferSortMergeJoin", prevSMJ)
+      }
     }),
 
     // regular-grid resampling + forward fill (ext/AsOf.resampleFfill): a

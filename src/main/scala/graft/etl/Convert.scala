@@ -92,7 +92,10 @@ object Convert {
     config.format.toLowerCase match {
       case "ndjson" =>
         Sinks.ndjson(df, out, overwrite = config.overwrite, singleFile = true) // K1
-        df.sparkSession.read.json(out).count()
+        // rowsWritten = line count; the previous read.json paid a full
+        // schema-inference parse PLUS a count pass — NDJSON is one row per
+        // line by construction, so the text line count is the same number
+        df.sparkSession.read.text(out).count()
       case "csv" =>
         Sinks.chunkedCsv(df, out, config.batchSize, orderCol = None,
           overwrite = config.overwrite) // K2 (df already ordered)

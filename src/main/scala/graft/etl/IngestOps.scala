@@ -180,10 +180,18 @@ object IngestOps {
     * correctness. */
   def withGlobalPos(df: DataFrame, key: org.apache.spark.sql.Column,
       posCol: String = "_pos", numParts: Int = 0,
-      order: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+      order: Seq[org.apache.spark.sql.Column] = Nil,
+      statsOn: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket = rangeBuckets(df, key, numParts)
-    val counts = df.select(bucket.as("_b")).groupBy("_b")
+    // statsOn (r17): the driver-bounded passes (count, boundary sample,
+    // per-bucket counts) may run against an ALTERNATIVE relation carrying
+    // the SAME multiset of `key` values — e.g. a cached base relation when
+    // `df` is that base plus already-computed window columns, so the
+    // passes don't re-execute the windows. Bucket boundaries and offsets
+    // are pure functions of the key multiset, so positions are unchanged.
+    val statsDf = statsOn.getOrElse(df)
+    val bucket = rangeBuckets(statsDf, key, numParts)
+    val counts = statsDf.select(bucket.as("_b")).groupBy("_b")
       .agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     if (counts.isEmpty) return df.withColumn(posCol, lit(1L)) // empty input

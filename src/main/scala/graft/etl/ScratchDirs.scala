@@ -77,8 +77,47 @@ object ScratchDirs {
     }
 
   /** Apply to a session builder (must run before the SparkContext exists —
-    * spark.local.dir is read once at DiskBlockManager init). */
+    * spark.local.dir is read once at DiskBlockManager init). Also points
+    * the session WAREHOUSE at the per-JVM tmpfs scratch (r17): the
+    * bucketed-layout row writes two catalog tables per run, and on the
+    * default `./spark-warehouse` those writes were disk-bound; the
+    * `graft_stage_`-prefixed path keeps plan fingerprints normalized
+    * (Bench.stripPlanText) exactly like the StageStore roots. Cluster
+    * deployments point the warehouse at HDFS/object storage as usual —
+    * this is the single-host stand-in, same as [[sparkLocalDir]]. */
   def withLocalDir(
-      b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder =
+      b: org.apache.spark.sql.SparkSession.Builder): org.apache.spark.sql.SparkSession.Builder = {
+    val wh = new java.io.File(scratchOutputDir, "spark-warehouse")
     sparkLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+      .config("spark.sql.warehouse.dir", wh.getAbsolutePath)
+  }
+
+  /** Per-JVM tmpfs scratch for the e2e sink rows' OUTPUT files (the
+    * convert/jsonarray/xlsx/orc/csv roundtrips write a real file and read
+    * it back inside one query) — the same NVMe stand-in rationale as
+    * [[sparkLocalDir]]: java.io.tmpdir on this host is disk-backed, so the
+    * write+read-back halves of those rows were timing synchronous disk
+    * I/O, not the operator. Falls back to java.io.tmpdir when tmpfs is
+    * unavailable. The name carries the `graft_stage_` prefix so plan
+    * fingerprints normalize the per-JVM path token exactly like the
+    * StageStore roots (Bench.stripPlanText), keeping digests cross-JVM
+    * stable. Deleted on JVM exit, and stale sibling dirs from crashed
+    * runs are swept by owner-pid liveness, mirroring [[sparkLocalDir]]. */
+  lazy val scratchOutputDir: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (sys.env.get("SPARK_GRAFT_NO_SHM_LOCAL").contains("1") ||
+        !shm.isDirectory || !shm.canWrite)
+      System.getProperty("java.io.tmpdir")
+    else {
+      val base = new java.io.File(shm, "graft_stage_out")
+      base.mkdirs()
+      try sweepStale(base) catch { case _: Throwable => () }
+      val pid = java.lang.ProcessHandle.current().pid()
+      val d = new java.io.File(base,
+        s"pid${pid}_${java.util.UUID.randomUUID.toString.take(8)}")
+      d.mkdirs()
+      Runtime.getRuntime.addShutdownHook(new Thread(() => delete(d)))
+      d.getAbsolutePath
+    }
+  }
 }

@@ -25,12 +25,36 @@ object Sinks {
     if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists
 
   /** K1 — NDJSON sink: Spark's JSON sink *is* NDJSON (one object per line).
-    * `singleFile=true` reproduces the reference's one-output-file reality
-    * (single-threaded writer) via coalesce(1). */
+    * `singleFile=true` reproduces the reference's one-output-file reality.
+    *
+    * r17 shape: the previous `coalesce(1)` collapsed the ENTIRE upstream
+    * (sort + all-string render + JSON encode) onto one task; now the
+    * render writes at full parallelism and only the unavoidable serial
+    * part — concatenating the ordered part files into one — runs as a
+    * driver byte-stream copy (part order = partition order, so the line
+    * order is exactly the DataFrame order, byte-identical output). */
   def ndjson(df: DataFrame, path: String, overwrite: Boolean = false,
       singleFile: Boolean = false): Unit = {
-    val d = if (singleFile) df.coalesce(1) else df
-    d.write.mode(saveMode(overwrite)).json(path)
+    df.write.mode(saveMode(overwrite)).json(path)
+    if (singleFile) {
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(path)
+      val parts = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      if (parts.size > 1) {
+        val merged = dir.resolve(".merge.tmp")
+        val out = Files.newOutputStream(merged, StandardOpenOption.CREATE,
+          StandardOpenOption.TRUNCATE_EXISTING)
+        try parts.foreach(p => Files.copy(p, out)) finally out.close()
+        parts.foreach { p =>
+          Files.delete(p)
+          // the local committer's ChecksumFileSystem sidecar, if present
+          Files.deleteIfExists(p.resolveSibling("." + p.getFileName + ".crc"))
+        }
+        Files.move(merged, dir.resolve(parts.head.getFileName))
+      }
+    }
   }
 
   /** K2 — chunked CSV sink: files of at most `batchSize` rows, header per
@@ -105,9 +129,17 @@ object Sinks {
       .agg(count(lit(1)).as("n_rows"), min("_rn").as("min_rn"), max("_rn").as("max_rn"))
 
   /** K3 — single-file JSON array sink (core/writers/JsonDataWriter.java:79-257):
-    * one well-formed `[{...},{...}]` document. Streams row-by-row through the
-    * driver with bounded memory (toLocalIterator ≈ the reference's 128 KB
-    * buffered single writer). */
+    * one well-formed `[{...},{...}]` document, single sequential writer with
+    * bounded memory — the reference's single-writer contract.
+    *
+    * r17 shape: the JSON RENDERING is distributed (one parallel text write
+    * of the per-row JSON strings to scratch), and only the unavoidable
+    * serial part — streaming the bytes into one file with separators — runs
+    * on the driver, line-buffered. The previous `toJSON.toLocalIterator`
+    * form serialized the rendering too: the driver pulled each of the N
+    * partitions as a separate sequential job (32 mini-jobs per call at the
+    * bench session width). Part files sort in partition order, so the
+    * element order is exactly the DataFrame order, byte-identical output. */
   def jsonArray(df: DataFrame, path: String, overwrite: Boolean = false,
       pretty: Boolean = false): Long = {
     val p = Paths.get(path)
@@ -117,20 +149,46 @@ object Sinks {
       Files.delete(p)
     }
     if (p.getParent != null) Files.createDirectories(p.getParent)
+    val stage = Paths.get(ScratchDirs.scratchOutputDir,
+      s"jsonarray_stage_${java.util.UUID.randomUUID.toString.take(8)}")
     val out = Files.newBufferedWriter(p, StandardCharsets.UTF_8,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val (open, sep, close) = if (pretty) ("[\n  ", ",\n  ", "\n]") else ("[", ",", "]")
     var n = 0L
+    import scala.jdk.CollectionConverters._
+    val t0 = System.nanoTime()
     try {
+      // rendered rows never contain a raw newline (JSON escapes them), so
+      // the text sink's one-line-per-row framing round-trips exactly
+      df.toJSON.write.text(stage.toString)
+      if (sys.env.contains("SPARK_GRAFT_SINK_LOG")) println(
+        f"[jsonArray] render ${(System.nanoTime() - t0) / 1e9}%.2f s")
       out.write(open)
-      val it = df.toJSON.toLocalIterator()
-      while (it.hasNext) {
-        if (n > 0) out.write(sep)
-        out.write(it.next())
-        n += 1
+      val parts = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      parts.foreach { part =>
+        val rd = Files.newBufferedReader(part, StandardCharsets.UTF_8)
+        try {
+          var line = rd.readLine()
+          while (line != null) {
+            if (n > 0) out.write(sep)
+            out.write(line)
+            n += 1
+            line = rd.readLine()
+          }
+        } finally rd.close()
       }
       out.write(close)
-    } finally out.close()
+      if (sys.env.contains("SPARK_GRAFT_SINK_LOG")) println(
+        f"[jsonArray] total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    } finally {
+      out.close()
+      try {
+        Files.walk(stage).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+    }
     n
   }
 }

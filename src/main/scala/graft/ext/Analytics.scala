@@ -29,7 +29,8 @@ object Analytics {
     * O(1) — no event list is ever collected.
     */
   def funnel(events: DataFrame,
-      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+      steps: Seq[String] = Seq("view", "click", "purchase"),
+      stage: Boolean = true): DataFrame = {
     require(steps.nonEmpty && steps == steps.distinct, "steps must be distinct")
     val w = Window.partitionBy("user_id")
     val us = unix_micros(col("ts"))
@@ -45,10 +46,18 @@ object Analytics {
     val stepCase = ks.reverse.foldRight(lit(0L)) { (k, els) =>
       when(col(s"ts${k}_us").isNotNull, k.toLong).otherwise(els)
     }
-    withSteps.groupBy("user_id")
+    val perUser = withSteps.groupBy("user_id")
       .agg(min(s"t${ks.head}").as(s"ts${ks.head}_us"),
         ks.tail.map(k => min(s"t$k").as(s"ts${k}_us")): _*)
       .withColumn("step_reached", stepCase)
+    // staged once per JVM (r17): the per-user funnel is a shared
+    // deterministic intermediate — the funnel row, the step-latency
+    // quantiles (which consume it TWICE, once per transition branch) and
+    // the rates rollup all derive from it; the slim |users|-row relation
+    // is the classic write-once/fan-out stage (StageStore contract).
+    // `stage=false` exposes the raw computation (plan specs, A/B).
+    if (stage) graft.etl.StageStore.materialize(perUser, "funnel_per_user")
+    else perUser
   }
 
   /** DuckDB twin: layered CTEs because a window expression cannot reference
@@ -478,6 +487,12 @@ object Analytics {
           .otherwise(0L))
       .withColumn("session_id", sum(col("_new")).over(cum))
       .select(col("user_id"), col("session_id"), col("event_type")).distinct()
+      // co-partition + sort the cache on the self-join key (r17, guide
+      // §2.4): the within-session pair join keys on (user_id, session_id)
+      // — laid out that way, the self-join and the nSess distinct reuse
+      // the cache's partitioning instead of re-exchanging both sides
+      .repartition(col("user_id"), col("session_id"))
+      .sortWithinPartitions("user_id", "session_id")
     val cached = graft.etl.CacheRegistry.persist(typed)
     val nSess = cached.select("user_id", "session_id").distinct()
       .agg(count(lit(1)).as("n_sessions"))
@@ -564,7 +579,10 @@ object Analytics {
     val firstSeen = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .groupBy("user_id").agg(min(to_date(col("ts"))).as("day"))
-    val perDay = firstSeen.groupBy("day").agg(count(lit(1)).as("n_new"))
+    // persisted (r17): |days| rows; saves the prefix machinery's passes
+    // from re-running the per-user first-seen aggregation each time
+    val perDay = graft.etl.CacheRegistry.persist(
+      firstSeen.groupBy("day").agg(count(lit(1)).as("n_new")))
     graft.etl.IngestOps.withGlobalRunningSum(
         perDay, col("day"), col("n_new"), "cum_users")
       .select("day", "n_new", "cum_users")
@@ -929,9 +947,17 @@ object Analytics {
           col("_spend").cast("string").as("monetary"),
           col("_spend").as("_spendd")))
     val n = scored.count()
+    // statsOn=scored (r17): the three scores compose (d2 = d1 + window
+    // column …), so the prefix machinery's count/sample/bucket passes on
+    // the LATER scores would re-execute the earlier scores' windows —
+    // 9 window executions in place of 3. Every score key (recency_days,
+    // −frequency, −_spendd) lives unchanged on the cached `scored`, so
+    // the passes run there instead; only the final ranking window sees
+    // the composed relation. Positions are a pure function of the key
+    // multiset, which is identical on both.
     def score(df: DataFrame, key: Column, out: String): DataFrame =
       graft.etl.IngestOps.withGlobalPos(df, key, "_rk",
-          order = Seq(key, col("o_custkey")))
+          order = Seq(key, col("o_custkey")), statsOn = Some(scored))
         .withColumn(out, ntileFromRank(col("_rk"), n, 5))
         .drop("_rk")
     var d = score(scored, col("recency_days"), "r_score")
@@ -989,8 +1015,12 @@ object Analytics {
       .groupBy("o_custkey")
       .agg(sum((col("o_totalprice").cast(DecimalType182) * 100).cast("long"))
         .as("cents"))
-    val cls = perCust.groupBy("cents").agg(count(lit(1)).as("nc"))
-      .withColumn("mass", col("cents") * col("nc"))
+    // persisted (r17): the prefix machinery + totals agg + final pass make
+    // ~5 passes over cls — unpersisted, each one re-ran the per-customer
+    // orders rollup. cls is one slim row per distinct spend value.
+    val cls = graft.etl.CacheRegistry.persist(
+      perCust.groupBy("cents").agg(count(lit(1)).as("nc"))
+        .withColumn("mass", col("cents") * col("nc")))
     val cum = graft.etl.IngestOps.withGlobalRunningSum(
       cls, -col("cents"), col("mass"), "cm")
     val tot = cls.agg(sum("mass").as("total"))
@@ -1187,11 +1217,19 @@ object Analytics {
   def brandRules(lineitem: DataFrame, part: DataFrame,
       minSupport: Long = 10L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    // cached CO-PARTITIONED + sorted on the self-join key (r17, guide
+    // §2.4 "share one exchange"): the pair join below joins baskets to
+    // itself on okey — with the cache laid out by (okey, brand) from the
+    // distinct, BOTH sides re-exchanged; partitioned and sorted by okey
+    // the self-join plans with no Exchange and no Sort on either side
+    // (one extra exchange at build, two saved per action over the same
+    // relation, and the nOrders distinct reuses the layout too).
     val baskets = graft.etl.CacheRegistry.persist(
       lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
           col("p_brand"))), "l_partkey")
-        .select(col("okey"), col("p_brand").as("brand")).distinct())
+        .select(col("okey"), col("p_brand").as("brand")).distinct()
+        .repartition(col("okey")).sortWithinPartitions("okey"))
     val nOrders = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
     val supp = baskets.groupBy("brand").agg(count(lit(1)).as("supp"))
     val pairs = baskets.as("a")

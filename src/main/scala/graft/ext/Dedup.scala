@@ -1197,11 +1197,15 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, maxDist: Int = 10,
       prefixTokens: Int = 8, salts: Int = 8,
       textCol: String = "text"): DataFrame = {
-    val t = docs.select(col("doc_id"), col("lang"),
+    // persisted (r17): both sides of the salted self-join derive from t —
+    // unpersisted, the corpus tokenize ran twice; t is a slim ~60 B/doc
+    // (id, lang, tok1, prefix) relation
+    val t = graft.etl.CacheRegistry.persist(
+      docs.select(col("doc_id"), col("lang"),
         TextOps.fastTokens(col(textCol)).as("_toks"))
       .select(col("doc_id"), col("lang"), element_at(col("_toks"), 1).as("tok1"),
         array_join(slice(col("_toks"), 1, prefixTokens), " ").as("pfx"))
-      .filter(col("tok1").isNotNull)
+      .filter(col("tok1").isNotNull))
     val x = t.withColumn("_salt", pmod(hash(col("doc_id")), lit(salts)))
     val y = t.withColumn("_salt", explode(array((0 until salts).map(lit(_)): _*)))
     x.as("a").join(y.as("b"),
@@ -1254,9 +1258,15 @@ object Dedup {
     * as md5 digests: fixed-width shuffle keys, bit-identical on both
     * engines. */
   def crossSourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
-    val ds = shingles(docs, w)
+    // persisted (r17): ds feeds three consumers (per-source counts, both
+    // self-join sides) — unpersisted, the shingle explode + distinct
+    // re-ran per consumer. (A co-partition-by-h layout was also tried to
+    // make the self-join exchange-free, but the extra full exchange of
+    // the corpus-sized shingle relation at build measured worse than the
+    // two cache-scan exchanges it saved — reverted.)
+    val ds = graft.etl.CacheRegistry.persist(shingles(docs, w)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(md5(col("tok")).as("h"), col("source")).distinct()
+      .select(md5(col("tok")).as("h"), col("source")).distinct())
     val perSrc = ds.groupBy("source").agg(count(lit(1)).as("n"))
     val pairs = ds.as("a").join(ds.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))

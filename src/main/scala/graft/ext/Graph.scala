@@ -69,6 +69,14 @@ object Graph {
     val n = ids.count()
     require(n > 0, "pageRank needs at least one node")
     val base = ((100L - dampPct) * scale / 100L) / n
+    // NOTE (r17): the [[lpaCommunities]] eager-materialization rewrite was
+    // tried here and on [[kCore]] and REGRESSED both (0.58→2.06 s /
+    // 0.52→1.60 s at sf0.1): their per-round joins key on the same edge
+    // columns every round, so the single lazy action plans ONE reusable
+    // edge Exchange (ReuseExchange) — eager per-round actions traded that
+    // one shuffle for a full edge scan per round per join. LPA keeps the
+    // eager form because its per-round cache boundary already blocks
+    // exchange reuse there. Left exactly as the baseline.
     var r = ids.withColumn("r", lit(scale / n))
     for (_ <- 1 to iters) {
       val in = edges.join(r, edges("src") === r("id"))
@@ -144,6 +152,8 @@ object Graph {
     val e = symEdges(pairs)
     var alive = graft.etl.CacheRegistry.persist(
       e.select(col("src").as("id")).distinct())
+    // (r17) deliberately NOT eager-materialized — see the pageRank note:
+    // the lazy single action reuses one edge Exchange across all rounds.
     for (_ <- 1 to rounds) {
       val deg = e
         .join(alive.select(col("id").as("src")), "src")
@@ -225,7 +235,11 @@ object Graph {
     require(topK > 0, s"topK must be > 0, got $topK")
     require(maxMiddleDeg >= 1, s"maxMiddleDeg must be >= 1, got $maxMiddleDeg")
     val e = symEdges(pairs)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    // persisted (r17): deg is consumed three times (the middle-degree
+    // filter and the two per-endpoint joins below) — unpersisted, each
+    // consumer re-ran the edge-list aggregation; |V| slim rows
+    val deg = graft.etl.CacheRegistry.persist(
+      e.groupBy("src").agg(count(lit(1)).as("d")))
     // wedges centered only on low-degree middles: edge (m→x) survives iff
     // deg(m) <= cap, so the self-join's key distribution is cap-bounded
     val eMid = graft.etl.CacheRegistry.persist(
@@ -364,6 +378,18 @@ object Graph {
     var lab = graft.etl.CacheRegistry.persist(
       e.groupBy("src").agg(min(col("dst")).as("label"))
         .select(col("src").as("id"), col("label")))
+    // eager materialization (r17, guide §3.1): left lazy, EVERY round's
+    // label cache has unknown size when the final action plans, so each
+    // edge⋈label join statically plans SortMergeJoin and pays a full map-
+    // side shuffle write of the O(Σ bucket²) edge list before AQE flips it
+    // to broadcast (observed in the r17 baseline plan: one
+    // Exchange hashpartitioning(dst) per round under a BroadcastHashJoin).
+    // Materializing each round's |V|-sized cache up front gives the
+    // planner its REAL size: at fixture scale the label side broadcasts
+    // statically and the staged edge scan is never exchanged; on a corpus
+    // where |V| outgrows the broadcast threshold the same stats keep the
+    // shuffle — the decision stays size-adaptive, nothing is pinned.
+    lab.count()
     for (_ <- 2 to rounds) {
       // argmax as max(struct(count, −label)) — map-side combinable on both
       // aggregates (the window row_number form sorts per node and buffers
@@ -374,6 +400,7 @@ object Graph {
           .groupBy("src")
           .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
           .select(col("src").as("id"), (-col("m.nl")).as("label")))
+      lab.count()
     }
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("n"))
     nodes.select(col(idCol).as("id"))

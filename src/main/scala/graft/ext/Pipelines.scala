@@ -318,6 +318,9 @@ object Pipelines {
     * row_number — NEVER a single-partition global sort. */
   def shuffleOrder(docs: DataFrame): DataFrame = {
     val key = md5(col("doc_id").cast("string"))
+    // (r17) a persist of the id column was tried and measured slightly
+    // NEGATIVE (0.38→0.57 s): the machinery's extra passes are key-pruned
+    // single-column scans, cheaper than the cache materialization.
     graft.etl.IngestOps.withGlobalPos(docs.select(col("doc_id")), key,
         "shuffle_pos", order = Seq(key, col("doc_id")))
       .select(col("doc_id"), col("shuffle_pos"))

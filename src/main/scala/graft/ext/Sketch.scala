@@ -451,21 +451,23 @@ object Sketch {
     val vals = graft.etl.CacheRegistry.persist(
       df.select(col(group).cast("string").as("_g"),
         col(valueCol).cast("double").as("_v")).filter(col("_v").isNotNull))
-    // guard BEFORE the per-group collect: one cheap distinct-count over the
-    // cached slim relation, so a high-cardinality key can never pull an
-    // unbounded head array to the driver
-    val nGroups = vals.select(count_distinct(col("_g"))).head().getLong(0)
-    require(nGroups <= maxGroups,
-      s"exactQuantileDiscByGroup: $nGroups distinct '$group' values exceed " +
-        s"maxGroups=$maxGroups (driver state is O(groups·probs) and each " +
-        "round's aggregate carries 3 conditionals per open bracket) — use " +
-        "sampleQuantilesByGroup for high-cardinality keys")
     // per-group head aggregation also carries the GK seed sketch probed at
     // p ± 2ε — provable round-1 brackets for every (group, prob) at zero
-    // extra jobs (see [[exactQuantileDisc]])
-    val heads = vals.groupBy("_g").agg(count(lit(1)), min("_v"), max("_v"),
+    // extra jobs (see [[exactQuantileDisc]]). The cardinality guard rides
+    // the SAME job (r17): limit(maxGroups+1) bounds the driver pull to the
+    // guard threshold regardless of key cardinality — a high-cardinality
+    // key trips the require below without ever pulling an unbounded head
+    // array — replacing the separate distinct-count pass the guard used
+    // to run first.
+    val headRows = vals.groupBy("_g").agg(count(lit(1)), min("_v"), max("_v"),
         percentile_approx(col("_v"), lit(seedPcts(probs)), lit(SeedAccuracy)))
-      .collect().map(r => r.getString(0) ->
+      .limit(maxGroups + 1).collect()
+    require(headRows.length <= maxGroups,
+      s"exactQuantileDiscByGroup: over $maxGroups distinct '$group' values " +
+        "(driver state is O(groups·probs) and each round's aggregate " +
+        "carries 3 conditionals per open bracket) — use " +
+        "sampleQuantilesByGroup for high-cardinality keys")
+    val heads = headRows.map(r => r.getString(0) ->
         (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getSeq[Double](4)))
       .sortBy(_._1)
     // bracket state per (group, prob), keyed by flat index

@@ -277,9 +277,12 @@ object Stats {
   def ksDrift(docs: DataFrame, srcA: String = "src0", srcB: String = "src1",
       valueCol: String = "n_chars"): DataFrame = {
     val f = docs.filter(col("source").isin(srcA, srcB) && col(valueCol).isNotNull)
-    val g = f.groupBy(col(valueCol).as("v")).agg(
-      sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
-      sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb"))
+    // persisted (r17): one row per distinct value; the nested prefix-sum
+    // passes below would otherwise re-run the corpus rollup ~6×
+    val g = graft.etl.CacheRegistry.persist(
+      f.groupBy(col(valueCol).as("v")).agg(
+        sum(when(col("source") === srcA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("cb")))
     val c = graft.etl.IngestOps.withGlobalRunningSum(
       graft.etl.IngestOps.withGlobalRunningSum(g, col("v"), col("ca"), "cuma"),
       col("v"), col("cb"), "cumb")
@@ -390,8 +393,11 @@ object Stats {
     * inside a bucket cannot change the result. All accumulation is exact
     * BIGINT; the two final divisions are mirrored in the oracle. */
   def keySkew(df: DataFrame, keyCol: String): DataFrame = {
-    val counts = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    // persisted (r17): one row per distinct key; saves the prefix
+    // machinery's passes from re-running the corpus key rollup each time
+    val counts = graft.etl.CacheRegistry.persist(
+      df.filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt")))
     val ranked = graft.etl.IngestOps.withGlobalPos(counts, col("cnt"), "_pos")
     ranked.agg(
         sum(col("_pos") * col("cnt")).as("s"),

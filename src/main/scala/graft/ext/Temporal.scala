@@ -110,12 +110,19 @@ object Temporal {
     */
   def intervalConcurrency(intervals: DataFrame, startUs: String,
       endUs: String): DataFrame = {
-    val deltas = intervals.select(col(startUs).as("us"), lit(1L).as("_d"))
+    // persisted (r17): the prefix machinery makes several driver-bounded
+    // passes (range-bucket count, boundary sample, per-bucket sums) plus
+    // the final sweep over `deltas` — unpersisted, every pass re-ran the
+    // caller's whole interval chain (for the session-concurrency row that
+    // was the 2-window sessionization, 4×). The rollup is one slim row per
+    // distinct boundary instant, far smaller than its input.
+    val deltas = graft.etl.CacheRegistry.persist(
+      intervals.select(col(startUs).as("us"), lit(1L).as("_d"))
       .union(intervals.select(col(endUs).as("us"), lit(-1L).as("_d")))
       .groupBy("us").agg(
         sum(col("_d")).as("delta"),
         sum(when(col("_d") > 0, 1L).otherwise(0L)).as("n_starts"),
-        sum(when(col("_d") < 0, 1L).otherwise(0L)).as("n_ends"))
+        sum(when(col("_d") < 0, 1L).otherwise(0L)).as("n_ends")))
     graft.etl.IngestOps
       .withGlobalRunningSum(deltas, col("us"), col("delta"), "n_active")
       .select("us", "n_starts", "n_ends", "delta", "n_active")

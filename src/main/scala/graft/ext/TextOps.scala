@@ -1431,10 +1431,13 @@ object TextOps {
         .withColumn("run", sum(col("is_stop")).over(w))
         .filter(col("is_stop") === 0)
         .select(col("doc_id"), col("run"), col("pos"), col("w")))
-    val plen = pt.groupBy("doc_id", "run")
+    // persisted (r17): plen feeds both the word-stats join and the final
+    // phrase rollup — unpersisted, the collect_list phrase assembly ran
+    // twice; one slim row per candidate phrase
+    val plen = graft.etl.CacheRegistry.persist(pt.groupBy("doc_id", "run")
       .agg(count(lit(1)).as("len"),
         array_join(expr("transform(sort_array(collect_list(" +
-          "struct(pos, w))), x -> x.w)"), " ").as("phrase"))
+          "struct(pos, w))), x -> x.w)"), " ").as("phrase")))
     val ws = pt.join(plen.select(col("doc_id"), col("run"), col("len")),
         Seq("doc_id", "run"))
       .groupBy("w")
@@ -2242,8 +2245,13 @@ object TextOps {
     val tf = docs.filter(col("text").isNotNull)
       .select(explode(tokensArr("text")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-    val cls = tf.groupBy("n").agg(count(lit(1)).as("c"))
-      .withColumn("mass", col("n") * col("c"))
+    // persisted (r17): cls is ≤ O(√Σn) rows, but the nested prefix-sum
+    // machinery below makes ~8 driver-bounded passes over it (2× count/
+    // sample/sums + the totals agg + the final join) — unpersisted, each
+    // pass re-ran the full corpus tokenize + term aggregation.
+    val cls = graft.etl.CacheRegistry.persist(
+      tf.groupBy("n").agg(count(lit(1)).as("c"))
+        .withColumn("mass", col("n") * col("c")))
     val cum = graft.etl.IngestOps.withGlobalRunningSum(
       graft.etl.IngestOps.withGlobalRunningSum(cls, -col("n"), col("mass"), "cm"),
       -col("n"), col("c"), "ct")

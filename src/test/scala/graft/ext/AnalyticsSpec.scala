@@ -325,12 +325,24 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("funnel plan has exactly one exchange (window + rollup co-partitioned)") {
     val e = events((1L, "view", 10L), (2L, "click", 20L))
-    val plan = Analytics.funnel(e).queryExecution.executedPlan
+    // stage=false: assert the COMPUTATION's shape (the staged form returns
+    // a scan of the materialized stage, which has no exchange by design)
+    val plan = Analytics.funnel(e, stage = false).queryExecution.executedPlan
     var exchanges = 0
     graft.etl.PlanWalk.visit(plan) { p =>
       if (p.getClass.getSimpleName.contains("ShuffleExchange")) exchanges += 1
     }
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+
+  test("funnel: staged result equals the direct computation row-for-row") {
+    val e = events((1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 6L), (3L, "view", 1L))
+    val direct = Analytics.funnel(e, stage = false)
+      .collect().map(_.toString).sorted.toSeq
+    val staged = Analytics.funnel(e)
+      .collect().map(_.toString).sorted.toSeq
+    assert(staged == direct)
   }
 
   test("cohortLtv: hand-built cohort grid, running cumulative, exact cents") {
