@@ -1946,9 +1946,13 @@ object SparkEntry {
     // at-ingest curation/PII gate in streaming form; static side broadcast
     // per micro-batch, zero streaming state
     "events_stream_blocklist" -> ((s, dir) => {
-      val bl = t(s, dir, "events")
+      // persisted (r17): Spark re-evaluates a stream-static join's STATIC
+      // side every micro-batch — unpersisted, the events scan + distinct
+      // re-ran per batch (the vs_corpus rows already persist their static
+      // side for exactly this reason; this row predates them)
+      val bl = graft.etl.CacheRegistry.persist(t(s, dir, "events")
         .filter(col("user_id").isNotNull && pmod(col("user_id"), lit(10)) === 3)
-        .select(col("user_id").as("blocked_user")).distinct()
+        .select(col("user_id").as("blocked_user")).distinct())
       val replayed = replayStream(s, dir, "stream_blocklist_verify", "append")(
         graft.streaming.EventStreams.filterBlocklisted(
             graft.streaming.EventStreams.readEvents(s, dir), bl))

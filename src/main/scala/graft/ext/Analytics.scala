@@ -487,12 +487,10 @@ object Analytics {
           .otherwise(0L))
       .withColumn("session_id", sum(col("_new")).over(cum))
       .select(col("user_id"), col("session_id"), col("event_type")).distinct()
-      // co-partition + sort the cache on the self-join key (r17, guide
-      // §2.4): the within-session pair join keys on (user_id, session_id)
-      // — laid out that way, the self-join and the nSess distinct reuse
-      // the cache's partitioning instead of re-exchanging both sides
-      .repartition(col("user_id"), col("session_id"))
-      .sortWithinPartitions("user_id", "session_id")
+    // (r17) a repartition on (user_id, session_id) was tried here and
+    // reverted for the same reason as brandRules: cached-plan output
+    // partitioning does not propagate past AQE, so the self-join
+    // re-exchanged both sides regardless.
     val cached = graft.etl.CacheRegistry.persist(typed)
     val nSess = cached.select("user_id", "session_id").distinct()
       .agg(count(lit(1)).as("n_sessions"))
@@ -1217,19 +1215,18 @@ object Analytics {
   def brandRules(lineitem: DataFrame, part: DataFrame,
       minSupport: Long = 10L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // cached CO-PARTITIONED + sorted on the self-join key (r17, guide
-    // §2.4 "share one exchange"): the pair join below joins baskets to
-    // itself on okey — with the cache laid out by (okey, brand) from the
-    // distinct, BOTH sides re-exchanged; partitioned and sorted by okey
-    // the self-join plans with no Exchange and no Sort on either side
-    // (one extra exchange at build, two saved per action over the same
-    // relation, and the nOrders distinct reuses the layout too).
+    // (r17) a repartition(okey)+sort of this cache was tried to make the
+    // self-join exchange-free and REVERTED: in Spark 4.1 an
+    // InMemoryRelation whose cached plan went through AQE reports unknown
+    // output partitioning to the outer planner, so EnsureRequirements
+    // re-exchanged both self-join sides anyway (verified in
+    // plans/r17/orders_brand_rules_after.txt) and the extra build
+    // exchange was pure cost.
     val baskets = graft.etl.CacheRegistry.persist(
       lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
           col("p_brand"))), "l_partkey")
-        .select(col("okey"), col("p_brand").as("brand")).distinct()
-        .repartition(col("okey")).sortWithinPartitions("okey"))
+        .select(col("okey"), col("p_brand").as("brand")).distinct())
     val nOrders = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
     val supp = baskets.groupBy("brand").agg(count(lit(1)).as("supp"))
     val pairs = baskets.as("a")

@@ -199,9 +199,15 @@ object EventStreams {
       .empty[(Long, org.apache.spark.sql.Row)]
     // narrow state like SparkEntry.runNarrowStream: at fixture volumes the
     // per-partition state-store open/commit dominates (and this run pays it
-    // once per staged file)
+    // once per staged file). r17: aligned on the family-wide harness knob
+    // (default 4, measured best across the streaming family) — this run
+    // pays the per-partition open/commit once per staged FILE, so the
+    // narrower state store compounds; emissions are partition-count
+    // independent (update-mode re-emission is decided by data + watermark
+    // per batch, pinned by the oracle either way).
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.getOption("spark.graft.stream.partitions").getOrElse("4"))
     // fresh checkpoint + state store on tmpfs (same rationale as
     // SparkEntry.streamCheckpointParent: the state store's tiny synchronous
     // file ops on a disk-backed java.io.tmpdir are a real slice of the
