@@ -486,20 +486,34 @@ object Analytics {
         when(col("_prev").isNull || col("us") - col("_prev") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session_id", sum(col("_new")).over(cum))
-      .select(col("user_id"), col("session_id"), col("event_type")).distinct()
-    // (r17) a repartition on (user_id, session_id) was tried here and
-    // reverted for the same reason as brandRules: cached-plan output
-    // partitioning does not propagate past AQE, so the self-join
-    // re-exchanged both sides regardless.
+      // (r18) grouped-sets form replaces the distinct + session self-join
+      // (the r17 co-partition attempt could not remove those exchanges —
+      // an AQE'd InMemoryRelation reports unknown partitioning): the
+      // groupBy(user_id, session_id) collect_set REUSES the sessionization
+      // window's hash(user_id) partitioning (no new exchange) and subsumes
+      // the old distinct; ordered pairs (a < b over the sorted set)
+      // explode per session — bounded by |types|² per session exactly like
+      // the old join — and partial-count down to a |types|²-bounded rollup.
+      // The persisted relation is one row per session instead of one per
+      // (session, type), and the two corpus-sized self-join exchanges from
+      // the cache are gone.
+      // Equivalence: n_both(a,b) = |{sess : a,b ∈ types(sess)}| and
+      // n_type(t) = |{sess : t ∈ types(sess)}| are exactly the old
+      // self-join and groupBy counts over distinct (session, type);
+      // event_type is filtered non-null upstream, and nSess counts grouped
+      // rows = distinct (user_id, session_id) either way.
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
     val cached = graft.etl.CacheRegistry.persist(typed)
-    val nSess = cached.select("user_id", "session_id").distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    val perType = cached.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
-    val both = cached.as("a").join(cached.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-        col("a.session_id") === col("b.session_id") &&
-        col("a.event_type") < col("b.event_type"))
-      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+    val nSess = cached.agg(count(lit(1)).as("n_sessions"))
+    val perType = cached.select(explode(col("types")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val both = cached
+      .select(explode(expr(
+        """flatten(transform(types, (a, i) ->
+          |  transform(slice(types, i + 2, size(types) - i - 1), b ->
+          |    named_struct('type_a', a, 'type_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.type_a").as("type_a"), col("p.type_b").as("type_b"))
       .agg(count(lit(1)).as("n_both"))
     both
       .join(broadcast(perType.select(col("event_type").as("type_a"),
@@ -1215,24 +1229,36 @@ object Analytics {
   def brandRules(lineitem: DataFrame, part: DataFrame,
       minSupport: Long = 10L): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    // (r17) a repartition(okey)+sort of this cache was tried to make the
-    // self-join exchange-free and REVERTED: in Spark 4.1 an
-    // InMemoryRelation whose cached plan went through AQE reports unknown
-    // output partitioning to the outer planner, so EnsureRequirements
-    // re-exchanged both self-join sides anyway (verified in
-    // plans/r17/orders_brand_rules_after.txt) and the extra build
-    // exchange was pure cost.
+    // (r18) grouped-sets form replaces the distinct + okey self-join (the
+    // r17 co-partition attempt could not remove those exchanges — an AQE'd
+    // InMemoryRelation reports unknown partitioning): groupBy(okey) with
+    // map-side partial collect_set assembles each order's distinct brand
+    // set in the ONE full-data exchange; ordered pairs (a ≠ b) explode per
+    // order — bounded by |brands|² per order exactly like the old join —
+    // and partial-count down to a |brands|²-bounded rollup before the only
+    // other (tiny) exchange. No SMJ sorts, and the persisted relation is
+    // one row per order instead of one per (order, brand).
+    // Equivalence: supp_ab(a,b) = |{okey : a,b ∈ brands(okey)}| and
+    // supp(a) = |{okey : a ∈ brands(okey)}| are exactly the old self-join
+    // and groupBy counts over distinct (okey, brand); a null brand never
+    // reached the old output (pairs required a.brand =!= b.brand, and supp
+    // rows only surfaced through joins on pair keys), and nOrders counts
+    // grouped rows = distinct okey either way.
     val baskets = graft.etl.CacheRegistry.persist(
       lineitem.select(col("l_orderkey").as("okey"), col("l_partkey"))
         .join(broadcast(part.select(col("p_partkey").as("l_partkey"),
           col("p_brand"))), "l_partkey")
-        .select(col("okey"), col("p_brand").as("brand")).distinct())
-    val nOrders = baskets.select("okey").distinct().agg(count(lit(1)).as("n"))
-    val supp = baskets.groupBy("brand").agg(count(lit(1)).as("supp"))
-    val pairs = baskets.as("a")
-      .join(baskets.as("b"),
-        col("a.okey") === col("b.okey") && col("a.brand") =!= col("b.brand"))
-      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+        .groupBy(col("okey"))
+        .agg(array_sort(collect_set(col("p_brand"))).as("brands")))
+    val nOrders = baskets.agg(count(lit(1)).as("n"))
+    val supp = baskets.select(explode(col("brands")).as("brand"))
+      .groupBy("brand").agg(count(lit(1)).as("supp"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(brands, a ->
+          |  transform(filter(brands, b -> b != a), b ->
+          |    named_struct('brand_a', a, 'brand_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("supp_ab"))
       .filter(col("supp_ab") >= minSupport)
     pairs

@@ -1258,21 +1258,38 @@ object Dedup {
     * as md5 digests: fixed-width shuffle keys, bit-identical on both
     * engines. */
   def crossSourceOverlap(docs: DataFrame, w: Int = 5): DataFrame = {
-    // persisted (r17): ds feeds three consumers (per-source counts, both
-    // self-join sides) — unpersisted, the shingle explode + distinct
-    // re-ran per consumer. (A co-partition-by-h layout was also tried to
-    // make the self-join exchange-free, but the extra full exchange of
-    // the corpus-sized shingle relation at build measured worse than the
-    // two cache-scan exchanges it saved — reverted.)
-    val ds = graft.etl.CacheRegistry.persist(shingles(docs, w)
+    // (r18) grouped-sets form replaces the r17 distinct + self-join: the
+    // corpus-sized (shingle, source) relation is exchanged exactly ONCE —
+    // groupBy(h) with map-side partial collect_set both deduplicates
+    // (subsuming the old distinct) and assembles each shingle's source
+    // set; ordered pairs (a ≤ b, sorted set) then explode per shingle and
+    // partial-count down to a |sources|²-bounded rollup before the only
+    // other (tiny) exchange. The diagonal (s, s) carries the per-source
+    // distinct-shingle totals, so no second pass over the corpus and no
+    // corpus-sized persist (the r17 persist of `ds` REGRESSED the row
+    // 1.52→2.65 s at 32 cores — cache write of a corpus-wide relation
+    // cost more than the recompute it saved; VERDICT r17 item 1).
+    // Equivalence: n_shared(a,b) = |{h : a ∈ srcs(h) ∧ b ∈ srcs(h)}| and
+    // n_s = |{h : s ∈ srcs(h)}| are exactly the old self-join/groupBy
+    // counts over distinct (h, source); a null source never reached the
+    // old output either (pairs required a.source < b.source, and perSrc
+    // rows only surfaced through joins on pair keys).
+    val sets = shingles(docs, w)
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .select(md5(col("tok")).as("h"), col("source")).distinct())
-    val perSrc = ds.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = ds.as("a").join(ds.as("b"),
-        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    pairs
+      .filter(col("source").isNotNull)
+      .groupBy(md5(col("tok")).as("h"))
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val cnt = graft.etl.CacheRegistry.persist(sets
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 1, size(srcs) - i), b ->
+          |    named_struct('src_a', a, 'src_b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n")))
+    val perSrc = cnt.filter(col("src_a") === col("src_b"))
+      .select(col("src_a").as("source"), col("n"))
+    cnt.filter(col("src_a") =!= col("src_b"))
+      .select(col("src_a"), col("src_b"), col("n").as("n_shared"))
       .join(broadcast(perSrc.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
       .join(broadcast(perSrc.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
       .withColumn("overlap_micro", expr("n_shared * 1000000 DIV least(n_a, n_b)"))

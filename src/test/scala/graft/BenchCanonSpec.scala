@@ -138,4 +138,27 @@ class BenchCanonSpec extends AnyFunSuite {
     // a fixpoint-iterated pass sequence must also be idempotent
     assert(Bench.stripPlanText(a) == a)
   }
+
+  test("stripPlanText is session-width independent (VERDICT r17 #7)") {
+    // the sessions set spark.sql.shuffle.partitions = $SPARK_GRAFT_CPUS, so
+    // every EnsureRequirements exchange prints the width — the driver's
+    // 8-core scaling run diverged from the committed 32-core digests on
+    // exactly these tokens (35 rows). Same plan, both widths → one digest.
+    val at32 = "Exchange hashpartitioning(coalesce(none#x, 0), isnull(none#x), 32), ENSURE_REQUIREMENTS, [plan_id=42]\n" +
+      "+- Exchange rangepartitioning(none#x ASC NULLS FIRST, none#x DESC NULLS LAST, 32), ENSURE_REQUIREMENTS, [plan_id=41]\n" +
+      "   +- Exchange RoundRobinPartitioning(32), REPARTITION_BY_NUM, [plan_id=40]"
+    val at8 = at32.replace(", 32)", ", 8)").replace("(32)", "(8)")
+    assert(Bench.stripPlanText(at32) == Bench.stripPlanText(at8))
+    // partitioning KEYS survive — only the trailing count collapses
+    assert(Bench.stripPlanText(at32).contains(
+      "hashpartitioning(coalesce(none#x, 0), isnull(none#x), n)"))
+    assert(Bench.stripPlanText(at32).contains("RoundRobinPartitioning(n)"))
+    // a numeric EXPRESSION argument that is not the trailing count is kept
+    val expr = "hashpartitioning(pmod(hash(none#x), 16), 32)"
+    assert(Bench.normalizePartitionCounts(expr) ==
+      "hashpartitioning(pmod(hash(none#x), 16), n)")
+    // single-arg spans (no comma) are left alone
+    assert(Bench.normalizePartitionCounts("hashpartitioning(none#x)") ==
+      "hashpartitioning(none#x)")
+  }
 }

@@ -213,6 +213,11 @@ class AnalyticsSpec extends AnyFunSuite {
     // 3 sessions; A in 2, B in 2, {A,B} together in 1 → lift = 1·3/(2·2)
     assert(got === Seq(("B", "A", 1L, 2L, 2L, 0.75)) ||
       got === Seq(("A", "B", 1L, 2L, 2L, 0.75)))
+    // r18 grouped-sets shape: the session relation is never self-joined —
+    // the only joins left are broadcasts of the |types|²-bounded rollup
+    val plan = Analytics.typeAffinity(e).queryExecution.executedPlan.toString
+    graft.etl.CacheRegistry.releaseAll()
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
   test("dauWau: sliding distinct by hand on a 3-user toy timeline") {
@@ -505,6 +510,12 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!got.contains(("B", "C")))
     // minSupport prunes
     assert(Analytics.brandRules(li, part, minSupport = 2L).count() == 2L)
+    // r18 grouped-sets shape: baskets are never self-joined — the only
+    // joins left are the broadcast dim join and broadcasts of the
+    // |brands|²-bounded rollups
+    val plan = Analytics.brandRules(li, part).queryExecution.executedPlan.toString
+    graft.etl.CacheRegistry.releaseAll()
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
   test("abcAnalysis: hand-built Pareto labels; equal-spend customers share one label; shares sum to 1") {

@@ -472,6 +472,11 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.crossSourceOverlap(fx.repartition(13)).collect()
       .map(_.toString).toSeq
     assert(a == b)
+    // r18 grouped-sets shape: the corpus-sized shingle relation is never
+    // self-joined — the only joins left are broadcasts of the
+    // |sources|²-bounded rollup, so no shuffle-side join may appear
+    val plan = Dedup.crossSourceOverlap(fx).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
   test("keepBestInCluster keeps the highest-alpha member, not the first") {
