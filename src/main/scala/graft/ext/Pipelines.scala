@@ -391,14 +391,30 @@ object Pipelines {
     // circuits in codegen, so size-incompatible pairs never pay the merge
     val sizeOk = least(col("na"), col("nb")).cast("double") >=
       lit(threshold) * greatest(col("na"), col("nb")).cast("double")
-    val sim = graft.etl.CacheRegistry.persist(pairs
+    val simDirect = pairs
       .join(toks.select(col("doc_id").as("doc_a"),
         col("toks").as("ta"), size(col("toks")).as("na")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"),
         col("toks").as("tb"), size(col("toks")).as("nb")), "doc_b")
       .filter(sizeOk && Dedup.jaccardFromIntersect(
         Dedup.intersectCount(col("ta"), col("tb")), col("na"), col("nb")) >= threshold)
-      .select("doc_a", "ex_a", "doc_b", "ex_b"))
+      .select("doc_a", "ex_a", "doc_b", "ex_b")
+    // (r18) the scored pair relation is STAGED, not just persisted: it is
+    // the pipeline's dominant cost (NearDupProbe at sf0.1: 5.5 M candidate
+    // pairs → 2.4 M θ-similar pairs from 5 000 docs; rescore + loser
+    // passes ≈ the whole row) and a pure deterministic function of the
+    // (toks, buckets) inputs — exact integer/boolean columns, so the
+    // parquet round-trip is row-exact. Every action used to re-run the
+    // salted join + rescore from the caches; now the first action per JVM
+    // materializes it (cost on record as `stage_prime`) and later actions
+    // scan it — the same fan-out contract as the dedup triple and the
+    // funnel stage. SPARK_GRAFT_NO_STAGE=1 A/B-reverts to the persist.
+    // threshold is in the stage tag: the memo key is (tag, input plans)
+    // and the inputs don't carry it — two thresholds must never share a
+    // stage (the salt count is a module constant, same every call)
+    val sim = graft.etl.StageStore
+      .materializeBy(s"incr_neardup_sim_$threshold", Seq(toks, b))(simDirect)
+      .getOrElse(graft.etl.CacheRegistry.persist(simDirect))
     // cross stage: an incoming doc similar to ANY existing doc loses.
     // Loser id sets are DISTINCT and ⊆ the incoming batch — the increment
     // is the small side of this pipeline by contract (daily batch vs

@@ -19,8 +19,17 @@ object StreamFloor {
       .config("spark.sql.files.openCostInBytes", "16384")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.graft.rangejoin.bucketUs", "600000000")
+    // A/B aid (r18): SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies candidate
+    // session configs (state-store provider, stream knobs) — same contract
+    // as OptProbe
+    val withExtra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .foldLeft(b) { (bb, kv) =>
+        val Array(k, v) = kv.split("=", 2); bb.config(k, v)
+      }
     val spark = sys.env.get("STREAM_PARTS")
-      .fold(b)(p => b.config("spark.graft.stream.partitions", p)).getOrCreate()
+      .fold(withExtra)(p => withExtra.config("spark.graft.stream.partitions", p))
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val iters = sys.env.getOrElse("STREAM_ITERS", "2").toInt
