@@ -1197,16 +1197,23 @@ object Pipelines {
         .select(col("doc_id"), col("source"),
           pmod(conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long"),
             lit(buckets.toLong)).as("b")))
-    val raw = bg.groupBy("b").agg(count(lit(1)).as("c_r"))
-    val tgt = bg.filter(col("source") === targetSource)
-      .groupBy("b").agg(count(lit(1)).as("c_t"))
-    val model = raw.join(tgt, Seq("b"), "left_outer")
-      .select(col("b"), expr(
-        "((coalesce(c_t, CAST(0 AS BIGINT)) + 1) * CAST(1000000 AS BIGINT))" +
-          " DIV (c_r + 1)").as("q"))
-    val totals = bg.agg(count(lit(1)).as("r_total"),
+    // (r18) ONE bucket rollup replaces three corpus passes: raw counts,
+    // target counts and the global totals all derive from the same ≤B-row
+    // (c_r, c_t) relation — c_t rides the raw rollup as a conditional sum
+    // (subsuming the old left_outer raw⋈tgt join), and the totals are the
+    // rollup's own column sums (r_total = Σ c_r = count(*), t_total =
+    // Σ c_t by definition). The corpus-sized bigram cache is now scanned
+    // exactly twice (rollup, scored) instead of four times. The tiny
+    // rollup is persisted for its two consumers (model, totals) — the
+    // r17 slim-rollup pattern, orders of magnitude under corpus size.
+    val rollup = graft.etl.CacheRegistry.persist(bg.groupBy("b").agg(
+      count(lit(1)).as("c_r"),
       sum(when(col("source") === targetSource, lit(1L)).otherwise(lit(0L)))
-        .as("t_total"))
+        .as("c_t")))
+    val model = rollup.select(col("b"), expr(
+      "((c_t + 1) * CAST(1000000 AS BIGINT)) DIV (c_r + 1)").as("q"))
+    val totals = rollup.agg(sum(col("c_r")).as("r_total"),
+      sum(col("c_t")).as("t_total"))
     val scored = bg.join(broadcast(model), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_ratio"))

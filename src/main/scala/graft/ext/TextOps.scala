@@ -1349,6 +1349,18 @@ object TextOps {
     *
     * Top-k per query plans as a WindowGroupLimit (partial top-k before the
     * rank window), so only k candidates per query survive each partition. */
+  /** Shared BM25 term-frequency relation: one row per distinct (term, doc)
+    * with its occurrence count — THE corpus pass of the whole search
+    * family. Persisted; built identically by searchTopK and the eval/rrf
+    * graded-relevance consumers, so within one action Spark's CacheManager
+    * plan-matches every use onto ONE materialization (the search rows used
+    * to tokenize the corpus 2-4 times per action through differently-
+    * shaped projections of the same token stream). */
+  private def bm25Tf(docs: DataFrame, textCol: String): DataFrame =
+    graft.etl.CacheRegistry.persist(
+      docs.select(col("doc_id"), explode(tokensArr(textCol)).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+
   def searchTopK(docs: DataFrame,
       queries: Seq[(String, String)] = Seq(
         "q_hash" -> "hash join stream",
@@ -1363,10 +1375,15 @@ object TextOps {
     import spark.implicits._
     val k1p1 = k1 + 1
     val oneMinusB = 1 - b
-    val toks = docs.select(col("doc_id"), explode(tokensArr(textCol)).as("term"))
-    val tf = graft.etl.CacheRegistry.persist(
-      toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // (r18) dl derives from the CACHED tf (Σ tf per doc = the doc's token
+    // count — identical by definition) instead of from the raw token
+    // stream: dl was evaluated twice (score join + corpus stats), and each
+    // evaluation re-ran the corpus tokenize+explode. Now the tokenize runs
+    // exactly once per action (into tf); dl is a slim |docs|-row rollup,
+    // persisted for its two consumers (r17 slim-rollup pattern).
+    val tf = bm25Tf(docs, textCol)
+    val dl = graft.etl.CacheRegistry.persist(
+      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qTerms = queries
@@ -1669,8 +1686,11 @@ object TextOps {
       .flatMap { case (qid, text) =>
         text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
       .toDF("query_id", "term")
-    val rel = docs
-      .select(col("doc_id"), explode(array_distinct(tokensArr(textCol))).as("term"))
+    // (r18) same tf-derivation as searchEval's rel: one row per distinct
+    // (term, doc) in tf, so matched-row counts ≡ matched-distinct-term
+    // counts, and the corpus tokenize plan-matches onto searchTopK's
+    // cached tf instead of running a second time
+    val rel = bm25Tf(docs, textCol)
       .join(broadcast(qTerms), "term")
       .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel"))
     val wOv = Window.partitionBy("query_id").orderBy(col("rel").desc, col("doc_id"))
@@ -1952,10 +1972,14 @@ object TextOps {
       .flatMap { case (qid, text) =>
         text.split("\\s+").filter(_.nonEmpty).distinct.map(qid -> _) }
       .toDF("query_id", "term"))
-    // graded relevance: distinct-term containment count per (query, doc)
+    // graded relevance: distinct-term containment count per (query, doc).
+    // (r18) derived from the shared tf relation — one row per distinct
+    // (term, doc), so counting matched rows ≡ counting matched distinct
+    // terms — instead of a second tokenize of the corpus through
+    // array_distinct; CacheManager plan-matches this onto searchTopK's
+    // cached tf within the same action.
     val rel = graft.etl.CacheRegistry.persist(
-      docs.select(col("doc_id"), explode(array_distinct(tokensArr(textCol))).as("term"))
-        .join(qTerms, "term")
+      bm25Tf(docs, textCol).join(qTerms, "term")
         .groupBy("query_id", "doc_id").agg(count(lit(1)).as("rel")))
     val topk = searchTopK(docs, queries, k, k1, b, textCol)
       .join(rel, Seq("query_id", "doc_id"), "left")
