@@ -634,13 +634,22 @@ object Analytics {
     * any warehouse load runs. */
   def refIntegrity(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
     rels.map { case (name, child, childKey, parent, parentKey) =>
-      val orphans = child.select(col(childKey).as("_k"))
-        .filter(col("_k").isNotNull)
-        .join(parent.select(col(parentKey).as("_k")), Seq("_k"), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
-      val totals = child.agg(
-        count(lit(1)).as("n_rows"), count(col(childKey)).as("n_keyed"))
-      totals.crossJoin(orphans)
+      // (r18) ONE child scan per relationship instead of two: the old
+      // shape ran a separate totals aggregation (full child scan) beside
+      // the anti-join orphan count. A left_outer probe against the
+      // DISTINCT parent keys (distinct keeps the row count exact — and is
+      // a dim-sized aggregation) lets all three counters ride one
+      // aggregation: n_rows = joined rows (1:1 by distinctness), n_keyed
+      // = non-null child keys (a null key never matches, same as the old
+      // anti semantics), n_orphans = non-null keys with no parent match.
+      val marked = child.select(col(childKey).as("_k"))
+        .join(parent.select(col(parentKey).as("_k")).distinct()
+          .withColumn("_m", lit(1)), Seq("_k"), "left_outer")
+      marked.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("_k")).as("n_keyed"),
+          coalesce(sum(when(col("_k").isNotNull && col("_m").isNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_rows"), col("n_keyed"),
           col("n_orphans"))
     }.reduce(_.union(_))
