@@ -1379,11 +1379,12 @@ object TextOps {
     // count — identical by definition) instead of from the raw token
     // stream: dl was evaluated twice (score join + corpus stats), and each
     // evaluation re-ran the corpus tokenize+explode. Now the tokenize runs
-    // exactly once per action (into tf); dl is a slim |docs|-row rollup,
-    // persisted for its two consumers (r17 slim-rollup pattern).
+    // exactly once per action (into tf); dl's two evaluations are cheap
+    // cache scans (NOT persisted — an A/B of the persisted form measured
+    // the extra slim-rollup materialization as a net loss here, unlike the
+    // r17 slim-rollup cases whose upstreams were unpersisted).
     val tf = bm25Tf(docs, textCol)
-    val dl = graft.etl.CacheRegistry.persist(
-      tf.groupBy("doc_id").agg(sum(col("tf")).as("dl")))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qTerms = queries
